@@ -29,37 +29,50 @@ def asof_join(
     Scale-first formulation: instead of the naive range join + per-key
     row_number (which materializes |L|x|R| candidate pairs per key), union
     both sides tagged by origin, sort within key by time, and carry the last
-    non-null right attributes forward with ``F.last(ignorenulls=True)``.
-    One shuffle on the key, no pair blowup — the plan survives skewed keys and
-    100x data (AQE splits skewed partitions; the window is a linear pass).
+    right row forward with ``F.last(ignorenulls=True)``. One shuffle on the
+    key, no pair blowup — the plan survives skewed keys and 100x data (AQE
+    splits skewed partitions; the window is a linear pass).
 
-    Right-side rows sort before left-side rows at equal timestamps, giving
-    inclusive (<=) as-of semantics, matching DuckDB's ``ASOF JOIN ... ON
-    l.ts >= r.ts`` oracle.
+    The whole right payload travels as ONE struct column, so a matched right
+    row whose individual fields are NULL is carried intact (per-column
+    ``last(ignorenulls)`` would stitch fields from different right rows).
+    Right rows sort before left rows at equal timestamps, giving inclusive
+    (<=) as-of semantics, matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``.
+    Among right rows sharing (key, ts) the survivor is the one with the
+    largest payload struct (Spark structs order lexicographically by field),
+    which is deterministic across partitionings and cluster sizes.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys]
     left_cols = [c for c in left.columns if c not in keys]
 
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    r_struct_type = (
+        right.select(payload.alias("__r")).schema["__r"].dataType
+    )
+
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        payload.alias("__r"),
     )
 
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col("__t"), F.col("__is_left"))
+        # __r in the ordering = deterministic tiebreak among equal-(key, ts)
+        # right rows; left rows have __r NULL (nulls first) so the tiebreak
+        # never reorders a left row past a right row at the same instant.
+        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__r"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).select(
@@ -67,6 +80,12 @@ def asof_join(
         "__t",
         "__is_left",
         *left_cols,
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
+    out = filled.filter(F.col("__is_left") == 1).select(
+        *keys,
+        *left_cols,
+        F.col("__t").alias(left_ts),
+        *[F.col("__r")[c].alias(c) for c in right_cols],
+    )
+    return out

@@ -33,6 +33,8 @@ def _canon(v: Any) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:  # normalize -0.0 so signed zeros compare equal
+            v = 0.0
         # repr keeps full double precision; bit-identical doubles -> same repr
         return repr(v)
     if isinstance(v, bytes):
@@ -69,10 +71,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
         cd = canonical_rows(d_cols, d_rows)
         result["values_match"] = cs == cd
         if not result["values_match"]:
-            diffs = [
-                (a, b) for a, b in zip(cs, cd) if a != b
-            ][:5]
-            result["first_diffs"] = diffs
+            # Set-style diff: positional zip after one insertion marks every
+            # later pair as differing, which misleads debugging.
+            from collections import Counter
+
+            cs_only = Counter(cs) - Counter(cd)
+            cd_only = Counter(cd) - Counter(cs)
+            result["first_diffs"] = {
+                "spark_only": list(cs_only.elements())[:5],
+                "oracle_only": list(cd_only.elements())[:5],
+            }
     else:
         result["values_match"] = False
     result["ok"] = result["rowcount_match"] and result["schema_match"] and result["values_match"]
