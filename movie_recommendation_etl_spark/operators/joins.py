@@ -44,8 +44,8 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
-        right_cols = [c for c in right.columns if c not in keys]
-    left_cols = [c for c in left.columns if c not in keys]
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    left_cols = [c for c in left.columns if c not in keys and c != left_ts]
 
     payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
     r_struct_type = (

@@ -9,6 +9,7 @@ partitioned object-store layout without code changes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -27,8 +28,21 @@ TABLES: tuple[str, ...] = (
 DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 
 
+# Tables whose parquet files carry TIMESTAMP(NANOS) columns, which Spark's
+# vectorized reader rejects outright. We read them as nanos-since-epoch longs
+# (legacy conf) and convert with *integer* division — a double intermediate
+# would lose precision above 2^53 ns (~1970+104 days).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
