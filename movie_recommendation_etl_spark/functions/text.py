@@ -1,0 +1,93 @@
+"""Text-analysis expression library: tokenization, language-ID heuristic,
+quality scoring, document fingerprints (north-star training-data ops; the
+reference's only text handling is the NLP pipeline, transform/execute.py:175-236).
+
+Everything here is a Catalyst expression builder returning ``Column`` — no
+Python UDFs, so the whole suite runs inside whole-stage codegen, scales
+linearly with input splits, and needs zero shuffles until an aggregate
+consumes it.
+
+Determinism policy for oracle parity: per-row arithmetic only (+ - * /),
+no transcendentals (exp/log implementations differ across engines in the
+last ulp), integer sums via HOFs so token-length statistics are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English stopword list for the lang-ID heuristic. Must stay in sync
+# with SQL_STOPWORDS below (the DuckDB oracle's copy).
+STOPWORDS: tuple[str, ...] = ("a", "an", "the", "of", "and", "to", "in", "is", "on", "for", "it")
+SQL_STOPWORDS = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# BPE-ish word pattern: alnum runs (the synthetic corpus is lowercase alnum;
+# on real text extend with punctuation classes).
+TOKEN_RE = "[a-z0-9]+"
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (split on single space, like the reference's
+    concat_ws(' ') round-trip at transform/execute.py:180)."""
+    return F.split(col, " ")
+
+
+def re_token_count(col: Column | str, pattern: str = TOKEN_RE) -> Column:
+    """Regex token count (BPE-ish): number of pattern matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def stopword_count(tokens: Column) -> Column:
+    """Number of tokens (with multiplicity) that are stopwords."""
+    return F.size(F.filter(tokens, lambda x: x.isin(*STOPWORDS)))
+
+
+def stopword_ratio(tokens: Column) -> Column:
+    return stopword_count(tokens).cast("double") / F.size(tokens).cast("double")
+
+
+def short_token_ratio(tokens: Column, max_len: int = 2) -> Column:
+    """Fraction of tokens of length <= max_len (junk-text indicator)."""
+    short = F.size(F.filter(tokens, lambda x: F.length(x) <= max_len))
+    return short.cast("double") / F.size(tokens).cast("double")
+
+
+def mean_token_len(tokens: Column) -> Column:
+    """Mean token length; the sum is integer (exact), one final division."""
+    total = F.aggregate(
+        F.transform(tokens, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.size(tokens).cast("double")
+
+
+def lang_guess(tokens: Column, threshold: float = 0.15) -> Column:
+    """Heuristic language ID: stopword density >= threshold → 'en'.
+
+    At 100 TB this is exactly the kind of cheap first-pass filter that runs
+    in the scan stage before any expensive model-based lang-ID."""
+    return F.when(stopword_ratio(tokens) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def quality_score(tokens: Column) -> Column:
+    """Composite [0,1] quality score: rewards reasonable length, low
+    stopword density, and longer tokens. Pure rational arithmetic — the
+    identical formula in SQL produces bit-identical doubles."""
+    n = F.size(tokens).cast("double")
+    len_term = F.least(n, F.lit(100.0)) / F.lit(100.0)
+    stop_term = F.lit(1.0) - stopword_ratio(tokens)
+    tok_term = F.least(mean_token_len(tokens), F.lit(10.0)) / F.lit(10.0)
+    return (
+        F.lit(0.3) * len_term + F.lit(0.4) * stop_term + F.lit(0.3) * tok_term
+    )
+
+
+def prefix_fingerprint(tokens: Column, k: int = 8) -> Column:
+    """md5 of the first k tokens — a cheap near-head fingerprint for
+    prefix-duplicate detection (mirrors shingle fingerprinting)."""
+    return F.md5(F.concat_ws(" ", F.slice(tokens, 1, k)))

@@ -1,0 +1,152 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star training-data-pipeline operators (the reference has no dedup
+beyond ``dropDuplicates(["id"])``, transform/execute.py:80). The designs are
+the standard ones from the dedup literature (shingle → minhash → band →
+bucket-join; simhash bit-vote), expressed as pure Catalyst expressions.
+
+Cross-engine determinism: every hash in the family derives from md5, which
+Spark and DuckDB implement identically, so the *entire* LSH candidate
+generation — not just the final verify step — is reproducible in ANSI SQL.
+That lets the correctness gate hash-compare an approximate algorithm exactly:
+both engines miss the same (rare, deterministic) pairs.
+
+Scale shape: per-doc signature work is embarrassingly parallel in the scan
+stage; candidate generation is one explode (bands/doc = small constant) + one
+shuffle on (band_idx, band_hash) whose keys are md5-uniform (no skew); the
+verify join touches only candidate pairs. Nothing is ever all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def word_shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token array (the Jaccard ground set)."""
+    n = F.size(tokens) - F.lit(k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 12) -> list[Column]:
+    """MinHash signature: for hash function i, the minimum md5(f"{i}:" + s)
+    over shingles. Fixed-width lowercase hex compares bytewise identically in
+    the JVM and DuckDB, so the min *string* is a valid min *hash*."""
+    # NB: the per-element lambda must be UNARY — pyspark dispatches on lambda
+    # arity, and a second parameter (even with a default) receives the array
+    # index Column instead of the intended closure value.
+    def _hasher(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return [
+        F.array_min(F.transform(shingles, _hasher(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def band_hashes(sig: list[Column], rows_per_band: int = 3) -> Column:
+    """LSH banding: hash each consecutive group of ``rows_per_band``
+    signature entries; docs sharing any band hash become candidates."""
+    bands = [
+        F.md5(F.concat_ws("|", *sig[j : j + rows_per_band]))
+        for j in range(0, len(sig), rows_per_band)
+    ]
+    return F.array(*bands)
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(shingles_a) + F.size(shingles_b) - inter
+    return inter.cast("double") / union.cast("double")
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
+    bucket self-join → exact-Jaccard verify. Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b and jaccard >= threshold."""
+    toks = F.split(F.col(text_col), " ")
+    sh = word_shingles(toks, k)
+    base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+    sig_cols = minhash_signature(F.col("sh"), num_hashes)
+    sig = base.select("doc_id", "sh", band_hashes(sig_cols, rows_per_band).alias("bands"))
+
+    exploded = sig.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    shingle_sets = sig.select("doc_id", "sh")
+    verified = (
+        pairs.join(
+            shingle_sets.withColumnRenamed("sh", "sh_a").withColumnRenamed(
+                "doc_id", "doc_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.withColumnRenamed("sh", "sh_b").withColumnRenamed(
+                "doc_id", "doc_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash16(tokens: Column) -> Column:
+    """16-bit SimHash: bit b votes +1/-1 per token by the high bit of hex
+    digit b of md5(token); the bit is set when the vote sum is positive.
+    Tokens carry multiplicity (standard simhash weighting by term count)."""
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda b: F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.md5(t).substr(b, F.lit(1)).isin(*HEX_HIGH), 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        bits,
+        F.lit(0),
+        lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
+    )
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,297 @@
+"""Near-dup and similarity-search queries (north-star LLM-pipeline ops).
+
+The documents table has no natural duplicates, so the near-dup queries plant
+them: each doc gets a twin (doc_id + 1_000_000) whose text drops the last 3
+tokens — high-Jaccard pairs the operators must recover.
+
+The MinHash/SimHash oracles replicate the md5-derived hash family exactly
+(operators/neardup.py docstring), so even the *approximate* algorithms
+hash-compare bit-for-bit: both engines generate, miss, and verify the same
+candidate pairs deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.functions.vectors import (
+    cosine,
+    dot,
+    norm2,
+    sql_dot,
+    sql_norm2,
+)
+from movie_recommendation_etl_spark.operators.neardup import (
+    hamming16,
+    jaccard,
+    minhash_neardup_pairs,
+    simhash16,
+    word_shingles,
+)
+from movie_recommendation_etl_spark.plans.registry import query
+from movie_recommendation_etl_spark.sources.catalog import load_table
+
+# Planted-twin corpus: originals plus id-shifted copies with the last 3
+# tokens dropped (shared CTE text for the oracles).
+_SQL_UNIONED = """
+    unioned AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(l[1:len(l)-3], ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    )
+"""
+
+
+def _with_twins(docs: DataFrame) -> DataFrame:
+    toks = F.split("text", " ")
+    twin_text = F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 3))
+    return docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            twin_text.alias("text"),
+        )
+    )
+
+
+@query(
+    "q50_minhash_lsh_neardup",
+    oracle=f"""
+    WITH {_SQL_UNIONED},
+    base AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM unioned)
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 12), i ->
+                   list_aggregate(list_transform(sh, s -> md5(i || ':' || s)),
+                                  'min')) AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 4),
+                   j -> md5(array_to_string(sig[j*3+1:j*3+3], '|'))) AS bands
+        FROM sigs
+    ),
+    expl AS (
+        SELECT doc_id, t.j AS band_idx, bands[t.j + 1] AS band_hash
+        FROM banded CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM expl a
+        JOIN expl b ON a.band_idx = b.band_idx
+                   AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
+               / CAST(len(x.sh) + len(y.sh)
+                      - len(list_filter(x.sh, s -> list_contains(y.sh, s)))
+                      AS DOUBLE) AS jaccard
+        FROM pairs p
+        JOIN banded x ON p.doc_a = x.doc_id
+        JOIN banded y ON p.doc_b = y.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8
+    """,
+)
+def q50_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12 hashes) + LSH(4 bands x 3 rows) + exact-Jaccard verify over
+    the planted-twin corpus. Never all-pairs: candidates come from the
+    band-hash bucket self-join (md5-uniform keys — no skew at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(_with_twins(docs))
+
+
+@query(
+    "q51_simhash_hamming",
+    oracle=f"""
+    WITH {_SQL_UNIONED},
+    s AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(range(1, 17), b ->
+                       CASE WHEN list_aggregate(list_transform(toks, t ->
+                                CASE WHEN substring(md5(t), b, 1) IN
+                                     ('8','9','a','b','c','d','e','f')
+                                     THEN 1 ELSE -1 END), 'sum') > 0
+                            THEN 1 ELSE 0 END),
+                   (a, x) -> a * 2 + x) AS simhash
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM unioned)
+    )
+    SELECT o.doc_id,
+           o.simhash AS simhash_orig,
+           t.simhash AS simhash_twin,
+           CAST(bit_count(xor(o.simhash, t.simhash)) AS INTEGER) AS hamming
+    FROM s o JOIN s t ON t.doc_id = o.doc_id + 1000000
+    WHERE o.doc_id < 1000000
+    """,
+)
+def q51_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc + Hamming distance to the planted twin.
+    Signature computation is pure scan-stage codegen; the near-dup criterion
+    at scale is a self-join on rotated simhash prefixes (constant fanout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    unioned = _with_twins(docs)
+    s = unioned.select(
+        "doc_id", simhash16(F.split("text", " ")).alias("simhash")
+    )
+    o = s.filter(F.col("doc_id") < 1000000).alias("o")
+    t = s.alias("t")
+    return o.join(
+        t, F.col("t.doc_id") == F.col("o.doc_id") + 1000000
+    ).select(
+        F.col("o.doc_id").alias("doc_id"),
+        F.col("o.simhash").alias("simhash_orig"),
+        F.col("t.simhash").alias("simhash_twin"),
+        hamming16(F.col("o.simhash"), F.col("t.simhash")).alias("hamming"),
+    )
+
+
+@query(
+    "q52_ngram_jaccard_twins",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh_o,
+               list_distinct(list_transform(range(1, len(toks) - 4),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh_t
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(sh_o, s -> list_contains(sh_t, s))) AS DOUBLE)
+           / CAST(len(sh_o) + len(sh_t)
+                  - len(list_filter(sh_o, s -> list_contains(sh_t, s)))
+                  AS DOUBLE) AS jaccard,
+           CAST(len(list_filter(sh_o, s -> list_contains(sh_t, s))) AS DOUBLE)
+           / CAST(len(sh_o) + len(sh_t)
+                  - len(list_filter(sh_o, s -> list_contains(sh_t, s)))
+                  AS DOUBLE) >= 0.8 AS is_neardup
+    FROM sh
+    """,
+)
+def q52_ngram_jaccard_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard between each doc and its truncated twin — the
+    ground-truth metric the MinHash pipeline approximates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh_o = word_shingles(toks)
+    sh_t = word_shingles(F.slice(toks, 1, F.size(toks) - 3))
+    j = jaccard(sh_o, sh_t)
+    return docs.select(
+        "doc_id",
+        j.alias("jaccard"),
+        (j >= 0.8).alias("is_neardup"),
+    )
+
+
+@query(
+    "q53_embedding_neardup_pairs",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {sql_norm2("embedding")} AS nrm
+        FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                   AS cosine_sim
+        FROM e a
+        JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine_sim FROM p WHERE cosine_sim >= 0.3
+    """,
+)
+def q53_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with label blocking (IVF-style coarse
+    partition): pairs are enumerated only within label buckets via an
+    equi-join — the shuffle keys are the blocks, never a cross join. Norms
+    precomputed per row so the pair join evaluates one fold, not three."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", "embedding", norm2("embedding").alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.3)
+    )
+
+
+@query(
+    "q60_knn_bruteforce",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding, {sql_norm2("embedding")} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    p AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {sql_dot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)
+                   AS cosine_sim
+        FROM q JOIN e ON e.vec_id <> q.vec_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM p
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cosine_sim
+    FROM r WHERE rnk <= 5
+    """,
+)
+def q60_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 20 query vectors — the exact baseline
+    the LSH/ANN paths (q61/q70) are measured against. The tiny query side is
+    broadcast; per query the scan is embarrassingly parallel and the top-k
+    resolves in a window over ~|dataset| rows per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding", norm2("embedding").alias("nrm"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    pairs = q.join(e, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "cosine_sim")
+    )

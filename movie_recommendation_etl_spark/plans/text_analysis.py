@@ -1,0 +1,150 @@
+"""Text-analysis queries over the documents table (north-star LLM-pipeline
+ops: token counting, language ID, quality scoring, document fingerprinting).
+
+Each query's DuckDB oracle implements the identical expression tree, so the
+value-hash gate proves the Spark and SQL formulations agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.functions.text import (
+    SQL_STOPWORDS,
+    TOKEN_RE,
+    lang_guess,
+    mean_token_len,
+    prefix_fingerprint,
+    quality_score,
+    re_token_count,
+    short_token_ratio,
+    stopword_ratio,
+    ws_tokens,
+)
+from movie_recommendation_etl_spark.operators.dedup import (
+    dedup_keep_first,
+    fingerprint,
+)
+from movie_recommendation_etl_spark.plans.registry import query
+from movie_recommendation_etl_spark.sources.catalog import load_table
+
+
+@query(
+    "q40_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_re_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fp
+    FROM documents
+    """,
+)
+def q40_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + regex) and prefix fingerprint. Narrow
+    ops only — no shuffle; at 100 TB this runs at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        re_token_count("text").alias("n_re_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        prefix_fingerprint(toks).alias("prefix_fp"),
+    )
+
+
+@query(
+    "q41_lang_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(toks, x -> x IN ({SQL_STOPWORDS})))
+                    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+               CAST(len(list_filter(toks, x -> length(x) <= 2))
+                    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS short_ratio,
+               CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+               CAST(len(toks) AS DOUBLE) AS n
+        FROM t
+    )
+    SELECT doc_id, lang,
+           stop_ratio, short_ratio, mean_tok_len,
+           CASE WHEN stop_ratio >= 0.15 THEN 'en' ELSE 'other' END AS lang_pred,
+           0.3 * (least(n, 100.0) / 100.0)
+             + 0.4 * (1.0 - stop_ratio)
+             + 0.3 * (least(mean_tok_len, 10.0) / 10.0) AS quality
+    FROM m
+    """,
+)
+def q41_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + composite quality score per document.
+    Rational arithmetic only (see functions/text.py determinism policy), so
+    the doubles hash-match the SQL oracle exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        stopword_ratio(toks).alias("stop_ratio"),
+        short_token_ratio(toks).alias("short_ratio"),
+        mean_token_len(toks).alias("mean_tok_len"),
+        lang_guess(toks).alias("lang_pred"),
+        quality_score(toks).alias("quality"),
+    )
+
+
+@query(
+    "q42_exact_dedup_fingerprint",
+    oracle="""
+    WITH unioned AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS fingerprint
+        FROM unioned
+    ),
+    ranked AS (
+        SELECT doc_id, fingerprint,
+               row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+                   AS rn,
+               count(*) OVER (PARTITION BY fingerprint) AS n_copies
+        FROM fp
+    )
+    SELECT fingerprint, doc_id AS keep_doc_id, n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q42_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over a corpus with planted duplicates (the table
+    unioned with an id-shifted copy of itself): normalize → md5 fingerprint
+    → keep the lowest doc_id per group, reporting group size.
+
+    Scale shape: one hash shuffle on the 128-bit fingerprint (uniform keys,
+    no skew), window is a per-group linear pass — the same plan dedups 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    unioned = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    fp = unioned.select(
+        "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+    )
+    counted = fp.withColumn(
+        "n_copies", F.count(F.lit(1)).over(W.partitionBy("fingerprint"))
+    )
+    survivors = dedup_keep_first(
+        counted, ["fingerprint"], [F.col("doc_id").asc()]
+    )
+    return survivors.select(
+        "fingerprint", F.col("doc_id").alias("keep_doc_id"), "n_copies"
+    )
