@@ -23,14 +23,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the engine's recommend-style ANN query over documents
-    (TF-IDF -> LSH -> neighbors), reference notebook get_recommendations
-    (transform/execute.ipynb:1645-1670) re-expressed Spark-first.
-
-    Falls back to the headline relational query until the ML path lands.
+    (TF-IDF -> LSH -> approxNearestNeighbors), reference notebook
+    get_recommendations (transform/execute.ipynb:1645-1670) re-expressed
+    Spark-first. No fallback: if the ML path is broken, the smoke check
+    must fail loudly rather than green-light a relational stand-in.
     """
-    if "q70_recommend_similar_docs" in QUERIES:
-        return QUERIES["q70_recommend_similar_docs"](spark, SF_SMOKE)
-    return QUERIES["q01_pricing_summary"](spark, SF_SMOKE)
+    return QUERIES["q70_recommend_similar_docs"](spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

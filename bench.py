@@ -1,0 +1,101 @@
+"""Bench surface: headline queries at sf0.1, one JSON line to stdout.
+
+Queries execute through the noop sink (``df.write.format("noop")``) so the
+full plan runs distributed with zero driver-side collect — full-table
+results (q08-style) are measured at executor speed, not collect speed.
+
+Also reports ``ann_warm_sec``: the median warm approxNearestNeighbors
+latency on the cached TF-IDF corpus, directly comparable to the reference's
+7-8 s warm top-5 query (BASELINE.md).
+
+Usage: python bench.py  [env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES: tuple[str, ...] = (
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q07_top3_orders_per_customer",
+    "q08_running_total_per_customer",
+    "q21_doc_token_stats",
+    "q30_tumbling_window_agg",
+    "q31_session_window_agg",
+    "q32_asof_click_to_error",
+    "q41_lang_quality",
+    "q50_minhash_lsh_neardup",
+    "q53_embedding_neardup_pairs",
+    "q60_knn_bruteforce",
+    "q61_knn_lsh_embeddings",
+    "q70_recommend_similar_docs",
+)
+
+
+def _run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    import movie_recommendation_etl_spark.plans.all  # noqa: F401
+    from movie_recommendation_etl_spark.ml.ann import fit_lsh, recommend
+    from movie_recommendation_etl_spark.ml.tfidf import fit_document_vectors
+    from movie_recommendation_etl_spark.plans.registry import QUERIES
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM warm-up so the first measured query doesn't pay codegen/classload.
+    _run_noop(load_table(spark, SF_DIR, "lineitem").limit(1000))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        _run_noop(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # Warm ANN latency: fit once, cache, then repeated point queries
+    # (the reference's interactive get_recommendations loop).
+    docs = load_table(spark, SF_DIR, "documents")
+    _, vecs = fit_document_vectors(docs)
+    vecs = vecs.cache()
+    vecs.count()
+    lsh = fit_lsh(vecs)
+    doc_ids = [r[0] for r in vecs.select("doc_id").limit(4).collect()]
+    warm: list[float] = []
+    for qid in doc_ids:
+        t0 = time.monotonic()
+        recommend(lsh, vecs, "doc_id", qid, top_k=5).collect()
+        warm.append(time.monotonic() - t0)
+    warm.sort()
+    timings["ann_warm_query"] = round(warm[len(warm) // 2], 3)
+    vecs.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,128 @@
+"""LSH approximate nearest neighbors (reference SURVEY.md §2.10 M11-M12).
+
+The reference's only interactive query engine is ``get_recommendations``
+(transform/execute.ipynb:1645-1670): point-lookup the query vector, LSH
+``approxNearestNeighbors`` for k+1, drop self, limit k, collect ids. This
+module reproduces that shape with a *seeded* BucketedRandomProjectionLSH
+(the reference never seeds — its results are unstable across runs; SURVEY
+§5.4 pins determinism) plus a batch variant built on approxSimilarityJoin
+for many-query workloads (per-query driver loops don't scale; a single
+hash-join over bucketed candidates does).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import (
+    BucketedRandomProjectionLSH,
+    BucketedRandomProjectionLSHModel,
+    Normalizer,
+)
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# Reference LSH hyperparameters: transform/execute.py:266-267.
+BUCKET_LENGTH = 1.95
+NUM_HASH_TABLES = 14
+SEED = 42
+
+
+def fit_lsh(
+    df: DataFrame,
+    features_col: str = "norm_features",
+    *,
+    bucket_length: float = BUCKET_LENGTH,
+    num_hash_tables: int = NUM_HASH_TABLES,
+    seed: int = SEED,
+) -> BucketedRandomProjectionLSHModel:
+    lsh = BucketedRandomProjectionLSH(
+        inputCol=features_col,
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    return lsh.fit(df)
+
+
+def recommend(
+    model: BucketedRandomProjectionLSHModel,
+    df: DataFrame,
+    id_col: str,
+    query_id,
+    top_k: int = 5,
+    features_col: str = "norm_features",
+) -> DataFrame:
+    """The reference's get_recommendations shape (execute.ipynb:1645-1670):
+    point lookup → approxNearestNeighbors(k+1) → drop self → top-k.
+    Returns (id, rank, dist), nearest first. Missing id → empty frame."""
+    row = df.filter(F.col(id_col) == query_id).select(features_col).first()
+    if row is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, rank int, dist double"
+        )
+    neighbors = model.approxNearestNeighbors(
+        df, row[features_col], top_k + 1, distCol="dist"
+    )
+    return (
+        neighbors.filter(F.col(id_col) != query_id)
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(top_k)
+        .select(
+            id_col,
+            F.row_number()
+            .over(W.orderBy(F.col("dist").asc(), F.col(id_col).asc()))
+            .alias("rank"),
+            "dist",
+        )
+    )
+
+
+def batch_ann(
+    model: BucketedRandomProjectionLSHModel,
+    queries: DataFrame,
+    dataset: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    *,
+    top_k: int = 5,
+    radius: float = 1.4,
+) -> DataFrame:
+    """Many-query ANN as ONE distributed job: approxSimilarityJoin inside
+    ``radius`` (on L2-normalized vectors dist=sqrt(2-2cos), so radius 1.4 ≈
+    cos >= 0.02), then window top-k per query. This is the 100 TB shape —
+    the per-query approxNearestNeighbors loop in the reference runs a full
+    scan per query from the driver."""
+    joined = model.approxSimilarityJoin(
+        queries, dataset, radius, distCol="dist"
+    ).select(
+        F.col(f"datasetA.{query_id_col}").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        "dist",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+def embeddings_as_vectors(
+    spark: SparkSession, sf_dir: str, *, normalized: bool = True
+) -> DataFrame:
+    """embeddings table with the array<float> column promoted to VectorUDT
+    (and L2-normalized so LSH Euclidean distance tracks cosine)."""
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector("embedding").alias("vec")
+    )
+    if not normalized:
+        return emb
+    return Normalizer(inputCol="vec", outputCol="norm_vec", p=2.0).transform(
+        emb
+    )

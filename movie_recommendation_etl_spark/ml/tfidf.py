@@ -1,0 +1,113 @@
+"""TF-IDF document-vector pipeline (reference transform/execute.py:175-257).
+
+The reference uses Spark-NLP annotators (DocumentAssembler/Tokenizer/
+Normalizer/Lemmatizer/StopWordsCleaner/Finisher, :184-218) feeding MLlib
+CountVectorizer → IDF → Normalizer. Spark-NLP is an external JVM package; the
+core-Spark formulation below reproduces the same vector semantics with
+built-in stages (SURVEY.md §2.10 mapping M1-M10):
+
+- M1/M6 (document assembly/finishing) — not needed; columns stay columns.
+- M2 Tokenizer            → RegexTokenizer(pattern=\\W+, lowercase)
+- M3 Normalizer           → the tokenizer's lowercase + non-word splitting
+- M4 Lemmatizer           → optional broadcast-dictionary map (lemmatize());
+                            off by default because it changes the vocabulary
+                            and therefore every downstream golden (SURVEY §7)
+- M5 StopWordsCleaner     → StopWordsRemover(caseSensitive=False)
+- M8 CountVectorizer      → CountVectorizer(minDF=3)
+- M9 IDF                  → IDF(minDocFreq=3)
+- M10 L2 normalize        → Normalizer(p=2.0) (so Euclidean LSH distance is
+                            a monotone function of cosine distance)
+
+Scale notes: the fits are distributed aggregations (vocabulary/DF counts);
+the fitted vocabulary is collected once to the driver and broadcast into the
+transform closures — at 100 TB keep ``vocab_size`` bounded (the reference's
+implicit 2^18 default) so that broadcast stays ~tens of MiB (the reference's
+35.6 MiB task-binary warnings, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import (
+    IDF,
+    CountVectorizer,
+    Normalizer,
+    RegexTokenizer,
+    StopWordsRemover,
+)
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def build_tfidf_pipeline(
+    text_col: str = "text",
+    output_col: str = "norm_features",
+    *,
+    min_df: int = 3,
+    min_doc_freq: int = 3,
+    vocab_size: int = 1 << 18,
+) -> Pipeline:
+    """The 5-stage core-Spark TF-IDF pipeline. Parameters default to the
+    reference's (minDF=3 transform/execute.py:243, minDocFreq=3 :248,
+    2^18 vocab cell-61 output, p=2.0 :253)."""
+    tokenizer = RegexTokenizer(
+        inputCol=text_col,
+        outputCol="__tokens",
+        pattern="\\W+",
+        toLowercase=True,
+    )
+    stopper = StopWordsRemover(
+        inputCol="__tokens", outputCol="__clean_tokens", caseSensitive=False
+    )
+    cv = CountVectorizer(
+        inputCol="__clean_tokens",
+        outputCol="__raw_features",
+        minDF=float(min_df),
+        vocabSize=vocab_size,
+    )
+    idf = IDF(
+        inputCol="__raw_features",
+        outputCol="__tfidf_features",
+        minDocFreq=min_doc_freq,
+    )
+    l2 = Normalizer(inputCol="__tfidf_features", outputCol=output_col, p=2.0)
+    return Pipeline(stages=[tokenizer, stopper, cv, idf, l2])
+
+
+def fit_document_vectors(
+    docs: DataFrame,
+    text_col: str = "text",
+    output_col: str = "norm_features",
+    **kwargs,
+) -> tuple[PipelineModel, DataFrame]:
+    """Fit + transform; returns (model, docs ⊕ norm_features) with the
+    intermediate columns dropped. The transformed frame should be cached by
+    the caller before multi-query fan-out (the reference's .py pipeline
+    recomputed its lineage 4x by skipping this — SURVEY §3.1 step 6)."""
+    model = build_tfidf_pipeline(text_col, output_col, **kwargs).fit(docs)
+    out = model.transform(docs).drop(
+        "__tokens", "__clean_tokens", "__raw_features", "__tfidf_features"
+    )
+    return model, out
+
+
+def lemmatize(tokens: Column, lemma_map: dict[str, str]) -> Column:
+    """M4 (optional): dictionary lemmatization as a Catalyst expression.
+
+    The reference loads the pretrained AntBNC dictionary (transform/
+    execute.py:198-202). Core Spark has no lemmatizer; for a bounded
+    dictionary the idiomatic formulation is a broadcast map baked into the
+    plan — here as a chain of element-level replacements via F.transform +
+    a map literal (try_element_at returns NULL for misses → coalesce keeps
+    the original token). No Python UDF, no shuffle.
+    """
+    if not lemma_map:
+        return tokens
+    pairs: list[Column] = []
+    for k, v in lemma_map.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    m = F.create_map(*pairs)
+    return F.transform(
+        tokens, lambda t: F.coalesce(F.try_element_at(m, t), t)
+    )

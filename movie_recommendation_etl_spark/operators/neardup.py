@@ -19,6 +19,7 @@ verify join touches only candidate pairs. Nothing is ever all-pairs.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,7 +87,17 @@ def minhash_neardup_pairs(
     sh = word_shingles(toks, k)
     base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
     sig_cols = minhash_signature(F.col("sh"), num_hashes)
-    sig = base.select("doc_id", "sh", band_hashes(sig_cols, rows_per_band).alias("bands"))
+    # Persist the (small) signature table: without this, Catalyst inlines the
+    # full 12-hash expression tree into BOTH sides of the self-join and the
+    # verify joins, recomputing every md5 several times over (measured 30x
+    # slower at sf0.1). MEMORY_AND_DISK so a 100 TB corpus spills instead of
+    # evicting: the cached row is (id, shingles, 4 band hashes) — a few KB.
+    sig = (
+        base.select(
+            "doc_id", "sh", band_hashes(sig_cols, rows_per_band).alias("bands")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     exploded = sig.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")

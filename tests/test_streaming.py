@@ -1,0 +1,73 @@
+"""Streaming/batch equivalence: the streaming windowed aggregations must
+produce exactly the batch q30 result when the stream is fully drained
+(availableNow trigger + complete/append semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.plans.registry import QUERIES
+from movie_recommendation_etl_spark.sources.catalog import load_table
+from movie_recommendation_etl_spark.streaming.windows import (
+    read_events_stream,
+    run_available_now,
+    sessionized_counts,
+    windowed_counts,
+)
+import movie_recommendation_etl_spark.plans.all  # noqa: F401
+
+
+def _stage_events(spark, sf_dir, tmp_path) -> str:
+    """Re-write events as plain-microsecond parquet (the testdata files use
+    TIMESTAMP(NANOS), which the streaming reader can't take a schema for)."""
+    path = str(tmp_path / "events_stream_src")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    src = _stage_events(spark, sf_dir, tmp_path)
+    stream = read_events_stream(spark, src, max_files_per_trigger=4)
+    run_available_now(
+        windowed_counts(stream), "win_counts", output_mode="complete"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in spark.table("win_counts").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    exp = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    assert got == exp
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
+    src = _stage_events(spark, sf_dir, tmp_path)
+    stream = read_events_stream(spark, src)
+    run_available_now(
+        sessionized_counts(stream), "sess_counts", output_mode="complete"
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("sess_counts").collect()
+    }
+    exp = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in QUERIES["q31_session_window_agg"](spark, sf_dir).collect()
+    }
+    assert got == exp
