@@ -1,0 +1,59 @@
+"""Extensibility surface (SURVEY.md §2.11 X2): Arrow-batched pandas_udf and
+applyInPandas grouped operators for logic the built-in expressions can't
+express.
+
+Policy (mirrors the reference's accidental virtue — zero Python in its hot
+path): built-in Catalyst expressions FIRST; vectorized Arrow-batched pandas
+second; row-at-a-time Python UDFs never. The two operators here are the
+blessed templates: a scalar pandas_udf (columnar in, columnar out) and an
+applyInPandas grouped transform (shuffle on the group key, then whole-group
+pandas logic per partition-local group).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf(T.DoubleType())
+def burstiness(values: pd.Series) -> pd.Series:
+    """Vectorized scalar example: token-repetition 'burstiness' of a text —
+    1 - unique_tokens/total_tokens. Whole Arrow batches cross the Python
+    boundary once (~10-100x over row-at-a-time UDFs)."""
+    toks = values.str.split(" ")
+    total = toks.str.len().astype("float64")
+    uniq = toks.map(lambda t: len(set(t))).astype("float64")
+    return 1.0 - (uniq / total)
+
+
+def grouped_zscore(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    output_col: str = "zscore",
+) -> DataFrame:
+    """applyInPandas grouped transform: per-group standardization. One
+    shuffle on the group key; each group materializes as a single pandas
+    frame, so keys must be well-sized (salt or pre-aggregate a skewed key
+    before using this — a 10^9-row group will not fit an executor)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(output_col, T.DoubleType())]
+    )
+
+    def _standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype("float64")
+        std = v.std(ddof=0)
+        pdf[output_col] = (v - v.mean()) / std if std > 0 else 0.0
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(_standardize, out_schema)
+
+
+def text_burstiness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("burstiness", burstiness(F.col(text_col)))

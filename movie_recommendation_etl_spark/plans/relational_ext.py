@@ -1,0 +1,159 @@
+"""Extended relational coverage: map-typed JSON, the full ranking-window
+family, exact percentiles, the relational formulation of the ML vocabulary
+aggregations (SURVEY.md §2.5 A4/A5), and approximate distinct counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.plans.registry import query
+from movie_recommendation_etl_spark.sources.catalog import load_table
+
+
+@query(
+    "q37_props_map_explode",
+    oracle="""
+    SELECT k, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+                AS BIGINT) AS sum_v
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def q37_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType promotion of semi-structured JSON (SURVEY §1: the reference
+    never uses maps — our engine adds them for events.props) + explode."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        events.select(F.explode(m).alias("k", "v"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+    )
+
+
+@query(
+    "q38_rank_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           rank()         OVER w_price AS price_rank,
+           dense_rank()   OVER w_price AS price_dense_rank,
+           percent_rank() OVER w_price AS price_pct_rank,
+           ntile(4)       OVER w_full  AS quartile,
+           lag(o_totalprice)  OVER w_full AS prev_price,
+           lead(o_totalprice) OVER w_full AS next_price
+    FROM orders
+    WINDOW
+      w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+      w_full  AS (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q38_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family the reference lacks (SURVEY §2.6): rank/
+    dense_rank/percent_rank over value order (tie-stable by definition),
+    ntile/lag/lead over a total order (unique tiebreaker → deterministic).
+    Both specs share the o_custkey partition: one shuffle, one sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_price = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    w_full = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w_price).alias("price_rank"),
+        F.dense_rank().over(w_price).alias("price_dense_rank"),
+        F.percent_rank().over(w_price).alias("price_pct_rank"),
+        F.ntile(4).over(w_full).alias("quartile"),
+        F.lag("o_totalprice").over(w_full).alias("prev_price"),
+        F.lead("o_totalprice").over(w_full).alias("next_price"),
+    )
+
+
+@query(
+    "q39_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q39_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolating) percentiles per group — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the continuous-interpolation
+    definition, so exact values hash-match. Beware percentile_approx: its
+    sketch is engine-specific (that operator is covered rows-only by q44)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "q43_term_doc_frequency",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents
+    ),
+    df AS (
+        SELECT term, count(*) AS doc_freq FROM terms GROUP BY term
+    )
+    SELECT term, doc_freq,
+           CAST(row_number() OVER (ORDER BY doc_freq DESC, term) AS INTEGER)
+               AS vocab_rank
+    FROM df
+    WHERE doc_freq >= 3
+    """,
+)
+def q43_term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 relationally: what CountVectorizer.fit (minDF=3) and IDF.fit
+    compute inside MLlib (reference transform/execute.py:243-250) as an
+    explode → groupBy → filter → rank pipeline. Integer-only output —
+    the idf *weights* involve ln(), whose last-ulp behavior is
+    engine-specific; MLlib's own IDF is exercised end-to-end by q70."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    df = terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = W.orderBy(F.col("doc_freq").desc(), F.col("term"))
+    return (
+        df.filter(F.col("doc_freq") >= 3)
+        .select(
+            "term",
+            "doc_freq",
+            F.row_number().over(w).alias("vocab_rank"),
+        )
+    )
+
+
+@query("q44_approx_count_distinct")
+def q44_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimation (rows-only: the sketch is
+    engine-specific, so no SQL oracle can hash-match; the accuracy bound is
+    asserted by tests/test_extensibility.py). At 100 TB this replaces exact
+    COUNT(DISTINCT) — one pass, bounded memory, no giant shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )

@@ -1,0 +1,48 @@
+"""Tests for the pandas extensibility surface (X2) and approx-distinct
+accuracy (q44)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.operators.extensibility import (
+    grouped_zscore,
+    text_burstiness,
+)
+from movie_recommendation_etl_spark.plans.registry import QUERIES
+from movie_recommendation_etl_spark.sources.catalog import load_table
+import movie_recommendation_etl_spark.plans.all  # noqa: F401
+
+
+def test_pandas_udf_burstiness(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    rows = text_burstiness(docs).select("doc_id", "text", "burstiness").collect()
+    for r in rows:
+        toks = r["text"].split(" ")
+        expected = 1.0 - len(set(toks)) / len(toks)
+        assert math.isclose(r["burstiness"], expected, rel_tol=1e-12)
+
+
+def test_grouped_zscore_matches_sql(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    got = {
+        r["event_id"]: r["zscore"]
+        for r in grouped_zscore(events, ["event_type"], "value").collect()
+    }
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    exp_rows = events.join(stats, "event_type").select(
+        "event_id", ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z")
+    ).collect()
+    for r in exp_rows:
+        assert math.isclose(got[r["event_id"]], r["z"], rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    row = QUERIES["q44_approx_count_distinct"](spark, sf_dir).collect()[0]
+    assert abs(row["approx_orders"] - row["exact_orders"]) <= 0.05 * row["exact_orders"]
