@@ -1,0 +1,183 @@
+"""End-to-end reference-parity pipeline: movies CSV → clean → feature
+engineering → TF-IDF → LSH → sinks → recommend(id, k).
+
+This is the Spark-first re-expression of the reference's whole program
+surface (extract/transform/load + the notebook's query engine):
+
+- clean       ≙ reference transform/execute.py:43-96   (load_and_clean)
+- features    ≙ reference transform/execute.py:99-172  (combine_all_feature_columns)
+- nlp/tfidf   ≙ reference transform/execute.py:175-257 (via ml/tfidf.py)
+- lsh         ≙ reference transform/execute.py:260-270 (via ml/ann.py)
+- sinks       ≙ reference transform/execute.py:273-298 (save_outputs)
+- recommend   ≙ reference transform/execute.ipynb:1645-1670
+
+Deliberate divergences (bugs/anti-patterns SURVEY.md says to fix, not copy):
+explicit schema instead of inferSchema (2x scan), deterministic dedup
+survivor instead of dropDuplicates' arbitrary row, a cache before the
+multi-sink fan-out (the reference recomputes its lineage once per sink),
+partitioned parquet sinks (partition pruning downstream), and a seeded LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from movie_recommendation_etl_spark.ml.ann import fit_lsh, recommend
+from movie_recommendation_etl_spark.ml.tfidf import fit_document_vectors
+from movie_recommendation_etl_spark.operators.dedup import dedup_keep_first
+from movie_recommendation_etl_spark.sources.readers import read_csv_robust
+from movie_recommendation_etl_spark.sources.writers import (
+    save_model,
+    write_parquet,
+)
+
+# The 14 columns the reference projects from the 42-column Kaggle CSV
+# (transform/execute.py:59-74; types from notebook cell 8 output).
+MOVIES_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("revenue", T.LongType()),
+        T.StructField("budget", T.IntegerType()),
+        T.StructField("overview", T.StringType()),
+        T.StructField("poster_path", T.StringType()),
+        T.StructField("production_companies", T.StringType()),
+        T.StructField("release_year", T.DoubleType()),
+        T.StructField("Director", T.StringType()),
+        T.StructField("Star1", T.StringType()),
+        T.StructField("Star2", T.StringType()),
+        T.StructField("Star3", T.StringType()),
+        T.StructField("genres_list", T.StringType()),
+        T.StructField("all_combined_keywords", T.StringType()),
+    ]
+)
+
+_REQUIRED_COLS = (
+    "title",
+    "release_year",
+    "overview",
+    "all_combined_keywords",
+    "poster_path",
+)
+_FILL_A_COLS = ("production_companies", "Star1", "Star2", "Star3", "Director")
+_ARR = T.ArrayType(T.StringType())
+
+
+def load_movies_csv(spark: SparkSession, path: str) -> DataFrame:
+    return read_csv_robust(spark, path, schema=MOVIES_RAW_SCHEMA)
+
+
+def clean(movies: DataFrame) -> DataFrame:
+    """Reference load_and_clean (transform/execute.py:43-96): cast, dedup on
+    id (deterministic survivor here), drop rows missing required attrs, drop
+    the '[]' sentinel, fill nullable dims with 'a' (eliminated later as a
+    short/stop token — notebook cell 26)."""
+    out = movies.withColumn(
+        "release_year", F.col("release_year").cast("integer")
+    )
+    out = dedup_keep_first(out, ["id"], [F.col("title").asc_nulls_last()])
+    out = out.na.drop(subset=list(_REQUIRED_COLS))
+    out = out.filter(~(F.col("all_combined_keywords") == "[]"))
+    out = out.na.fill("a", subset=list(_FILL_A_COLS))
+    # from_json failure -> null -> dropped (reference :103-111)
+    out = out.withColumn("genres_list", F.from_json("genres_list", _ARR))
+    out = out.withColumn(
+        "all_combined_keywords", F.from_json("all_combined_keywords", _ARR)
+    )
+    return out.na.drop(subset=["genres_list", "all_combined_keywords"])
+
+
+def combine_features(cleaned: DataFrame) -> DataFrame:
+    """Reference combine_all_feature_columns (transform/execute.py:99-172):
+    split prose/names into arrays, wrap scalars, strip inner whitespace per
+    element (HOF — so "Tom Hanks" is the single token "TomHanks"), concat
+    into `tags`, and flatten to one space-joined `combined` string."""
+    df = (
+        cleaned.withColumn("director_arr", F.split("Director", ","))
+        .withColumn("companies_arr", F.split("production_companies", ","))
+        .withColumn("overview_arr", F.split("overview", ","))
+        .withColumn("stars_arr", F.array("Star1", "Star2", "Star3"))
+        .withColumn("title_arr", F.array("title"))
+    )
+    strip_ws = lambda arr: F.transform(
+        arr, lambda x: F.regexp_replace(x, r"\s+", "")
+    )
+    crews = F.concat(
+        strip_ws(F.col("director_arr")),
+        strip_ws(F.col("companies_arr")),
+        strip_ws(F.col("stars_arr")),
+    )
+    tags = F.concat(
+        F.col("overview_arr"),
+        F.col("all_combined_keywords"),
+        F.col("genres_list"),
+        crews,
+        F.col("title_arr"),
+    )
+    out = df.withColumn("tags", tags).withColumn(
+        "combined", F.concat_ws(" ", F.col("tags"))
+    )
+    out = out.filter(F.trim("combined") != "")
+    return out.drop(
+        "director_arr", "companies_arr", "overview_arr", "stars_arr", "title_arr"
+    )
+
+
+def build_features(combined: DataFrame, *, min_df: int = 3):
+    """TF-IDF + seeded LSH over the combined tag text. Returns
+    (vectors_df cached, lsh_model)."""
+    _, vecs = fit_document_vectors(
+        combined, text_col="combined", min_df=min_df
+    )
+    vecs = vecs.cache()
+    model = fit_lsh(vecs)
+    return vecs, model
+
+
+def save_outputs(vecs: DataFrame, model, out_dir: str) -> None:
+    """The reference's four sinks (transform/execute.py:273-298), partition-
+    pruned and computed from ONE cached frame (no 4x lineage recompute)."""
+    write_parquet(
+        vecs.select("id", "title", "poster_path", "release_year"),
+        f"{out_dir}/movie_metadata",
+        partition_by=["release_year"],
+    )
+    write_parquet(
+        vecs.select(
+            "id",
+            "title",
+            "poster_path",
+            "revenue",
+            "budget",
+            "release_year",
+            "genres_list",
+        ),
+        f"{out_dir}/master_table",
+        partition_by=["release_year"],
+    )
+    write_parquet(
+        vecs.select("id", "norm_features"), f"{out_dir}/vector"
+    )
+    save_model(model, f"{out_dir}/lsh_model")
+
+
+def get_recommendations(
+    vecs: DataFrame, model, movie_id: int, top_k: int = 5
+) -> list[int]:
+    """Reference get_recommendations (execute.ipynb:1645-1670): ordered ids,
+    nearest first, query id excluded; [] when the id is unknown."""
+    out = recommend(model, vecs, "id", movie_id, top_k=top_k)
+    return [r["id"] for r in out.collect()]
+
+
+def run_transform(
+    spark: SparkSession, in_csv: str, out_dir: str, *, min_df: int = 3
+) -> DataFrame:
+    """The full transform stage, CSV → sinks. Returns the cached vectors
+    frame for interactive recommend() use."""
+    movies = load_movies_csv(spark, in_csv)
+    vecs, model = build_features(combine_features(clean(movies)), min_df=min_df)
+    save_outputs(vecs, model, out_dir)
+    return vecs
