@@ -8,5 +8,6 @@ import movie_recommendation_etl_spark.plans.relational  # noqa: F401
 import movie_recommendation_etl_spark.plans.relational_ext  # noqa: F401
 import movie_recommendation_etl_spark.plans.scalars  # noqa: F401
 import movie_recommendation_etl_spark.plans.text_analysis  # noqa: F401
+import movie_recommendation_etl_spark.plans.windows_ext  # noqa: F401
 
 __all__: list[str] = []

@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: lock in the scale properties VERDICT.md
+grades — broadcasts on small dims, filter/limit pushdown into scans, top-k
+as TakeOrderedAndProject, no cartesian products, no Python row UDFs in
+relational plans. A refactor that silently degrades a plan (e.g. loses a
+broadcast and shuffles a dimension at 100 TB) fails here, not in production.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from movie_recommendation_etl_spark.plans.registry import ORACLE, QUERIES
+import movie_recommendation_etl_spark.plans.all  # noqa: F401
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_and_topk_q02(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_top_revenue_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q33_point_lookup")
+    assert re.search(r"PushedFilters: \[.*EqualTo\(c_custkey,42\)", plan)
+
+
+def test_predicate_pushdown_q34(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q34_expr_predicate_revenue")
+    assert re.search(r"PushedFilters: \[.*l_discount", plan)
+    # column pruning: the scan must not read unused wide columns
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_comment" not in m.group(1)
+    assert "l_extendedprice" in m.group(1)
+
+
+def test_in_subquery_becomes_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q35_in_subquery_sql")
+    assert "LeftSemi" in plan
+
+
+def test_range_join_broadcasts_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q46_range_band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    for name in sorted(ORACLE):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_python_row_udfs_in_relational_plans(spark, sf_dir):
+    for name in sorted(ORACLE):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+
+def test_single_shuffle_for_window_suite(spark, sf_dir):
+    """q38's two window specs share the o_custkey partition — exactly one
+    exchange may appear."""
+    plan = _plan(spark, sf_dir, "q38_rank_suite")
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
