@@ -1,0 +1,72 @@
+"""Skew-mitigation utilities: salted aggregation and salted broadcast-side
+replication (SURVEY.md §4 / north-star scale requirements).
+
+AQE's skew-join splitting handles most cases at runtime (session.py enables
+it), but a pathologically hot aggregation key — the empty-string language,
+the null user id, the bot account with 10^9 events — still funnels one
+reducer. Salting fans the hot key across ``n_salts`` partial groups first,
+then merges: two shuffles, both uniform, instead of one shuffle with a
+straggler that dominates the stage at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mergeable aggregates: (partial expr builder, final expr builder).
+_MERGEABLE = {
+    "count": (
+        lambda c: F.count(F.lit(1)),
+        lambda c: F.sum(c),
+    ),
+    "sum": (lambda c: F.sum(c), lambda c: F.sum(c)),
+    "min": (lambda c: F.min(c), lambda c: F.min(c)),
+    "max": (lambda c: F.max(c), lambda c: F.max(c)),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    count/sum/min/max (the algebraic, mergeable ones — avg decomposes into
+    sum+count at the call site). The salt is a deterministic hash of the
+    whole row (xxhash64), so retries reproduce the same partials.
+    """
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).alias("__salt")
+    partials = []
+    finals = []
+    for out, (col, fn) in aggs.items():
+        if fn not in _MERGEABLE:
+            raise ValueError(f"non-mergeable aggregate: {fn}")
+        partial_fn, final_fn = _MERGEABLE[fn]
+        partials.append(partial_fn(F.col(col)).alias(f"__p_{out}"))
+        finals.append(final_fn(F.col(f"__p_{out}")).alias(out))
+    stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partials)
+    return stage1.groupBy(*keys).agg(*finals)
+
+
+def replicate_for_salted_join(
+    small: DataFrame, n_salts: int = 16, salt_col: str = "__salt"
+) -> DataFrame:
+    """Explode the small side once per salt value; the big side derives the
+    matching salt with :func:`join_salt` so the hot key's rows spread over
+    n_salts reducers. Only worthwhile when the small side is too big to
+    broadcast outright yet the join key is skewed."""
+    return small.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+
+
+def join_salt(df: DataFrame, n_salts: int = 16) -> Column:
+    """Deterministic uniform salt for the big side of a salted join."""
+    return F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))

@@ -43,6 +43,23 @@ def q61_knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rnk", "dist")
 
 
+@query("q62_knn_ivf_embeddings")
+def q62_knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only): KMeans coarse cells + probe-limited equi-join
+    search — the alternative scale path to LSH when the corpus clusters.
+    Recall vs q60 is asserted in tests/test_ivf_skew.py."""
+    from movie_recommendation_etl_spark.ml.ivf import fit_ivf_centroids, ivf_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_ivf_centroids(emb, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_knn(model, emb, queries, top_k=TOP_K, n_probe=4).select(
+        "query_id", "neighbor_id", "rnk", "cosine_sim"
+    )
+
+
 @query("q70_recommend_similar_docs")
 def q70_recommend_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE flagship: reference get_recommendations re-expressed Spark-first.

@@ -1,0 +1,90 @@
+"""IVF ANN recall vs brute force; salted aggregation/join equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.ml.ivf import (
+    fit_ivf_centroids,
+    ivf_knn,
+)
+from movie_recommendation_etl_spark.operators.skew import (
+    join_salt,
+    replicate_for_salted_join,
+    salted_agg,
+)
+from movie_recommendation_etl_spark.plans.registry import QUERIES
+from movie_recommendation_etl_spark.sources.catalog import load_table
+import movie_recommendation_etl_spark.plans.all  # noqa: F401
+
+
+def test_ivf_knn_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_ivf_centroids(emb, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx: dict[int, set] = {}
+    for r in ivf_knn(
+        model, emb, queries, top_k=5, n_probe=4
+    ).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact: dict[int, set] = {}
+    for r in QUERIES["q60_knn_bruteforce"](spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    # probing half the cells on clusterless random data: recall well above
+    # the ~n_probe/n_centroids floor proves cell selection works
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: (r["n"], r["max_v"], r["min_v"])
+        for r in salted_agg(
+            events,
+            ["event_type"],
+            {"n": ("event_id", "count"), "max_v": ("value", "max"),
+             "min_v": ("value", "min")},
+            n_salts=8,
+        ).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n"], r["max_v"], r["min_v"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("value").alias("max_v"),
+            F.min("value").alias("min_v"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    n_salts = 8
+    big = orders.withColumn("__salt", join_salt(orders, n_salts))
+    small = replicate_for_salted_join(cust, n_salts)
+    salted = big.join(
+        small,
+        (big.o_custkey == small.c_custkey) & (big["__salt"] == small["__salt"]),
+    )
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    assert salted.count() == plain.count()
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in salted.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    exp = {
+        r["c_mktsegment"]: r["n"]
+        for r in plain.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exp
