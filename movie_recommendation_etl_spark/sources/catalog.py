@@ -8,8 +8,12 @@ partitioned object-store layout without code changes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.session import default_parallelism
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -35,13 +39,31 @@ DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+# Repartition threshold: a local parquet bigger than this that still arrives
+# as fewer partitions than cores is a single-row-group layout (unsplittable —
+# Spark assigns whole row groups to tasks), so every scan-stage operator runs
+# on ONE core. One cheap shuffle restores parallelism. At real scale data
+# lands as many files/row groups and this never triggers; the durable fix is
+# writers.write_parquet's maxRecordsPerFile.
+_REPARTITION_MIN_BYTES = 4 * 1024 * 1024
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    try:
+        big_enough = os.path.getsize(path) >= _REPARTITION_MIN_BYTES
+    except OSError:  # non-local path: rely on the source's own splits
+        big_enough = False
+    if big_enough:
+        target = default_parallelism()
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 
