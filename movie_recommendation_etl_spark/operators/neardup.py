@@ -37,20 +37,48 @@ def word_shingles(tokens: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 12) -> list[Column]:
-    """MinHash signature: for hash function i, the minimum md5(f"{i}:" + s)
-    over shingles. Fixed-width lowercase hex compares bytewise identically in
-    the JVM and DuckDB, so the min *string* is a valid min *hash*."""
-    # NB: the per-element lambda must be UNARY — pyspark dispatches on lambda
+SLICES_PER_MD5 = 4  # 32 hex chars -> 4 independent 8-hex (32-bit) slices
+
+
+def minhash_hash_arrays(shingles: Column, num_hashes: int = 12) -> list[Column]:
+    """Per-shingle md5 arrays for the hash family: group g hashes every
+    shingle once as md5(f"{g}:" + s); each md5 then yields FOUR independent
+    uniform 32-bit hex slices, so 12 hash functions cost 3 md5 passes.
+    Materialize these as named columns (minhash_neardup_pairs persists them)
+    — expression-level reuse is NOT guaranteed to collapse the duplicated
+    md5 subtrees (measured 4x slower when inlined).
+    """
+    # NB: per-element lambdas must be UNARY — pyspark dispatches on lambda
     # arity, and a second parameter (even with a default) receives the array
     # index Column instead of the intended closure value.
-    def _hasher(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+    def _hasher(g: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{g}:"), s))
 
+    n_groups = -(-num_hashes // SLICES_PER_MD5)
     return [
-        F.array_min(F.transform(shingles, _hasher(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.transform(shingles, _hasher(g)).alias(f"__h{g}")
+        for g in range(n_groups)
     ]
+
+
+def minhash_signature(
+    hashed_cols: list[Column], num_hashes: int = 12
+) -> list[Column]:
+    """MinHash signature from the materialized hash arrays: function i uses
+    md5 group i//4, hex slice i%4. Fixed-width lowercase hex compares
+    bytewise identically in the JVM and DuckDB, so the min *string* is a
+    valid min *hash* and the whole family replays in ANSI SQL."""
+
+    def _slicer(j: int):
+        return lambda h: h.substr(F.lit(1 + 8 * j), F.lit(8))
+
+    sig: list[Column] = []
+    for i in range(num_hashes):
+        g, j = divmod(i, SLICES_PER_MD5)
+        sig.append(
+            F.array_min(F.transform(hashed_cols[g], _slicer(j))).alias(f"mh{i}")
+        )
+    return sig
 
 
 def band_hashes(sig: list[Column], rows_per_band: int = 3) -> Column:
@@ -86,18 +114,24 @@ def minhash_neardup_pairs(
     toks = F.split(F.col(text_col), " ")
     sh = word_shingles(toks, k)
     base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
-    sig_cols = minhash_signature(F.col("sh"), num_hashes)
-    # Persist the (small) signature table: without this, Catalyst inlines the
-    # full 12-hash expression tree into BOTH sides of the self-join and the
-    # verify joins, recomputing every md5 several times over (measured 30x
-    # slower at sf0.1). MEMORY_AND_DISK so a 100 TB corpus spills instead of
-    # evicting: the cached row is (id, shingles, 4 band hashes) — a few KB.
-    sig = (
-        base.select(
-            "doc_id", "sh", band_hashes(sig_cols, rows_per_band).alias("bands")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist the per-shingle hash arrays: without a materialization barrier
+    # Catalyst inlines the md5 expression trees into every consumer (both
+    # sides of the self-join, both verify joins), recomputing each md5 pass
+    # up to 12x (measured 30x slower at sf0.1). MEMORY_AND_DISK so a 100 TB
+    # corpus spills instead of evicting.
+    hashed = base.select(
+        "doc_id", "sh", *minhash_hash_arrays(F.col("sh"), num_hashes)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_groups = -(-num_hashes // SLICES_PER_MD5)
+    sig_cols = minhash_signature(
+        [F.col(f"__h{g}") for g in range(n_groups)], num_hashes
     )
+    # Second materialization level: the final (id, shingles, 4 band hashes)
+    # rows. Building it reads the hashed cache once (3 md5 passes total);
+    # the self-join and verify consumers then read bands/shingles for free.
+    sig = hashed.select(
+        "doc_id", "sh", band_hashes(sig_cols, rows_per_band).alias("bands")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     exploded = sig.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")

@@ -70,7 +70,9 @@ def _with_twins(docs: DataFrame) -> DataFrame:
     sigs AS (
         SELECT doc_id, sh,
                list_transform(range(0, 12), i ->
-                   list_aggregate(list_transform(sh, s -> md5(i || ':' || s)),
+                   list_aggregate(list_transform(sh, s ->
+                       substring(md5((i // 4) || ':' || s),
+                                 1 + 8 * (i % 4), 8)),
                                   'min')) AS sig
         FROM base
     ),

@@ -1,0 +1,86 @@
+"""Property-based as-of join test: the union-sort formulation must agree
+with an oracle-by-definition (per left row: the max-timestamp right row with
+rts <= ts, ties broken by largest payload) on arbitrary generated inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from movie_recommendation_etl_spark.operators.joins import asof_join
+
+_BASE = dt.datetime(2024, 1, 1)
+
+_key = st.integers(min_value=0, max_value=3)
+_minute = st.integers(min_value=0, max_value=30)
+_left_rows = st.lists(
+    st.tuples(_key, _minute), min_size=1, max_size=12, unique=True
+)
+_right_rows = st.lists(
+    st.tuples(_key, _minute, st.one_of(st.none(), st.integers(0, 99))),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: (r[0], r[1], r[2]),
+)
+
+
+def _reference_asof(left, right):
+    out = {}
+    for k, lm in left:
+        candidates = [r for r in right if r[0] == k and r[1] <= lm]
+        if not candidates:
+            out[(k, lm)] = (None, None)
+        else:
+            best = max(candidates, key=lambda r: (r[1], (r[2] is not None, r[2])))
+            out[(k, lm)] = (best[1], best[2])
+    return out
+
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from movie_recommendation_etl_spark.session import get_spark
+
+        _spark = get_spark(app_name="asof_property")
+    return _spark
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_matches_definition(left, right):
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        [(k, _BASE + dt.timedelta(minutes=m)) for k, m in left],
+        "k: long, ts: timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (k, _BASE + dt.timedelta(minutes=m), v)
+            for k, m, v in right
+        ],
+        "k: long, rts: timestamp, payload: int",
+    )
+    got = {}
+    joined = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["rts", "payload"],
+    )
+    for r in joined.collect():
+        lm = int((r["ts"] - _BASE).total_seconds() // 60)
+        rm = (
+            None
+            if r["rts"] is None
+            else int((r["rts"] - _BASE).total_seconds() // 60)
+        )
+        got[(r["k"], lm)] = (rm, r["payload"])
+    expected = _reference_asof(left, right)
+    assert got == expected
