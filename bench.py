@@ -31,7 +31,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q30_tumbling_window_agg",
     "q31_session_window_agg",
     "q32_asof_click_to_error",
+    "q38_rank_suite",
     "q41_lang_quality",
+    "q45_sliding_window_agg",
     "q50_minhash_lsh_neardup",
     "q53_embedding_neardup_pairs",
     "q60_knn_bruteforce",
@@ -46,7 +48,11 @@ def _run_noop(df) -> None:
 
 def main() -> int:
     import movie_recommendation_etl_spark.plans.all  # noqa: F401
-    from movie_recommendation_etl_spark.ml.ann import fit_lsh, recommend
+    from movie_recommendation_etl_spark.ml.ann import (
+        fit_lsh,
+        prepare_index,
+        recommend,
+    )
     from movie_recommendation_etl_spark.ml.tfidf import fit_document_vectors
     from movie_recommendation_etl_spark.plans.registry import QUERIES
     from movie_recommendation_etl_spark.session import get_spark
@@ -71,14 +77,16 @@ def main() -> int:
     vecs = vecs.cache()
     vecs.count()
     lsh = fit_lsh(vecs)
+    index = prepare_index(lsh, vecs)
     doc_ids = [r[0] for r in vecs.select("doc_id").limit(4).collect()]
     warm: list[float] = []
     for qid in doc_ids:
         t0 = time.monotonic()
-        recommend(lsh, vecs, "doc_id", qid, top_k=5).collect()
+        recommend(lsh, index, "doc_id", qid, top_k=5).collect()
         warm.append(time.monotonic() - t0)
     warm.sort()
     timings["ann_warm_query"] = round(warm[len(warm) // 2], 3)
+    index.unpersist()
     vecs.unpersist()
 
     total = round(sum(timings.values()), 3)

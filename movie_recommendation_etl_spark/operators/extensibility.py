@@ -57,3 +57,24 @@ def grouped_zscore(
 
 def text_burstiness(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("burstiness", burstiness(F.col(text_col)))
+
+
+@pandas_udf(T.DoubleType())
+def geometric_mean(values: pd.Series) -> float:  # GROUPED_AGG shape
+    """Custom pandas UDAF (grouped-aggregate pandas_udf): geometric mean —
+    an aggregate Catalyst has no built-in for. Partial batches stream
+    through Arrow; usable in groupBy().agg() and over windows."""
+    import numpy as np
+
+    v = values.dropna()
+    if v.empty or (v <= 0).any():
+        return float("nan")
+    return float(np.exp(np.log(v.astype("float64")).mean()))
+
+
+def grouped_geometric_mean(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        geometric_mean(F.col(value_col)).alias("geo_mean")
+    )

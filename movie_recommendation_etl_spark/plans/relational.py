@@ -174,8 +174,13 @@ def q05_semi_join(spark, sf_dir):
 def q06_anti_join(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    # NOT-IN oracle parity: left_anti KEEPS null-key left rows, NOT IN drops
+    # them — filter nulls explicitly so a nullable-key schema change can't
+    # silently diverge (TPC-H keys are non-null today; ADVICE.md round 1).
+    return (
+        cust.filter(F.col("c_custkey").isNotNull())
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
     )
 
 

@@ -1,0 +1,126 @@
+"""Reference-scale benchmark: the flagship pipeline at the reference's own
+data scale (604,074 docs after cleaning; BASELINE.md), on one node.
+
+Corpus: the sf0.1 documents table replicated 121x with 3 doc-unique tokens
+appended per copy (distributed generation — no driver loop), yielding a
+~100k-term vocabulary so the CountVectorizer/IDF/LSH cost profile resembles
+the reference's sparse high-dimensional setting.
+
+Reference numbers to beat (BASELINE.md, single laptop VM):
+  - transform + fit, CSV -> LSH ready:  ~8 min 03 s
+  - cold ANN top-5 (incl. cache fill):  ~2 min 15 s
+  - warm ANN top-5:                     ~7-8 s / query
+
+Usage: python scripts/bench_reference_scale.py   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TARGET_DOCS = 604_074
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.ml.ann import (
+        fit_lsh,
+        prepare_index,
+        recommend,
+    )
+    from movie_recommendation_etl_spark.ml.tfidf import fit_document_vectors
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    # local[N] = one JVM for driver+executors: size the heap for the cached
+    # 604k-vector corpus + fits (the reference ran driver 5g / executor 8g).
+    spark = get_spark(
+        app_name="bench_reference_scale",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_src = docs.count()
+    copies = (TARGET_DOCS + n_src - 1) // n_src
+
+    t0 = time.monotonic()
+    corpus = (
+        docs.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))))
+        .withColumn("doc_id", F.col("doc_id") * copies + F.col("__i"))
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.concat(F.lit("tok"), F.pmod(F.xxhash64("doc_id"), F.lit(100_000))),
+                F.concat(F.lit("tok"), F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(100_000))),
+                F.concat(F.lit("tok"), F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(100_000))),
+            ),
+        )
+        .drop("__i")
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
+    )
+    # Cache the generated corpus: every MLlib fit below is its own action
+    # and would otherwise re-run the whole generation lineage (copies * n_src
+    # = 605,000 docs — the reference's 604,074 scale; no .limit(), which
+    # executes as a single-task GlobalLimit and serializes the pipeline).
+    corpus = corpus.persist()
+    n_docs = corpus.count()
+    gen_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    _, vecs = fit_document_vectors(corpus, vocab_size=1 << 18)
+    vecs = vecs.cache()
+    n_vec = vecs.count()  # materialize: CSV->vectors "ready"
+    fit_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    lsh = fit_lsh(vecs)
+    lsh_fit_sec = time.monotonic() - t0
+
+    # Cold = first query incl. building the hashed index (the reference's
+    # "cold query incl. cache fill").
+    t0 = time.monotonic()
+    index = prepare_index(lsh, vecs)
+    first = recommend(lsh, index, "doc_id", 0, top_k=5).collect()
+    cold_sec = time.monotonic() - t0
+
+    warm = []
+    for qid in (121, 2421, 12100):
+        t0 = time.monotonic()
+        recommend(lsh, index, "doc_id", qid, top_k=5).collect()
+        warm.append(time.monotonic() - t0)
+    warm.sort()
+
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "n_vectors": n_vec,
+                "corpus_gen_sec": round(gen_sec, 1),
+                "tfidf_fit_transform_sec": round(fit_sec, 1),
+                "lsh_fit_sec": round(lsh_fit_sec, 1),
+                "ann_cold_sec": round(cold_sec, 1),
+                "ann_warm_median_sec": round(warm[1], 2),
+                "first_result_rows": len(first),
+                "reference": {
+                    "fit_sec": 483,
+                    "ann_cold_sec": 135,
+                    "ann_warm_sec": 7.5,
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -43,6 +43,27 @@ def test_grouped_zscore_matches_sql(spark, sf_dir):
         assert math.isclose(got[r["event_id"]], r["z"], rel_tol=1e-9, abs_tol=1e-9)
 
 
+def test_grouped_agg_pandas_udaf(spark, sf_dir):
+    from movie_recommendation_etl_spark.operators.extensibility import (
+        grouped_geometric_mean,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    got = {
+        r["event_type"]: r["geo_mean"]
+        for r in grouped_geometric_mean(events, ["event_type"], "value").collect()
+    }
+    exp = {
+        r["event_type"]: math.exp(r["m"])
+        for r in events.groupBy("event_type")
+        .agg(F.avg(F.log("value")).alias("m"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k in got:
+        assert math.isclose(got[k], exp[k], rel_tol=1e-9)
+
+
 def test_approx_count_distinct_accuracy(spark, sf_dir):
     row = QUERIES["q44_approx_count_distinct"](spark, sf_dir).collect()[0]
     assert abs(row["approx_orders"] - row["exact_orders"]) <= 0.05 * row["exact_orders"]
