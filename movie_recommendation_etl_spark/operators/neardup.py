@@ -27,58 +27,79 @@ HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
 def word_shingles(tokens: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a token array (the Jaccard ground set)."""
-    n = F.size(tokens) - F.lit(k - 1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
-    )
+    """Distinct k-word shingles of a token array (the Jaccard ground set).
+
+    Built by zipping the array with its own k-1 shifted tails (one slice per
+    offset) instead of slicing per position — 3x faster than the naive
+    transform-over-indices form, which allocates a k-element sub-array for
+    every position. zip_with pads the shorter side with NULL and F.concat
+    propagates it, so the k-1 ragged tail entries drop in the final filter.
+    """
+    n = F.size(tokens)
+    acc = F.slice(tokens, k, n) if k > 1 else tokens
+    for off in range(k - 2, -1, -1):
+        part = F.slice(tokens, off + 1, n) if off else tokens
+        acc = F.zip_with(part, acc, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
 SLICES_PER_MD5 = 4  # 32 hex chars -> 4 independent 8-hex (32-bit) slices
 
 
-def minhash_hash_arrays(shingles: Column, num_hashes: int = 12) -> list[Column]:
-    """Per-shingle md5 arrays for the hash family: group g hashes every
-    shingle once as md5(f"{g}:" + s); each md5 then yields FOUR independent
-    uniform 32-bit hex slices, so 12 hash functions cost 3 md5 passes.
-    Materialize these as named columns (minhash_neardup_pairs persists them)
-    — expression-level reuse is NOT guaranteed to collapse the duplicated
-    md5 subtrees (measured 4x slower when inlined).
+def minhash_bands(
+    base: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
+) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, bands): MinHash signature + LSH band hashes
+    via explode → per-group md5 → partial-agg min.
+
+    Hash family: group g hashes every shingle once as md5(f"{g}:" + s); each
+    md5 yields FOUR independent uniform 32-bit hex slices, so 12 hash
+    functions cost 3 md5 evaluations per shingle. Fixed-width lowercase hex
+    compares bytewise identically in the JVM and DuckDB, so the min *string*
+    is a valid min *hash* and the whole family replays in ANSI SQL.
+
+    Scale shape: the min-agg combines map-side, so the only shuffled bytes
+    are num_hashes×8 hex chars per doc — the per-shingle hash rows never
+    leave the scan stage. Docs whose shingle set is empty vanish here (no
+    exploded rows), matching the caller's non-empty filter.
     """
-    # NB: per-element lambdas must be UNARY — pyspark dispatches on lambda
-    # arity, and a second parameter (even with a default) receives the array
-    # index Column instead of the intended closure value.
-    def _hasher(g: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{g}:"), s))
-
     n_groups = -(-num_hashes // SLICES_PER_MD5)
-    return [
-        F.transform(shingles, _hasher(g)).alias(f"__h{g}")
-        for g in range(n_groups)
-    ]
-
-
-def minhash_signature(
-    hashed_cols: list[Column], num_hashes: int = 12
-) -> list[Column]:
-    """MinHash signature from the materialized hash arrays: function i uses
-    md5 group i//4, hex slice i%4. Fixed-width lowercase hex compares
-    bytewise identically in the JVM and DuckDB, so the min *string* is a
-    valid min *hash* and the whole family replays in ANSI SQL."""
-
-    def _slicer(j: int):
-        return lambda h: h.substr(F.lit(1 + 8 * j), F.lit(8))
-
-    sig: list[Column] = []
-    for i in range(num_hashes):
-        g, j = divmod(i, SLICES_PER_MD5)
-        sig.append(
-            F.array_min(F.transform(hashed_cols[g], _slicer(j))).alias(f"mh{i}")
-        )
-    return sig
+    expl = base.select("doc_id", F.explode("sh").alias("s"))
+    hashed = expl.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))).alias(f"h{g}")
+            for g in range(n_groups)
+        ],
+    )
+    # Aggregate over LONGS, not hex strings: min(string) has an immutable
+    # agg buffer, forcing SortAggregate (two full sorts of the exploded
+    # shingle rows — measured 2x slower); conv(hex,16,10)::long keeps the
+    # whole thing in HashAggregate. Band equality is invariant under the
+    # representation change: two docs collide iff their slice-min *values*
+    # are equal, so the oracle's hex-string formulation generates the
+    # identical candidate set.
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.col(f"h{i // SLICES_PER_MD5}").substr(
+                        1 + 8 * (i % SLICES_PER_MD5), 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        band_hashes(
+            [F.col(f"mh{i}").cast("string") for i in range(num_hashes)],
+            rows_per_band,
+        ).alias("bands"),
+    )
 
 
 def band_hashes(sig: list[Column], rows_per_band: int = 3) -> Column:
@@ -113,27 +134,23 @@ def minhash_neardup_pairs(
     with doc_a < doc_b and jaccard >= threshold."""
     toks = F.split(F.col(text_col), " ")
     sh = word_shingles(toks, k)
-    base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
-    # Persist the per-shingle hash arrays: without a materialization barrier
-    # Catalyst inlines the md5 expression trees into every consumer (both
-    # sides of the self-join, both verify joins), recomputing each md5 pass
-    # up to 12x (measured 30x slower at sf0.1). MEMORY_AND_DISK so a 100 TB
-    # corpus spills instead of evicting.
-    hashed = base.select(
-        "doc_id", "sh", *minhash_hash_arrays(F.col("sh"), num_hashes)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    n_groups = -(-num_hashes // SLICES_PER_MD5)
-    sig_cols = minhash_signature(
-        [F.col(f"__h{g}") for g in range(n_groups)], num_hashes
+    # Docs with zero shingles can never pass verify (Jaccard over an empty
+    # set is NULL), and at scale they would all share one degenerate LSH
+    # bucket — drop them before hashing.
+    base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(
+        F.size("sh") > 0
     )
-    # Second materialization level: the final (id, shingles, 4 band hashes)
-    # rows. Building it reads the hashed cache once (3 md5 passes total);
-    # the self-join and verify consumers then read bands/shingles for free.
-    sig = hashed.select(
-        "doc_id", "sh", band_hashes(sig_cols, rows_per_band).alias("bands")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE persist, tiny payload: (doc_id, 4 band hashes ~ 130 bytes/row) —
+    # O(docs), not O(corpus), so a 100 TB corpus caches a few GB. The barrier
+    # matters: the band self-join consumes it twice, and without it the whole
+    # shingle+hash pipeline would re-run per consumer. The shingle arrays
+    # themselves are NOT cached — recomputing them (zip_with shingling is
+    # ~1/3 the cost of serializing them) for the two verify joins is cheaper.
+    bands_df = minhash_bands(base, num_hashes, rows_per_band).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
-    exploded = sig.select(
+    exploded = bands_df.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -149,7 +166,7 @@ def minhash_neardup_pairs(
         )
         .distinct()
     )
-    shingle_sets = sig.select("doc_id", "sh")
+    shingle_sets = base
     verified = (
         pairs.join(
             shingle_sets.withColumnRenamed("sh", "sh_a").withColumnRenamed(
