@@ -1,0 +1,81 @@
+"""Cluster resolution for near-dup pairs: distributed connected components.
+
+A near-dup pipeline (operators/neardup.py) stops at PAIRS; deduplication at
+100 TB needs the transitive closure — pair (a,b) and (b,c) must land doc a,
+b, c in ONE cluster with one survivor. (The reference has no near-dup at
+all — transform/execute.py:80 is a plain dropDuplicates(["id"]) — so this is
+a north-star training-data-pipeline extension, not a parity port.)
+
+Algorithm: Pregel-style minimum-label propagation. Every node starts labeled
+with its own id; each round every node takes the min of its label and its
+neighbors' labels; fixpoint = each node labeled with the min id of its
+component. Rounds needed = graph diameter — for near-dup graphs that is tiny
+(clusters are cliques-ish of copies), so the driver-side loop is bounded and
+each round is one shuffle join + one map-side-combined min agg. The
+convergence check is a single count action per round (no row data ever
+reaches the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(src, dst) edge list -> (node, cluster_id) with cluster_id = min node
+    id in the connected component. Undirected: edges are symmetrized.
+
+    Each iteration persists the new label frame and unpersists the previous
+    one, so peak storage is 2x the node set regardless of round count.
+    Raises after ``max_iter`` rounds without convergence (a near-dup graph
+    that deep means the banding threshold is catastrophically loose).
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    sym = fwd.union(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels.select("node", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

@@ -23,6 +23,9 @@ from movie_recommendation_etl_spark.functions.vectors import (
     sql_dot,
     sql_norm2,
 )
+from movie_recommendation_etl_spark.operators.graph import (
+    connected_components,
+)
 from movie_recommendation_etl_spark.operators.neardup import (
     hamming16,
     jaccard,
@@ -57,10 +60,9 @@ def _with_twins(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q50_minhash_lsh_neardup",
-    oracle=f"""
-    WITH {_SQL_UNIONED},
+# The full MinHash->LSH->verify chain as reusable CTE text (shared by the
+# q50 oracle and the q54 cluster-resolution oracle built on top of it).
+_SQL_VERIFIED_CTES = f"""{_SQL_UNIONED},
     base AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(toks) - 1),
@@ -102,7 +104,13 @@ def _with_twins(docs: DataFrame) -> DataFrame:
         FROM pairs p
         JOIN banded x ON p.doc_a = x.doc_id
         JOIN banded y ON p.doc_b = y.doc_id
-    )
+    )"""
+
+
+@query(
+    "q50_minhash_lsh_neardup",
+    oracle=f"""
+    WITH {_SQL_VERIFIED_CTES}
     SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8
     """,
 )
@@ -240,6 +248,58 @@ def q53_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine_sim") >= 0.3)
     )
+
+
+@query(
+    "q54_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_VERIFIED_CTES},
+    good AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM good
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM good
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q54_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the q50 near-dup pairs: connected components
+    (min-label propagation, operators/graph.py) so transitive duplicates
+    land in one cluster keyed by the minimum doc_id — the step that turns
+    PAIRS into a deduplication decision. The oracle replays the exact
+    closure with a recursive CTE, so even the iterative algorithm is
+    hash-compared bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(_with_twins(docs)).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@query(
+    "q55_hash_mod_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def q55_hash_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2/16 sample by first hex digit of md5(doc_id): the
+    reproducible-sampling primitive a training-data pipeline needs (rerun
+    the pipeline, get the SAME sample — unlike rand()-based sampling, which
+    depends on partitioning). Pure scan-stage filter: no shuffle, prunes to
+    three columns, and the sampling predicate rides along with any pushed
+    filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 1).isin("0", "1")
+    ).select("doc_id", "lang", "source")
 
 
 @query(

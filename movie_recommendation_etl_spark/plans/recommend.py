@@ -9,7 +9,9 @@ pytest recall tests against the brute-force oracle (q60 / numpy)."""
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from movie_recommendation_etl_spark.ml.ann import (
@@ -57,6 +59,160 @@ def q62_knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_knn(model, emb, queries, top_k=TOP_K, n_probe=4).select(
         "query_id", "neighbor_id", "rnk", "cosine_sim"
+    )
+
+
+# Shared stoplist for the RELATIONAL tf-idf twin (q71). Deliberately small
+# and static so the DuckDB oracle can embed the identical list.
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
+    "with", "as", "at", "by", "it", "its", "this", "that", "be", "are",
+    "was", "were", "from",
+)
+_SQL_STOPLIST = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+@query(
+    "q71_tfidf_cosine_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    filt AS (SELECT * FROM toks WHERE term NOT IN ({_SQL_STOPLIST})),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM filt GROUP BY 1, 2),
+    dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) >= 3
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS DOUBLE)
+                   * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS w
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    nrm AS (
+        SELECT doc_id,
+               sqrt(list_aggregate(list_sort(list(w * w)), 'sum')) AS nrm
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+               list_aggregate(list_sort(list(q.w * d.w)), 'sum') AS dotp
+        FROM w q JOIN w d USING (term)
+        WHERE q.doc_id < 5 AND d.doc_id <> q.doc_id
+        GROUP BY 1, 2
+    ),
+    cosd AS (
+        SELECT query_id, neighbor_id,
+               dotp / (x.nrm * y.nrm) AS cosine_sim
+        FROM dots
+        JOIN nrm x ON x.doc_id = query_id
+        JOIN nrm y ON y.doc_id = neighbor_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id)
+                   AS rnk
+        FROM cosd
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cosine_sim
+    FROM r WHERE rnk <= 5
+    """,
+)
+def q71_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's SEMANTICS under the exact-match gate: tf-idf weighting
+    + cosine top-5, expressed relationally (explode → tf → document
+    frequency → weight → sparse dot via term equi-join) so DuckDB can replay
+    it bit-for-bit — the oracle-checked complement to the MLlib q70 path,
+    which the gate can only row-count.
+
+    Cross-engine determinism choices (every one verified to hash-match):
+    - idf is the SMOOTHED RATIO (n+1)/(df+1), not ln of it — IEEE division
+      is correctly rounded in both engines, while ln diverges in the last
+      ulp on ~6% of this domain (measured).
+    - dot products and squared norms fold value-sorted lists sequentially
+      (array_sort + double fold == DuckDB list_sort + list_aggregate),
+      making the sums order-independent without decimal casts.
+    - sqrt and the final division are correctly rounded per IEEE-754.
+
+    Scale shape: tf/df are map-side-combined aggs; the sparse dot joins on
+    term with the 5-query side broadcast, so the big side never shuffles;
+    per-pair lists are bounded by per-doc vocabulary, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != F.lit("")
+    )
+    terms = docs.select("doc_id", F.explode(toks).alias("term")).filter(
+        ~F.col("term").isin(*_STOPWORDS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= 3
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fold_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    nrm = (
+        w.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.col("w") * F.col("w"))).alias("sq"))
+        .select("doc_id", F.sqrt(fold_sum(F.col("sq"))).alias("nrm"))
+    )
+    qw = w.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("wq")
+    )
+    dots = (
+        F.broadcast(qw)
+        .join(
+            w.select(
+                F.col("doc_id").alias("neighbor_id"),
+                "term",
+                F.col("w").alias("wd"),
+            ),
+            "term",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.array_sort(F.collect_list(F.col("wq") * F.col("wd"))).alias("ps"))
+        .select("query_id", "neighbor_id", fold_sum(F.col("ps")).alias("dotp"))
+    )
+    nq = nrm.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
+    nd = nrm.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("nrm_d")
+    )
+    cosd = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nd, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("dotp") / (F.col("nrm_q") * F.col("nrm_d"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    wnd = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cosd.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cosine_sim")
     )
 
 
