@@ -36,9 +36,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q45_sliding_window_agg",
     "q50_minhash_lsh_neardup",
     "q53_embedding_neardup_pairs",
+    "q54_neardup_clusters",
     "q60_knn_bruteforce",
     "q61_knn_lsh_embeddings",
     "q70_recommend_similar_docs",
+    "q71_tfidf_cosine_topk",
 )
 
 

@@ -50,6 +50,11 @@ def get_spark(
         master = os.environ.get("SPARK_MASTER", f"local[{default_parallelism()}]")
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_BASE_CONF)
+    # In local mode the driver heap IS the executor heap for every worker
+    # thread; Spark's 1g default starves local[32] (OOM on cache-heavy
+    # iterative queries at sf0.1). Only effective at JVM creation — a
+    # getOrCreate() against a live session keeps its existing heap.
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     # Seed value only — AQE coalesces to actual data volume at runtime.
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions or max(default_parallelism(), 8)

@@ -63,6 +63,31 @@ def test_no_python_row_udfs_in_relational_plans(spark, sf_dir):
         assert "PythonUDF" not in plan, name
 
 
+def test_minhash_signature_stays_hash_aggregate(spark, sf_dir):
+    """q50's signature agg must be a HashAggregate: min over hex STRINGS
+    has an immutable buffer and silently degrades to SortAggregate (two
+    full sorts of the exploded shingle rows) — the long-conversion keeps it
+    hash-based."""
+    plan = _plan(spark, sf_dir, "q50_minhash_lsh_neardup")
+    assert "SortAggregate" not in plan
+
+
+def test_sample_prunes_text_column(spark, sf_dir):
+    """q55 samples on md5(doc_id): the scan must not read the wide text
+    column (the predicate needs doc_id only; output adds lang/source)."""
+    plan = _plan(spark, sf_dir, "q55_hash_mod_sample")
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1)
+
+
+def test_tfidf_cosine_broadcasts_query_side(spark, sf_dir):
+    """q71's sparse dot joins the 5-query weight rows against the corpus on
+    term — the query side must broadcast so the corpus never shuffles for
+    the join."""
+    plan = _plan(spark, sf_dir, "q71_tfidf_cosine_topk")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_single_shuffle_for_window_suite(spark, sf_dir):
     """q38's two window specs share the o_custkey partition — exactly one
     exchange may appear."""
