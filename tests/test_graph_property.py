@@ -1,0 +1,61 @@
+"""Property-based connected-components test: min-label propagation on
+arbitrary generated edge lists must agree with a by-definition union-find."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from movie_recommendation_etl_spark.operators.graph import connected_components
+
+_node = st.integers(min_value=0, max_value=24)
+_edges = st.lists(
+    st.tuples(_node, _node).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from movie_recommendation_etl_spark.session import get_spark
+
+        _spark = get_spark(app_name="graph_property")
+    return _spark
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(edges=_edges)
+def test_components_match_union_find(edges):
+    spark = _get_spark()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _union_find(edges)
