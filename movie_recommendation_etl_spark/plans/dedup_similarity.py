@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from movie_recommendation_etl_spark.functions.numeric import davg
 from movie_recommendation_etl_spark.functions.vectors import (
     cosine,
     dot,
@@ -300,6 +301,97 @@ def q55_hash_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.md5(F.col("doc_id").cast("string")).substr(1, 1).isin("0", "1")
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q63_embedding_outliers",
+    oracle="""
+    WITH expl0 AS (
+        SELECT label, embedding,
+               unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings
+    ),
+    expl AS (
+        SELECT label, dim, CAST(embedding[dim] AS DOUBLE) AS val FROM expl0
+    ),
+    mean AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(val AS DECIMAL(38,8))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean
+        FROM expl GROUP BY 1, 2
+    ),
+    cent AS (
+        SELECT label, list(mean ORDER BY dim) AS centroid
+        FROM mean GROUP BY label
+    ),
+    d AS (
+        SELECT e.vec_id, e.label,
+               sqrt(list_aggregate(list_transform(
+                   range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])),
+                   'sum')) AS dist
+        FROM embeddings e JOIN cent c USING (label)
+    ),
+    r AS (
+        SELECT label, vec_id, dist,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY dist DESC, vec_id) AS rnk
+        FROM d
+    )
+    SELECT label, vec_id, CAST(rnk AS INTEGER) AS rnk, dist
+    FROM r WHERE rnk <= 10
+    """,
+)
+def q63_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection (curation op): per-label centroid via
+    grouped vector pooling, then each vector's L2 distance to its own
+    centroid, top-10 farthest per label — the rows a quality filter would
+    drop or audit.
+
+    Determinism: per-dimension means use decimal-exact accumulation
+    (order-independent); the per-vector distance folds squared diffs in
+    DIMENSION order — a fixed sequence, so Spark's F.aggregate and DuckDB's
+    list_aggregate produce bit-identical doubles; sqrt/sub/mul are IEEE
+    correctly rounded.
+
+    Scale shape: pooling is one explode + map-side-combined agg shuffling
+    only (label, dim) partials; centroids (labels x dims) broadcast; the
+    distance pass is scan-stage-only; top-k is one window shuffle on label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "valf")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    mean = expl.groupBy("label", "dim").agg(davg(F.col("val"), 8).alias("mean"))
+    cent = mean.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+            lambda s: s["mean"],
+        ).alias("centroid")
+    )
+    j = emb.join(F.broadcast(cent), "label")
+    sq = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("centroid"),
+        lambda a, b: (a - b) * (a - b),
+    )
+    d = j.select(
+        "label",
+        "vec_id",
+        F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)).alias(
+            "dist"
+        ),
+    )
+    wnd = W.partitionBy("label").orderBy(F.col("dist").desc(), F.col("vec_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= 10)
+        .select("label", "vec_id", "rnk", "dist")
+    )
 
 
 @query(

@@ -58,6 +58,25 @@ def test_hash_mod_sample_deterministic(spark, sf_dir):
     assert a  # 2/16 of 500 docs ≈ 62: non-empty with huge margin
 
 
+def test_embedding_outliers_shape(spark, sf_dir):
+    from movie_recommendation_etl_spark.plans.dedup_similarity import (
+        q63_embedding_outliers,
+    )
+
+    rows = q63_embedding_outliers(spark, sf_dir).collect()
+    assert rows
+    by_label: dict[int, list] = {}
+    for r in rows:
+        assert r["dist"] >= 0.0
+        by_label.setdefault(r["label"], []).append(r)
+    assert len(by_label) == 10  # every label produces outlier candidates
+    for members in by_label.values():
+        members.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in members] == list(range(1, len(members) + 1))
+        dists = [r["dist"] for r in members]
+        assert dists == sorted(dists, reverse=True)
+
+
 def test_tfidf_cosine_topk_shape(spark, sf_dir):
     rows = q71_tfidf_cosine_topk(spark, sf_dir).collect()
     assert rows
