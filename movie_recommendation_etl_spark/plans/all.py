@@ -1,5 +1,14 @@
-"""Import every query module so their @query decorators populate the registry."""
+"""Import every query module so their @query decorators populate the registry.
 
+Import order matters: the driver's correctness gate checks the FIRST 50
+registered queries (VERDICT.md r2 #1), so modules whose queries have no other
+hard signal (text_analysis, windows_ext) import before the big relational
+suites. The registry is kept at <=50 total (asserted at the bottom) so every
+query gets a driver CORRECTNESS row regardless.
+"""
+
+import movie_recommendation_etl_spark.plans.text_analysis  # noqa: F401
+import movie_recommendation_etl_spark.plans.windows_ext  # noqa: F401
 import movie_recommendation_etl_spark.plans.dedup_similarity  # noqa: F401
 import movie_recommendation_etl_spark.plans.events_stream  # noqa: F401
 import movie_recommendation_etl_spark.plans.lookup  # noqa: F401
@@ -7,7 +16,14 @@ import movie_recommendation_etl_spark.plans.recommend  # noqa: F401
 import movie_recommendation_etl_spark.plans.relational  # noqa: F401
 import movie_recommendation_etl_spark.plans.relational_ext  # noqa: F401
 import movie_recommendation_etl_spark.plans.scalars  # noqa: F401
-import movie_recommendation_etl_spark.plans.text_analysis  # noqa: F401
-import movie_recommendation_etl_spark.plans.windows_ext  # noqa: F401
+
+from movie_recommendation_etl_spark.plans.registry import QUERIES
+
+DRIVER_QUERY_CAP = 50
+assert len(QUERIES) <= DRIVER_QUERY_CAP, (
+    f"registry has {len(QUERIES)} queries but the driver correctness gate "
+    f"checks only the first {DRIVER_QUERY_CAP}; consolidate suites "
+    "(see VERDICT.md round 2, item 1) before registering more"
+)
 
 __all__: list[str] = []

@@ -143,45 +143,42 @@ def q04_status_priority_cube(spark, sf_dir):
     )
 
 
-# --- q05/q06: semi & anti joins -------------------------------------------
+# --- q05: semi & anti joins in one suite (J3 + J4 + null-key guard) --------
+# Consolidated from the former q05/q06 so the registry fits the driver's
+# 50-query correctness cap (VERDICT.md r2 #1) without losing operator
+# coverage: both LeftSemi and LeftAnti appear in this one plan.
 @query(
-    "q05_semi_join_customers_with_orders",
+    "q05_semi_anti_join_suite",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_customers
+    SELECT 'with_orders' AS op, c_mktsegment AS k, COUNT(*) AS n
     FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders)
     GROUP BY c_mktsegment
-    """,
-)
-def q05_semi_join(spark, sf_dir):
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-@query(
-    "q06_anti_join_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'without_orders' AS op, 'all' AS k, COUNT(*) AS n
     FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
     """,
 )
-def q06_anti_join(spark, sf_dir):
+def q05_semi_anti_join_suite(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("op"), F.col("c_mktsegment").alias("k"), "n")
+    )
     # NOT-IN oracle parity: left_anti KEEPS null-key left rows, NOT IN drops
     # them — filter nulls explicitly so a nullable-key schema change can't
     # silently diverge (TPC-H keys are non-null today; ADVICE.md round 1).
-    return (
+    anti = (
         cust.filter(F.col("c_custkey").isNotNull())
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_orders").alias("op"), F.lit("all").alias("k"), "n")
     )
+    return semi.unionByName(anti)
 
 
 # --- q07: grouped top-k via window ----------------------------------------
@@ -265,185 +262,201 @@ def q09_order_gap_days(spark, sf_dir):
     )
 
 
-# --- q10/q11: set ops ------------------------------------------------------
+# --- q10: set-op suite (SO2 intersect + SO3 except in one query) -----------
+# Consolidated from the former q10/q11 (registry-cap fit, VERDICT.md r2 #1).
 @query(
-    "q10_nations_customers_intersect_suppliers",
+    "q10_setop_suite",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
+    SELECT 'intersect' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    )
     """,
 )
-def q10_intersect(spark, sf_dir):
+def q10_setop_suite(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return cust.intersect(supp)
+    inter = cust.intersect(supp).select(F.lit("intersect").alias("op"), "nationkey")
+    # subtract == EXCEPT (set semantics); exceptAll would keep dup counts
+    exc = cust.subtract(supp).select(F.lit("except").alias("op"), "nationkey")
+    return inter.unionByName(exc)
 
 
+# --- q12: distinct aggregates + pivot, joined on the grouping key ----------
+# Consolidated from the former q12/q19 (registry-cap fit, VERDICT.md r2 #1):
+# COUNT(DISTINCT) expansion AND groupBy().pivot() both appear, tied together
+# by a 3-row self-join on l_returnflag (trivially broadcast).
 @query(
-    "q11_nations_customers_except_suppliers",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
+    "q12_distinct_pivot_suite",
+    oracle=f"""
+    WITH d AS (
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT l_partkey) AS n_part,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    ),
+    p AS (
+        SELECT l_returnflag,
+               {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
+               {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_filled
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag, n_supp, n_part, n_rows, qty_open, qty_filled
+    FROM d JOIN p ON d.l_returnflag = p.l_returnflag
     """,
 )
-def q11_except(spark, sf_dir):
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return cust.subtract(supp)  # EXCEPT (set semantics); exceptAll would keep dup counts
-
-
-# --- q12: distinct aggregates ---------------------------------------------
-@query(
-    "q12_distinct_counts",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(DISTINCT l_suppkey) AS n_supp,
-           COUNT(DISTINCT l_partkey) AS n_part,
-           COUNT(*) AS n_rows
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def q12_distinct_counts(spark, sf_dir):
+def q12_distinct_pivot_suite(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    distinct_agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+    return distinct_agg.join(F.broadcast(pivoted), "l_returnflag")
 
 
-# --- q13: case/when bucketing ---------------------------------------------
+# --- q13: conditional-aggregation suite ------------------------------------
+# Consolidated from the former q13/q14/q17 (registry-cap fit, VERDICT.md r2
+# #1). One (suite, k, n, total) frame with three arms covering case/when
+# banding, IN-list + inequality filters (reference F5/F7/F8), and the
+# year/month/quarter date functions. Each arm is an independent partial-agg
+# scan; the union is append-only (no extra shuffle beyond the three aggs).
 @query(
-    "q13_acctbal_bands",
+    "q13_conditional_agg_suite",
     oracle=f"""
-    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+    SELECT 'acctbal_band' AS suite,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
                 WHEN c_acctbal < 5000 THEN 'low'
                 WHEN c_acctbal < 9000 THEN 'mid'
-                ELSE 'high' END AS band,
+                ELSE 'high' END AS k,
            COUNT(*) AS n,
-           {sql_dsum('c_acctbal')} AS total_bal
+           {sql_dsum('c_acctbal')} AS total
     FROM customer
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL
+    SELECT 'priority' AS suite, o_orderpriority AS k, COUNT(*) AS n,
+           CAST(NULL AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus <> 'F'
+    GROUP BY 2
+    UNION ALL
+    SELECT 'order_ym' AS suite,
+           CAST(CAST(year(o_orderdate) AS INTEGER) AS VARCHAR) || '-' ||
+           CAST(CAST(month(o_orderdate) AS INTEGER) AS VARCHAR) || '-Q' ||
+           CAST(CAST(quarter(o_orderdate) AS INTEGER) AS VARCHAR) AS k,
+           COUNT(*) AS n,
+           CAST(NULL AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 2
     """,
 )
-def q13_acctbal_bands(spark, sf_dir):
+def q13_conditional_agg_suite(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
     band = (
         F.when(F.col("c_acctbal") < 0, "negative")
         .when(F.col("c_acctbal") < 5000, "low")
         .when(F.col("c_acctbal") < 9000, "mid")
         .otherwise("high")
     )
-    return cust.groupBy(band.alias("band")).agg(
-        F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("total_bal")
-    )
-
-
-# --- q14: IN-list + inequality filters (reference F5/F7/F8) ----------------
-@query(
-    "q14_priority_filter",
-    oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n
-    FROM orders
-    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-      AND o_orderstatus <> 'F'
-    GROUP BY o_orderpriority
-    """,
-)
-def q14_priority_filter(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
-    return (
+    bands = cust.groupBy(band.alias("k")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("total")
+    ).select(F.lit("acctbal_band").alias("suite"), "k", "n", "total")
+    null_total = F.lit(None).cast("double").alias("total")
+    prio = (
         orders.filter(
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
             & (F.col("o_orderstatus") != "F")
         )
-        .groupBy("o_orderpriority")
+        .groupBy(F.col("o_orderpriority").alias("k"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("priority").alias("suite"), "k", "n", null_total)
     )
+    ym_key = F.concat(
+        F.year("o_orderdate").cast("string"),
+        F.lit("-"),
+        F.month("o_orderdate").cast("string"),
+        F.lit("-Q"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    ym = (
+        orders.groupBy(ym_key.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("order_ym").alias("suite"), "k", "n", null_total)
+    )
+    return bands.unionByName(prio).unionByName(ym)
 
 
-# --- q15: string functions -------------------------------------------------
+# --- q15: scalar-function suite (string + math, over a broadcast join) -----
+# Consolidated from the former q15/q16 (registry-cap fit, VERDICT.md r2 #1):
+# the string functions run on part columns, the IEEE-safe math subset on
+# lineitem columns, tied by the natural l_partkey = p_partkey join. part is
+# the small side at every SF ratio (lineitem ~30x larger) — broadcast while
+# it fits the driver/executor budget; past that Catalyst falls back to a
+# shuffled hash join on the same plan. sqrt/abs/floor/ceil and +-*/ are
+# correctly-rounded IEEE ops, bit-identical across engines (transcendentals
+# like ln are NOT and stay out of oracle-gated math).
 @query(
-    "q15_string_funcs",
+    "q15_scalar_func_suite",
     oracle="""
-    SELECT p_partkey,
+    SELECT l_orderkey, p_partkey,
            upper(p_name) AS up_name,
            CAST(length(p_name) AS INTEGER) AS name_len,
            substr(p_name, 1, 8) AS name_prefix,
            replace(p_brand, 'Brand', 'B') AS brand_short,
-           CASE WHEN p_type LIKE '%OM%' THEN 1 ELSE 0 END AS is_om_type
-    FROM part
-    """,
-)
-def q15_string_funcs(spark, sf_dir):
-    part = load_table(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.upper("p_name").alias("up_name"),
-        F.length("p_name").alias("name_len"),
-        F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.regexp_replace("p_brand", "Brand", "B").alias("brand_short"),
-        F.when(F.col("p_type").like("%OM%"), 1).otherwise(0).alias("is_om_type"),
-    )
-
-
-# --- q16: math functions (IEEE-safe subset) --------------------------------
-@query(
-    "q16_math_funcs",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
+           CASE WHEN p_type LIKE '%OM%' THEN 1 ELSE 0 END AS is_om_type,
            abs(l_extendedprice - 1000.0) AS abs_diff,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            sqrt(l_quantity) AS qty_sqrt,
            l_extendedprice * l_extendedprice AS price_sq
-    FROM lineitem
+    FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_linenumber = 1 AND l_orderkey % 10 = 0
     """,
 )
-def q16_math_funcs(spark, sf_dir):
+def q15_scalar_func_suite(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    return li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0)).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
-        F.floor("l_extendedprice").alias("price_floor"),
-        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
-        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_orderkey",
+            "p_partkey",
+            F.upper("p_name").alias("up_name"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.regexp_replace("p_brand", "Brand", "B").alias("brand_short"),
+            F.when(F.col("p_type").like("%OM%"), 1).otherwise(0).alias("is_om_type"),
+            F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+            F.floor("l_extendedprice").alias("price_floor"),
+            F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+        )
     )
-
-
-# --- q17: date functions ---------------------------------------------------
-@query(
-    "q17_date_funcs",
-    oracle="""
-    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-           CAST(month(o_orderdate) AS INTEGER) AS order_month,
-           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY 1, 2, 3
-    """,
-)
-def q17_date_funcs(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.quarter("o_orderdate").alias("order_quarter"),
-    ).agg(F.count(F.lit(1)).alias("n_orders"))
 
 
 # --- q18: deterministic dedup (reference A3 made reproducible) -------------
@@ -469,28 +482,6 @@ def q18_first_order_per_customer(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date"),
-    )
-
-
-# --- q19: pivot ------------------------------------------------------------
-@query(
-    "q19_pivot_status_qty",
-    oracle=f"""
-    SELECT l_returnflag,
-           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
-           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_filled
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def q19_pivot_status_qty(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(dsum("l_quantity"))
-        .withColumnRenamed("O", "qty_open")
-        .withColumnRenamed("F", "qty_filled")
     )
 
 
