@@ -34,24 +34,33 @@ from movie_recommendation_etl_spark.sources.writers import (
 )
 
 # The 14 columns the reference projects from the 42-column Kaggle CSV
-# (transform/execute.py:59-74; types from notebook cell 8 output).
+# (transform/execute.py:59-74; types from notebook cell 8 output), as
+# (name, target type) pairs. The raw scan is header-driven and string-typed:
+# Spark binds an explicit CSV schema POSITIONALLY (enforceSchema drops the
+# header), so a fixed 14-column StructType against the real 42-column file
+# would silently map the first 14 file columns to these names (r2 ADVICE).
+# Selecting by header name then casting is one scan and column-count-proof.
+MOVIES_COLUMNS: dict[str, T.DataType] = {
+    "id": T.IntegerType(),
+    "title": T.StringType(),
+    "revenue": T.LongType(),
+    "budget": T.IntegerType(),
+    "overview": T.StringType(),
+    "poster_path": T.StringType(),
+    "production_companies": T.StringType(),
+    "release_year": T.DoubleType(),
+    "Director": T.StringType(),
+    "Star1": T.StringType(),
+    "Star2": T.StringType(),
+    "Star3": T.StringType(),
+    "genres_list": T.StringType(),
+    "all_combined_keywords": T.StringType(),
+}
+
+# Kept for callers that already stage the 14-column projection (tests,
+# parquet round-trips) — safe there because the column count matches.
 MOVIES_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.IntegerType()),
-        T.StructField("title", T.StringType()),
-        T.StructField("revenue", T.LongType()),
-        T.StructField("budget", T.IntegerType()),
-        T.StructField("overview", T.StringType()),
-        T.StructField("poster_path", T.StringType()),
-        T.StructField("production_companies", T.StringType()),
-        T.StructField("release_year", T.DoubleType()),
-        T.StructField("Director", T.StringType()),
-        T.StructField("Star1", T.StringType()),
-        T.StructField("Star2", T.StringType()),
-        T.StructField("Star3", T.StringType()),
-        T.StructField("genres_list", T.StringType()),
-        T.StructField("all_combined_keywords", T.StringType()),
-    ]
+    [T.StructField(name, dtype) for name, dtype in MOVIES_COLUMNS.items()]
 )
 
 _REQUIRED_COLS = (
@@ -61,12 +70,30 @@ _REQUIRED_COLS = (
     "all_combined_keywords",
     "poster_path",
 )
-_FILL_A_COLS = ("production_companies", "Star1", "Star2", "Star3", "Director")
+# Exactly the reference's fill list (transform/execute.py:92-94): Director is
+# NOT filled — a null-Director row's crews array goes null, so its tags/
+# combined string is null and the row dies at the blank-tags filter, same as
+# the reference. (Filling it with 'a' kept such rows alive — r2 VERDICT #2.)
+_FILL_A_COLS = ("production_companies", "Star1", "Star2", "Star3")
 _ARR = T.ArrayType(T.StringType())
 
 
 def load_movies_csv(spark: SparkSession, path: str) -> DataFrame:
-    return read_csv_robust(spark, path, schema=MOVIES_RAW_SCHEMA)
+    """Header-driven scan of the raw Kaggle CSV: every column arrives as a
+    string named by the header (no inferSchema — that is a second full pass,
+    SURVEY.md §1); the 14 reference columns are then selected BY NAME and
+    cast. Works identically on the 42-column original and a pre-projected
+    14-column staging file; a missing header column fails analysis loudly
+    instead of scrambling data."""
+    raw = read_csv_robust(spark, path, schema=None)
+    missing = [c for c in MOVIES_COLUMNS if c not in raw.columns]
+    if missing:
+        raise ValueError(
+            f"movies CSV at {path} lacks required header columns: {missing}"
+        )
+    return raw.select(
+        *[F.col(name).cast(dtype) for name, dtype in MOVIES_COLUMNS.items()]
+    )
 
 
 def clean(movies: DataFrame) -> DataFrame:
@@ -93,7 +120,16 @@ def combine_features(cleaned: DataFrame) -> DataFrame:
     """Reference combine_all_feature_columns (transform/execute.py:99-172):
     split prose/names into arrays, wrap scalars, strip inner whitespace per
     element (HOF — so "Tom Hanks" is the single token "TomHanks"), concat
-    into `tags`, and flatten to one space-joined `combined` string."""
+    into `tags`, and flatten to one space-joined `combined` string.
+
+    Token parity with the reference (r2 VERDICT #2): the whitespace strip
+    applies to crews AND all_combined_keywords AND genres_list
+    (transform/execute.py:144-156), so "Science Fiction" is the single token
+    "ScienceFiction"; overview and title keep their spaces. Concat orders
+    match the reference exactly — crews = Star1..3, Director, companies
+    (:128-137); tags = title, keywords, genres, overview, crews (:158-167) —
+    irrelevant to bag-of-words TF-IDF but it makes the `combined` string
+    bit-comparable."""
     df = (
         cleaned.withColumn("director_arr", F.split("Director", ","))
         .withColumn("companies_arr", F.split("production_companies", ","))
@@ -105,16 +141,16 @@ def combine_features(cleaned: DataFrame) -> DataFrame:
         arr, lambda x: F.regexp_replace(x, r"\s+", "")
     )
     crews = F.concat(
+        strip_ws(F.col("stars_arr")),
         strip_ws(F.col("director_arr")),
         strip_ws(F.col("companies_arr")),
-        strip_ws(F.col("stars_arr")),
     )
     tags = F.concat(
-        F.col("overview_arr"),
-        F.col("all_combined_keywords"),
-        F.col("genres_list"),
-        crews,
         F.col("title_arr"),
+        strip_ws(F.col("all_combined_keywords")),
+        strip_ws(F.col("genres_list")),
+        F.col("overview_arr"),
+        crews,
     )
     out = df.withColumn("tags", tags).withColumn(
         "combined", F.concat_ws(" ", F.col("tags"))

@@ -20,7 +20,7 @@ from movie_recommendation_etl_spark.pipeline import (
 from movie_recommendation_etl_spark.sources.writers import write_csv
 
 
-def _franchise_row(mid, title, words, year=2001):
+def _franchise_row(mid, title, words, year=2001, director="Some Director"):
     kw = "[" + ",".join(f'"{w}"' for w in words) + "]"
     return (
         mid,
@@ -31,11 +31,11 @@ def _franchise_row(mid, title, words, year=2001):
         f"/poster/{mid}.jpg",
         "Big Studio",
         float(year),
-        "Some Director",
+        director,
         "Tom Hanks",
         "Star Two",
         "Star Three",
-        '["Drama"]',
+        '["Science Fiction","Drama"]',
         kw,
     )
 
@@ -76,6 +76,11 @@ def movies_fixture(spark, tmp_path_factory):
     )
     multiline[4] = "line one\nline two, with comma"
     rows.append(tuple(multiline))
+    # null Director: survives clean() (Director is NOT in the fill list,
+    # reference transform/execute.py:92-94) but its crews/tags concat goes
+    # null, so the blank-tags filter kills it in combine_features
+    rows.append(_franchise_row(404, "No Director Movie", ["lost", "reel"],
+                               director=None))
 
     df = spark.createDataFrame(rows, MOVIES_RAW_SCHEMA)
     path = str(tmp_path_factory.mktemp("movies") / "movies_csv")
@@ -101,14 +106,61 @@ def test_clean_semantics(spark, movies_fixture):
 
 
 def test_feature_combination_hof(spark, movies_fixture):
-    feats = combine_features(clean(load_movies_csv(spark, movies_fixture)))
+    cleaned = clean(load_movies_csv(spark, movies_fixture))
+    feats = combine_features(cleaned)
     row = feats.filter(F.col("id") == 101).collect()[0]
     # whitespace-strip HOF: "Tom Hanks" became one token (reference
     # transform/execute.py:144-156)
     assert "TomHanks" in row["tags"]
     assert "Tom Hanks" not in row["tags"]
+    # ...and the strip also covers genres and keywords (reference
+    # :146-155): the multi-word genre is ONE token
+    assert "ScienceFiction" in row["tags"]
+    assert "Science Fiction" not in row["tags"]
+    assert "ScienceFiction" in row["combined"].split(" ")
     assert "wizard" in row["combined"]
     assert isinstance(row["combined"], str)
+    # null-Director row: alive after clean (no fill/drop on Director,
+    # reference :92-94), dead after the blank-tags filter — because its
+    # crews concat is null, exactly the reference's row-death path
+    assert cleaned.filter(F.col("id") == 404).count() == 1
+    assert feats.filter(F.col("id") == 404).count() == 0
+
+
+def test_load_by_name_from_wide_csv(spark, movies_fixture, tmp_path):
+    """The raw Kaggle file has 42 columns; the scan must bind by header name,
+    not position (r2 ADVICE: a positional 14-column schema would silently
+    scramble). Rebuild the fixture with extra columns interleaved ahead of
+    the needed ones and assert values land under the right names."""
+    import csv as _csv
+
+    wide_dir = tmp_path / "wide_csv"
+    wide_dir.mkdir()
+    raw = load_movies_csv(spark, movies_fixture).collect()
+    names = list(MOVIES_RAW_SCHEMA.fieldNames())
+    extras = [f"extra_{i}" for i in range(28)]  # 14 + 28 = 42 columns
+    # interleave: extras first and between, real columns shuffled to the back
+    header = extras[:10] + names[7:] + extras[10:] + names[:7]
+    with open(wide_dir / "part.csv", "w", newline="") as fh:
+        w = _csv.writer(fh, quoting=_csv.QUOTE_ALL)
+        w.writerow(header)
+        for r in raw:
+            d = r.asDict()
+            w.writerow(
+                [
+                    ("noise" if c.startswith("extra_") else
+                     ("" if d[c] is None else d[c]))
+                    for c in header
+                ]
+            )
+    df = load_movies_csv(spark, str(wide_dir))
+    assert df.columns == names
+    got = {r["id"]: r for r in df.collect()}
+    assert got[100]["title"] in ("Wizard School 0", "Wizard School 0 DUPLICATE")
+    assert got[301]["release_year"] == 2001.0
+    assert got[301]["Star1"] == "Tom Hanks"
+    # row count survives the round-trip (dup ids collapse only in `got`)
+    assert df.count() == len(raw)
 
 
 def test_end_to_end_recommend_and_sinks(spark, movies_fixture, tmp_path):
