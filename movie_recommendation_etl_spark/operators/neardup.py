@@ -193,18 +193,30 @@ def minhash_neardup_pairs(
 def simhash16(tokens: Column) -> Column:
     """16-bit SimHash: bit b votes +1/-1 per token by the high bit of hex
     digit b of md5(token); the bit is set when the vote sum is positive.
-    Tokens carry multiplicity (standard simhash weighting by term count)."""
-    bits = F.transform(
-        F.sequence(F.lit(1), F.lit(16)),
-        lambda b: F.aggregate(
-            tokens,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.md5(t).substr(b, F.lit(1)).isin(*HEX_HIGH), 1).otherwise(-1),
+    Tokens carry multiplicity (standard simhash weighting by term count).
+
+    ONE md5 per token: tokens are hashed up front and the 16 vote counters
+    fold over the *hashed* array. The per-bit-outer formulation
+    (transform over bits, aggregate over tokens re-deriving md5(t) inside)
+    costs 16 md5 evaluations per token — Catalyst does not CSE across
+    nested lambdas (r2 VERDICT #5)."""
+    hashed = F.transform(tokens, lambda t: F.md5(t))
+    votes = F.aggregate(
+        hashed,
+        F.array(*[F.lit(0) for _ in range(16)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda b: F.when(
+                    h.substr(b, F.lit(1)).isin(*HEX_HIGH), 1
+                ).otherwise(-1),
+            ),
+            lambda a, v: a + v,
         ),
     )
     return F.aggregate(
-        bits,
+        votes,
         F.lit(0),
         lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
     )

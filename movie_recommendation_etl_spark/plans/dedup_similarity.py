@@ -128,14 +128,20 @@ def q50_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_UNIONED},
     s AS (
+        -- mirrors simhash16: md5 once per token, then fold 16 vote counters
+        -- over the hashed list (list_reduce first-element init == fold-from-
+        -- zero here: zeros + first vote array = first vote array)
         SELECT doc_id,
                list_reduce(
-                   list_transform(range(1, 17), b ->
-                       CASE WHEN list_aggregate(list_transform(toks, t ->
-                                CASE WHEN substring(md5(t), b, 1) IN
-                                     ('8','9','a','b','c','d','e','f')
-                                     THEN 1 ELSE -1 END), 'sum') > 0
-                            THEN 1 ELSE 0 END),
+                   list_transform(
+                       list_reduce(
+                           list_transform(list_transform(toks, t -> md5(t)),
+                               h -> list_transform(range(1, 17), b ->
+                                      CASE WHEN substring(h, b, 1) IN
+                                           ('8','9','a','b','c','d','e','f')
+                                           THEN 1 ELSE -1 END)),
+                           (a, v) -> list_transform(range(1, 17), i -> a[i] + v[i])),
+                       v -> CASE WHEN v > 0 THEN 1 ELSE 0 END),
                    (a, x) -> a * 2 + x) AS simhash
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM unioned)
     )

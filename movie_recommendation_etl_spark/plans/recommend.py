@@ -18,6 +18,7 @@ from movie_recommendation_etl_spark.ml.ann import (
     batch_ann,
     embeddings_as_vectors,
     fit_lsh,
+    prepare_index,
     recommend,
 )
 from movie_recommendation_etl_spark.ml.tfidf import fit_document_vectors
@@ -226,11 +227,16 @@ def q70_recommend_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The transformed corpus is cached between the LSH fit and the query —
     the reference's .py pipeline skipped this and recomputed its lineage
-    once per sink (SURVEY §3.1 step 6), a 4x cost we don't copy."""
+    once per sink (SURVEY §3.1 step 6), a 4x cost we don't copy. The LSH
+    hash column is ALSO precomputed via prepare_index: without it,
+    approxNearestNeighbors re-transforms the whole corpus on every query
+    (~60 s/query at 604k docs, measured) — this is the warm path bench.py
+    measures and the shape any caller should copy."""
     docs = load_table(spark, sf_dir, "documents")
     _, vecs = fit_document_vectors(docs)
     # Cached: the LSH fit and every subsequent ANN query reuse the vectors
     # without re-running tokenize/TF-IDF (Spark evicts LRU if memory needs it).
     vecs = vecs.cache()
     lsh = fit_lsh(vecs)
-    return recommend(lsh, vecs, "doc_id", FLAGSHIP_QUERY_DOC, top_k=TOP_K)
+    index = prepare_index(lsh, vecs)
+    return recommend(lsh, index, "doc_id", FLAGSHIP_QUERY_DOC, top_k=TOP_K)

@@ -80,6 +80,21 @@ def test_sample_prunes_text_column(spark, sf_dir):
     assert m and "text" not in m.group(1)
 
 
+def test_simhash_hashes_each_token_once(spark, sf_dir):
+    """simhash16 must md5 each token ONCE (transform over the token array)
+    and fold votes over the hashed list. The per-bit-outer form evaluates
+    md5 inside a lambda nested under the 16-bit transform — Catalyst does
+    not CSE across nested lambdas, so it costs 16x (r2 VERDICT #5)."""
+    df = QUERIES["q51_simhash_hamming"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the hashing transform over the raw token array exists...
+    assert re.search(r"transform\(split\([^\n]*?lambdafunction\(md5\(", analyzed)
+    # ...and no aggregate folds the RAW token array (the 16x-md5 shape
+    # aggregated split(text) directly with md5 inside its merge lambda; the
+    # fixed shape aggregates transform(split(...), md5) instead)
+    assert "aggregate(split(" not in analyzed
+
+
 def test_tfidf_cosine_broadcasts_query_side(spark, sf_dir):
     """q71's sparse dot joins the 5-query weight rows against the corpus on
     term — the query side must broadcast so the corpus never shuffles for
