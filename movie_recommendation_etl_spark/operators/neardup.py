@@ -224,3 +224,122 @@ def simhash16(tokens: Column) -> Column:
 
 def hamming16(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- signed random projection (SRP) LSH for dense embeddings ---------------
+
+def srp_signs(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic Rademacher (+1/-1) hyperplanes from the md5 family:
+    component i of hyperplane h is +1 iff the first hex digit of
+    md5(f"{h}:{i}") has its high bit set. hashlib.md5 == SQL md5, so the
+    identical hyperplanes regenerate inside a DuckDB oracle and SRP candidate
+    generation replays bit-for-bit in ANSI SQL (sign-random-projection LSH,
+    Charikar STOC'02: P[sign match] = 1 - angle/pi)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{h}:{i}".encode()).hexdigest()[0] in HEX_HIGH
+            else -1.0
+            for i in range(dim)
+        ]
+        for h in range(n_bits)
+    ]
+
+
+def srp_bands(
+    vec: Column, *, dim: int, n_bits: int = 96, rows_per_band: int = 8
+) -> Column:
+    """array<int> of LSH band values for a dense double-array column: bit h =
+    [dot(hyperplane_h, vec) > 0], bands pack ``rows_per_band`` consecutive
+    bits into one int. Vectors sharing any (band_idx, band_val) are
+    candidates.
+
+    The hyperplane signs are plan-time constants (embedded literals), so the
+    whole expression is scan-stage codegen: n_bits*dim fused multiply-adds
+    per row, no shuffle, no Python. The dots fold sequentially in double —
+    the same order DuckDB's list_aggregate uses — so the bit signs (and
+    therefore every candidate pair) are identical across engines.
+    """
+    signs = srp_signs(n_bits, dim)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.lit(s), lambda x, sgn: x * sgn),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0.0,
+            1,
+        ).otherwise(0)
+        for s in signs
+    ]
+    bands = []
+    for j in range(0, n_bits, rows_per_band):
+        val: Column = F.lit(0)
+        for b in bits[j : j + rows_per_band]:
+            val = val * 2 + b
+        bands.append(val)
+    return F.array(*bands)
+
+
+def srp_candidate_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "emb",
+    *,
+    dim: int,
+    n_bits: int = 96,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """(id, label, vec) -> DISTINCT candidate pairs (id_a < id_b) from the
+    two-level (label, srp band) blocking — never all-pairs within a label.
+
+    Scale shape: band payload is O(rows) ints (persisted once so the
+    self-join doesn't re-derive the projection twice — Catalyst would inline
+    the whole expression into both sides); the join keys (label, band_idx,
+    band_val) are md5-uniform within a label, so a coarse label no longer
+    means a quadratic block: candidate volume is governed by the band
+    collision rate (~(1/2)^rows_per_band per band for unrelated pairs,
+    ~4.6% of pairs at the 96/8 default), not by block size squared.
+
+    Operating point: SRP's collision gap is P[bit]=1-angle/pi, so banding
+    separates NEAR-DUP thresholds (cos >= ~0.8) sharply but cannot prune at
+    low thresholds like 0.3 (rho -> 1 as the threshold falls toward 0 —
+    at cos 0.3 any >=95%-recall banding admits ~75% of random pairs). Use
+    labels+bands for near-dup detection; for low-threshold similarity use
+    the IVF path (ml/ivf.py) and accept approximate recall.
+    """
+    banded = vecs.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        srp_bands(
+            F.col(vec_col), dim=dim, n_bits=n_bits, rows_per_band=rows_per_band
+        ).alias("_bands"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    expl = banded.select(
+        "_id", "_lbl", F.posexplode("_bands").alias("_band_idx", "_band_val")
+    )
+    a, b = expl.alias("a"), expl.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._lbl") == F.col("b._lbl"))
+            & (F.col("a._band_idx") == F.col("b._band_idx"))
+            & (F.col("a._band_val") == F.col("b._band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias(f"{id_col}_a"),
+            F.col("b._id").alias(f"{id_col}_b"),
+        )
+        .distinct()
+        # Materialize the (small, O(candidates)) pair set so the persisted
+        # band frame can be released immediately — repeated invocations must
+        # not accumulate cached blocks for the session lifetime (r2 ADVICE).
+        .localCheckpoint(eager=True)
+    )
+    banded.unpersist()
+    return pairs

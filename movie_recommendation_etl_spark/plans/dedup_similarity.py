@@ -28,10 +28,12 @@ from movie_recommendation_etl_spark.operators.graph import (
     connected_components,
 )
 from movie_recommendation_etl_spark.operators.neardup import (
+    HEX_HIGH,
     hamming16,
     jaccard,
     minhash_neardup_pairs,
     simhash16,
+    srp_candidate_pairs,
     word_shingles,
 )
 from movie_recommendation_etl_spark.plans.registry import query
@@ -213,47 +215,145 @@ def q52_ngram_jaccard_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q53: embedding near-dup via (label, SRP-band) blocking ----------------
+# The embeddings table has no natural near-dups (within-label cosines top out
+# at ~0.48), so the query plants them like q50-q52 do for documents: each
+# vector gets a twin (vec_id + 100000, same label) with every coordinate
+# scaled by a deterministic md5-chosen factor of 0.9 or 1.1 (cos ~ 0.995).
+_Q53_DIM = 64
+_Q53_N_BITS = 96
+_Q53_ROWS_PER_BAND = 8
+_Q53_THRESHOLD = 0.8
+_SQL_HIGH = ", ".join(f"'{h}'" for h in ("8", "9", "a", "b", "c", "d", "e", "f"))
+
+
 @query(
     "q53_embedding_neardup_pairs",
     oracle=f"""
-    WITH e AS (
-        SELECT vec_id, label, embedding,
-               {sql_norm2("embedding")} AS nrm
+    WITH orig AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings
     ),
-    p AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-                   AS cosine_sim
-        FROM e a
-        JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    twin AS (
+        SELECT o.vec_id + 100000 AS vec_id, o.label,
+               list_transform(range(1, {_Q53_DIM} + 1), i -> o.emb[i] *
+                   (CASE WHEN substring(md5('t:' || o.vec_id || ':' || (i - 1)), 1, 1)
+                              IN ({_SQL_HIGH})
+                         THEN 1.1 ELSE 0.9 END)) AS emb
+        FROM orig o
+    ),
+    unioned AS (
+        SELECT * FROM orig UNION ALL SELECT * FROM twin
+    ),
+    e AS (
+        SELECT vec_id, label, emb, {sql_norm2("emb")} AS nrm FROM unioned
+    ),
+    bits AS (
+        SELECT vec_id, label, hs.h AS h,
+               CASE WHEN list_aggregate(list_transform(range(1, {_Q53_DIM} + 1), i ->
+                        e.emb[i] * (CASE WHEN substring(md5(hs.h || ':' || (i - 1)), 1, 1)
+                                              IN ({_SQL_HIGH})
+                                         THEN 1.0 ELSE -1.0 END)), 'sum') > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM e CROSS JOIN (SELECT unnest(range(0, {_Q53_N_BITS})) AS h) hs
+    ),
+    banded AS (
+        SELECT vec_id, label, CAST(h // {_Q53_ROWS_PER_BAND} AS INTEGER) AS band_idx,
+               list_reduce(list(bit ORDER BY h), (a, x) -> a * 2 + x) AS band_val
+        FROM bits
+        GROUP BY vec_id, label, h // {_Q53_ROWS_PER_BAND}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM banded a
+        JOIN banded b ON a.label = b.label AND a.band_idx = b.band_idx
+                     AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+        SELECT c.vec_a, c.vec_b,
+               {sql_dot("x.emb", "y.emb")} / (x.nrm * y.nrm) AS cosine_sim
+        FROM cand c
+        JOIN e x ON x.vec_id = c.vec_a
+        JOIN e y ON y.vec_id = c.vec_b
     )
-    SELECT vec_a, vec_b, cosine_sim FROM p WHERE cosine_sim >= 0.3
+    SELECT vec_a, vec_b, cosine_sim FROM verified
+    WHERE cosine_sim >= {_Q53_THRESHOLD}
     """,
 )
 def q53_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup with label blocking (IVF-style coarse
-    partition): pairs are enumerated only within label buckets via an
-    equi-join — the shuffle keys are the blocks, never a cross join. Norms
-    precomputed per row so the pair join evaluates one fold, not three."""
+    """Embedding-cosine near-dup with TWO-LEVEL blocking: label x SRP band
+    (signed-random-projection LSH, md5-derived Rademacher hyperplanes both
+    engines regenerate). Candidates come from the (label, band_idx, band_val)
+    equi-join — a coarse label is no longer a quadratic block (the r2 scale
+    audit finding): unrelated pairs collide per band at ~(1/2)^8, so
+    candidate volume stays near-linear while twin pairs (cos ~ 0.995) match
+    a band with probability ~1 (miss ~ 1e-8 at 12 bands x 8 bits).
+
+    The verify threshold moved from 0.3 to 0.8 with the planted twins: SRP
+    banding CANNOT prune at tau=0.3 (P[bit]=1-angle/pi gives rho ~ 0.75;
+    >=95% recall there admits ~75% of random pairs — no banding scheme
+    beats the exact all-pairs join the old query used). Near-dup detection
+    operates at high cosine, where the pruning is ~20x and recall is ~1;
+    tests/test_neardup_similarity.py asserts both against the exact oracle.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", "embedding", norm2("embedding").alias("nrm"))
-    a, b = e.alias("a"), e.alias("b")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    orig = emb.select("vec_id", "label", as_double.alias("emb"))
+    twin_emb = F.transform(
+        as_double,
+        lambda x, i: x
+        * F.when(
+            F.md5(
+                F.concat(
+                    F.lit("t:"),
+                    F.col("vec_id").cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            )
+            .substr(1, 1)
+            .isin(*HEX_HIGH),
+            F.lit(1.1),
+        ).otherwise(F.lit(0.9)),
+    )
+    # Two selects: twin_emb's md5 key must see the ORIGINAL vec_id. In one
+    # select, Spark's lateral column alias resolution would bind the
+    # `vec_id` inside the lambda to the earlier `vec_id + 100000` alias —
+    # silently hashing the shifted id (caught by the oracle gate).
+    twins = emb.select("vec_id", "label", twin_emb.alias("emb")).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "emb"
+    )
+    e = orig.unionByName(twins).withColumn("nrm", norm2("emb"))
+    cand = srp_candidate_pairs(
+        e,
+        "vec_id",
+        "label",
+        "emb",
+        dim=_Q53_DIM,
+        n_bits=_Q53_N_BITS,
+        rows_per_band=_Q53_ROWS_PER_BAND,
+    )
+    x = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    y = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        cand.join(x, "vec_id_a")
+        .join(y, "vec_id_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            (
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cosine_sim"),
+            F.col("vec_id_a").alias("vec_a"),
+            F.col("vec_id_b").alias("vec_b"),
+            (dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+                "cosine_sim"
+            ),
         )
-        .filter(F.col("cosine_sim") >= 0.3)
+        .filter(F.col("cosine_sim") >= _Q53_THRESHOLD)
     )
 
 

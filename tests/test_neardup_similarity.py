@@ -36,6 +36,103 @@ def test_simhash_twins_are_close(spark, sf_dir):
     assert all(0 <= r["simhash_orig"] < 2**16 for r in rows)
 
 
+def test_srp_blocking_prunes_and_recalls(spark, sf_dir):
+    """q53's (label, SRP band) blocking vs the exact all-pairs ground truth:
+    candidate pairs must be a small fraction of the within-label pair count
+    (the r2 scale audit: label blocks alone are quadratic) AND the verified
+    result must recover every >=0.8-cosine pair (recall 1.0 on this data —
+    twin-pair band-miss probability is ~1e-8 at 12 bands x 8 bits)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from movie_recommendation_etl_spark.operators.neardup import (
+        srp_candidate_pairs,
+    )
+    from movie_recommendation_etl_spark.plans.dedup_similarity import (
+        q53_embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    ids, labels, vecs = {}, {}, {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        vecs[r["vec_id"]] = v
+        labels[r["vec_id"]] = r["label"]
+        tw = v * np.array(
+            [
+                1.1
+                if hashlib.md5(f"t:{r['vec_id']}:{i}".encode()).hexdigest()[0]
+                in "89abcdef"
+                else 0.9
+                for i in range(len(v))
+            ]
+        )
+        vecs[r["vec_id"] + 100000] = tw
+        labels[r["vec_id"] + 100000] = r["label"]
+    # exact ground truth: all within-label pairs with cosine >= 0.8
+    by_label: dict = {}
+    for vid, lbl in labels.items():
+        by_label.setdefault(lbl, []).append(vid)
+    truth = set()
+    n_block_pairs = 0
+    for lbl, vids in by_label.items():
+        vids.sort()
+        n_block_pairs += len(vids) * (len(vids) - 1) // 2
+        for i, a in enumerate(vids):
+            for b in vids[i + 1 :]:
+                va, vb = vecs[a], vecs[b]
+                cos = float(va @ vb) / (
+                    math.sqrt(float(va @ va)) * math.sqrt(float(vb @ vb))
+                )
+                if cos >= 0.8:
+                    truth.add((a, b))
+    assert truth  # the planted twins exist
+    # candidate volume: the blocking must prune, not enumerate the blocks
+    emb_d = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    # rebuild the twinned frame exactly as q53 does (original + twins)
+    from movie_recommendation_etl_spark.operators.neardup import HEX_HIGH
+
+    twin_emb = F.transform(
+        F.col("emb"),
+        lambda x, i: x
+        * F.when(
+            F.md5(
+                F.concat(
+                    F.lit("t:"),
+                    F.col("vec_id").cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            )
+            .substr(1, 1)
+            .isin(*HEX_HIGH),
+            F.lit(1.1),
+        ).otherwise(F.lit(0.9)),
+    )
+    twins = emb_d.select("vec_id", "label", twin_emb.alias("emb")).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "emb"
+    )
+    unioned = emb_d.unionByName(twins)
+    cand = srp_candidate_pairs(unioned, "vec_id", "label", "emb", dim=64)
+    n_cand = cand.count()
+    assert n_cand < 0.15 * n_block_pairs, (n_cand, n_block_pairs)
+    # recall: every ground-truth pair is in the verified result
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in q53_embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert truth <= found
+    # and nothing below-threshold sneaks in (verify step is exact)
+    assert found == truth
+
+
 def test_knn_bruteforce_shape(spark, sf_dir):
     rows = q60_knn_bruteforce(spark, sf_dir).collect()
     by_q: dict[int, list] = {}
