@@ -27,16 +27,52 @@ implicit 2^18 default) so that broadcast stays ~tens of MiB (the reference's
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.feature import (
     IDF,
     CountVectorizer,
     Normalizer,
     RegexTokenizer,
+    SQLTransformer,
     StopWordsRemover,
 )
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Small English lemma dictionary fixture (common irregular inflections —
+# standard dictionary facts, no external dataset). Stands in for the
+# reference's pretrained AntBNC dictionary (transform/execute.py:198-202),
+# which is a Spark-NLP artifact this engine does not depend on.
+_LEMMA_FIXTURE = Path(__file__).with_name("lemmas_en_small.json")
+
+
+def load_default_lemmas() -> dict[str, str]:
+    """The shipped lemma fixture as {inflected: lemma}."""
+    return json.loads(_LEMMA_FIXTURE.read_text())
+
+
+def _lemma_stage(lemma_map: dict[str, str]) -> SQLTransformer:
+    """M4 as a real pipeline stage: a SQLTransformer whose statement maps
+    each token through a map literal (miss → token unchanged). Pure Catalyst
+    — the map is baked into the plan, no Python UDF, no shuffle — and it
+    serializes with the PipelineModel like any other stage. Placed between
+    tokenizer and stopword removal, the reference's annotator order
+    (transform/execute.py:184-218: Tokenizer → Normalizer → Lemmatizer →
+    StopWordsCleaner)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    entries = ", ".join(f"{q(k)}, {q(v)}" for k, v in sorted(lemma_map.items()))
+    stmt = (
+        "SELECT *, transform(__tokens, t -> "
+        f"coalesce(try_element_at(map({entries}), t), t)) AS __lemmas "
+        "FROM __THIS__"
+    )
+    return SQLTransformer(statement=stmt)
 
 
 def build_tfidf_pipeline(
@@ -46,18 +82,29 @@ def build_tfidf_pipeline(
     min_df: int = 3,
     min_doc_freq: int = 3,
     vocab_size: int = 1 << 18,
+    lemma_map: dict[str, str] | None = None,
 ) -> Pipeline:
-    """The 5-stage core-Spark TF-IDF pipeline. Parameters default to the
+    """The core-Spark TF-IDF pipeline. Parameters default to the
     reference's (minDF=3 transform/execute.py:243, minDocFreq=3 :248,
-    2^18 vocab cell-61 output, p=2.0 :253)."""
+    2^18 vocab cell-61 output, p=2.0 :253).
+
+    ``lemma_map`` enables the M4 lemmatization stage (reference
+    :198-202 runs AntBNC on every token). Default None: lemmatization
+    changes the vocabulary and therefore every downstream golden, so it is
+    opt-in; pass ``load_default_lemmas()`` for the shipped fixture."""
     tokenizer = RegexTokenizer(
         inputCol=text_col,
         outputCol="__tokens",
         pattern="\\W+",
         toLowercase=True,
     )
+    stages: list = [tokenizer]
+    stop_input = "__tokens"
+    if lemma_map:
+        stages.append(_lemma_stage(lemma_map))
+        stop_input = "__lemmas"
     stopper = StopWordsRemover(
-        inputCol="__tokens", outputCol="__clean_tokens", caseSensitive=False
+        inputCol=stop_input, outputCol="__clean_tokens", caseSensitive=False
     )
     cv = CountVectorizer(
         inputCol="__clean_tokens",
@@ -71,7 +118,8 @@ def build_tfidf_pipeline(
         minDocFreq=min_doc_freq,
     )
     l2 = Normalizer(inputCol="__tfidf_features", outputCol=output_col, p=2.0)
-    return Pipeline(stages=[tokenizer, stopper, cv, idf, l2])
+    stages += [stopper, cv, idf, l2]
+    return Pipeline(stages=stages)
 
 
 def fit_document_vectors(
@@ -86,7 +134,8 @@ def fit_document_vectors(
     recomputed its lineage 4x by skipping this — SURVEY §3.1 step 6)."""
     model = build_tfidf_pipeline(text_col, output_col, **kwargs).fit(docs)
     out = model.transform(docs).drop(
-        "__tokens", "__clean_tokens", "__raw_features", "__tfidf_features"
+        "__tokens", "__lemmas", "__clean_tokens", "__raw_features",
+        "__tfidf_features",
     )
     return model, out
 

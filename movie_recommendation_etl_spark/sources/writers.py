@@ -87,8 +87,10 @@ def write_jdbc(
     partition opens one connection — cap ``num_partitions`` so a wide job
     doesn't exhaust the database's connection limit (SURVEY.md §7 risk).
 
-    Interface-only in this sandbox (no Postgres/JDBC jar available); the
-    call shape is exercised by construction, not by a live round-trip.
+    Live-tested against embedded Apache Derby (on Spark's default
+    classpath): write → read-back → idempotent re-write, see
+    tests/test_sinks_and_readers.py. Against Postgres, pass the reference's
+    url/driver (load/execute.py:74-97) — the option surface is identical.
     """
     if num_partitions is not None:
         df = df.coalesce(num_partitions)

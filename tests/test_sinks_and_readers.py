@@ -62,3 +62,33 @@ def test_csv_roundtrip_quoted_multiline(spark, tmp_path):
     # the dialect trims outer whitespace (reference transform/execute.py:55-56)
     assert got[4] == (None, "padded")
     assert back.count() == 4
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S7 live: write → read-back → idempotent re-write against embedded
+    Apache Derby (a real SQL database on Spark's default classpath — no
+    network, same JDBC write path as Postgres). The re-write asserts the
+    overwrite+truncate semantics: the reference's mode="append"
+    (load/execute.py:91) would double the rows on every rerun."""
+    from movie_recommendation_etl_spark.sources.writers import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)],
+        "id int, name string, val double",
+    )
+    for attempt in range(2):  # second pass proves idempotency
+        write_jdbc(
+            df, url, "sink_t", user="app", password="app",
+            driver=driver, num_partitions=1,
+        )
+        back = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "sink_t")
+            .option("driver", driver)
+            .load()
+        )
+        got = sorted((r["id"], r["name"], r["val"]) for r in back.collect())
+        assert got == [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)], attempt

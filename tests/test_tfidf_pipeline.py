@@ -35,6 +35,60 @@ def test_tfidf_vectors_are_l2_normalized(spark, sf_dir):
     assert set(vecs.columns) == set(docs.columns) | {"norm_features"}
 
 
+def test_lemma_pipeline_stage_changes_vocab_exactly(spark):
+    """M4 as a pinned pipeline config (reference transform/execute.py:198-202
+    runs the AntBNC lemmatizer on every token between tokenization and
+    stopword removal). Golden: with the shipped fixture the fitted
+    vocabulary contains exactly the lemmas the dictionary prescribes and
+    none of the inflected surface forms; without it, the surface forms."""
+    from movie_recommendation_etl_spark.ml.tfidf import load_default_lemmas
+
+    lemmas = load_default_lemmas()
+    assert lemmas["running"] == "run" and lemmas["wolves"] == "wolf"
+    rows = [
+        (0, "running wolves ran faster"),
+        (1, "the wolves were running"),
+        (2, "she saw the wolves running home"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    plain, _ = fit_document_vectors(df, min_df=1, min_doc_freq=0)
+    lemmed, _ = fit_document_vectors(
+        df, min_df=1, min_doc_freq=0, lemma_map=lemmas
+    )
+    vocab_plain = set(plain.stages[2].vocabulary)
+    # the lemma stage sits between tokenizer and stopper -> CV shifts to [3]
+    vocab_lem = set(lemmed.stages[3].vocabulary)
+    assert {"running", "wolves", "ran", "faster"} <= vocab_plain
+    assert {"run", "wolf", "fast"} <= vocab_lem
+    assert not ({"running", "wolves", "ran", "faster"} & vocab_lem)
+    # exact golden: vocabulary is precisely the lemmatized, stopped token
+    # set ("saw" -> "see" survives stopword removal; the/were/she/home
+    # stopwords die AFTER lemmatization, the reference's annotator order)
+    assert vocab_lem == {"run", "wolf", "fast", "home", "see"}
+
+
+def test_lemma_pipeline_model_roundtrip(spark, tmp_path):
+    """The SQLTransformer lemma stage serializes with the PipelineModel —
+    a saved/reloaded model produces identical token streams."""
+    from pyspark.ml import PipelineModel
+
+    from movie_recommendation_etl_spark.ml.tfidf import build_tfidf_pipeline
+
+    df = spark.createDataFrame(
+        [(0, "running wolves ran"), (1, "wolves were running")],
+        "doc_id: long, text: string",
+    )
+    model = build_tfidf_pipeline(
+        min_df=1, min_doc_freq=0, lemma_map={"running": "run", "wolves": "wolf"}
+    ).fit(df)
+    path = str(tmp_path / "lemma_model")
+    model.write().overwrite().save(path)
+    back = PipelineModel.load(path)
+    a = model.transform(df).select("norm_features").collect()
+    b = back.transform(df).select("norm_features").collect()
+    assert [r["norm_features"] for r in a] == [r["norm_features"] for r in b]
+
+
 def test_min_df_prunes_rare_terms(spark):
     rows = [(i, "common words here") for i in range(10)] + [
         (99, "common rareterm here")
