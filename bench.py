@@ -37,8 +37,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q50_minhash_lsh_neardup",
     "q53_embedding_neardup_pairs",
     "q54_neardup_clusters",
+    "q55_hash_mod_sample",
     "q60_knn_bruteforce",
     "q61_knn_lsh_embeddings",
+    "q62_knn_ivf_embeddings",
     "q70_recommend_similar_docs",
     "q71_tfidf_cosine_topk",
 )
