@@ -15,6 +15,20 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def _contains_unorderable(dt) -> bool:
+    """True if the type tree contains a MapType (not orderable in Spark —
+    sorting on it fails analysis)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_unorderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_unorderable(f.dataType) for f in dt.fields)
+    return False
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -22,6 +36,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: Sequence[str] | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.right_ts <= left.left_ts`` sharing the join key(s).
@@ -38,9 +53,13 @@ def asof_join(
     ``last(ignorenulls)`` would stitch fields from different right rows).
     Right rows sort before left rows at equal timestamps, giving inclusive
     (<=) as-of semantics, matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``.
-    Among right rows sharing (key, ts) the survivor is the one with the
-    largest payload struct (Spark structs order lexicographically by field),
-    which is deterministic across partitionings and cluster sizes.
+
+    Tiebreak among right rows sharing (key, ts): pass ``tiebreak`` (a right
+    payload column, e.g. its id) to order by that single compact key —
+    required when the payload contains non-orderable types (MapType) and
+    preferable always, since the sort key stays narrow. Default (None)
+    orders by the whole payload struct (lexicographic by field) and raises
+    up front if the payload is not orderable.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
@@ -51,6 +70,18 @@ def asof_join(
     r_struct_type = (
         right.select(payload.alias("__r")).schema["__r"].dataType
     )
+    if tiebreak is None:
+        if _contains_unorderable(r_struct_type):
+            raise ValueError(
+                "asof_join: right payload contains MapType and cannot be "
+                "ordered for the equal-timestamp tiebreak; pass tiebreak="
+                "'<right id column>' to order by a compact key instead"
+            )
+    elif tiebreak not in right_cols:
+        raise ValueError(
+            f"asof_join: tiebreak column {tiebreak!r} not in right payload "
+            f"columns {list(right_cols)}"
+        )
 
     l_tagged = left.select(
         *keys,
@@ -67,12 +98,15 @@ def asof_join(
         payload.alias("__r"),
     )
 
+    # Deterministic tiebreak among equal-(key, ts) right rows; left rows
+    # have a NULL payload (nulls first) so the tiebreak never reorders a
+    # left row past a right row at the same instant.
+    tiebreak_col = (
+        F.col("__r")[tiebreak] if tiebreak is not None else F.col("__r")
+    )
     w = (
         W.partitionBy(*keys)
-        # __r in the ordering = deterministic tiebreak among equal-(key, ts)
-        # right rows; left rows have __r NULL (nulls first) so the tiebreak
-        # never reorders a left row past a right row at the same instant.
-        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__r"))
+        .orderBy(F.col("__t"), F.col("__is_left"), tiebreak_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).select(

@@ -165,7 +165,13 @@ def minhash_neardup_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # Materialize the (small, O(candidates)) pair set so the persisted
+        # band frame releases immediately: repeated invocations (the gate
+        # loop runs q50 AND q54 through here) must not accumulate cached
+        # blocks for the session lifetime (r2 ADVICE).
+        .localCheckpoint(eager=True)
     )
+    bands_df.unpersist()
     shingle_sets = base
     verified = (
         pairs.join(

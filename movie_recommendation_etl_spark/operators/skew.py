@@ -34,6 +34,7 @@ def salted_agg(
     aggs: dict[str, tuple[str, str]],
     *,
     n_salts: int = 16,
+    mix_partition_id: bool = False,
 ) -> DataFrame:
     """Two-stage skew-proof aggregation.
 
@@ -41,8 +42,20 @@ def salted_agg(
     count/sum/min/max (the algebraic, mergeable ones — avg decomposes into
     sum+count at the call site). The salt is a deterministic hash of the
     whole row (xxhash64), so retries reproduce the same partials.
-    """
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).alias("__salt")
+
+    LIMITATION (r2 ADVICE): value-hash salting spreads a hot key only when
+    its rows DIFFER somewhere — fully-identical duplicate rows (the classic
+    replayed-event case) all hash to one salt bucket and the straggler
+    remains. Set ``mix_partition_id=True`` to fold the input partition id
+    into the salt: identical rows then spread by physical placement, at the
+    cost of partials that are no longer bit-reproducible under task retry
+    or a different input partitioning (the MERGED result is unchanged —
+    count/sum/min/max are salt-allocation-invariant — so only consumers of
+    the stage-1 partials care)."""
+    salt_input: list = [F.col(c) for c in df.columns]
+    if mix_partition_id:
+        salt_input.append(F.spark_partition_id())
+    salt = F.pmod(F.xxhash64(*salt_input), F.lit(n_salts)).alias("__salt")
     partials = []
     finals = []
     for out, (col, fn) in aggs.items():

@@ -48,21 +48,38 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 _REPARTITION_MIN_BYTES = 4 * 1024 * 1024
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, ())
-    if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    if nanos_cols:
+        # Scope the legacy conf to this read: parquet→catalyst schema
+        # conversion consults it at spark.read time, so save/restore keeps a
+        # later nanos-typed read elsewhere failing loudly instead of
+        # silently yielding longs (r2 ADVICE).
+        prev = spark.conf.get(_NANOS_CONF, "false")  # registered default
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set(_NANOS_CONF, prev)
+        for c in nanos_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    else:
+        df = spark.read.parquet(path)
     try:
         big_enough = os.path.getsize(path) >= _REPARTITION_MIN_BYTES
     except OSError:  # non-local path: rely on the source's own splits
         big_enough = False
     if big_enough:
         target = default_parallelism()
-        if df.rdd.getNumPartitions() < target:
+        # File count proxies row-group count for this testdata (one row
+        # group per file) without df.rdd's plan-to-RDD conversion on every
+        # load (r2 ADVICE): fewer files than cores + a big file = an
+        # unsplittable layout that would serialize the scan stage.
+        if len(df.inputFiles()) < target:
             df = df.repartition(target)
     return df
 

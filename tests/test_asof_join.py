@@ -65,3 +65,25 @@ def test_asof_deterministic_tiebreak(spark):
         outs.add((r["tag"], r["amount"]))
     # largest payload struct wins, regardless of partitioning
     assert outs == {("b", 2.0)}
+
+
+def test_asof_map_payload_requires_compact_tiebreak(spark):
+    """A MapType payload cannot order the equal-timestamp tiebreak: the
+    default must raise up front (not fail deep in analysis), and a compact
+    tiebreak column must make the same join work (r2 ADVICE)."""
+    import pytest
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    left = spark.createDataFrame(
+        [("k", t0, "L1")], "k string, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [("k", t0, 1, {"a": "x"}), ("k", t0, 2, {"b": "y"})],
+        "k string, ts timestamp, rid int, props map<string,string>",
+    )
+    with pytest.raises(ValueError, match="MapType"):
+        asof_join(left, right, "k", "ts", "ts")
+    out = asof_join(left, right, "k", "ts", "ts", tiebreak="rid").collect()
+    assert len(out) == 1
+    # highest rid at the equal instant wins under last-row-carried-forward
+    assert out[0]["rid"] == 2 and out[0]["props"] == {"b": "y"}
