@@ -62,24 +62,22 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("lbl").alias("nbr_lbl"))
             )
-            new_labels = (
+            # The convergence flag rides the same pass as the label update —
+            # a separate old-vs-new join would add a shuffle per round.
+            new_lbl = F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl")))
+            updated = (
                 labels.join(nbr, labels["node"] == nbr["a"], "left")
                 .select(
                     "node",
-                    F.least(
-                        F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
-                    ).alias("lbl"),
+                    new_lbl.alias("lbl"),
+                    # frame-qualified: the bare name would risk binding to
+                    # the new "lbl" alias under lateral-alias resolution
+                    (new_lbl != labels["lbl"]).alias("__changed"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = updated.filter("__changed").limit(1).count()
+            labels = updated.drop("__changed")
             if changed == 0:
                 return labels.select("node", F.col("lbl").alias("cluster_id"))
     finally:
