@@ -255,7 +255,7 @@ def srp_signs(n_bits: int, dim: int) -> list[list[float]]:
 
 
 def srp_bands(
-    vec: Column, *, dim: int, n_bits: int = 96, rows_per_band: int = 8
+    vec_col: str, *, dim: int, n_bits: int = 96, rows_per_band: int = 8
 ) -> Column:
     """array<int> of LSH band values for a dense double-array column: bit h =
     [dot(hyperplane_h, vec) > 0], bands pack ``rows_per_band`` consecutive
@@ -267,27 +267,30 @@ def srp_bands(
     per row, no shuffle, no Python. The dots fold sequentially in double —
     the same order DuckDB's list_aggregate uses — so the bit signs (and
     therefore every candidate pair) are identical across engines.
+
+    The expression is assembled as ONE SQL string parsed JVM-side: building
+    the same tree through the Column API costs ~3 s of driver-side Py4J
+    round-trips (96 bits x 64-element literal arrays), a fixed per-plan tax
+    that dwarfed the sub-second execution at bench scale.
     """
     signs = srp_signs(n_bits, dim)
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(vec, F.lit(s), lambda x, sgn: x * sgn),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            > 0.0,
-            1,
-        ).otherwise(0)
-        for s in signs
-    ]
+
+    def bit_sql(s: list[float]) -> str:
+        arr = ",".join("1.0D" if v > 0 else "-1.0D" for v in s)
+        return (
+            f"(CASE WHEN aggregate(zip_with(`{vec_col}`, array({arr}), "
+            "(x, sgn) -> x * sgn), 0.0D, (a, x) -> a + x) > 0.0D "
+            "THEN 1 ELSE 0 END)"
+        )
+
+    bits = [bit_sql(s) for s in signs]
     bands = []
     for j in range(0, n_bits, rows_per_band):
-        val: Column = F.lit(0)
+        val = "0"
         for b in bits[j : j + rows_per_band]:
-            val = val * 2 + b
+            val = f"({val} * 2 + {b})"
         bands.append(val)
-    return F.array(*bands)
+    return F.expr("array(" + ", ".join(bands) + ")")
 
 
 def srp_candidate_pairs(
@@ -322,7 +325,7 @@ def srp_candidate_pairs(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_lbl"),
         srp_bands(
-            F.col(vec_col), dim=dim, n_bits=n_bits, rows_per_band=rows_per_band
+            vec_col, dim=dim, n_bits=n_bits, rows_per_band=rows_per_band
         ).alias("_bands"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     expl = banded.select(

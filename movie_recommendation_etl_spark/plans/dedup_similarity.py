@@ -323,7 +323,14 @@ def q53_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = emb.select("vec_id", "label", twin_emb.alias("emb")).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "label", "emb"
     )
-    e = orig.unionByName(twins).withColumn("nrm", norm2("emb"))
+    # Persist e: the twin md5 expression + norms feed three consumers
+    # (banding, and both sides of the verify join) — without the cache each
+    # re-evaluates 64 md5 calls/row. Payload is O(rows)·dim doubles.
+    e = (
+        orig.unionByName(twins)
+        .withColumn("nrm", norm2("emb"))
+        .persist()
+    )
     cand = srp_candidate_pairs(
         e,
         "vec_id",
@@ -343,7 +350,7 @@ def q53_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    return (
+    verified = (
         cand.join(x, "vec_id_a")
         .join(y, "vec_id_b")
         .select(
@@ -354,7 +361,13 @@ def q53_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cosine_sim") >= _Q53_THRESHOLD)
+        # Materialize the (small, O(near-dup pairs)) result so e's cache can
+        # be released before returning — same no-leak discipline as the band
+        # frame inside srp_candidate_pairs.
+        .localCheckpoint(eager=True)
     )
+    e.unpersist()
+    return verified
 
 
 @query(
