@@ -71,3 +71,23 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
         for r in QUERIES["q31_session_window_agg"](spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """A doubled source (every event delivered twice) streamed through
+    dropDuplicatesWithinWatermark must yield exactly one row per event_id —
+    the batch-distinct answer."""
+    from movie_recommendation_etl_spark.streaming.dedup import deduped_events
+
+    batch = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_doubled_src")
+    batch.unionAll(batch).write.mode("overwrite").parquet(path)
+
+    stream = read_events_stream(spark, path)
+    run_available_now(
+        deduped_events(stream), "deduped_events", output_mode="append"
+    )
+    got = spark.table("deduped_events")
+    n_ids = batch.select("event_id").distinct().count()
+    assert got.count() == n_ids
+    assert got.select("event_id").distinct().count() == n_ids
