@@ -17,7 +17,7 @@ from pyspark.ml.feature import (
     BucketedRandomProjectionLSHModel,
     Normalizer,
 )
-from pyspark.ml.functions import array_to_vector
+from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -102,27 +102,105 @@ def batch_ann(
     *,
     top_k: int = 5,
     radius: float = 1.4,
+    widen: float = 2.0,
+    max_widen_rounds: int = 1,
+    exact_fallback: bool = True,
 ) -> DataFrame:
     """Many-query ANN as ONE distributed job: approxSimilarityJoin inside
     ``radius`` (on L2-normalized vectors dist=sqrt(2-2cos), so radius 1.4 ≈
     cos >= 0.02), then window top-k per query. This is the 100 TB shape —
     the per-query approxNearestNeighbors loop in the reference runs a full
-    scan per query from the driver."""
-    joined = model.approxSimilarityJoin(
-        queries, dataset, radius, distCol="dist"
-    ).select(
-        F.col(f"datasetA.{query_id_col}").alias("query_id"),
-        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
-        "dist",
-    )
+    scan per query from the driver.
+
+    A fixed radius under-returns for queries in sparse neighborhoods (the
+    r2 scale audit). Under-filled queries (< top_k neighbors) are re-run
+    through ``max_widen_rounds`` progressively wider joins (radius x
+    ``widen``), and — since approxSimilarityJoin can only ever see
+    bucket-colliding pairs regardless of radius — any STILL-under-filled
+    residual finishes with an exact brute-force pass. Each escalation
+    touches only the residual queries, so the common case stays one join
+    and the guarantee costs (residual x dataset), not (queries x dataset).
+
+    Each pass's top-k is materialized via localCheckpoint: it is O(queries
+    x top_k) rows, and the under-fill check would otherwise re-run the
+    similarity join once per escalation decision.
+    """
     w = W.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )
-    return (
-        joined.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= top_k)
-    )
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .localCheckpoint(eager=True)
+        )
+
+    def lsh_pass(qs: DataFrame, r: float) -> DataFrame:
+        return model.approxSimilarityJoin(qs, dataset, r, distCol="dist").select(
+            F.col(f"datasetA.{query_id_col}").alias("query_id"),
+            F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+            "dist",
+        )
+
+    def residual(result: DataFrame) -> DataFrame:
+        filled = (
+            result.groupBy("query_id")
+            .count()
+            .filter(F.col("count") >= top_k)
+            .select("query_id")
+        )
+        return queries.join(
+            filled,
+            queries[query_id_col] == filled["query_id"],
+            "left_anti",
+        )
+
+    def merge(result: DataFrame, redo: DataFrame) -> DataFrame:
+        # redo replaces the under-filled queries' rows wholesale (their
+        # earlier partial candidates are a subset of the wider pass's).
+        return result.join(
+            redo.select("query_id").distinct(), "query_id", "left_anti"
+        ).unionByName(redo)
+
+    result = topk(lsh_pass(queries, radius))
+    r = radius
+    for _ in range(max_widen_rounds):
+        under = residual(result)
+        if under.isEmpty():
+            return result
+        r *= widen
+        result = merge(result, topk(lsh_pass(under, r)))
+    if exact_fallback:
+        under = residual(result)
+        if not under.isEmpty():
+            feat = model.getInputCol()
+            qa = F.broadcast(
+                under.select(
+                    F.col(query_id_col).alias("query_id"),
+                    vector_to_array(feat).alias("__qa"),
+                )
+            )
+            da = dataset.select(
+                F.col(id_col).alias("neighbor_id"),
+                vector_to_array(feat).alias("__da"),
+            )
+            exact = qa.crossJoin(da).select(
+                "query_id",
+                "neighbor_id",
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            "__qa", "__da", lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("dist"),
+            )
+            result = merge(result, topk(exact))
+    return result
 
 
 def embeddings_as_vectors(

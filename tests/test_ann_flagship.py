@@ -103,3 +103,34 @@ def test_lsh_model_roundtrip(spark, sf_dir, tmp_path):
     a = [r["doc_id"] for r in model.approxNearestNeighbors(vecs, q, 6).collect()]
     b = [r["doc_id"] for r in back.approxNearestNeighbors(vecs, q, 6).collect()]
     assert a == b
+
+
+def test_batch_ann_fills_underreturned_queries(spark, sf_dir):
+    """A radius far too small for any neighborhood must still yield exactly
+    top_k neighbors per query: the widening rounds find nothing new (LSH
+    only sees bucket collisions), so the exact brute-force fallback fills
+    the residual — and being exact, it must agree with q60's answer sets."""
+    from movie_recommendation_etl_spark.ml.ann import (
+        batch_ann,
+        embeddings_as_vectors,
+        fit_lsh,
+    )
+
+    emb = embeddings_as_vectors(spark, sf_dir)
+    model = fit_lsh(emb, "norm_vec", bucket_length=0.5)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "norm_vec"
+    )
+    dataset = emb.select("vec_id", "norm_vec")
+    got = batch_ann(
+        model, queries, dataset, "vec_id", "query_id", top_k=5, radius=0.01
+    ).collect()
+    by_q: dict[int, set] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(by_q) == 20
+    assert all(len(v) == 5 for v in by_q.values())
+    exact: dict[int, set] = {}
+    for r in QUERIES["q60_knn_bruteforce"](spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q == exact
