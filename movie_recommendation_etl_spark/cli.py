@@ -1,0 +1,137 @@
+"""Command-line entry points mirroring the reference's stage scripts.
+
+The reference ships three argv-driven stages —
+``python extract/execute.py``, ``python transform/execute.py``,
+``python load/execute.py`` — plus the notebook-only ``get_recommendations``
+query. This CLI exposes the same lifecycle as subcommands of one module::
+
+    python -m movie_recommendation_etl_spark extract   <url> <dest_dir>
+    python -m movie_recommendation_etl_spark transform <in_csv> <out_dir>
+    python -m movie_recommendation_etl_spark load      <in_dir> --url ...
+    python -m movie_recommendation_etl_spark recommend <out_dir> <movie_id>
+
+Spark sizing is deliberately NOT argv (the reference threads master_ip +
+four memory/core numbers through every stage, transform/execute.py:305-318):
+the session factory reads SPARK_MASTER / SPARK_GRAFT_* env vars, so the same
+command line runs on a laptop and against a cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from collections.abc import Sequence
+
+
+def _cmd_extract(args: argparse.Namespace) -> int:
+    import os
+
+    from movie_recommendation_etl_spark.sources.extract import (
+        download_file,
+        extract_zip,
+    )
+
+    archive_name = os.path.basename(args.url.split("?", 1)[0]) or "archive.zip"
+    archive = download_file(args.url, os.path.join(args.dest, archive_name))
+    names = extract_zip(archive, args.dest, delete_archive=True)
+    print("\n".join(names))
+    return 0
+
+
+def _cmd_transform(args: argparse.Namespace) -> int:
+    from movie_recommendation_etl_spark.pipeline import run_transform
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-transform")
+    vecs = run_transform(
+        spark, args.in_csv, args.out_dir, min_df=args.min_df
+    )
+    print(f"vectors ready: {vecs.count()} rows -> {args.out_dir}")
+    return 0
+
+
+def _cmd_load(args: argparse.Namespace) -> int:
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.ddl import create_table_ddl
+    from movie_recommendation_etl_spark.sources.writers import write_jdbc
+
+    spark = get_spark(app_name="mre-load")
+    for table in ("movie_metadata", "master_table"):
+        df = spark.read.parquet(f"{args.in_dir}/{table}")
+        if args.print_ddl:
+            print(create_table_ddl(df.schema, table, primary_key="id"))
+        if args.jdbc_url:
+            write_jdbc(
+                df,
+                args.jdbc_url,
+                table,
+                user=args.user or "",
+                password=args.password or "",
+                driver=args.driver,
+                num_partitions=args.num_partitions,
+            )
+            print(f"loaded {table}")
+    return 0
+
+
+def _cmd_recommend(args: argparse.Namespace) -> int:
+    from movie_recommendation_etl_spark.ml.ann import prepare_index, recommend
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.writers import load_lsh_model
+
+    spark = get_spark(app_name="mre-recommend")
+    vecs = spark.read.parquet(f"{args.out_dir}/vector")
+    model = load_lsh_model(f"{args.out_dir}/lsh_model")
+    index = prepare_index(model, vecs)
+    rows = recommend(
+        model, index, "id", args.movie_id, top_k=args.top_k
+    ).collect()
+    for r in rows:
+        print(f"{r['rank']}\t{r['id']}\t{r['dist']:.6f}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="movie_recommendation_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="download + unzip a source archive")
+    ex.add_argument("url")
+    ex.add_argument("dest")
+    ex.set_defaults(fn=_cmd_extract)
+
+    tr = sub.add_parser("transform", help="CSV -> clean -> TF-IDF -> LSH -> sinks")
+    tr.add_argument("in_csv")
+    tr.add_argument("out_dir")
+    tr.add_argument("--min-df", type=int, default=3)
+    tr.set_defaults(fn=_cmd_transform)
+
+    ld = sub.add_parser("load", help="staged parquet -> JDBC database")
+    ld.add_argument("in_dir")
+    ld.add_argument("--jdbc-url", default=None)
+    ld.add_argument("--user", default=None)
+    ld.add_argument("--password", default=None)
+    ld.add_argument("--driver", default="org.postgresql.Driver")
+    ld.add_argument("--num-partitions", type=int, default=8)
+    ld.add_argument(
+        "--print-ddl",
+        action="store_true",
+        help="print CREATE TABLE statements derived from the parquet schema",
+    )
+    ld.set_defaults(fn=_cmd_load)
+
+    rc = sub.add_parser("recommend", help="ANN top-k for a movie id")
+    rc.add_argument("out_dir")
+    rc.add_argument("movie_id", type=int)
+    rc.add_argument("--top-k", type=int, default=5)
+    rc.set_defaults(fn=_cmd_recommend)
+    return p
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,8 +22,10 @@ def download_file(url: str, dest_path: str, *, chunk_bytes: int = CHUNK_BYTES) -
     resides in memory."""
     os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
     with urllib.request.urlopen(url) as resp:
-        status = getattr(resp, "status", 200)
-        if status // 100 != 2:
+        # file:// responses carry status None — only HTTP(S) has a code to
+        # check (a failed local open raises at urlopen instead).
+        status = getattr(resp, "status", None)
+        if status is not None and status // 100 != 2:
             raise RuntimeError(f"download failed: HTTP {status} for {url}")
         with open(dest_path, "wb") as f:
             while chunk := resp.read(chunk_bytes):

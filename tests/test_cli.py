@@ -1,0 +1,67 @@
+"""CLI lifecycle test: the reference user's stage scripts, as subcommands.
+
+transform runs the full CSV -> sinks pipeline; recommend answers from the
+staged parquet + persisted LSH model alone (fresh of any in-memory state);
+load --print-ddl derives CREATE TABLE from the staged schema. extract's
+download/unzip internals are covered by tests/test_extract_ddl.py.
+"""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from movie_recommendation_etl_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def movies_csv(spark, tmp_path_factory):
+    from test_pipeline_movies import _franchise_row, HERO, WIZARD
+    from movie_recommendation_etl_spark.pipeline import MOVIES_RAW_SCHEMA
+    from movie_recommendation_etl_spark.sources.writers import write_csv
+
+    rows = [
+        _franchise_row(100 + i, f"Wizard School {i}", WIZARD) for i in range(5)
+    ] + [_franchise_row(200 + i, f"Hero Team {i}", HERO) for i in range(5)]
+    df = spark.createDataFrame(rows, MOVIES_RAW_SCHEMA)
+    path = str(tmp_path_factory.mktemp("cli_movies") / "movies_csv")
+    write_csv(df, path)
+    return path
+
+
+def test_cli_transform_then_recommend(capsys, movies_csv, tmp_path):
+    out_dir = str(tmp_path / "staged")
+    assert main(["transform", movies_csv, out_dir]) == 0
+    assert "vectors ready" in capsys.readouterr().out
+
+    assert main(["recommend", out_dir, "100", "--top-k", "4"]) == 0
+    lines = [
+        ln
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln and ln[0].isdigit()
+    ]
+    assert len(lines) == 4
+    ids = [int(ln.split("\t")[1]) for ln in lines]
+    assert 100 not in ids  # self excluded
+    # franchise golden: Wizard School siblings (101-104) dominate
+    assert len(set(ids) & {101, 102, 103, 104}) >= 3
+
+    assert main(["load", out_dir, "--print-ddl"]) == 0
+    ddl = capsys.readouterr().out
+    assert "CREATE TABLE IF NOT EXISTS movie_metadata" in ddl
+    assert "CREATE TABLE IF NOT EXISTS master_table" in ddl
+
+
+def test_cli_extract_roundtrip(capsys, tmp_path):
+    src = tmp_path / "payload.csv"
+    src.write_text("id,title\n1,x\n")
+    archive = tmp_path / "site" / "data.zip"
+    archive.parent.mkdir()
+    with zipfile.ZipFile(archive, "w") as zf:
+        zf.write(src, "payload.csv")
+    dest = tmp_path / "landing"
+    dest.mkdir()
+    assert main(["extract", archive.as_uri(), str(dest)]) == 0
+    assert (dest / "payload.csv").read_text() == "id,title\n1,x\n"
+    assert not (dest / "data.zip").exists()  # archive deleted after unzip
