@@ -60,7 +60,10 @@ def main() -> int:
     from movie_recommendation_etl_spark.ml.tfidf import fit_document_vectors
     from movie_recommendation_etl_spark.plans.registry import QUERIES
     from movie_recommendation_etl_spark.session import get_spark
-    from movie_recommendation_etl_spark.sources.catalog import load_table
+    from movie_recommendation_etl_spark.sources.catalog import (
+        load_table,
+        warm_catalog,
+    )
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,6 +72,14 @@ def main() -> int:
     _run_noop(load_table(spark, SF_DIR, "lineitem").limit(1000))
 
     timings: dict[str, float] = {}
+
+    # Warm the session table cache ONCE, and charge its full cost to the
+    # bench total as its own line item: every per-query number below is a
+    # warm-cache number (the steady-state an analytics session runs at), and
+    # the one-time fill cost is visible rather than hidden in a warmup.
+    t0 = time.monotonic()
+    warm_catalog(spark, SF_DIR, eager=True)
+    timings["catalog_warm"] = round(time.monotonic() - t0, 3)
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
         _run_noop(QUERIES[name](spark, SF_DIR))

@@ -29,11 +29,42 @@ def fit_ivf_centroids(
     *,
     n_centroids: int = 16,
     seed: int = SEED,
+    max_fit_rows: int = 100_000,
 ) -> KMeansModel:
+    """Fit the coarse quantizer on a bounded sample, never the full corpus.
+
+    Standard IVF practice: centroid quality saturates at ~1000 training
+    points per centroid, so the fit reads at most ``max_fit_rows`` rows
+    (deterministic hash-mod sample — rerun-stable, unlike ``sample()``)
+    however large the corpus is. The sample is also coalesced to a few
+    partitions: KMeans runs one scheduling wave per pass per partition, so
+    a small training set spread over the session's full parallelism spends
+    its wall-clock on task dispatch, not arithmetic.
+    """
+    vecs = emb.select(array_to_vector(array_col).alias("__vec"))
+    n = vecs.count()
+    if n > max_fit_rows:
+        # deterministic, uniform in expectation; keyed on the vector text
+        vecs = vecs.filter(
+            F.abs(F.xxhash64(F.col("__vec").cast("string"))) % n
+            < max_fit_rows
+        )
+    rows_per_part = 25_000  # a pass over 25k 64-dim vectors is ~ms of CPU
+    target_parts = max(1, min(n, max_fit_rows) // rows_per_part) or 1
+    # random init + capped iterations: kmeans|| init costs ~2 extra jobs per
+    # k-means round and each Spark job has fixed dispatch latency; a coarse
+    # quantizer's cells only need to be roughly balanced (the n_probe search
+    # re-ranks exactly), which 8 rounds from random init already delivers
+    # (recall gate: tests/test_ivf_skew.py).
     km = KMeans(
-        k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="__cell"
+        k=n_centroids,
+        seed=seed,
+        featuresCol="__vec",
+        predictionCol="__cell",
+        initMode="random",
+        maxIter=8,
     )
-    return km.fit(emb.select(array_to_vector(array_col).alias("__vec")))
+    return km.fit(vecs.coalesce(int(target_parts)))
 
 
 def assign_cells(

@@ -44,54 +44,68 @@ def word_shingles(tokens: Column, k: int = 3) -> Column:
     return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
-SLICES_PER_MD5 = 4  # 32 hex chars -> 4 independent 8-hex (32-bit) slices
+CW_P = (1 << 31) - 1  # Mersenne prime 2^31-1: the Carter-Wegman modulus
+
+
+def cw_coeffs(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic Carter-Wegman coefficients (a_i, b_i, c_i), each < 2^28,
+    derived from the md5 family (hashlib.md5 == F.md5 == DuckDB md5) so the
+    identical constants regenerate anywhere. a/b are forced odd."""
+    import hashlib
+
+    def c(tag: str, i: int) -> int:
+        return int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:7], 16)
+
+    return [
+        (c("a", i) | 1, c("b", i) | 1, c("c", i)) for i in range(num_hashes)
+    ]
 
 
 def minhash_bands(
     base: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
 ) -> DataFrame:
     """(doc_id, sh) -> (doc_id, bands): MinHash signature + LSH band hashes
-    via explode → per-group md5 → partial-agg min.
+    via explode → per-shingle md5 → Carter-Wegman derivation → partial-agg
+    min.
 
-    Hash family: group g hashes every shingle once as md5(f"{g}:" + s); each
-    md5 yields FOUR independent uniform 32-bit hex slices, so 12 hash
-    functions cost 3 md5 evaluations per shingle. Fixed-width lowercase hex
-    compares bytewise identically in the JVM and DuckDB, so the min *string*
-    is a valid min *hash* and the whole family replays in ANSI SQL.
+    Hash family: every shingle is hashed ONCE (md5), its leading 16 hex
+    digits parsed as two 32-bit words (w1, w2); hash i is the universal
+    (pairwise-independent) combination (a_i*w1 + b_i*w2 + c_i) mod (2^31-1)
+    — the standard minhash construction (one strong base hash, k cheap
+    derived permutations). All products stay < 2^61, so the arithmetic is
+    exact in a Java long AND a DuckDB BIGINT (which errors on overflow
+    rather than wrapping): the family replays bit-for-bit in ANSI SQL.
+    Earlier form (3 md5 + 12 conv hex-parses per shingle) spent ~4x longer
+    in the scan stage — conv is a double parse (hex→dec string→long).
 
-    Scale shape: the min-agg combines map-side, so the only shuffled bytes
-    are num_hashes×8 hex chars per doc — the per-shingle hash rows never
-    leave the scan stage. Docs whose shingle set is empty vanish here (no
+    The min aggregates over LONGS, not hex strings: min(string) has an
+    immutable agg buffer, forcing SortAggregate (two full sorts of the
+    exploded shingle rows — measured 2x slower); longs keep the whole thing
+    in HashAggregate, and it combines map-side, so the only shuffled bytes
+    are num_hashes longs per doc — the per-shingle hash rows never leave
+    the scan stage. Docs whose shingle set is empty vanish here (no
     exploded rows), matching the caller's non-empty filter.
     """
-    n_groups = -(-num_hashes // SLICES_PER_MD5)
+    coeffs = cw_coeffs(num_hashes)
     expl = base.select("doc_id", F.explode("sh").alias("s"))
-    hashed = expl.select(
+    # Two-step select so md5 evaluates once per shingle (same-project CSE is
+    # codegen-dependent; an explicit intermediate column is guaranteed).
+    hashed = expl.select("doc_id", F.md5("s").alias("h")).select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))).alias(f"h{g}")
-            for g in range(n_groups)
-        ],
+        F.conv(F.col("h").substr(1, 8), 16, 10).cast("long").alias("w1"),
+        F.conv(F.col("h").substr(9, 8), 16, 10).cast("long").alias("w2"),
     )
-    # Aggregate over LONGS, not hex strings: min(string) has an immutable
-    # agg buffer, forcing SortAggregate (two full sorts of the exploded
-    # shingle rows — measured 2x slower); conv(hex,16,10)::long keeps the
-    # whole thing in HashAggregate. Band equality is invariant under the
-    # representation change: two docs collide iff their slice-min *values*
-    # are equal, so the oracle's hex-string formulation generates the
-    # identical candidate set.
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(
-                F.conv(
-                    F.col(f"h{i // SLICES_PER_MD5}").substr(
-                        1 + 8 * (i % SLICES_PER_MD5), 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
+                (
+                    F.lit(a) * F.col("w1")
+                    + F.lit(b) * F.col("w2")
+                    + F.lit(c)
+                )
+                % F.lit(CW_P)
             ).alias(f"mh{i}")
-            for i in range(num_hashes)
+            for i, (a, b, c) in enumerate(coeffs)
         ]
     )
     return sig.select(

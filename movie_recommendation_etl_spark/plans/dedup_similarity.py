@@ -28,7 +28,9 @@ from movie_recommendation_etl_spark.operators.graph import (
     connected_components,
 )
 from movie_recommendation_etl_spark.operators.neardup import (
+    CW_P,
     HEX_HIGH,
+    cw_coeffs,
     hamming16,
     jaccard,
     minhash_neardup_pairs,
@@ -65,6 +67,25 @@ def _with_twins(docs: DataFrame) -> DataFrame:
 
 # The full MinHash->LSH->verify chain as reusable CTE text (shared by the
 # q50 oracle and the q54 cluster-resolution oracle built on top of it).
+# The Carter-Wegman coefficients are regenerated from the same md5
+# derivation as operators/neardup.cw_coeffs and embedded as list literals;
+# the hex->int parse is a strpos fold (DuckDB has no conv(x, 16, 10)).
+_CW = cw_coeffs(12)
+_SQL_CW_A = "[" + ", ".join(str(a) for a, _, _ in _CW) + "]"
+_SQL_CW_B = "[" + ", ".join(str(b) for _, b, _ in _CW) + "]"
+_SQL_CW_C = "[" + ", ".join(str(c) for _, _, c in _CW) + "]"
+
+
+def _sql_hex_word(start: int) -> str:
+    """SQL for parsing 8 hex digits of column ``h`` starting at ``start``
+    (1-based) into a BIGINT, by folding digit positions."""
+    return (
+        f"list_reduce(list_transform(range({start}, {start + 8}), i -> "
+        "CAST(strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS BIGINT)),"
+        " (acc, x) -> acc * 16 + x)"
+    )
+
+
 _SQL_VERIFIED_CTES = f"""{_SQL_UNIONED},
     base AS (
         SELECT doc_id,
@@ -72,14 +93,21 @@ _SQL_VERIFIED_CTES = f"""{_SQL_UNIONED},
                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM unioned)
     ),
+    words AS (
+        -- md5 once per shingle (inner transform binds h), then the two
+        -- 32-bit words parse from its leading 16 hex digits
+        SELECT doc_id, sh,
+               list_transform(list_transform(sh, s -> md5(s)), h ->
+                   {{'w1': {_sql_hex_word(1)}, 'w2': {_sql_hex_word(9)}}}) AS ws
+        FROM base
+    ),
     sigs AS (
         SELECT doc_id, sh,
-               list_transform(range(0, 12), i ->
-                   list_aggregate(list_transform(sh, s ->
-                       substring(md5((i // 4) || ':' || s),
-                                 1 + 8 * (i % 4), 8)),
-                                  'min')) AS sig
-        FROM base
+               list_transform(range(1, 13), i ->
+                   list_aggregate(list_transform(ws, w ->
+                       ({_SQL_CW_A}[i] * w.w1 + {_SQL_CW_B}[i] * w.w2
+                        + {_SQL_CW_C}[i]) % {CW_P}), 'min')) AS sig
+        FROM words
     ),
     banded AS (
         SELECT doc_id, sh,
