@@ -27,7 +27,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q02_top_revenue_orders",
     "q07_top3_orders_per_customer",
     "q08_running_total_per_customer",
-    "q21_doc_token_stats",
+    "q21_doc_scalar_suite",
     "q30_tumbling_window_agg",
     "q31_session_window_agg",
     "q32_asof_click_to_error",

@@ -9,6 +9,7 @@ query gets a driver CORRECTNESS row regardless.
 
 import movie_recommendation_etl_spark.plans.text_analysis  # noqa: F401
 import movie_recommendation_etl_spark.plans.windows_ext  # noqa: F401
+import movie_recommendation_etl_spark.plans.curation  # noqa: F401
 import movie_recommendation_etl_spark.plans.dedup_similarity  # noqa: F401
 import movie_recommendation_etl_spark.plans.events_stream  # noqa: F401
 import movie_recommendation_etl_spark.plans.lookup  # noqa: F401

@@ -24,40 +24,42 @@ from movie_recommendation_etl_spark.sources.writers import write_csv
 
 
 @query(
-    "q33_point_lookup",
-    oracle="""
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal
-    FROM customer WHERE c_custkey = 42
+    "q33_lookup_expr_suite",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, revenue, n_rows
+    FROM (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM customer WHERE c_custkey = 42
+    ) CROSS JOIN (
+        SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    )
     """,
 )
-def q33_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6: equality filter on the key — pushes into the parquet scan
-    (PushedFilters), reading only row groups whose min/max admit the key."""
+def q33_lookup_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 point lookup + F5 SQL-string predicate in one row (merged
+    q33+q34 to fit the driver's 50-query correctness cap).
+
+    F6: equality filter on the key — pushes into the parquet scan
+    (PushedFilters), reading only row groups whose min/max admit the key
+    (reference execute.ipynb:1647). F5: a SQL-string predicate through
+    F.expr (the reference's df.filter("revenue == 0") idiom,
+    execute.ipynb:547) over a TPC-H-Q6-shaped aggregate. The combine is a
+    1-row × 1-row cross join — both scans keep their pushed filters."""
     cust = load_table(spark, sf_dir, "customer")
-    return cust.filter(F.col("c_custkey") == 42).select(
+    lookup = cust.filter(F.col("c_custkey") == 42).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
     )
-
-
-@query(
-    "q34_expr_predicate_revenue",
-    oracle=f"""
-    SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue,
-           count(*) AS n_rows
-    FROM lineitem
-    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-    """,
-)
-def q34_expr_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: a SQL-string predicate through F.expr (the reference's
-    df.filter("revenue == 0") idiom) over a TPC-H-Q6-shaped aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(
+    rev = li.filter(
         F.expr("l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")
     ).agg(
         dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    return lookup.crossJoin(rev)
 
 
 @query(

@@ -26,52 +26,34 @@ from movie_recommendation_etl_spark.sources.catalog import load_table
 
 
 @query(
-    "q21_doc_token_stats",
+    "q21_doc_scalar_suite",
     oracle="""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            string_split(text, ' ')[1]  AS first_token,
            string_split(text, ' ')[-1] AS last_token,
-           md5(array_to_string(string_split(text, ' '), '|')) AS rejoin_md5
-    FROM documents
-    """,
-)
-def q21_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2 split / T6 concat_ws over documents (reference
-    transform/execute.py:114-118,180). Pure narrow ops: no shuffle at all."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.element_at(toks, 1).alias("first_token"),
-        F.element_at(toks, -1).alias("last_token"),
-        F.md5(F.concat_ws("|", toks)).alias("rejoin_md5"),
-    )
-
-
-@query(
-    "q22_array_concat_transform",
-    oracle="""
-    SELECT doc_id,
+           md5(array_to_string(string_split(text, ' '), '|')) AS rejoin_md5,
            len(arr) AS n_items,
            md5(array_to_string(
                list_transform(arr, x -> regexp_replace(lower(x), '[aeiou]', '', 'g')),
                ' ')) AS cleaned_md5
     FROM (
-        SELECT doc_id,
+        SELECT doc_id, text,
                list_concat(list_concat([lang], [source]),
                            string_split(text, ' ')) AS arr
         FROM documents
     )
     """,
 )
-def q22_array_concat_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3 array-wrap + T4 array concat + T5 transform-HOF + T8
-    regexp_replace (reference transform/execute.py:120-167,144-156). The
-    lambda is a Catalyst higher-order function — it compiles into the same
-    codegen stage as the surrounding projection."""
+def q21_doc_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 split / T6 concat_ws / T3 array-wrap / T4 array concat / T5
+    transform-HOF / T8 regexp_replace in one per-doc projection (reference
+    transform/execute.py:114-167; the whitespace-strip lambda at :144-156
+    is a Catalyst higher-order function, NOT a Python UDF). One scan, no
+    shuffle; the whole suite compiles into a single codegen stage.
+    (Merged q21+q22 to fit the driver's 50-query correctness cap.)"""
     docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
     arr = F.concat(
         F.array(F.col("lang")), F.array(F.col("source")), F.split("text", " ")
     )
@@ -80,42 +62,12 @@ def q22_array_concat_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.md5(F.concat_ws("|", toks)).alias("rejoin_md5"),
         F.size(arr).alias("n_items"),
         F.md5(F.concat_ws(" ", cleaned)).alias("cleaned_md5"),
-    )
-
-
-@query(
-    "q23_from_json_malformed",
-    oracle="""
-    WITH j AS (
-        SELECT CASE WHEN doc_id % 7 = 0 THEN 'not json'
-                    ELSE '["' || lang || '","' || source || '"]' END AS js
-        FROM documents
-    )
-    SELECT count(*) AS n_total,
-           count(CASE WHEN NOT json_valid(js) THEN 1 END) AS n_malformed,
-           CAST(sum(CASE WHEN json_valid(js)
-                         THEN len(from_json(js, '["VARCHAR"]')) END) AS BIGINT)
-               AS n_tags_sum
-    FROM j
-    """,
-)
-def q23_from_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 from_json → array<string> with malformed-input → NULL semantics
-    (reference transform/execute.py:103-111: parse failure nulls the row,
-    which the pipeline then drops)."""
-    docs = load_table(spark, sf_dir, "documents")
-    js = F.when(F.col("doc_id") % 7 == 0, F.lit("not json")).otherwise(
-        F.concat(
-            F.lit('["'), F.col("lang"), F.lit('","'), F.col("source"), F.lit('"]')
-        )
-    )
-    tags = F.from_json(js, T.ArrayType(T.StringType()))
-    return docs.select(tags.alias("tags")).agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count(F.when(F.col("tags").isNull(), 1)).alias("n_malformed"),
-        F.sum(F.size("tags")).alias("n_tags_sum"),
     )
 
 
@@ -146,7 +98,7 @@ def q24_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q25_null_profile",
+    "q25_quality_profile",
     oracle="""
     WITH dirty AS (
         SELECT CASE WHEN event_id % 13 = 0 THEN '[]'
@@ -155,21 +107,41 @@ def q24_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE props END AS props_d,
                CASE WHEN value < 0.5 THEN 'NaN'::DOUBLE ELSE value END AS value_d
         FROM events
+    ),
+    ev AS (
+        SELECT count(*) AS n_rows,
+               count(CASE WHEN contains(props_d, 'None') OR contains(props_d, 'NULL')
+                           OR props_d = '' OR props_d = '[]' OR props_d IS NULL
+                          THEN 1 END) AS props_bad,
+               count(CASE WHEN value_d IS NULL OR isnan(value_d)
+                          THEN 1 END) AS value_bad
+        FROM dirty
+    ),
+    j AS (
+        SELECT CASE WHEN doc_id % 7 = 0 THEN 'not json'
+                    ELSE '["' || lang || '","' || source || '"]' END AS js
+        FROM documents
+    ),
+    docp AS (
+        SELECT count(*) AS n_docs,
+               count(CASE WHEN NOT json_valid(js) THEN 1 END) AS n_malformed,
+               CAST(sum(CASE WHEN json_valid(js)
+                             THEN len(from_json(js, '["VARCHAR"]')) END) AS BIGINT)
+                   AS n_tags_sum
+        FROM j
     )
-    SELECT count(*) AS n_rows,
-           count(CASE WHEN contains(props_d, 'None') OR contains(props_d, 'NULL')
-                       OR props_d = '' OR props_d = '[]' OR props_d IS NULL
-                      THEN 1 END) AS props_bad,
-           count(CASE WHEN value_d IS NULL OR isnan(value_d)
-                      THEN 1 END) AS value_bad
-    FROM dirty
+    SELECT * FROM ev CROSS JOIN docp
     """,
 )
-def q25_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2/F9: the notebook's null/sentinel profiling aggregate (reference
-    transform/execute.ipynb:610-669) — one global hash-agg row of per-column
-    bad-value counts built from a contains/isNull/isnan/sentinel OR-predicate.
-    Map-side partial aggregation makes this a single-pass scan at any scale."""
+def q25_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F9 + T1 in one data-quality profile row: the notebook's
+    null/sentinel profiling aggregate (reference transform/execute.ipynb:
+    610-669 — contains/isNull/isnan/sentinel OR-predicates under conditional
+    counts) over events, plus from_json malformed→NULL semantics (reference
+    transform/execute.py:103-111) over documents. Both sides are map-side
+    partial aggregates — single-pass scans at any scale — and the combine
+    is a 1-row × 1-row cross join. (Merged q23+q25 to fit the driver's
+    50-query correctness cap.)"""
     events = load_table(spark, sf_dir, "events")
     props_d = (
         F.when(F.col("event_id") % 13 == 0, F.lit("[]"))
@@ -189,11 +161,25 @@ def q25_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("props_d").isNull()
     )
     value_bad = F.col("value_d").isNull() | F.isnan("value_d")
-    return d.agg(
+    ev = d.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(props_bad, 1)).alias("props_bad"),
         F.count(F.when(value_bad, 1)).alias("value_bad"),
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    js = F.when(F.col("doc_id") % 7 == 0, F.lit("not json")).otherwise(
+        F.concat(
+            F.lit('["'), F.col("lang"), F.lit('","'), F.col("source"), F.lit('"]')
+        )
+    )
+    tags = F.from_json(js, T.ArrayType(T.StringType()))
+    docp = docs.select(tags.alias("tags")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("tags").isNull(), 1)).alias("n_malformed"),
+        F.sum(F.size("tags")).alias("n_tags_sum"),
+    )
+    return ev.crossJoin(docp)
 
 
 @query(

@@ -26,18 +26,18 @@ def test_broadcast_and_topk_q02(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_point_lookup_pushdown(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q33_point_lookup")
+def test_lookup_expr_suite_pushdown(spark, sf_dir):
+    # merged q33+q34: BOTH scans must keep their pushed filters — the
+    # 1-row cross join combine must not block pushdown on either side
+    plan = _plan(spark, sf_dir, "q33_lookup_expr_suite")
     assert re.search(r"PushedFilters: \[.*EqualTo\(c_custkey,42\)", plan)
-
-
-def test_predicate_pushdown_q34(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q34_expr_predicate_revenue")
     assert re.search(r"PushedFilters: \[.*l_discount", plan)
-    # column pruning: the scan must not read unused wide columns
-    m = re.search(r"ReadSchema: ([^\n]*)", plan)
-    assert m and "l_comment" not in m.group(1)
-    assert "l_extendedprice" in m.group(1)
+    # column pruning: the lineitem scan must not read unused wide columns
+    m = [
+        s for s in re.findall(r"ReadSchema: ([^\n]*)", plan)
+        if "l_extendedprice" in s
+    ]
+    assert m and all("l_comment" not in s for s in m)
 
 
 def test_in_subquery_becomes_semi_join(spark, sf_dir):
