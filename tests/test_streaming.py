@@ -91,3 +91,35 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
     n_ids = batch.select("event_id").distinct().count()
     assert got.count() == n_ids
     assert got.select("event_id").distinct().count() == n_ids
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (clicks x errors within 30 min, keyed on
+    user) drained with availableNow must equal the identical batch join."""
+    from movie_recommendation_etl_spark.streaming.joins import (
+        click_error_attribution,
+    )
+
+    src = _stage_events(spark, sf_dir, tmp_path)
+    stream = read_events_stream(spark, src, max_files_per_trigger=4)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    errors_s = stream.filter(F.col("event_type") == "error")
+    run_available_now(
+        click_error_attribution(clicks_s, errors_s),
+        "click_error_attr",
+        output_mode="append",
+    )
+    got = {
+        tuple(r)
+        for r in spark.table("click_error_attr").collect()
+    }
+
+    batch = load_table(spark, sf_dir, "events")
+    clicks_b = batch.filter(F.col("event_type") == "click")
+    errors_b = batch.filter(F.col("event_type") == "error")
+    exp = {
+        tuple(r)
+        for r in click_error_attribution(clicks_b, errors_b).collect()
+    }
+    assert got == exp
+    assert len(got) > 0
