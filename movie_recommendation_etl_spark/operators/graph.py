@@ -6,14 +6,15 @@ b, c in ONE cluster with one survivor. (The reference has no near-dup at
 all — transform/execute.py:80 is a plain dropDuplicates(["id"]) — so this is
 a north-star training-data-pipeline extension, not a parity port.)
 
-Algorithm: Pregel-style minimum-label propagation. Every node starts labeled
-with its own id; each round every node takes the min of its label and its
-neighbors' labels; fixpoint = each node labeled with the min id of its
-component. Rounds needed = graph diameter — for near-dup graphs that is tiny
-(clusters are cliques-ish of copies), so the driver-side loop is bounded and
-each round is one shuffle join + one map-side-combined min agg. The
-convergence check is a single count action per round (no row data ever
-reaches the driver).
+Algorithm: Pregel-style minimum-label propagation with pointer doubling.
+Every node starts labeled with its own id; each round every node takes the
+min of its label, its neighbors' labels, and its label's label (the
+doubling hop — label distance halves per round); fixpoint = each node
+labeled with the min id of its component. Rounds needed = O(log diameter) —
+for near-dup graphs (cliques-ish clusters plus occasional chains) that is
+2-4 rounds, each one shuffle join + one map-side-combined min agg + one
+hop join. The convergence check is a single count action per round (no row
+data ever reaches the driver).
 """
 
 from __future__ import annotations
@@ -62,17 +63,33 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("lbl").alias("nbr_lbl"))
             )
-            # The convergence flag rides the same pass as the label update —
-            # a separate old-vs-new join would add a shuffle per round.
             new_lbl = F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl")))
+            stepped = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+                "node",
+                new_lbl.alias("lbl"),
+                # frame-qualified: the bare name would risk binding to
+                # the new "lbl" alias under lateral-alias resolution
+                labels["lbl"].alias("__prev"),
+            )
+            # Pointer doubling: follow the label one extra hop (label of my
+            # label) so label distance halves per round — convergence in
+            # O(log diameter) rounds instead of O(diameter). Every lbl is an
+            # existing node id (a min over node ids), so the hop join always
+            # matches; left join keeps the no-match case safe anyway. The
+            # convergence flag rides the same pass as the update — a
+            # separate old-vs-new join would add a shuffle per round.
+            hop = stepped.select(
+                F.col("node").alias("h_node"), F.col("lbl").alias("h_lbl")
+            )
+            doubled_lbl = F.least(
+                F.col("lbl"), F.coalesce("h_lbl", F.col("lbl"))
+            )
             updated = (
-                labels.join(nbr, labels["node"] == nbr["a"], "left")
+                stepped.join(hop, stepped["lbl"] == hop["h_node"], "left")
                 .select(
                     "node",
-                    new_lbl.alias("lbl"),
-                    # frame-qualified: the bare name would risk binding to
-                    # the new "lbl" alias under lateral-alias resolution
-                    (new_lbl != labels["lbl"]).alias("__changed"),
+                    doubled_lbl.alias("lbl"),
+                    (doubled_lbl != F.col("__prev")).alias("__changed"),
                 )
                 .localCheckpoint(eager=True)
             )
