@@ -42,3 +42,29 @@ def read_csv_robust(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    columnNameOfCorruptRecord: str | None = None,
+) -> DataFrame:
+    """JSON-lines scan with a MANDATORY explicit schema — JSON inference is
+    an extra full pass AND type-unstable across file subsets (a column that
+    happens to hold only integers in the sampled files infers long and then
+    corrupts on the first decimal). Line-delimited JSON splits by newline,
+    so the scan parallelizes like CSV without multiLine.
+
+    Malformed lines follow Spark's PERMISSIVE mode (nulls), or land in
+    ``columnNameOfCorruptRecord`` if given — the same quarantine-don't-crash
+    posture as the pipeline's from_json handling (reference
+    transform/execute.py:110-111).
+    """
+    reader = spark.read.schema(schema)
+    if columnNameOfCorruptRecord is not None:
+        reader = reader.option(
+            "columnNameOfCorruptRecord", columnNameOfCorruptRecord
+        )
+    return reader.json(path)

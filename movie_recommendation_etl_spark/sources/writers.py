@@ -1,4 +1,5 @@
-"""Sinks: partitioned parquet, CSV, ML-model persistence, JDBC.
+"""Sinks: partitioned parquet, CSV, JSON-lines, merge/upsert, ML-model
+persistence, JDBC.
 
 The reference's sinks are four unpartitioned ``write.parquet`` calls
 (reference transform/execute.py:273-298), an LSH-model save (:283), and a
@@ -53,6 +54,101 @@ def write_csv(
         .option("escape", '"')
         .csv(path)
     )
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line — the interchange format most
+    LLM-corpus tooling consumes). Compression left to the caller's Spark
+    conf; at scale prefer parquet and export JSONL only at the edge."""
+    df.write.mode(mode).json(path)
+
+
+def merge_upsert_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    *,
+    order_col: str | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """MERGE (upsert) into a parquet table: rows in ``updates`` replace
+    existing rows with the same key; unmatched keys are inserted. Fixes the
+    class of bug the reference ships (append-on-rerun violating the PK,
+    load/execute.py:91) for the parquet path the way write_jdbc fixes it for
+    JDBC.
+
+    Survivor per key is deterministic: updates beat existing; among several
+    candidates the greatest ``order_col`` wins (e.g. an event-time column),
+    then a stable all-column fingerprint breaks exact ties — reruns always
+    produce byte-identical tables.
+
+    Scale shape: with ``partition_by``, only the partitions PRESENT in the
+    updates are read, merged, and rewritten (dynamic partition overwrite);
+    untouched partitions keep their files. The touched-partition list is
+    collected to the driver — bounded by partition count, never row count.
+    Without ``partition_by`` the whole table rewrites (correct, but at
+    100 TB use a partitioned layout or a table format with transactional
+    MERGE; this helper is the Spark-native equivalent for plain parquet).
+    The merged frame is localCheckpoint'ed before the overwrite because the
+    sink path is also the scan source — truncating lineage first is the
+    standard self-overwrite guard for non-transactional rewrites (a crash
+    between checkpoint and commit needs the usual staging-dir/backup story
+    in production).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from pyspark.sql.utils import AnalysisException
+
+    keys = list(key_cols)
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException:
+        write_parquet(updates, path, partition_by=partition_by)
+        return
+
+    if partition_by:
+        touched = [tuple(r) for r in updates.select(*partition_by).distinct().collect()]
+        if not touched:
+            return
+        existing = existing.filter(
+            reduce(
+                lambda a, b: a | b,
+                [
+                    reduce(
+                        lambda a, b: a & b,
+                        [F.col(c) == F.lit(v) for c, v in zip(partition_by, t)],
+                    )
+                    for t in touched
+                ],
+            )
+        )
+
+    cols = updates.columns
+    tagged = updates.select(*cols).withColumn(
+        "__is_update", F.lit(1)
+    ).unionByName(existing.select(*cols).withColumn("__is_update", F.lit(0)))
+    order = [F.col("__is_update").desc()]
+    if order_col is not None:
+        order.append(F.col(order_col).desc())
+    order.append(F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])))
+    w = W.partitionBy(*keys).orderBy(*order)
+    merged = (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__is_update")
+        .localCheckpoint(eager=True)
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        if partition_by:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        write_parquet(merged, path, partition_by=partition_by)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def save_model(model, path: str) -> None:
