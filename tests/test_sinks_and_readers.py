@@ -201,3 +201,32 @@ def test_merge_upsert_order_col_wins(spark, tmp_path):
     merge_upsert_parquet(spark, multi, out, ["id"], order_col="ver")
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and got[0]["payload"] == "v9"
+
+
+def test_catalog_table_cache_roundtrip(spark, sf_dir):
+    """warm_catalog makes load_table return the SAME cached frame (no
+    re-scan, no repartition shuffle); clear_table_cache restores cold
+    loads. Cleared in finally so the shared session's later plan-shape
+    assertions still see parquet scans, not InMemoryTableScan."""
+    from movie_recommendation_etl_spark.sources.catalog import (
+        clear_table_cache,
+        load_table,
+        warm_catalog,
+    )
+
+    try:
+        warmed = warm_catalog(spark, sf_dir, tables=("nation", "customer"))
+        assert set(warmed) == {"nation", "customer"}
+        a = load_table(spark, sf_dir, "nation")
+        b = load_table(spark, sf_dir, "nation")
+        assert a is b  # cache hit: identical handle, one lineage
+        assert a.count() == 25
+        # un-warmed tables still load cold
+        c1 = load_table(spark, sf_dir, "region")
+        c2 = load_table(spark, sf_dir, "region")
+        assert c1 is not c2
+    finally:
+        clear_table_cache()
+    d = load_table(spark, sf_dir, "nation")
+    assert d is not a  # cold again after clear
+    assert d.count() == 25
