@@ -78,10 +78,12 @@ def merge_upsert_parquet(
     load/execute.py:91) for the parquet path the way write_jdbc fixes it for
     JDBC.
 
-    Survivor per key is deterministic: updates beat existing; among several
-    candidates the greatest ``order_col`` wins (e.g. an event-time column),
-    then a stable all-column fingerprint breaks exact ties — reruns always
-    produce byte-identical tables.
+    Survivor per key is deterministic. With ``order_col`` the greatest
+    value wins outright (last-writer-wins by version/event-time — this
+    makes merges ORDER-INDEPENDENT: replaying old batches over a newer
+    table converges, the property streaming ingestion needs); without it,
+    update rows beat existing rows. Exact ties fall to a stable all-column
+    fingerprint, so reruns always produce byte-identical tables.
 
     Scale shape: with ``partition_by``, only the partitions PRESENT in the
     updates are read, merged, and rewritten (dynamic partition overwrite);
@@ -130,9 +132,11 @@ def merge_upsert_parquet(
     tagged = updates.select(*cols).withColumn(
         "__is_update", F.lit(1)
     ).unionByName(existing.select(*cols).withColumn("__is_update", F.lit(0)))
-    order = [F.col("__is_update").desc()]
-    if order_col is not None:
-        order.append(F.col(order_col).desc())
+    order = (
+        [F.col(order_col).desc(), F.col("__is_update").desc()]
+        if order_col is not None
+        else [F.col("__is_update").desc()]
+    )
     order.append(F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])))
     w = W.partitionBy(*keys).orderBy(*order)
     merged = (

@@ -186,21 +186,21 @@ def test_merge_upsert_order_col_wins(spark, tmp_path):
         [(1, 10, "v10")], "id: long, ver: long, payload: string"
     )
     merge_upsert_parquet(spark, base, out, ["id"], order_col="ver")
-    # an UPDATE with a LOWER version still wins over existing (updates beat
-    # existing first; order_col ranks only within the same side)
+    # with order_col, the VERSION is authoritative: a stale update (lower
+    # ver) loses to the existing row — replays converge in any order
     stale = spark.createDataFrame(
         [(1, 5, "v5")], "id: long, ver: long, payload: string"
     )
     merge_upsert_parquet(spark, stale, out, ["id"], order_col="ver")
     got = spark.read.parquet(out).collect()
-    assert len(got) == 1 and got[0]["payload"] == "v5"
+    assert len(got) == 1 and got[0]["payload"] == "v10"
     # among several update rows for one key, greatest order_col wins
     multi = spark.createDataFrame(
-        [(1, 7, "v7"), (1, 9, "v9")], "id: long, ver: long, payload: string"
+        [(1, 11, "v11"), (1, 12, "v12")], "id: long, ver: long, payload: string"
     )
     merge_upsert_parquet(spark, multi, out, ["id"], order_col="ver")
     got = spark.read.parquet(out).collect()
-    assert len(got) == 1 and got[0]["payload"] == "v9"
+    assert len(got) == 1 and got[0]["payload"] == "v12"
 
 
 def test_catalog_table_cache_roundtrip(spark, sf_dir):

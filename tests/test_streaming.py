@@ -123,3 +123,50 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_stream_merge_upsert_incremental(spark, sf_dir, tmp_path):
+    """Streaming incremental ingestion: micro-batches MERGE into a parquet
+    table by key, so draining a source whose later files update earlier
+    keys yields last-writer-wins — and re-draining from a fresh checkpoint
+    (a full replay) leaves the table unchanged (idempotent sink)."""
+    from movie_recommendation_etl_spark.streaming.incremental import (
+        stream_merge_upsert,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    v1 = batch.withColumn("value", F.lit(1.0))
+    v2 = batch.limit(200).withColumn("value", F.lit(2.0))
+    src = str(tmp_path / "merge_src")
+    # two generations in one source dir; maxFilesPerTrigger forces multiple
+    # micro-batches so the merge path runs more than once
+    v1.coalesce(2).write.mode("overwrite").parquet(src)
+    v2.coalesce(1).write.mode("append").parquet(src)
+
+    target = str(tmp_path / "merge_target")
+    stream_merge_upsert(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        target,
+        ["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        order_col="value",
+    )
+    got = spark.read.parquet(target)
+    n_ids = batch.select("event_id").distinct().count()
+    assert got.count() == n_ids
+    # the 200 updated keys carry value 2.0; all others 1.0
+    assert got.filter(F.col("value") == 2.0).count() == 200
+
+    # full replay into the SAME target (fresh checkpoint): no change
+    stream_merge_upsert(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        target,
+        ["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        order_col="value",
+    )
+    again = spark.read.parquet(target)
+    assert again.count() == n_ids
+    assert again.filter(F.col("value") == 2.0).count() == 200
