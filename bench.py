@@ -35,6 +35,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q41_lang_quality",
     "q45_sliding_window_agg",
     "q50_minhash_lsh_neardup",
+    "q56_pii_redaction",
+    "q57_repetition_metrics",
+    "q58_stratified_sample",
     "q53_embedding_neardup_pairs",
     "q54_neardup_clusters",
     "q55_hash_mod_sample",
