@@ -53,3 +53,70 @@ def sql_dot(a: str, b: str) -> str:
 
 def sql_norm2(a: str) -> str:
     return f"sqrt({sql_dot(a, a)})"
+
+
+# --- int8 quantization (embedding storage at scale) ------------------------
+
+def quantize_int8(vec: Column | str) -> Column:
+    """array<float> -> struct(scale: double, q: array<tinyint>).
+
+    Symmetric per-vector quantization: scale = max(|x|)/127, q_i =
+    round(x_i/scale). Cuts embedding storage/shuffle bytes 4x (the scan and
+    network cost that dominates similarity search at 100 TB); cosine on
+    dequantized vectors is within ~1% of exact for unit-norm embeddings
+    (error bound tested in tests/test_neardup_similarity.py). Pure
+    scan-stage codegen — no Python, no UDT.
+
+    Degenerate all-zero vectors quantize to scale 0 and all-zero q, and
+    dequantize back to exact zeros.
+    """
+    v = F.col(vec) if isinstance(vec, str) else vec
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.round(x.cast("double") / scale))
+        .cast("tinyint"),
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qstruct: Column | str) -> Column:
+    """struct(scale, q) -> array<double>: x_i ~= q_i * scale."""
+    s = F.col(qstruct) if isinstance(qstruct, str) else qstruct
+    return F.transform(
+        s.getField("q"), lambda x: x.cast("double") * s.getField("scale")
+    )
+
+
+def cosine_quantized(qa: Column | str, qb: Column | str) -> Column:
+    """Cosine over two quantized structs WITHOUT materializing the
+    dequantized arrays: dot(qa.q, qb.q) in integer (exact — products are
+    <= 127^2 and dims*127^2 stays far inside a long), then one scale
+    multiply per side. The integer fold shuffles/compares 1-byte lanes, so
+    a candidate-verify join over quantized embeddings moves 4x fewer bytes
+    AND does integer arithmetic in the hot loop.
+    """
+    a = F.col(qa) if isinstance(qa, str) else qa
+    b = F.col(qb) if isinstance(qb, str) else qb
+
+    def idot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("long") * q.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    num = (
+        idot(a.getField("q"), b.getField("q")).cast("double")
+        * a.getField("scale")
+        * b.getField("scale")
+    )
+    na = F.sqrt(
+        idot(a.getField("q"), a.getField("q")).cast("double")
+    ) * a.getField("scale")
+    nb = F.sqrt(
+        idot(b.getField("q"), b.getField("q")).cast("double")
+    ) * b.getField("scale")
+    return num / (na * nb)

@@ -115,18 +115,31 @@ def merge_upsert_parquet(
         touched = [tuple(r) for r in updates.select(*partition_by).distinct().collect()]
         if not touched:
             return
-        existing = existing.filter(
-            reduce(
-                lambda a, b: a | b,
-                [
-                    reduce(
-                        lambda a, b: a & b,
-                        [F.col(c) == F.lit(v) for c, v in zip(partition_by, t)],
-                    )
-                    for t in touched
-                ],
+        if len(partition_by) == 1:
+            # single partition column: isin prunes partitions as one
+            # predicate however many values there are
+            existing = existing.filter(
+                F.col(partition_by[0]).isin([t[0] for t in touched])
             )
-        )
+        else:
+            # multi-level partitioning: OR of per-partition conjunctions —
+            # size is bounded by touched-partition count, and every
+            # conjunct is on partition columns so directory pruning applies
+            existing = existing.filter(
+                reduce(
+                    lambda a, b: a | b,
+                    [
+                        reduce(
+                            lambda a, b: a & b,
+                            [
+                                F.col(c) == F.lit(v)
+                                for c, v in zip(partition_by, t)
+                            ],
+                        )
+                        for t in touched
+                    ],
+                )
+            )
 
     cols = updates.columns
     tagged = updates.select(*cols).withColumn(

@@ -183,3 +183,57 @@ def test_knn_bruteforce_shape(spark, sf_dir):
         assert all(r["neighbor_id"] != qid for r in nbrs)
         sims = [r["cosine_sim"] for r in nbrs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_int8_quantization_roundtrip_and_cosine(spark, sf_dir):
+    """Quantized cosine tracks exact cosine within 2% absolute on the real
+    embeddings table, the round-trip error per component is bounded by
+    scale/2, and all-zero vectors survive unharmed."""
+    from movie_recommendation_etl_spark.functions.vectors import (
+        cosine,
+        cosine_quantized,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    a = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        quantize_int8("embedding").alias("qv"),
+    )
+    # round-trip error bound: |x - q*scale| <= scale/2 per component
+    bad = a.select(
+        F.size(
+            F.filter(
+                F.zip_with(
+                    "v",
+                    dequantize_int8("qv"),
+                    lambda x, y: F.abs(x.cast("double") - y),
+                ),
+                lambda d: d > F.col("qv.scale") / 2.0 + 1e-12,
+            )
+        ).alias("n_bad")
+    )
+    assert bad.agg(F.sum("n_bad")).first()[0] == 0
+
+    # cosine agreement on 200 consecutive pairs
+    b = a.withColumnRenamed("vec_id", "id2").withColumnRenamed(
+        "v", "v2"
+    ).withColumnRenamed("qv", "qv2")
+    pairs = a.join(b, F.col("id2") == F.col("vec_id") + 1)
+    diffs = pairs.select(
+        F.abs(
+            cosine("v", "v2") - cosine_quantized("qv", "qv2")
+        ).alias("d")
+    )
+    assert diffs.agg(F.max("d")).first()[0] < 0.02
+
+    # degenerate zero vector
+    z = spark.createDataFrame([([0.0, 0.0, 0.0],)], "v: array<float>")
+    zq = z.select(
+        quantize_int8("v").alias("q"),
+        dequantize_int8(quantize_int8("v")).alias("back"),
+    ).first()
+    assert zq["q"]["scale"] == 0.0
+    assert list(zq["back"]) == [0.0, 0.0, 0.0]
