@@ -213,13 +213,15 @@ def q57_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATUM_TARGET = 25
 OVERSAMPLE = 4
 
-# 8-hex-digit md5 prefix parsed as a BIGINT (DuckDB has no conv(x, 16, 10)):
-# fold positions 1..8 through the hex alphabet.
-_SQL_HEX8 = (
-    "list_reduce(list_transform(range(1, 9), i -> "
-    "CAST(strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS BIGINT)), "
-    "(acc, x) -> acc * 16 + x)"
-)
+def _sql_hex8_to_bigint(hex_expr: str) -> str:
+    """DuckDB SQL: parse the leading 8 hex digits of ``hex_expr`` as a
+    BIGINT (DuckDB has no conv(x, 16, 10)) by folding positions 1..8
+    through the hex alphabet."""
+    return (
+        "list_reduce(list_transform(range(1, 9), i -> "
+        f"CAST(strpos('0123456789abcdef', substring({hex_expr}, i, 1)) - 1 "
+        "AS BIGINT)), (acc, x) -> acc * 16 + x)"
+    )
 
 
 @query(
@@ -227,7 +229,7 @@ _SQL_HEX8 = (
     oracle=f"""
     WITH u AS (
         SELECT doc_id, lang,
-               CAST({_SQL_HEX8.replace("(h,", "(md5(CAST(doc_id AS VARCHAR)),")}
+               CAST({_sql_hex8_to_bigint("md5(CAST(doc_id AS VARCHAR))")}
                     AS DOUBLE) / 4294967296.0 AS unif
         FROM documents
     ),

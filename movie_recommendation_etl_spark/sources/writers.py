@@ -108,8 +108,10 @@ def merge_upsert_parquet(
     try:
         existing = spark.read.parquet(path)
     except AnalysisException:
-        write_parquet(updates, path, partition_by=partition_by)
-        return
+        # bootstrap: no table yet — but the survivor rule still applies
+        # WITHIN the updates (duplicate keys in the first batch must not
+        # both land; caught by tests/test_merge_property.py)
+        existing = spark.createDataFrame([], updates.schema)
 
     if partition_by:
         touched = [tuple(r) for r in updates.select(*partition_by).distinct().collect()]
@@ -150,7 +152,20 @@ def merge_upsert_parquet(
         if order_col is not None
         else [F.col("__is_update").desc()]
     )
-    order.append(F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])))
+    # null-robust fingerprint: concat_ws SKIPS nulls, which would let two
+    # rows differing only in which column is null collide (nondeterministic
+    # survivor); coalesce to a sentinel no real cast-to-string produces
+    order.append(
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in cols
+                ],
+            )
+        )
+    )
     w = W.partitionBy(*keys).orderBy(*order)
     merged = (
         tagged.withColumn("__rn", F.row_number().over(w))

@@ -1,0 +1,67 @@
+"""Property-based merge/upsert test: a sequence of merges into a parquet
+table must agree with a dict-model fold (order_col authoritative when
+given, updates-beat-existing otherwise), for arbitrary generated batches
+— including duplicate keys within a batch and null payloads."""
+
+from __future__ import annotations
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from movie_recommendation_etl_spark.sources.writers import (
+    merge_upsert_parquet,
+)
+
+_key = st.integers(min_value=0, max_value=4)
+_ver = st.integers(min_value=0, max_value=9)
+_payload = st.one_of(st.none(), st.text(alphabet="abc", max_size=2))
+_batch = st.lists(
+    st.tuples(_key, _ver, _payload), min_size=1, max_size=6
+)
+_batches = st.lists(_batch, min_size=1, max_size=3)
+
+
+def _model_merge(batches):
+    """Fold the batches the way merge_upsert_parquet defines the survivor:
+    per key, (ver, is_update, fingerprint) ranks greatest-first; each merge
+    pits the incoming batch (is_update=1) against the table (is_update=0)."""
+    import hashlib
+
+    def fp(row):
+        k, v, p = row
+        parts = [str(k), str(v), "\x00" if p is None else p]
+        return hashlib.md5("\x1f".join(parts).encode()).hexdigest()
+
+    table = {}
+    for batch in batches:
+        contenders = {}
+        for row in batch:
+            contenders.setdefault(row[0], []).append((row, 1))
+        for k, row in table.items():
+            contenders.setdefault(k, []).append((row, 0))
+        # rank: greatest ver, then updates over existing, then SMALLEST
+        # fingerprint (the engine's row_number orders the md5 ascending)
+        table = {
+            k: min(cands, key=lambda t: (-t[0][1], -t[1], fp(t[0])))[0]
+            for k, cands in contenders.items()
+        }
+    return {(k, v, p) for k, v, p in table.values()}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_batches)
+def test_merge_sequence_matches_model(spark, tmp_path_factory, batches):
+    out = str(tmp_path_factory.mktemp("merge") / f"t_{uuid.uuid4().hex}")
+    for batch in batches:
+        df = spark.createDataFrame(
+            batch, "id: long, ver: long, payload: string"
+        )
+        merge_upsert_parquet(spark, df, out, ["id"], order_col="ver")
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == _model_merge(batches)
