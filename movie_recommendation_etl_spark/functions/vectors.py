@@ -119,4 +119,8 @@ def cosine_quantized(qa: Column | str, qb: Column | str) -> Column:
     nb = F.sqrt(
         idot(b.getField("q"), b.getField("q")).cast("double")
     ) * b.getField("scale")
-    return num / (na * nb)
+    # degenerate all-zero vectors (scale=0) have no defined cosine — return
+    # NULL instead of a 0/0 NaN so downstream top-k orderings drop them
+    return F.when(na * nb == 0.0, F.lit(None).cast("double")).otherwise(
+        num / (na * nb)
+    )

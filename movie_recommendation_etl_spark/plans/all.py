@@ -21,10 +21,13 @@ import movie_recommendation_etl_spark.plans.scalars  # noqa: F401
 from movie_recommendation_etl_spark.plans.registry import QUERIES
 
 DRIVER_QUERY_CAP = 50
-assert len(QUERIES) <= DRIVER_QUERY_CAP, (
-    f"registry has {len(QUERIES)} queries but the driver correctness gate "
-    f"checks only the first {DRIVER_QUERY_CAP}; consolidate suites "
-    "(see VERDICT.md round 2, item 1) before registering more"
-)
+if len(QUERIES) > DRIVER_QUERY_CAP:
+    # explicit raise, not assert: this gate-critical invariant must survive
+    # python -O (which strips asserts)
+    raise RuntimeError(
+        f"registry has {len(QUERIES)} queries but the driver correctness gate "
+        f"checks only the first {DRIVER_QUERY_CAP}; consolidate suites "
+        "(see VERDICT.md round 2, item 1) before registering more"
+    )
 
 __all__: list[str] = []

@@ -66,6 +66,23 @@ _CACHE_MAX_BYTES = 512 * 1024 * 1024
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _path_bytes(path: str) -> int:
+    """Total bytes under ``path`` — a single file's size, or the sum of all
+    files for a directory-backed table (Spark's normal output layout, where
+    ``os.path.getsize`` would return only the ~4 KB inode size and let an
+    arbitrarily large table slip past size gates)."""
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    return os.path.getsize(path)
+
+
 def _cache_key(
     spark: SparkSession, sf_dir: str, name: str
 ) -> tuple[str, str, str]:
@@ -96,7 +113,7 @@ def warm_catalog(
     for name in tables:
         path = f"{sf_dir}/{name}.parquet"
         try:
-            if os.path.getsize(path) >= _CACHE_MAX_BYTES:
+            if _path_bytes(path) >= _CACHE_MAX_BYTES:
                 continue
         except OSError:
             continue
@@ -142,7 +159,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     try:
-        big_enough = os.path.getsize(path) >= _REPARTITION_MIN_BYTES
+        big_enough = _path_bytes(path) >= _REPARTITION_MIN_BYTES
     except OSError:  # non-local path: rely on the source's own splits
         big_enough = False
     if big_enough:

@@ -71,6 +71,7 @@ def merge_upsert_parquet(
     *,
     order_col: str | None = None,
     partition_by: Sequence[str] | None = None,
+    stable_partition_keys: bool = False,
 ) -> None:
     """MERGE (upsert) into a parquet table: rows in ``updates`` replace
     existing rows with the same key; unmatched keys are inserted. Fixes the
@@ -85,13 +86,24 @@ def merge_upsert_parquet(
     update rows beat existing rows. Exact ties fall to a stable all-column
     fingerprint, so reruns always produce byte-identical tables.
 
-    Scale shape: with ``partition_by``, only the partitions PRESENT in the
-    updates are read, merged, and rewritten (dynamic partition overwrite);
+    Scale shape: with ``partition_by``, only the partitions the merge can
+    affect are read, merged, and rewritten (dynamic partition overwrite);
     untouched partitions keep their files. The touched-partition list is
     collected to the driver — bounded by partition count, never row count.
     Without ``partition_by`` the whole table rewrites (correct, but at
     100 TB use a partitioned layout or a table format with transactional
     MERGE; this helper is the Spark-native equivalent for plain parquet).
+
+    Partition migration: if an update changes a key's partition-column
+    value, the key's OLD row lives in a partition the updates don't name.
+    By default we find those partitions too — one column-pruned scan of the
+    existing table's (key, partition) columns, semi-joined against the
+    broadcast update keys — merge them, and physically clear any partition
+    left with zero surviving rows (dynamic overwrite cannot rewrite a
+    partition absent from the output). Set ``stable_partition_keys=True``
+    to skip that scan when partition columns are functionally dependent on
+    the key (the common time/tenant layouts): the merge then reads only the
+    updates' own partitions, the original r2 fast path.
     The merged frame is localCheckpoint'ed before the overwrite because the
     sink path is also the scan source — truncating lineage first is the
     standard self-overwrite guard for non-transactional rewrites (a crash
@@ -113,8 +125,23 @@ def merge_upsert_parquet(
         # both land; caught by tests/test_merge_property.py)
         existing = spark.createDataFrame([], updates.schema)
 
+    part_files: list[tuple[tuple, str]] = []
     if partition_by:
-        touched = [tuple(r) for r in updates.select(*partition_by).distinct().collect()]
+        touched_df = updates.select(*partition_by).distinct()
+        if not stable_partition_keys:
+            # partitions a key is migrating OUT of: existing rows whose key
+            # appears in the updates but whose partition values may differ.
+            # Column-pruned scan (keys + partition cols only) semi-joined
+            # against the broadcast update-key set — never a row collect.
+            upd_keys = updates.select(*keys).distinct()
+            migrated = (
+                existing.select(*keys, *partition_by)
+                .join(F.broadcast(upd_keys), keys, "left_semi")
+                .select(*partition_by)
+                .distinct()
+            )
+            touched_df = touched_df.unionByName(migrated).distinct()
+        touched = [tuple(r) for r in touched_df.collect()]
         if not touched:
             return
         if len(partition_by) == 1:
@@ -142,6 +169,18 @@ def merge_upsert_parquet(
                     ],
                 )
             )
+        if not stable_partition_keys:
+            # file inventory of the pruned partitions, used after the write
+            # to clear partitions a migration emptied; one row per FILE
+            # (distinct), never per data row
+            part_files = [
+                (tuple(r)[:-1], r["__f"])
+                for r in existing.select(
+                    *partition_by, F.input_file_name().alias("__f")
+                )
+                .distinct()
+                .collect()
+            ]
 
     cols = updates.columns
     tagged = updates.select(*cols).withColumn(
@@ -181,6 +220,28 @@ def merge_upsert_parquet(
         write_parquet(merged, path, partition_by=partition_by)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    if part_files:
+        # a migration can leave a source partition with ZERO surviving rows;
+        # dynamic overwrite never touches a partition absent from the output,
+        # so its old files (holding the stale pre-migration row) would
+        # survive. Delete those directories explicitly. merged is
+        # checkpointed, so the distinct here re-reads local blocks, not the
+        # merge lineage.
+        out_parts = {
+            tuple(r) for r in merged.select(*partition_by).distinct().collect()
+        }
+        stale_files = [f for (pt, f) in part_files if pt not in out_parts]
+        if stale_files:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            stale_dirs = {
+                str(jvm.org.apache.hadoop.fs.Path(f).getParent())
+                for f in stale_files
+            }
+            for d in sorted(stale_dirs):
+                p = jvm.org.apache.hadoop.fs.Path(d)
+                p.getFileSystem(hconf).delete(p, True)
 
 
 def save_model(model, path: str) -> None:

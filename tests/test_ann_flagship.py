@@ -30,10 +30,9 @@ def test_recommend_uses_prepared_index(spark, sf_dir):
     """q70 must query a prepare_index()'d corpus: the dataset passed to
     approxNearestNeighbors already carries the LSH `hashes` column (cached),
     so MLlib skips its per-query whole-corpus re-transform (~60 s/query at
-    the reference's 604k docs). A second query against the same session
-    must therefore run in interactive time."""
-    import time
-
+    the reference's 604k docs). Asserts the structural property only (hashes
+    column present + cached) — wall-clock bounds are machine-dependent and
+    flake on contended hosts (r3 ADVICE)."""
     from movie_recommendation_etl_spark.ml.ann import (
         fit_lsh, prepare_index, recommend,
     )
@@ -43,20 +42,20 @@ def test_recommend_uses_prepared_index(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     _, vecs = fit_document_vectors(docs)
     vecs = vecs.cache()
-    lsh = fit_lsh(vecs)
-    index = prepare_index(lsh, vecs)
-    # the prepared index is what MLlib checks for: hashes column present
-    assert "hashes" in index.columns
-    assert index.storageLevel.useMemory  # cached, not recomputed per query
-    t0 = time.monotonic()
-    first = recommend(lsh, index, "doc_id", 42, top_k=5).collect()
-    warm0 = time.monotonic() - t0
-    t1 = time.monotonic()
-    second = recommend(lsh, index, "doc_id", 7, top_k=5).collect()
-    warm1 = time.monotonic() - t1
-    assert len(first) == 5 and len(second) == 5
-    # both queries ride the cached hashes; neither re-transforms the corpus
-    assert max(warm0, warm1) < 30.0
+    index = None
+    try:
+        lsh = fit_lsh(vecs)
+        index = prepare_index(lsh, vecs)
+        # the prepared index is what MLlib checks for: hashes column present
+        assert "hashes" in index.columns
+        assert index.storageLevel.useMemory  # cached, not recomputed per query
+        first = recommend(lsh, index, "doc_id", 42, top_k=5).collect()
+        second = recommend(lsh, index, "doc_id", 7, top_k=5).collect()
+        assert len(first) == 5 and len(second) == 5
+    finally:
+        vecs.unpersist()
+        if index is not None:
+            index.unpersist()
 
 
 def test_flagship_matches_exact_cosine(spark, sf_dir):

@@ -237,3 +237,21 @@ def test_int8_quantization_roundtrip_and_cosine(spark, sf_dir):
     ).first()
     assert zq["q"]["scale"] == 0.0
     assert list(zq["back"]) == [0.0, 0.0, 0.0]
+
+    # cosine against a zero vector is undefined: NULL, never NaN/0-division
+    zc = spark.createDataFrame(
+        [([0.0, 0.0, 0.0], [1.0, 2.0, 3.0])],
+        "z: array<float>, v: array<float>",
+    ).select(
+        cosine_quantized(
+            quantize_int8("z"), quantize_int8("v")
+        ).alias("zero_one"),
+        cosine_quantized(
+            quantize_int8("z"), quantize_int8("z")
+        ).alias("zero_zero"),
+        cosine_quantized(
+            quantize_int8("v"), quantize_int8("v")
+        ).alias("self"),
+    ).first()
+    assert zc["zero_one"] is None and zc["zero_zero"] is None
+    assert abs(zc["self"] - 1.0) < 1e-9

@@ -176,6 +176,103 @@ def test_merge_upsert_parquet(spark, tmp_path):
     assert again == got
 
 
+def test_merge_upsert_partition_migration(spark, tmp_path):
+    """An update that CHANGES a key's partition-column value must remove the
+    key's old row from its former partition (r3 ADVICE): the default merge
+    scans existing keys to find migrated-from partitions, and a partition
+    left empty by the migration has its directory physically cleared
+    (dynamic overwrite alone can't rewrite a partition with no output
+    rows)."""
+    import os
+
+    from movie_recommendation_etl_spark.sources.writers import (
+        merge_upsert_parquet,
+    )
+
+    out = str(tmp_path / "merged_mig")
+    base = spark.createDataFrame(
+        [(1, "en", "old-1"), (2, "en", "old-2"), (3, "de", "old-3")],
+        "id: long, lang: string, payload: string",
+    )
+    merge_upsert_parquet(spark, base, out, ["id"], partition_by=["lang"])
+
+    # id=2 migrates en -> fr; en keeps id=1, so en is rewritten (not
+    # deleted) and must no longer contain id=2
+    mig = spark.createDataFrame(
+        [(2, "fr", "new-2")], "id: long, lang: string, payload: string"
+    )
+    merge_upsert_parquet(spark, mig, out, ["id"], partition_by=["lang"])
+    got = {
+        (r["id"], r["lang"], r["payload"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "en", "old-1"),
+        (2, "fr", "new-2"),
+        (3, "de", "old-3"),
+    }
+
+    # id=3 migrates de -> fr, EMPTYING de: the de directory must be gone,
+    # or the stale old-3 row would survive as a duplicate key
+    mig2 = spark.createDataFrame(
+        [(3, "fr", "new-3")], "id: long, lang: string, payload: string"
+    )
+    merge_upsert_parquet(spark, mig2, out, ["id"], partition_by=["lang"])
+    got = {
+        (r["id"], r["lang"], r["payload"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "en", "old-1"),
+        (2, "fr", "new-2"),
+        (3, "fr", "new-3"),
+    }
+    assert not os.path.exists(f"{out}/lang=de")
+
+    # idempotence still holds on the migration path
+    merge_upsert_parquet(spark, mig2, out, ["id"], partition_by=["lang"])
+    assert {
+        (r["id"], r["lang"], r["payload"])
+        for r in spark.read.parquet(out).collect()
+    } == got
+
+
+def test_merge_upsert_stable_partition_keys_fast_path(spark, tmp_path):
+    """stable_partition_keys=True skips the existing-key scan (the 100 TB
+    fast path for key-functional partition layouts): same result as the
+    default when no key migrates."""
+    from movie_recommendation_etl_spark.sources.writers import (
+        merge_upsert_parquet,
+    )
+
+    out = str(tmp_path / "merged_stable")
+    base = spark.createDataFrame(
+        [(1, "en", "old-1"), (3, "de", "old-3")],
+        "id: long, lang: string, payload: string",
+    )
+    merge_upsert_parquet(
+        spark, base, out, ["id"], partition_by=["lang"],
+        stable_partition_keys=True,
+    )
+    upd = spark.createDataFrame(
+        [(1, "en", "new-1"), (4, "fr", "new-4")],
+        "id: long, lang: string, payload: string",
+    )
+    merge_upsert_parquet(
+        spark, upd, out, ["id"], partition_by=["lang"],
+        stable_partition_keys=True,
+    )
+    got = {
+        (r["id"], r["lang"], r["payload"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "en", "new-1"),
+        (3, "de", "old-3"),
+        (4, "fr", "new-4"),
+    }
+
+
 def test_merge_upsert_order_col_wins(spark, tmp_path):
     from movie_recommendation_etl_spark.sources.writers import (
         merge_upsert_parquet,
