@@ -1,14 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
-with Arrow-batched feature extraction via mapInPandas.
+with Arrow-batched feature extraction via mapInPandas — and REAL pure-stdlib
+decoders for the uncompressed raster formats (BMP 24-bit, PPM/P6, PGM/P5).
 
 North-star requirement: a 100 TB training-data pipeline carries image/audio/
 video as ``binary`` columns next to a metadata struct, and runs decode /
 feature-extract / resize / frame-sample as Pandas-batched UDFs. The Spark
 plumbing here — schema, partition sizing, batch shape, deterministic
-fingerprinting — is real and tested; the codec step itself is stubbed
-(``decode=True`` raises NotImplementedError: no image/audio libs in this
-container) behind a deterministic byte-level feature fake, so swapping in
-PIL/ffmpeg later changes ONE function, not the pipeline.
+fingerprinting — is real and tested, and so is the decode step for the
+formats a ``struct``-only parser can honestly handle: BMP and binary netpbm
+images decode to (height, width, channels) uint8 pixel arrays with no
+external codec library. Compressed formats (PNG/JPEG/audio/video) still
+raise NotImplementedError at the same boundary — swapping in PIL/ffmpeg
+later means registering one decoder, not changing the pipeline.
 
 Scale notes: binary payloads make rows big — size
 ``spark.sql.files.maxPartitionBytes`` so a partition of blobs fits executor
@@ -21,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -41,6 +45,13 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("content_md5", T.StringType()),
         T.StructField("byte_histogram_head", T.ArrayType(T.IntegerType())),
+        # decode=True only; NULL for byte-level-only runs
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
     ]
 )
 
@@ -59,13 +70,209 @@ def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("media_data", data).withColumn("media_meta", meta)
 
 
-def decode_media(blob: bytes, media_type: str):
-    """The codec boundary. Real decoders (PIL / torchaudio / pyav) plug in
-    here; this container has none, so calling it is an explicit error
-    rather than a silent fake."""
-    raise NotImplementedError(
-        f"no codec available for {media_type!r}: install an image/audio "
-        "library and replace decode_media"
+# --- pure-stdlib raster codecs ---------------------------------------------
+# struct-only parsing; numpy (baked into the pyspark image) for the pixel
+# array, never an external codec library.
+
+BMP_MEDIA_TYPE = "image/bmp"
+PPM_MEDIA_TYPE = "image/x-portable-pixmap"
+PGM_MEDIA_TYPE = "image/x-portable-graymap"
+
+
+def encode_bmp(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed bottom-up BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("BMP encoder takes (h, w, 3) RGB")
+    stride = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - w * 3)
+    # bottom-up rows, BGR channel order — the classic BMP layout
+    body = b"".join(
+        px[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)
+    )
+    offset = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + body
+
+
+def encode_ppm(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6, maxval 255)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def encode_pgm(gray) -> bytes:
+    """(h, w) uint8 grayscale -> binary PGM (P5, maxval 255)."""
+    import numpy as np
+
+    px = np.asarray(gray, dtype=np.uint8)
+    h, w = px.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _decode_bmp(blob: bytes) -> dict:
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP file (missing BM magic)")
+    (pixel_offset,) = struct.unpack_from("<I", blob, 10)
+    w, h_signed = struct.unpack_from("<ii", blob, 18)
+    _planes, bpp = struct.unpack_from("<HH", blob, 26)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h_signed > 0
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(blob, np.uint8, stride * h, pixel_offset).reshape(
+        h, stride
+    )
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        px = px[::-1]
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "pixels": np.ascontiguousarray(px),
+    }
+
+
+def _decode_pnm(blob: bytes) -> dict:
+    """Binary netpbm: P6 (RGB) / P5 (grayscale), maxval <= 255. Header
+    tokens separated by whitespace; '#' comments allowed."""
+    import numpy as np
+
+    magic = blob[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM (magic {magic!r})")
+
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if i < len(blob) and blob[i] == ord("#"):
+            while i < len(blob) and blob[i] != ord("\n"):
+                i += 1
+            continue
+        start = i
+        while i < len(blob) and not blob[i : i + 1].isspace():
+            i += 1
+        if start == i:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(blob[start:i]))
+    i += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    channels = 3 if magic == b"P6" else 1
+    px = np.frombuffer(blob, np.uint8, w * h * channels, i).reshape(
+        h, w, channels
+    )
+    return {"width": w, "height": h, "channels": channels, "pixels": px}
+
+
+_DECODERS = {
+    BMP_MEDIA_TYPE: _decode_bmp,
+    PPM_MEDIA_TYPE: _decode_pnm,
+    PGM_MEDIA_TYPE: _decode_pnm,
+}
+
+
+def decode_media(blob: bytes, media_type: str) -> dict:
+    """The codec boundary: blob + declared media type -> dict with width /
+    height / channels / pixels ((h, w, c) uint8 numpy array). BMP and binary
+    netpbm decode in pure stdlib ``struct`` parsing; anything else (PNG,
+    JPEG, audio, video — formats that need a real codec library) raises
+    NotImplementedError so a pipeline never silently fakes a decode."""
+    decoder = _DECODERS.get(media_type)
+    if decoder is None:
+        raise NotImplementedError(
+            f"no codec available for {media_type!r}: register a decoder "
+            "(e.g. PIL/ffmpeg-backed) in operators.multimodal._DECODERS"
+        )
+    return decoder(bytes(blob))
+
+
+def fake_image_pixels(doc_id: int):
+    """Deterministic pixel pattern for a planted test image: dimensions and
+    values derived from the id alone, so tests can recompute them."""
+    import numpy as np
+
+    i = int(doc_id)
+    w, h = 8 + i % 5, 6 + i % 4
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((3 * xx + 7 * yy + i) % 256).astype(np.uint8)
+    if i % 3 == 2:  # grayscale rows exercise the P5 path
+        return base
+    return np.stack(
+        [base, (base.astype(np.int32) * 2 % 256).astype(np.uint8), 255 - base],
+        axis=-1,
+    )
+
+
+def attach_fake_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Plant a REAL encoded image per row — BMP / PPM / PGM rotating by id,
+    deterministic content from fake_image_pixels — as (media_data binary,
+    media_meta struct). Unlike attach_fake_media's opaque blobs, these
+    payloads round-trip through decode_media, so decode=True pipelines run
+    end-to-end with no codec library."""
+    out_type = T.StructType(
+        [
+            T.StructField("media_data", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _mk(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            px = fake_image_pixels(i)
+            kind = int(i) % 3
+            if kind == 0:
+                data, mt = encode_bmp(px), BMP_MEDIA_TYPE
+            elif kind == 1:
+                data, mt = encode_ppm(px), PPM_MEDIA_TYPE
+            else:
+                data, mt = encode_pgm(px), PGM_MEDIA_TYPE
+            h, w = px.shape[:2]
+            rows.append(
+                {
+                    "media_data": data,
+                    "media_meta": {
+                        "media_type": mt,
+                        "n_bytes": len(data),
+                        "width": w,
+                        "height": h,
+                    },
+                }
+            )
+        return pd.DataFrame(rows)
+
+    packed = docs.withColumn("__media", _mk(F.col(id_col)))
+    return packed.select(
+        *docs.columns,
+        F.col("__media.media_data").alias("media_data"),
+        F.col("__media.media_meta").alias("media_meta"),
     )
 
 
@@ -81,8 +288,10 @@ def extract_media_features(
 
     With ``decode=False`` (default) computes byte-level features only
     (md5 fingerprint + a 8-bucket byte histogram) — deterministic, testable,
-    and exactly the I/O shape a real decoder would see.
-    """
+    and exactly the I/O shape a real decoder would see; the decoded columns
+    (width/height/channels/px_*) are NULL. With ``decode=True`` each blob
+    runs through decode_media and the pixel statistics are real (an unknown
+    media type raises, by contract)."""
 
     def _batches(it: Iterator) -> Iterator:
         import hashlib
@@ -90,20 +299,15 @@ def extract_media_features(
         import pandas as pd
 
         for pdf in it:
-            out = {
-                "doc_id": [],
-                "media_type": [],
-                "n_bytes": [],
-                "content_md5": [],
-                "byte_histogram_head": [],
+            out: dict[str, list] = {
+                f.name: [] for f in MEDIA_FEATURES_SCHEMA.fields
             }
             for doc_id, blob, meta in zip(
                 pdf[id_col], pdf[data_col], pdf[meta_col]
             ):
                 media_type = meta["media_type"]
-                if decode:
-                    decode_media(bytes(blob), media_type)
                 b = bytes(blob)
+                decoded = decode_media(b, media_type) if decode else None
                 hist = [0] * 8
                 for byte in b[:4096]:
                     hist[byte >> 5] += 1
@@ -112,6 +316,18 @@ def extract_media_features(
                 out["n_bytes"].append(len(b))
                 out["content_md5"].append(hashlib.md5(b).hexdigest())
                 out["byte_histogram_head"].append(hist)
+                if decoded is None:
+                    for k in ("width", "height", "channels", "px_mean",
+                              "px_min", "px_max"):
+                        out[k].append(None)
+                else:
+                    px = decoded["pixels"]
+                    out["width"].append(decoded["width"])
+                    out["height"].append(decoded["height"])
+                    out["channels"].append(decoded["channels"])
+                    out["px_mean"].append(float(px.mean()))
+                    out["px_min"].append(int(px.min()))
+                    out["px_max"].append(int(px.max()))
             yield pd.DataFrame(out)
 
     cols = media.select(id_col, data_col, meta_col)

@@ -1,16 +1,24 @@
-"""Multimodal plumbing tests: schema, Arrow batch shapes, deterministic
-byte-level features, and the explicit NotImplementedError codec boundary."""
+"""Multimodal tests: schema, Arrow batch shapes, deterministic byte-level
+features, REAL BMP/PPM/PGM decode (pure-stdlib codecs, end-to-end through
+mapInPandas), and the explicit NotImplementedError boundary for formats
+that genuinely need a codec library."""
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pytest
 
 from movie_recommendation_etl_spark.operators.multimodal import (
+    attach_fake_images,
     attach_fake_media,
     decode_media,
+    encode_bmp,
+    encode_pgm,
+    encode_ppm,
     extract_media_features,
+    fake_image_pixels,
 )
 from movie_recommendation_etl_spark.sources.catalog import load_table
 
@@ -41,6 +49,81 @@ def test_media_meta_schema(spark, sf_dir):
     assert media.schema["media_data"].dataType.typeName() == "binary"
 
 
-def test_decode_is_explicitly_stubbed():
+def test_decode_unknown_type_raises():
+    """Formats that need a real codec library (PNG/JPEG/audio/video) still
+    fail loudly — never a silent fake decode."""
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", "image/png")
+
+
+def test_byte_features_skip_decode_columns(spark, sf_dir):
+    """decode=False keeps the decoded columns NULL (byte-level features
+    only) — the honest signal that no decode happened."""
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    feats = extract_media_features(attach_fake_media(docs)).collect()
+    assert all(
+        r["width"] is None and r["px_mean"] is None for r in feats
+    )
+
+
+def test_codec_roundtrips():
+    """encode -> decode_media restores the exact pixel array for all three
+    pure-stdlib codecs (including BMP's padded-stride, bottom-up, BGR
+    layout on a non-multiple-of-4 width)."""
+    rgb = fake_image_pixels(0)  # (h, w, 3); w=8
+    odd = fake_image_pixels(1)  # w=9: exercises BMP row padding
+    gray = fake_image_pixels(2)  # (h, w) grayscale
+
+    d = decode_media(encode_bmp(rgb), "image/bmp")
+    assert (d["width"], d["height"], d["channels"]) == (8, 6, 3)
+    assert np.array_equal(d["pixels"], rgb)
+
+    d = decode_media(encode_bmp(odd), "image/bmp")
+    assert np.array_equal(d["pixels"], odd)
+
+    d = decode_media(encode_ppm(rgb), "image/x-portable-pixmap")
+    assert np.array_equal(d["pixels"], rgb)
+
+    d = decode_media(encode_pgm(gray), "image/x-portable-graymap")
+    assert d["channels"] == 1
+    assert np.array_equal(d["pixels"][:, :, 0], gray)
+
+
+def test_pnm_header_comments_and_whitespace():
+    gray = fake_image_pixels(2)
+    h, w = gray.shape
+    blob = b"P5 # a comment\n# another\n %d\t%d\n255\n" % (w, h) + gray.tobytes()
+    d = decode_media(blob, "image/x-portable-graymap")
+    assert np.array_equal(d["pixels"][:, :, 0], gray)
+
+
+def test_decode_true_end_to_end(spark, sf_dir):
+    """The north-star path: plant real encoded images (BMP/PPM/PGM rotating
+    by id), run extract_media_features(decode=True) through mapInPandas,
+    and check every decoded dimension and pixel statistic against a local
+    numpy recomputation."""
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = attach_fake_images(docs)
+    feats = {r["doc_id"]: r for r in
+             extract_media_features(media, decode=True).collect()}
+    assert len(feats) == 30
+    for doc_id, r in feats.items():
+        px = fake_image_pixels(doc_id)
+        h, w = px.shape[:2]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["channels"] == (1 if doc_id % 3 == 2 else 3)
+        assert r["px_mean"] == pytest.approx(float(px.mean()))
+        assert r["px_min"] == int(px.min())
+        assert r["px_max"] == int(px.max())
+        # byte-level features coexist with decoded ones
+        assert r["content_md5"] is not None and r["n_bytes"] > 0
+
+
+def test_decode_true_on_opaque_blob_raises(spark, sf_dir):
+    """decode=True over a corpus of unknown-type blobs must surface the
+    NotImplementedError, not fabricate pixel stats."""
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    with pytest.raises(Exception, match="no codec available"):
+        extract_media_features(
+            attach_fake_media(docs), decode=True
+        ).collect()
