@@ -30,7 +30,8 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from pyspark.ml import Pipeline, PipelineModel
+import pandas as pd
+from pyspark.ml import Pipeline, PipelineModel, Transformer
 from pyspark.ml.feature import (
     IDF,
     CountVectorizer,
@@ -41,6 +42,7 @@ from pyspark.ml.feature import (
 )
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Small English lemma dictionary fixture (common irregular inflections —
 # standard dictionary facts, no external dataset). Stands in for the
@@ -75,6 +77,57 @@ def _lemma_stage(lemma_map: dict[str, str]) -> SQLTransformer:
     return SQLTransformer(statement=stmt)
 
 
+# Above this entry count the map-literal SQLTransformer is the wrong tool:
+# every (inflected, lemma) pair becomes a plan literal, so a real AntBNC-
+# sized dictionary (~hundreds of thousands of entries) blows up the SQL
+# statement string and the Catalyst plan tree. Large dicts switch to the
+# broadcast formulation below instead (SURVEY §2.10 M4 design).
+_LEMMA_LITERAL_MAX = 1024
+
+
+class BroadcastLemmatizer(Transformer):
+    """M4 for large dictionaries: the dict ships to executors ONCE as a
+    Spark broadcast variable, and tokens map through it in an Arrow-batched
+    pandas_udf — plan size stays O(1) in dictionary size, lookup is a hash
+    probe per token, and the stage is embarrassingly parallel in the scan
+    stage (no shuffle). This is the scale path for the reference's
+    pretrained AntBNC dictionary (transform/execute.py:198-202); dicts
+    under _LEMMA_LITERAL_MAX entries keep the pure-Catalyst map-literal
+    stage (_lemma_stage), which avoids the Python hop entirely.
+    """
+
+    def __init__(
+        self,
+        lemma_map: dict[str, str],
+        input_col: str = "__tokens",
+        output_col: str = "__lemmas",
+    ):
+        super().__init__()
+        self._lemma_map = dict(lemma_map)
+        self._input_col = input_col
+        self._output_col = output_col
+        self._bc = None  # broadcast once per SparkContext, reused across calls
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        sc = dataset.sparkSession.sparkContext
+        if self._bc is None or self._bc._jbroadcast is None:
+            self._bc = sc.broadcast(self._lemma_map)
+        bc = self._bc
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _lem(tokens: pd.Series) -> pd.Series:
+            m = bc.value
+            return tokens.apply(
+                lambda ts: [m.get(t, t) for t in ts]
+                if ts is not None
+                else None
+            )
+
+        return dataset.withColumn(
+            self._output_col, _lem(F.col(self._input_col))
+        )
+
+
 def build_tfidf_pipeline(
     text_col: str = "text",
     output_col: str = "norm_features",
@@ -83,6 +136,7 @@ def build_tfidf_pipeline(
     min_doc_freq: int = 3,
     vocab_size: int = 1 << 18,
     lemma_map: dict[str, str] | None = None,
+    lemma_literal_max: int = _LEMMA_LITERAL_MAX,
 ) -> Pipeline:
     """The core-Spark TF-IDF pipeline. Parameters default to the
     reference's (minDF=3 transform/execute.py:243, minDocFreq=3 :248,
@@ -91,7 +145,13 @@ def build_tfidf_pipeline(
     ``lemma_map`` enables the M4 lemmatization stage (reference
     :198-202 runs AntBNC on every token). Default None: lemmatization
     changes the vocabulary and therefore every downstream golden, so it is
-    opt-in; pass ``load_default_lemmas()`` for the shipped fixture."""
+    opt-in; pass ``load_default_lemmas()`` for the shipped fixture.
+
+    Formulation auto-selects on dictionary size: up to
+    ``lemma_literal_max`` entries the map bakes into the plan as a Catalyst
+    literal (no Python hop); beyond that it ships as a broadcast variable
+    probed from an Arrow-batched pandas_udf (plan size stays O(1) however
+    large the dictionary — the AntBNC-scale path)."""
     tokenizer = RegexTokenizer(
         inputCol=text_col,
         outputCol="__tokens",
@@ -101,7 +161,10 @@ def build_tfidf_pipeline(
     stages: list = [tokenizer]
     stop_input = "__tokens"
     if lemma_map:
-        stages.append(_lemma_stage(lemma_map))
+        if len(lemma_map) <= lemma_literal_max:
+            stages.append(_lemma_stage(lemma_map))
+        else:
+            stages.append(BroadcastLemmatizer(lemma_map))
         stop_input = "__lemmas"
     stopper = StopWordsRemover(
         inputCol=stop_input, outputCol="__clean_tokens", caseSensitive=False

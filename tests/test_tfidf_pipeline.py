@@ -67,6 +67,85 @@ def test_lemma_pipeline_stage_changes_vocab_exactly(spark):
     assert vocab_lem == {"run", "wolf", "fast", "home", "see"}
 
 
+def test_large_lemma_dict_broadcast_no_plan_blowup(spark):
+    """An AntBNC-sized dictionary (reference transform/execute.py:198-202;
+    hundreds of thousands of entries) must NOT bake into the plan as a map
+    literal — the pipeline auto-switches to the broadcast pandas_udf stage,
+    the plan stays O(1) in dict size, and the vocabulary golden is
+    unchanged from the small-fixture run."""
+    from movie_recommendation_etl_spark.ml.tfidf import (
+        BroadcastLemmatizer,
+        build_tfidf_pipeline,
+        load_default_lemmas,
+    )
+
+    big = {f"synthetictok{i}x": f"synthetictok{i}" for i in range(110_000)}
+    big.update(load_default_lemmas())
+    assert len(big) > 100_000
+
+    rows = [
+        (0, "running wolves ran faster"),
+        (1, "the wolves were running"),
+        (2, "she saw the wolves running home"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pipe = build_tfidf_pipeline(min_df=1, min_doc_freq=0, lemma_map=big)
+    assert any(
+        isinstance(s, BroadcastLemmatizer) for s in pipe.getStages()
+    )
+    model = pipe.fit(df)
+    out = model.transform(df)
+    # same golden as the literal formulation: lemmatize THEN stop-remove
+    vocab = set(model.stages[3].vocabulary)
+    assert vocab == {"run", "wolf", "fast", "home", "see"}
+    # the dictionary must not appear in the plan: no synthetic entry
+    # leaked, and the whole plan string stays small
+    plan = out._jdf.queryExecution().toString()
+    assert "synthetictok" not in plan
+    assert len(plan) < 50_000
+
+
+def test_lemma_formulations_agree(spark):
+    """Literal-map and broadcast formulations are interchangeable: forcing
+    the broadcast stage onto the small fixture yields the identical fitted
+    vocabulary and token streams."""
+    from movie_recommendation_etl_spark.ml.tfidf import load_default_lemmas
+
+    lemmas = load_default_lemmas()
+    rows = [
+        (0, "running wolves ran faster"),
+        (1, "the wolves were running"),
+        (2, "she saw the wolves running home"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    lit_model, _ = fit_document_vectors(
+        df, min_df=1, min_doc_freq=0, lemma_map=lemmas
+    )
+    bc_model, _ = fit_document_vectors(
+        df, min_df=1, min_doc_freq=0, lemma_map=lemmas, lemma_literal_max=0
+    )
+    assert set(lit_model.stages[3].vocabulary) == set(
+        bc_model.stages[3].vocabulary
+    )
+    # CountVectorizer breaks equal-frequency ties arbitrarily between fits,
+    # so compare term->weight maps, not raw index-space vectors
+    def term_weights(model):
+        vocab = model.stages[3].vocabulary
+        return {
+            r["doc_id"]: {
+                vocab[int(i)]: round(float(w), 9)
+                for i, w in zip(
+                    r["norm_features"].indices, r["norm_features"].values
+                )
+            }
+            for r in model.transform(df)
+            .select("doc_id", "norm_features")
+            .collect()
+        }
+
+    assert term_weights(lit_model) == term_weights(bc_model)
+
+
 def test_lemma_pipeline_model_roundtrip(spark, tmp_path):
     """The SQLTransformer lemma stage serializes with the PipelineModel —
     a saved/reloaded model produces identical token streams."""
