@@ -23,34 +23,56 @@ from movie_recommendation_etl_spark.functions.vectors import cosine
 SEED = 42
 
 
+_SAMPLE_MOD = 1 << 20
+
+
 def fit_ivf_centroids(
     emb: DataFrame,
     array_col: str = "embedding",
     *,
+    id_col: str | None = None,
     n_centroids: int = 16,
     seed: int = SEED,
     max_fit_rows: int = 100_000,
+    sample_fraction: float | None = None,
 ) -> KMeansModel:
     """Fit the coarse quantizer on a bounded sample, never the full corpus.
 
     Standard IVF practice: centroid quality saturates at ~1000 training
     points per centroid, so the fit reads at most ``max_fit_rows`` rows
-    (deterministic hash-mod sample — rerun-stable, unlike ``sample()``)
-    however large the corpus is. The sample is also coalesced to a few
-    partitions: KMeans runs one scheduling wave per pass per partition, so
-    a small training set spread over the session's full parallelism spends
-    its wall-clock on task dispatch, not arithmetic.
+    however large the corpus is — WITHOUT a counting prepass (the r3 fit
+    paid a full ``count()`` plus a per-row vector→string cast before any
+    clustering; two avoidable passes at 100 TB):
+
+    - ``sample_fraction`` set: a deterministic fixed-modulus hash slice,
+      ``pmod(xxhash64(key), 2^20) < 2^20·fraction`` — the q55 hash-mod
+      pattern. Keyed on ``id_col`` when given (a cheap scalar; never a
+      vector stringification), else on the array column as a last resort.
+      Rerun-stable and uniform in expectation; no count needed because the
+      modulus is fixed, not corpus-sized. At scale pass fraction ≈
+      max_fit_rows / |corpus| estimate — an overestimate only means the
+      limit cap below binds early.
+    - Always: a ``limit(max_fit_rows)`` hard cap. Spark stops scheduling
+      scan tasks once the limit is satisfied, so the fit's input pass is
+      bounded by the cap, not the corpus.
+
+    The sample is repartitioned to a few partitions: KMeans runs one
+    scheduling wave per pass per partition, so a small training set spread
+    over the session's full parallelism spends its wall-clock on task
+    dispatch, not arithmetic (the repartition shuffles only the ≤ cap
+    sample, never the corpus).
     """
-    vecs = emb.select(array_to_vector(array_col).alias("__vec"))
-    n = vecs.count()
-    if n > max_fit_rows:
-        # deterministic, uniform in expectation; keyed on the vector text
-        vecs = vecs.filter(
-            F.abs(F.xxhash64(F.col("__vec").cast("string"))) % n
-            < max_fit_rows
+    if sample_fraction is not None:
+        key = F.col(id_col) if id_col else F.col(array_col).cast("string")
+        emb = emb.filter(
+            F.pmod(F.xxhash64(key), F.lit(_SAMPLE_MOD))
+            < int(_SAMPLE_MOD * sample_fraction)
         )
+    vecs = emb.select(array_to_vector(array_col).alias("__vec")).limit(
+        max_fit_rows
+    )
     rows_per_part = 25_000  # a pass over 25k 64-dim vectors is ~ms of CPU
-    target_parts = max(1, min(n, max_fit_rows) // rows_per_part) or 1
+    target_parts = max(1, max_fit_rows // rows_per_part)
     # random init + capped iterations: kmeans|| init costs ~2 extra jobs per
     # k-means round and each Spark job has fixed dispatch latency; a coarse
     # quantizer's cells only need to be roughly balanced (the n_probe search
@@ -64,7 +86,7 @@ def fit_ivf_centroids(
         initMode="random",
         maxIter=8,
     )
-    return km.fit(vecs.coalesce(int(target_parts)))
+    return km.fit(vecs.repartition(int(target_parts)))
 
 
 def assign_cells(

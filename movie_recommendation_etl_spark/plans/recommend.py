@@ -54,7 +54,7 @@ def q62_knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_recommendation_etl_spark.ml.ivf import fit_ivf_centroids, ivf_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    model = fit_ivf_centroids(emb, n_centroids=8)
+    model = fit_ivf_centroids(emb, id_col="vec_id", n_centroids=8)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -40,6 +40,44 @@ def test_ivf_knn_recall(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_ivf_fit_has_no_count_prepass(spark, sf_dir, monkeypatch):
+    """The r3 fit paid a full corpus count() (plus a vector→string cast)
+    before sampling; the fit must now bound its input with a fixed-modulus
+    hash slice + limit instead — no counting job at all."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("fit_ivf_centroids must not count the corpus")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    model = fit_ivf_centroids(emb, id_col="vec_id", n_centroids=8)
+    assert len(model.clusterCenters()) == 8
+
+
+def test_ivf_fit_sampled_recall(spark, sf_dir):
+    """With a hash-mod sample_fraction the fit sees only a slice of the
+    corpus, yet the coarse quantizer must still deliver useful recall at
+    driver scale — the 100 TB fit path, exercised end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_ivf_centroids(
+        emb, id_col="vec_id", n_centroids=8, sample_fraction=0.5
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx: dict[int, set] = {}
+    for r in ivf_knn(model, emb, queries, top_k=5, n_probe=4).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact: dict[int, set] = {}
+    for r in QUERIES["q60_knn_bruteforce"](spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     got = {
