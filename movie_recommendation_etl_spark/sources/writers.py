@@ -86,6 +86,12 @@ def merge_upsert_parquet(
     update rows beat existing rows. Exact ties fall to a stable all-column
     fingerprint, so reruns always produce byte-identical tables.
 
+    Schema evolution is align-by-name with null-fill: updates may add
+    columns (existing rows read them as NULL) or omit legacy columns
+    (preserved on untouched rows; NULL on rows an update replaces, because
+    replacement is row-level). Key and partition columns must be present
+    on both sides.
+
     Scale shape: with ``partition_by``, only the partitions the merge can
     affect are read, merged, and rewritten (dynamic partition overwrite);
     untouched partitions keep their files. The touched-partition list is
@@ -182,10 +188,34 @@ def merge_upsert_parquet(
                 .collect()
             ]
 
-    cols = updates.columns
-    tagged = updates.select(*cols).withColumn(
+    # Schema evolution, align-by-name with null-fill (r3 VERDICT #4): the
+    # output schema is the updates' columns followed by any legacy columns
+    # only the existing table has. Existing rows null-fill newly added
+    # update columns; update rows null-fill legacy columns (row-level
+    # replacement: an update row REPLACES its key's row wholesale, so a
+    # column the update doesn't carry is null on that row, not carried
+    # over). Key and partition columns must exist on both sides; a column
+    # present on both sides with an incompatible type fails loudly in
+    # unionByName.
+    types = {f.name: f.dataType for f in existing.schema.fields}
+    types.update({f.name: f.dataType for f in updates.schema.fields})
+    cols = list(updates.columns) + [
+        c for c in existing.columns if c not in set(updates.columns)
+    ]
+
+    def _aligned(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ]
+        )
+
+    tagged = _aligned(updates).withColumn(
         "__is_update", F.lit(1)
-    ).unionByName(existing.select(*cols).withColumn("__is_update", F.lit(0)))
+    ).unionByName(_aligned(existing).withColumn("__is_update", F.lit(0)))
     order = (
         [F.col(order_col).desc(), F.col("__is_update").desc()]
         if order_col is not None

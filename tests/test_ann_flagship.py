@@ -90,6 +90,31 @@ def test_batch_ann_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8
 
 
+def test_ann_recall_at_driver_scale(spark):
+    """Recall gate at sf0.01 — the driver's correctness scale (r3 VERDICT
+    #5): q61/q62 are rows-only in CORRECTNESS_r*.json (ANN is inherently
+    not SQL-expressible), so this is their hard signal. LSH batch ANN must
+    hit recall@5 >= 0.8 against the exact brute-force answer; IVF probes
+    half its cells (n_probe/n_centroids floor) and must clear 0.5."""
+    sf = "/root/testdata/sf0.01"
+    exact: dict[int, set] = {}
+    for r in QUERIES["q60_knn_bruteforce"](spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(exact) == 20
+
+    def recall(qname: str) -> float:
+        approx: dict[int, set] = {}
+        for r in QUERIES[qname](spark, sf).collect():
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q])
+            for q in exact
+        ) / len(exact)
+
+    assert recall("q61_knn_lsh_embeddings") >= 0.8
+    assert recall("q62_knn_ivf_embeddings") >= 0.5
+
+
 def test_lsh_model_roundtrip(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     _, vecs = fit_document_vectors(docs)

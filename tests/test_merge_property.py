@@ -50,6 +50,42 @@ def _model_merge(batches):
     return {(k, v, p) for k, v, p in table.values()}
 
 
+def test_merge_schema_evolution_adds_column(spark, tmp_path_factory):
+    """Mid-stream schema evolution (r3 VERDICT #4): a batch that ADDS a
+    column merges align-by-name — pre-evolution rows read the new column
+    as NULL; a later batch that OMITS the column keeps it on untouched
+    rows but nulls it on rows it replaces (row-level replacement)."""
+    out = str(tmp_path_factory.mktemp("merge_evo") / f"t_{uuid.uuid4().hex}")
+    b1 = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "id: long, ver: long, payload: string"
+    )
+    merge_upsert_parquet(spark, b1, out, ["id"], order_col="ver")
+
+    # batch 2 adds 'extra' and updates id=2
+    b2 = spark.createDataFrame(
+        [(2, 2, "b2", "X"), (3, 1, "c", "Y")],
+        "id: long, ver: long, payload: string, extra: string",
+    )
+    merge_upsert_parquet(spark, b2, out, ["id"], order_col="ver")
+    got = {
+        r["id"]: (r["ver"], r["payload"], r["extra"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: (1, "a", None), 2: (2, "b2", "X"), 3: (1, "c", "Y")}
+
+    # batch 3 omits 'extra' again and replaces id=3: untouched rows keep
+    # their extra, the replaced row's extra is NULL (not carried over)
+    b3 = spark.createDataFrame(
+        [(3, 3, "c3")], "id: long, ver: long, payload: string"
+    )
+    merge_upsert_parquet(spark, b3, out, ["id"], order_col="ver")
+    got = {
+        r["id"]: (r["ver"], r["payload"], r["extra"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: (1, "a", None), 2: (2, "b2", "X"), 3: (3, "c3", None)}
+
+
 @settings(
     max_examples=12,
     deadline=None,
