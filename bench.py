@@ -53,6 +53,63 @@ def _run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def previous_round_timings(repo_dir: str) -> dict[str, float] | None:
+    """Per-query timings from the newest BENCH_r*.json the driver recorded,
+    if any. The driver wraps our JSON line in its own envelope (under
+    "tail"), so accept either shape."""
+    import glob
+    import re
+
+    cands = glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+    if not cands:
+        return None
+    latest = max(
+        cands, key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1))
+    )
+    try:
+        with open(latest) as f:
+            blob = json.load(f)
+        if not isinstance(blob, dict):
+            return None
+        if isinstance(blob.get("queries"), dict):
+            return blob["queries"]
+        for line in str(blob.get("tail", "")).splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"queries"' in line:
+                return json.loads(line).get("queries")
+    except (OSError, ValueError):
+        return None
+    return None
+
+
+def compute_regressions(
+    prev: dict[str, float] | None,
+    now: dict[str, float],
+    *,
+    pct_threshold: float = 0.25,
+    min_abs_sec: float = 0.1,
+) -> dict[str, dict[str, float]]:
+    """Queries >25% AND >0.1 s slower than the previous round — the in-band
+    flag that would have caught q53's r3 regression (r3 VERDICT #6). The
+    absolute floor keeps sub-100 ms jitter from crying wolf."""
+    if not prev:
+        return {}
+    out: dict[str, dict[str, float]] = {}
+    for name, t_now in now.items():
+        t_prev = prev.get(name)
+        if (
+            t_prev
+            and t_now > t_prev * (1.0 + pct_threshold)
+            and t_now - t_prev > min_abs_sec
+        ):
+            out[name] = {
+                "prev": t_prev,
+                "now": t_now,
+                "pct": round(100.0 * (t_now / t_prev - 1.0), 1),
+            }
+    return out
+
+
 def main() -> int:
     import movie_recommendation_etl_spark.plans.all  # noqa: F401
     from movie_recommendation_etl_spark.ml.ann import (
@@ -109,6 +166,7 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    prev = previous_round_timings(os.path.dirname(os.path.abspath(__file__)))
     print(
         json.dumps(
             {
@@ -117,6 +175,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "regressions": compute_regressions(prev, timings),
             }
         )
     )

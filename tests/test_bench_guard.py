@@ -1,0 +1,51 @@
+"""Bench regression guard: previous-round parsing + delta flagging
+(pure functions — no Spark session needed)."""
+
+from __future__ import annotations
+
+import json
+
+from bench import compute_regressions, previous_round_timings
+
+
+def test_compute_regressions_flags_only_real_slowdowns():
+    prev = {"q01": 1.0, "q02": 0.04, "q03": 2.0, "q04": 1.0}
+    now = {
+        "q01": 1.4,   # +40% and +0.4s -> flagged
+        "q02": 0.09,  # +125% but only +0.05s -> jitter, not flagged
+        "q03": 2.2,   # +10% -> under threshold
+        "q04": 0.8,   # faster
+        "q05": 9.9,   # new query, no baseline
+    }
+    regs = compute_regressions(prev, now)
+    assert set(regs) == {"q01"}
+    assert regs["q01"]["pct"] == 40.0
+    assert compute_regressions(None, now) == {}
+    assert compute_regressions({}, now) == {}
+
+
+def test_previous_round_timings_reads_driver_envelope(tmp_path):
+    line = json.dumps(
+        {"metric": "bench_total_sec", "value": 3.0, "unit": "sec",
+         "queries": {"q01": 1.5, "q02": 1.5}, "sf": 0.1}
+    )
+    # driver envelope: our JSON line buried in "tail" amid Spark noise
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"n": 3, "rc": 0, "tail": "WARN noise\n" + line + "\n"})
+    )
+    # an older round that must NOT win
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"n": 1, "rc": 0, "queries": {"q01": 9.9}})
+    )
+    assert previous_round_timings(str(tmp_path)) == {"q01": 1.5, "q02": 1.5}
+
+
+def test_previous_round_timings_direct_shape_and_missing(tmp_path):
+    assert previous_round_timings(str(tmp_path)) is None
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"queries": {"q01": 2.0}})
+    )
+    assert previous_round_timings(str(tmp_path)) == {"q01": 2.0}
+    # corrupt newest file -> None, never a crash in the bench
+    (tmp_path / "BENCH_r05.json").write_text("{not json")
+    assert previous_round_timings(str(tmp_path)) is None
