@@ -78,3 +78,52 @@ def grouped_geometric_mean(
     return df.groupBy(*group_cols).agg(
         geometric_mean(F.col(value_col)).alias("geo_mean")
     )
+
+
+# --- Python UDTF (Spark 4): table-VALUED extension point ---------------------
+#
+# The third extension shape after scalar pandas_udf and grouped
+# applyInPandas: one input row fans out to N output rows with their own
+# schema. Arrow-optimized (useArrow=True) so batches cross the Python
+# boundary columnar, like the pandas UDFs above. Same policy applies — this
+# is the expressiveness escape hatch; when posexplode(split(...)) can state
+# the same thing, Catalyst's JVM path wins (the test pins equivalence
+# against exactly that formulation).
+
+
+def _make_sentence_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="sentence_idx int, sentence string, n_tokens int",
+        useArrow=True,
+    )
+    class SplitSentences:
+        def eval(self, text: str):
+            import re
+
+            if text is None:
+                return
+            parts = [
+                s.strip() for s in re.split(r"[.!?]+", text) if s.strip()
+            ]
+            for i, s in enumerate(parts):
+                yield i, s, len(s.split())
+
+    return SplitSentences
+
+
+def sentence_table(
+    df: DataFrame, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)
+) -> DataFrame:
+    """Explode each document into its sentences via a LATERAL join against
+    the UDTF — one (id, sentence_idx, sentence, n_tokens) row per sentence.
+    The lateral correlation keeps this a per-row fan-out (no shuffle added
+    beyond the scan)."""
+    spark = df.sparkSession
+    spark.udtf.register("split_sentences", _make_sentence_udtf())
+    df.select(*id_cols, text_col).createOrReplaceTempView("__udtf_in")
+    return spark.sql(
+        f"SELECT {', '.join(id_cols)}, s.* "
+        f"FROM __udtf_in, LATERAL split_sentences({text_col}) s"
+    )

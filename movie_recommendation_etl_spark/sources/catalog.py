@@ -32,10 +32,13 @@ TABLES: tuple[str, ...] = (
 DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 
 
-# Tables whose parquet files carry TIMESTAMP(NANOS) columns, which Spark's
-# vectorized reader rejects outright. We read them as nanos-since-epoch longs
-# (legacy conf) and convert with *integer* division — a double intermediate
-# would lose precision above 2^53 ns (~1970+104 days).
+# Tables whose parquet files MAY carry TIMESTAMP(NANOS) columns, which
+# Spark's vectorized reader rejects outright. When the file is actually
+# nanos-typed we read those columns as nanos-since-epoch longs (legacy conf)
+# and convert with *integer* division — a double intermediate would lose
+# precision above 2^53 ns (~1970+104 days). Generator-dependent: earlier
+# testdata rounds wrote nanos, current rounds write micros (a plain
+# timestamp read) — load_table handles both by probing the plain read first.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -110,6 +113,7 @@ def warm_catalog(
     the fill (predictable first-query latency, e.g. interactive sessions).
     """
     warmed: list[str] = []
+    to_fill: list[DataFrame] = []
     for name in tables:
         path = f"{sf_dir}/{name}.parquet"
         try:
@@ -121,9 +125,17 @@ def warm_catalog(
         if key not in _TABLE_CACHE:
             df = load_table(spark, sf_dir, name).persist()
             if eager:
-                df.count()
+                to_fill.append(df)
             _TABLE_CACHE[key] = df
         warmed.append(name)
+    if to_fill:
+        # Fill caches as CONCURRENT jobs: each table's count is far smaller
+        # than the cluster, so sequential fills leave most cores idle. The
+        # scheduler interleaves the jobs; threads only trigger them.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(to_fill))) as pool:
+            list(pool.map(lambda df: df.count(), to_fill))
     return warmed
 
 
@@ -144,18 +156,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     path = f"{sf_dir}/{name}.parquet"
     if nanos_cols:
-        # Scope the legacy conf to this read: parquet→catalyst schema
-        # conversion consults it at spark.read time, so save/restore keeps a
-        # later nanos-typed read elsewhere failing loudly instead of
-        # silently yielding longs (r2 ADVICE).
-        prev = spark.conf.get(_NANOS_CONF, "false")  # registered default
-        spark.conf.set(_NANOS_CONF, "true")
+        from pyspark.sql.types import LongType
+        from pyspark.sql.utils import AnalysisException
+
         try:
+            # Probe with a plain read: micros/millis files (current testdata
+            # generation) resolve to a real timestamp type and need no
+            # conversion. A genuinely nanos-typed file fails schema
+            # conversion HERE (at read time, before any job runs).
             df = spark.read.parquet(path)
-        finally:
-            spark.conf.set(_NANOS_CONF, prev)
+        except AnalysisException:
+            # Nanos file: scope the legacy conf to this read — parquet→
+            # catalyst schema conversion consults it at spark.read time, so
+            # save/restore keeps a later nanos-typed read elsewhere failing
+            # loudly instead of silently yielding longs (r2 ADVICE).
+            prev = spark.conf.get(_NANOS_CONF, "false")  # registered default
+            spark.conf.set(_NANOS_CONF, "true")
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                spark.conf.set(_NANOS_CONF, prev)
+        # Convert any column that arrived as a long (nanos-as-long read, or
+        # a session where the legacy conf is globally on).
         for c in nanos_cols:
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            if isinstance(df.schema[c].dataType, LongType):
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+                )
     else:
         df = spark.read.parquet(path)
     try:

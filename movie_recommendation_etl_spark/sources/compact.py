@@ -1,0 +1,154 @@
+"""Small-file compaction for parquet tables.
+
+Incremental sinks fragment tables: every merge_upsert_parquet /
+foreachBatch micro-batch (sources/writers.py, streaming/incremental.py)
+rewrites its touched partitions into task-count files, so a partition
+receiving thousands of small batches accumulates thousands of small files.
+At 100 TB that is the classic warehouse killer — scan planning lists every
+file, each file costs an open + footer read, and row-group pruning loses
+leverage. Table formats (Delta/Iceberg) ship OPTIMIZE for this; this module
+is the plain-parquet equivalent, built on the same dynamic-partition-
+overwrite primitive as the merge sink.
+
+Scale shape: the file inventory is a listing (one entry per FILE, never per
+row), only FRAGMENTED partitions are read and rewritten — well-compacted
+partitions are not touched — and the rewrite is one column-complete scan of
+just those partitions. Idempotent: a second run finds nothing fragmented.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_FILE_BYTES = 256 * 1024 * 1024
+
+
+def _leaf_partitions(path: str) -> list[tuple[dict[str, str], list[str]]]:
+    """(partition-values, parquet files) per leaf directory. Hive layout:
+    each level under the root is ``col=value``. A non-partitioned table
+    yields one entry with empty partition values."""
+    out: list[tuple[dict[str, str], list[str]]] = []
+    for root, _dirs, files in os.walk(path):
+        parquet = [
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        if not parquet:
+            continue
+        rel = os.path.relpath(root, path)
+        values: dict[str, str] = {}
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                k, _, v = seg.partition("=")
+                values[k] = v
+        out.append((values, parquet))
+    return out
+
+
+def plan_compaction(
+    path: str, *, target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES
+) -> list[dict]:
+    """Dry-run: one dict per FRAGMENTED leaf partition (more files than the
+    byte-optimal count). Returns [] for an already-compact table."""
+    plans = []
+    for values, files in _leaf_partitions(path):
+        total = sum(os.path.getsize(f) for f in files)
+        want = max(1, math.ceil(total / target_file_bytes))
+        if len(files) > want:
+            plans.append(
+                {
+                    "partition": values,
+                    "n_files": len(files),
+                    "target_files": want,
+                    "bytes": total,
+                }
+            )
+    return plans
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> list[dict]:
+    """Rewrite fragmented partitions of the parquet table at ``path`` into
+    ~``target_file_bytes`` files. Returns the executed compaction plan
+    (empty when the table was already compact — the idempotent fast path,
+    no Spark job at all).
+
+    Only fragmented partitions are scanned and rewritten (partition-pruned
+    read + dynamic partition overwrite); a big partition is re-split by an
+    estimated rows-per-file cap so compaction never fuses it into one
+    unsplittable file. Like the merge sink, the frame is localCheckpoint'ed
+    before overwriting its own source files.
+    """
+    plans = plan_compaction(path, target_file_bytes=target_file_bytes)
+    if not plans:
+        return plans
+
+    df = spark.read.parquet(path)
+    part_cols = list(plans[0]["partition"].keys())
+
+    if part_cols:
+        # prune to the fragmented partitions: OR of per-partition conjuncts
+        # on partition columns only (directory pruning applies); compare via
+        # string cast so inferred partition types (int dates etc.) match the
+        # directory-name values
+        pred = reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(k).cast("string") == F.lit(v)
+                        for k, v in p["partition"].items()
+                    ],
+                )
+                for p in plans
+            ],
+        )
+        frag = df.filter(pred)
+    else:
+        frag = df
+
+    # rows-per-file cap from observed bytes/row (parquet-encoded), so the
+    # rewrite hits ~target_file_bytes regardless of row width
+    total_bytes = sum(p["bytes"] for p in plans)
+    total_rows = frag.count()
+    if total_rows == 0:
+        return plans
+    rows_per_file = max(1, int(target_file_bytes / max(1, total_bytes / total_rows)))
+
+    frag = frag.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        if part_cols:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            # one task per table-partition => one file each (the rows-per-
+            # file cap then re-splits genuinely big partitions)
+            writer = (
+                frag.repartition(len(plans), *part_cols)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", rows_per_file)
+                .partitionBy(*part_cols)
+            )
+        else:
+            n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+            writer = (
+                frag.repartition(n_files)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", rows_per_file)
+            )
+        writer.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return plans

@@ -67,3 +67,40 @@ def test_grouped_agg_pandas_udaf(spark, sf_dir):
 def test_approx_count_distinct_accuracy(spark, sf_dir):
     row = QUERIES["q44_approx_count_distinct"](spark, sf_dir).collect()[0]
     assert abs(row["approx_orders"] - row["exact_orders"]) <= 0.05 * row["exact_orders"]
+
+
+def test_udtf_sentence_table_matches_builtin(spark, sf_dir):
+    """The UDTF fan-out must agree with the pure-Catalyst formulation
+    (posexplode over split) on sentence counts and token counts."""
+    from movie_recommendation_etl_spark.operators.extensibility import (
+        sentence_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    got = sentence_table(docs, "text", ("doc_id",))
+    rows = {
+        (r["doc_id"], r["sentence_idx"]): (r["sentence"], r["n_tokens"])
+        for r in got.collect()
+    }
+
+    expected = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(
+                    F.transform(
+                        F.split("text", r"[.!?]+"), lambda s: F.trim(s)
+                    ),
+                    lambda s: s != "",
+                )
+            ).alias("sentence_idx", "sentence"),
+        )
+        .withColumn("n_tokens", F.size(F.split("sentence", r"\s+")))
+        .collect()
+    )
+    assert rows
+    assert len(rows) == len(expected)
+    for r in expected:
+        sent, n = rows[(r["doc_id"], r["sentence_idx"])]
+        assert sent == r["sentence"]
+        assert n == r["n_tokens"]
