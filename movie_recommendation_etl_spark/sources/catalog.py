@@ -42,13 +42,19 @@ DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-# Repartition threshold: a local parquet bigger than this that still arrives
-# as fewer partitions than cores is a single-row-group layout (unsplittable —
-# Spark assigns whole row groups to tasks), so every scan-stage operator runs
-# on ONE core. One cheap shuffle restores parallelism. At real scale data
-# lands as many files/row groups and this never triggers; the durable fix is
-# writers.write_parquet's maxRecordsPerFile.
-_REPARTITION_MIN_BYTES = 4 * 1024 * 1024
+# Repartition threshold, in UNCOMPRESSED bytes (parquet footer
+# total_byte_size): a local table bigger than this that still arrives as
+# fewer partitions than cores is a single-row-group layout (unsplittable —
+# Spark assigns whole row groups to tasks), so every scan-stage operator
+# runs on ONE core. One cheap shuffle restores parallelism. Uncompressed,
+# not on-disk, because compute cost tracks decoded width: a text-heavy
+# documents file compresses ~3:1, and an on-disk gate left r5's regenerated
+# 584 KB/5000-doc file on one core (12 s single-threaded lang-ID scans).
+# Dim tables are exempt — they broadcast anyway and a 32-task shuffle of 25
+# rows is pure overhead. At real scale data lands as many files/row groups
+# and this never triggers; the durable fix is writers.write_parquet's
+# maxRecordsPerFile.
+_REPARTITION_MIN_UNCOMPRESSED_BYTES = 512 * 1024
 
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
@@ -84,6 +90,31 @@ def _path_bytes(path: str) -> int:
                     pass
         return total
     return os.path.getsize(path)
+
+
+def _uncompressed_bytes(path: str) -> int:
+    """Sum of parquet row-group ``total_byte_size`` (decoded size) across
+    the file, or all files of a directory-backed table. Footer-only reads —
+    no data pages touched."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    else:
+        files = [path]
+    total = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        total += sum(
+            meta.row_group(i).total_byte_size
+            for i in range(meta.num_row_groups)
+        )
+    return total
 
 
 def _cache_key(
@@ -186,7 +217,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     try:
-        big_enough = _path_bytes(path) >= _REPARTITION_MIN_BYTES
+        big_enough = (
+            name not in DIM_TABLES
+            and _uncompressed_bytes(path)
+            >= _REPARTITION_MIN_UNCOMPRESSED_BYTES
+        )
     except OSError:  # non-local path: rely on the source's own splits
         big_enough = False
     if big_enough:
