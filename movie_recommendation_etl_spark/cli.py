@@ -9,6 +9,7 @@ query. This CLI exposes the same lifecycle as subcommands of one module::
     python -m movie_recommendation_etl_spark transform <in_csv> <out_dir>
     python -m movie_recommendation_etl_spark load      <in_dir> --url ...
     python -m movie_recommendation_etl_spark recommend <out_dir> <movie_id>
+    python -m movie_recommendation_etl_spark compact   <table_path> [--dry-run]
 
 Spark sizing is deliberately NOT argv (the reference threads master_ip +
 four memory/core numbers through every stage, transform/execute.py:305-318):
@@ -74,6 +75,37 @@ def _cmd_load(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compact(args: argparse.Namespace) -> int:
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.compact import (
+        compact_parquet,
+        plan_compaction,
+    )
+
+    if args.dry_run:
+        plans = plan_compaction(
+            args.path, target_file_bytes=args.target_file_mb * 1024 * 1024
+        )
+    else:
+        spark = get_spark(app_name="mre-compact")
+        plans = compact_parquet(
+            spark,
+            args.path,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+    for p in plans:
+        part = (
+            "/".join(f"{k}={v}" for k, v in p["partition"].items()) or "<root>"
+        )
+        print(
+            f"{part}\t{p['n_files']} files -> {p['target_files']}"
+            f"\t{p['bytes']} bytes"
+        )
+    if not plans:
+        print("already compact")
+    return 0
+
+
 def _cmd_recommend(args: argparse.Namespace) -> int:
     from movie_recommendation_etl_spark.ml.ann import prepare_index, recommend
     from movie_recommendation_etl_spark.session import get_spark
@@ -119,6 +151,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="print CREATE TABLE statements derived from the parquet schema",
     )
     ld.set_defaults(fn=_cmd_load)
+
+    co = sub.add_parser(
+        "compact", help="rewrite fragmented partitions into target-size files"
+    )
+    co.add_argument("path")
+    co.add_argument("--target-file-mb", type=int, default=256)
+    co.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="print the compaction plan without rewriting anything",
+    )
+    co.set_defaults(fn=_cmd_compact)
 
     rc = sub.add_parser("recommend", help="ANN top-k for a movie id")
     rc.add_argument("out_dir")

@@ -38,6 +38,43 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    *,
+    num_files: int | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with a GLOBAL sort layout: range-partition on
+    ``sort_cols`` then sort within partitions, so every output file covers a
+    disjoint range of the sort key. Parquet min/max column statistics then
+    become tight per file/row-group, and any point or range predicate on the
+    sort key prunes to the few files whose range overlaps — the zone-map
+    pattern that makes a 100 TB time-keyed table answer a one-day query by
+    reading ~1/365th of its files (tests/test_sinks_and_readers.py asserts
+    the disjoint-range property from the footers).
+
+    Unlike ``orderBy().write`` (same shuffle, but Catalyst may drop the
+    ordering on write), repartitionByRange + sortWithinPartitions pins both
+    the file-level ranges and the intra-file order. Choose ``num_files``
+    from target file size at full scale; skew in the sort key is absorbed by
+    the range partitioner's sampling.
+    """
+    cols = list(sort_cols)
+    out = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    out = out.sortWithinPartitions(*cols)
+    writer = out.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -65,3 +65,23 @@ def test_cli_extract_roundtrip(capsys, tmp_path):
     assert main(["extract", archive.as_uri(), str(dest)]) == 0
     assert (dest / "payload.csv").read_text() == "id,title\n1,x\n"
     assert not (dest / "data.zip").exists()  # archive deleted after unzip
+
+
+def test_cli_compact_dry_run_and_execute(capsys, spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p")
+    ).repartition(6).write.partitionBy("p").parquet(path)
+
+    # dry-run plans but does not move files
+    assert main(["compact", path, "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "files ->" in out
+
+    assert main(["compact", path]) == 0
+    capsys.readouterr()
+    # second invocation reports nothing to do
+    assert main(["compact", path]) == 0
+    assert "already compact" in capsys.readouterr().out

@@ -327,3 +327,40 @@ def test_catalog_table_cache_roundtrip(spark, sf_dir):
     d = load_table(spark, sf_dir, "nation")
     assert d is not a  # cold again after clear
     assert d.count() == 25
+
+
+def test_write_sorted_parquet_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Every output file must cover a disjoint o_custkey range (footer
+    min/max), so a key predicate prunes to one file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+    from movie_recommendation_etl_spark.sources.writers import (
+        write_sorted_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_sorted")
+    write_sorted_parquet(orders, path, ["o_custkey"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        col_idx = {
+            meta.schema.column(i).name: i for i in range(meta.num_columns)
+        }["o_custkey"]
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+    # content round-trips
+    assert spark.read.parquet(path).count() == orders.count()
