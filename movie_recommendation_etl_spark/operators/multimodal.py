@@ -332,3 +332,240 @@ def extract_media_features(
 
     cols = media.select(id_col, data_col, meta_col)
     return cols.mapInPandas(_batches, schema=MEDIA_FEATURES_SCHEMA)
+
+
+# --- resize (brief: "decode / feature-extract / resize / frame-sample") -----
+
+
+def resize_nearest(pixels, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an (h, w[, c]) uint8 array — pure numpy
+    index mapping, no codec library. Nearest (not bilinear) keeps the
+    operation exactly reproducible across platforms (no float filter
+    kernels), which is what a dedup/fingerprinting pipeline wants."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return np.ascontiguousarray(px[ys][:, xs])
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    *,
+    id_col: str = "doc_id",
+    data_col: str = "media_data",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """decode -> nearest-neighbor resize -> re-encode, Arrow-batched.
+    Output rows carry the re-encoded payload (netpbm: PPM for RGB, PGM for
+    grayscale — BMP inputs come back as PPM) and refreshed metadata. Unknown
+    media types raise via decode_media, never pass through silently."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_data", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob, meta in zip(
+                pdf[id_col], pdf[data_col], pdf[meta_col]
+            ):
+                decoded = decode_media(bytes(blob), meta["media_type"])
+                px = resize_nearest(decoded["pixels"], out_w, out_h)
+                if decoded["channels"] == 1:
+                    data = encode_pgm(px.reshape(out_h, out_w))
+                    mt = PGM_MEDIA_TYPE
+                else:
+                    data = encode_ppm(px)
+                    mt = PPM_MEDIA_TYPE
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_data": data,
+                        "media_meta": {
+                            "media_type": mt,
+                            "n_bytes": len(data),
+                            "width": out_w,
+                            "height": out_h,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, data_col, meta_col).mapInPandas(
+        _batches, schema=out_schema
+    )
+
+
+# --- frame sampling over a multi-frame container ----------------------------
+#
+# Real video codecs (H.264 etc.) need ffmpeg-class libraries this container
+# does not ship; rather than stub the whole path, the frame-sampling
+# plumbing runs for REAL over the simplest possible container — a raw
+# concatenation of binary netpbm frames (P5/P6 back to back, each
+# self-describing). The Spark-side shape (binary column in, one row per
+# sampled frame out, Arrow batches, even-stride selection) is exactly what
+# an ffmpeg-backed decoder would plug into via _DECODERS.
+
+VIDEO_PNM_MEDIA_TYPE = "video/x-raw-pnm"
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+    ]
+)
+
+
+def encode_pnm_video(frames) -> bytes:
+    """Concatenate frames ((h, w, 3) RGB or (h, w) grayscale arrays) into
+    the raw netpbm container."""
+    out = []
+    for f in frames:
+        out.append(encode_ppm(f) if getattr(f, "ndim", 3) == 3 else encode_pgm(f))
+    return b"".join(out)
+
+
+def _index_pnm_frames(blob: bytes) -> list[tuple[int, int]]:
+    """(offset, length) of every frame — header-only scan, no pixel copies."""
+    spans: list[tuple[int, int]] = []
+    i = 0
+    while i < len(blob):
+        magic = blob[i : i + 2]
+        if magic not in (b"P5", b"P6"):
+            raise ValueError(
+                f"bad frame magic {magic!r} at offset {i} (truncated or "
+                "not a raw-pnm container)"
+            )
+        j = i + 2
+        tokens: list[int] = []
+        while len(tokens) < 3:
+            while j < len(blob) and blob[j : j + 1].isspace():
+                j += 1
+            if j < len(blob) and blob[j] == ord("#"):
+                while j < len(blob) and blob[j] != ord("\n"):
+                    j += 1
+                continue
+            start = j
+            while j < len(blob) and not blob[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(blob[start:j]))
+        j += 1  # single whitespace after maxval
+        w, h, _maxval = tokens
+        channels = 3 if magic == b"P6" else 1
+        end = j + w * h * channels
+        if end > len(blob):
+            raise ValueError(f"truncated frame raster at offset {i}")
+        spans.append((i, end - i))
+        i = end
+    return spans
+
+
+def sample_frames(blob: bytes, n_frames: int) -> list[tuple[int, dict]]:
+    """Evenly-strided frame selection: decode only the ~n_frames chosen
+    frames (header index first, pixel decode second — the access pattern a
+    keyframe-seeking real decoder has)."""
+    spans = _index_pnm_frames(bytes(blob))
+    total = len(spans)
+    if total == 0:
+        return []
+    k = min(n_frames, total)
+    # even stride, first and last frame always included when k > 1
+    idxs = sorted({(i * (total - 1)) // (k - 1) if k > 1 else 0 for i in range(k)})
+    out = []
+    for idx in idxs:
+        off, length = spans[idx]
+        out.append((idx, _decode_pnm(blob[off : off + length])))
+    return out
+
+
+def extract_frame_features(
+    media: DataFrame,
+    *,
+    n_frames: int = 3,
+    id_col: str = "doc_id",
+    data_col: str = "media_data",
+) -> DataFrame:
+    """One output row per sampled frame per input video — the fan-out shape
+    of a frame-embedding pipeline (swap the px_mean stat for a model
+    forward pass at the same seam)."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out: dict[str, list] = {
+                f.name: [] for f in FRAME_FEATURES_SCHEMA.fields
+            }
+            for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
+                spans_total = len(_index_pnm_frames(bytes(blob)))
+                for idx, frame in sample_frames(bytes(blob), n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(spans_total)
+                    out["width"].append(frame["width"])
+                    out["height"].append(frame["height"])
+                    out["channels"].append(frame["channels"])
+                    out["px_mean"].append(float(frame["pixels"].mean()))
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, data_col).mapInPandas(
+        _batches, schema=FRAME_FEATURES_SCHEMA
+    )
+
+
+def attach_fake_videos(
+    docs: DataFrame, id_col: str = "doc_id", max_frames: int = 9
+) -> DataFrame:
+    """Plant a deterministic raw-pnm video per row: 2..max_frames frames of
+    fake_image_pixels content, so frame sampling runs end-to-end with no
+    codec library."""
+    out_type = T.StructType(
+        [
+            T.StructField("media_data", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _mk(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            n = 2 + int(i) % (max_frames - 1)
+            frames = [fake_image_pixels(int(i) * 31 + f) for f in range(n)]
+            data = encode_pnm_video(frames)
+            h, w = frames[0].shape[:2]
+            rows.append(
+                {
+                    "media_data": data,
+                    "media_meta": {
+                        "media_type": VIDEO_PNM_MEDIA_TYPE,
+                        "n_bytes": len(data),
+                        "width": w,
+                        "height": h,
+                    },
+                }
+            )
+        return pd.DataFrame(rows)
+
+    packed = docs.withColumn("__media", _mk(F.col(id_col)))
+    return packed.select(
+        *docs.columns,
+        F.col("__media.media_data").alias("media_data"),
+        F.col("__media.media_meta").alias("media_meta"),
+    )

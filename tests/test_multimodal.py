@@ -127,3 +127,63 @@ def test_decode_true_on_opaque_blob_raises(spark, sf_dir):
         extract_media_features(
             attach_fake_media(docs), decode=True
         ).collect()
+
+
+def test_resize_media_roundtrip(spark, sf_dir):
+    """Resize to fixed dims: decoded output must match the pure-numpy
+    nearest-neighbor reference exactly."""
+    import numpy as np
+
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        attach_fake_images,
+        decode_media,
+        fake_image_pixels,
+        resize_media,
+        resize_nearest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    media = attach_fake_images(docs)
+    out = {r["doc_id"]: r for r in resize_media(media, 6, 5).collect()}
+    assert len(out) == 12
+    for doc_id, r in out.items():
+        meta = r["media_meta"]
+        assert (meta["width"], meta["height"]) == (6, 5)
+        decoded = decode_media(bytes(r["media_data"]), meta["media_type"])
+        expected = resize_nearest(fake_image_pixels(doc_id), 6, 5)
+        got = decoded["pixels"].reshape(expected.shape)
+        assert np.array_equal(got, expected)
+
+
+def test_frame_sampling_end_to_end(spark, sf_dir):
+    """Evenly-strided sampling over the raw-pnm container: right frames,
+    right count, right pixel stats."""
+    import numpy as np
+
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        attach_fake_videos,
+        fake_image_pixels,
+    )
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        extract_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    vids = attach_fake_videos(docs)
+    rows = extract_frame_features(vids, n_frames=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 10
+    for doc_id, frames in by_doc.items():
+        n_total = 2 + int(doc_id) % 8
+        assert all(f["n_frames"] == n_total for f in frames)
+        assert len(frames) == min(3, n_total)
+        idxs = sorted(f["frame_idx"] for f in frames)
+        # first and last frame always sampled
+        assert idxs[0] == 0 and idxs[-1] == n_total - 1
+        for f in frames:
+            px = fake_image_pixels(int(doc_id) * 31 + f["frame_idx"])
+            assert f["width"] == px.shape[1]
+            assert f["height"] == px.shape[0]
+            assert abs(f["px_mean"] - float(np.asarray(px).mean())) < 1e-9
