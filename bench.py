@@ -131,6 +131,17 @@ def main() -> int:
     # JVM warm-up so the first measured query doesn't pay codegen/classload.
     _run_noop(load_table(spark, SF_DIR, "lineitem").limit(1000))
 
+    # Host-speed calibration: a fixed synthetic job (no I/O, no code under
+    # test) whose wall-time depends only on the machine. Round 5 saw the
+    # host degrade 2-4x mid-round, making cross-round per-query deltas
+    # meaningless; dividing by the calibration ratio recovers a comparable
+    # signal. ~0.5 s on a healthy 32-core host.
+    t0 = time.monotonic()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id * 2654435761 % 1000003) as s"
+    ).write.format("noop").mode("overwrite").save()
+    calibration = round(time.monotonic() - t0, 3)
+
     timings: dict[str, float] = {}
 
     # Warm the session table cache ONCE, and charge its full cost to the
@@ -175,6 +186,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "calibration_sec": calibration,
                 "regressions": compute_regressions(prev, timings),
             }
         )

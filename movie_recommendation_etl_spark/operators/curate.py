@@ -1,0 +1,108 @@
+"""One-call document curation pipeline: the composition a training-data
+ingest actually runs, assembled from the individually-oracle-checked pieces.
+
+Order matters and is fixed by cost: all scan-stage filters first (language,
+quality, repetition — pure codegen projections, no shuffle), then PII
+redaction (still scan-stage), then the one shuffle (content dedup), then the
+optional deterministic sample (scan-stage again, applied last so sampling
+rates compose with dedup rates predictably). At 100 TB the pre-shuffle
+filters are what make the dedup shuffle affordable: a 60% scan-stage kill
+rate is 60% less data on the wire.
+
+Pieces: lang/quality scoring from functions/text.py (q40/q41 oracles),
+repetition metrics in the scan-stage form of q57, PII patterns from
+plans/curation.py (q56 oracle), deterministic-survivor dedup from
+operators/dedup.py (q18/q42 oracles), hash-mod sampling in the q55 pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.functions.text import (
+    lang_guess,
+    quality_score,
+    ws_tokens,
+)
+from movie_recommendation_etl_spark.operators.dedup import (
+    dedup_keep_first,
+    fingerprint,
+)
+from movie_recommendation_etl_spark.plans.curation import EMAIL_RE, PHONE_RE
+
+_SAMPLE_MOD = 1 << 20
+
+
+def curate_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] | None = ("en",),
+    min_quality: float = 0.5,
+    max_dup_token_frac: float = 0.6,
+    max_dup_2gram_frac: float = 0.8,
+    redact_pii: bool = True,
+    dedup: bool = True,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Filter → redact → dedup → sample. Returns surviving rows with the
+    (possibly redacted) text plus the computed ``lang``, ``quality`` and
+    ``n_tokens`` columns kept for downstream routing. Every stage is
+    deterministic, so reruns produce byte-identical corpora (the property
+    the merge sink and goldens rely on).
+    """
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+    dup_2gram = F.when(
+        n > 1,
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / (n - 1),
+    ).otherwise(F.lit(0.0))
+
+    out = (
+        docs.withColumn("n_tokens", n)
+        .withColumn("lang", lang_guess(toks))
+        .withColumn("quality", quality_score(toks))
+        .withColumn(
+            "__dup_tok", 1.0 - n_uniq.cast("double") / n.cast("double")
+        )
+        .withColumn("__dup_2gram", dup_2gram)
+    )
+    out = out.filter(F.col("n_tokens") > 0)
+    if langs is not None:
+        out = out.filter(F.col("lang").isin(list(langs)))
+    out = out.filter(F.col("quality") >= min_quality)
+    out = out.filter(
+        (F.col("__dup_tok") <= max_dup_token_frac)
+        & (F.col("__dup_2gram") <= max_dup_2gram_frac)
+    )
+    out = out.drop("__dup_tok", "__dup_2gram")
+
+    if redact_pii:
+        out = out.withColumn(
+            text_col,
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), EMAIL_RE, "[EMAIL]"),
+                PHONE_RE,
+                "[PHONE]",
+            ),
+        )
+
+    if dedup:
+        out = out.withColumn("__fp", fingerprint(F.col(text_col)))
+        out = dedup_keep_first(
+            out, ["__fp"], [F.col(id_col).asc()]
+        ).drop("__fp")
+
+    if sample_fraction is not None:
+        out = out.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(_SAMPLE_MOD))
+            < int(_SAMPLE_MOD * sample_fraction)
+        )
+    return out

@@ -83,7 +83,13 @@ def bucketed_join(
     physical plan is a SortMergeJoin whose children are bare bucketed scans:
     zero Exchange, zero network shuffle — the co-located-join pattern the
     100 TB brief calls for. Correctness is identical to a plain join; only
-    the physical plan differs (asserted in tests/test_bucketed.py)."""
+    the physical plan differs (asserted in tests/test_bucketed.py).
+
+    Tables bucketed into DIFFERENT counts still join shuffle-free when one
+    count divides the other: ``coalesceBucketsInJoin`` (enabled here) reads
+    the finer table's buckets k-at-a-time to match the coarser side — the
+    escape hatch when two datasets were sized independently."""
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
     return read_bucketed(spark, left_table).join(
         read_bucketed(spark, right_table), list(on), how
     )

@@ -33,3 +33,38 @@ def deduped_events(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def neardup_gated_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming NEAR-dup ingestion gate: key the within-watermark dedup on
+    a content fingerprint instead of a message id, so re-posted /
+    trivially-reformatted copies of a document are dropped at ingestion
+    before they reach the corpus.
+
+    The fingerprint is the batch path's simhash16 over normalized tokens
+    (operators/neardup.py:simhash16 — same Catalyst expression, so
+    batch-established correctness transfers); collapsing to ONE 16-bit key
+    per doc makes this an exact-state-key dedup Structured Streaming can
+    run with bounded watermark state. It therefore catches only near-dups
+    whose simhash collides exactly (identical or near-identical token
+    multisets) — Hamming-radius matching needs the batch banded join
+    (operators/neardup.py), which is where lower-similarity pairs are
+    resolved offline. State is O(distinct fingerprints per watermark span).
+    """
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.operators.neardup import simhash16
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    fingerprinted = docs.withColumn("__simhash", simhash16(toks))
+    return (
+        fingerprinted.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__simhash"])
+        .drop("__simhash")
+    )

@@ -82,3 +82,32 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     assert agg.count() == (
         bucketed_tables["orders"].select("custkey").distinct().count()
     )
+
+
+def test_mismatched_bucket_counts_coalesce(spark, sf_dir, tmp_path):
+    """8-bucket x 4-bucket join: coalesceBucketsInJoin reads the finer side
+    two-buckets-per-task — still no Exchange."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    write_bucketed(
+        orders, "b_orders8", str(tmp_path / "o8"), ["custkey"], num_buckets=8
+    )
+    write_bucketed(
+        customer, "b_cust4", str(tmp_path / "c4"), ["custkey"], num_buckets=4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders8", "b_cust4", ["custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == orders.join(customer, "custkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders8")
+        spark.sql("DROP TABLE IF EXISTS b_cust4")

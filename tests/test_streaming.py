@@ -170,3 +170,54 @@ def test_stream_merge_upsert_incremental(spark, sf_dir, tmp_path):
     again = spark.read.parquet(target)
     assert again.count() == n_ids
     assert again.filter(F.col("value") == 2.0).count() == 200
+
+
+def test_streaming_neardup_gate(spark, tmp_path):
+    """Near-dup ingestion gate: reformatted copies (case/whitespace) share a
+    simhash fingerprint and are dropped within the watermark; distinct texts
+    all pass."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from movie_recommendation_etl_spark.streaming.dedup import (
+        neardup_gated_documents,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    distinct_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+    ]
+    rows = []
+    doc_id = 0
+    for text in distinct_texts:
+        for variant in (text, text.upper(), "  " + text.replace(" ", "   ")):
+            rows.append((doc_id, variant, t0 + dt.timedelta(seconds=doc_id)))
+            doc_id += 1
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "docs_stream_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_available_now(
+        neardup_gated_documents(stream), "neardup_gate", output_mode="append"
+    )
+    got = spark.table("neardup_gate").collect()
+    # one survivor per distinct text (3 variants each collapse to one)
+    assert len(got) == len(distinct_texts)
+    survived = {r["text"].strip().lower().split()[0] for r in got}
+    assert survived == {t.split()[0] for t in distinct_texts}
+    # passthrough schema: the fingerprint column does not leak
+    assert set(spark.table("neardup_gate").columns) == {
+        "doc_id", "text", "ts"
+    }
