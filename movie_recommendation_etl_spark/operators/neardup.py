@@ -86,6 +86,23 @@ def minhash_bands(
     the scan stage. Docs whose shingle set is empty vanish here (no
     exploded rows), matching the caller's non-empty filter.
     """
+    sig = minhash_signature_cols(base, num_hashes)
+    return sig.select(
+        "doc_id",
+        band_hashes(
+            [F.col(f"mh{i}").cast("string") for i in range(num_hashes)],
+            rows_per_band,
+        ).alias("bands"),
+    )
+
+
+def minhash_signature_cols(base: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, mh0..mh{n-1}): the raw MinHash signature as
+    one long column per hash (the agg shape HashAggregate needs — see
+    minhash_bands' docstring). Shared by the banding path above and the
+    incremental signature store (operators/incremental_dedup.py), which
+    persists signatures so future batches can estimate Jaccard against the
+    corpus without its shingles."""
     coeffs = cw_coeffs(num_hashes)
     expl = base.select("doc_id", F.explode("sh").alias("s"))
     # Two-step select so md5 evaluates once per shingle (same-project CSE is
@@ -95,7 +112,7 @@ def minhash_bands(
         F.conv(F.col("h").substr(1, 8), 16, 10).cast("long").alias("w1"),
         F.conv(F.col("h").substr(9, 8), 16, 10).cast("long").alias("w2"),
     )
-    sig = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min(
                 (
@@ -107,13 +124,6 @@ def minhash_bands(
             ).alias(f"mh{i}")
             for i, (a, b, c) in enumerate(coeffs)
         ]
-    )
-    return sig.select(
-        "doc_id",
-        band_hashes(
-            [F.col(f"mh{i}").cast("string") for i in range(num_hashes)],
-            rows_per_band,
-        ).alias("bands"),
     )
 
 
