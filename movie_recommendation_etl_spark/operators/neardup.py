@@ -154,6 +154,7 @@ def minhash_neardup_pairs(
     rows_per_band: int = 3,
     threshold: float = 0.8,
     cache_shingles: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     bucket self-join → exact-Jaccard verify. Returns (doc_a, doc_b, jaccard)
@@ -166,7 +167,20 @@ def minhash_neardup_pairs(
     enough for shingling to dominate. The cached payload is O(corpus
     tokens); on a cluster whose memory+disk cannot hold it, pass False and
     pay the recompute instead (the band frame below is O(docs) either way).
+
+    ``checkpoint_dir`` switches the two lineage-truncation points from
+    ``localCheckpoint`` (executor blocks; lost with an executor) to
+    reliable ``checkpoint()`` on the given HDFS/S3 path — the production
+    setting for long jobs; results are identical.
     """
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     toks = F.split(F.col(text_col), " ")
     sh = word_shingles(toks, k)
     # Docs with zero shingles can never pass verify (Jaccard over an empty
@@ -200,12 +214,12 @@ def minhash_neardup_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        # Materialize the (small, O(candidates)) pair set so the persisted
-        # band frame releases immediately: repeated invocations (the gate
-        # loop runs q50 AND q54 through here) must not accumulate cached
-        # blocks for the session lifetime (r2 ADVICE).
-        .localCheckpoint(eager=True)
     )
+    # Materialize the (small, O(candidates)) pair set so the persisted
+    # band frame releases immediately: repeated invocations (the gate
+    # loop runs q50 AND q54 through here) must not accumulate cached
+    # blocks for the session lifetime (r2 ADVICE).
+    pairs = _ckpt(pairs)
     bands_df.unpersist()
     shingle_sets = base
     verified = (
@@ -232,7 +246,7 @@ def minhash_neardup_pairs(
         # Materialize the (small, O(verified pairs)) result so the O(corpus
         # tokens) shingle cache releases before return — the same
         # no-session-lifetime-leak rule the band frame follows (r2 ADVICE).
-        verified = verified.localCheckpoint(eager=True)
+        verified = _ckpt(verified)
         base.unpersist()
     return verified
 

@@ -324,6 +324,29 @@ def load_lsh_model(path: str):
     return BucketedRandomProjectionLSHModel.load(path)
 
 
+def jdbc_array_column_types(schema) -> str | None:
+    """The ``createTableColumnTypes`` option value covering every ARRAY
+    column of ``schema`` (Postgres array DDL, e.g. ``tags TEXT[]`` — the
+    reference's hand-written column at load/execute.py:54). Spark's JDBC
+    writer has no default mapping for ArrayType, so without this option a
+    CREATE TABLE on write fails; with it, array columns land as real
+    Postgres arrays. Returns None when the schema has no arrays (pass
+    nothing — an empty option string is a parse error). Exact-string
+    asserted in tests/test_sinks_and_readers.py; executable only against an
+    array-capable store (Derby has none — environmental, SURVEY §2.1 S7).
+    """
+    from pyspark.sql import types as T
+
+    from movie_recommendation_etl_spark.sources.ddl import pg_type
+
+    parts = [
+        f"{f.name} {pg_type(f.dataType)}"
+        for f in schema.fields
+        if isinstance(f.dataType, T.ArrayType)
+    ]
+    return ", ".join(parts) if parts else None
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -343,6 +366,10 @@ def write_jdbc(
     partition opens one connection — cap ``num_partitions`` so a wide job
     doesn't exhaust the database's connection limit (SURVEY.md §7 risk).
 
+    Array columns (the reference's ``TEXT[]``) are declared via
+    ``createTableColumnTypes`` automatically when present, so a
+    create-on-write against Postgres produces real array columns.
+
     Live-tested against embedded Apache Derby (on Spark's default
     classpath): write → read-back → idempotent re-write, see
     tests/test_sinks_and_readers.py. Against Postgres, pass the reference's
@@ -350,7 +377,7 @@ def write_jdbc(
     """
     if num_partitions is not None:
         df = df.coalesce(num_partitions)
-    (
+    writer = (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
@@ -359,9 +386,11 @@ def write_jdbc(
         .option("driver", driver)
         .option("truncate", truncate)
         .option("batchsize", batchsize)
-        .mode(mode)
-        .save()
     )
+    array_types = jdbc_array_column_types(df.schema)
+    if array_types is not None:
+        writer = writer.option("createTableColumnTypes", array_types)
+    writer.mode(mode).save()
 
 
 def read_parquet_back(spark: SparkSession, path: str) -> DataFrame:

@@ -59,3 +59,31 @@ def test_components_match_union_find(edges):
         for r in connected_components(df).collect()
     }
     assert got == _union_find(edges)
+
+
+def test_reliable_checkpoint_path_identical(spark, tmp_path):
+    """checkpoint_dir switches to reliable checkpoint(); cluster assignments
+    must be identical to the localCheckpoint default."""
+    from movie_recommendation_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src: long, dst: long",
+    )
+    default = sorted(
+        map(tuple, connected_components(edges).collect())
+    )
+    reliable = sorted(
+        map(
+            tuple,
+            connected_components(
+                edges, checkpoint_dir=str(tmp_path / "ckpt")
+            ).collect(),
+        )
+    )
+    assert default == reliable
+    import glob
+    # the reliable path actually wrote checkpoint data
+    assert glob.glob(str(tmp_path / "ckpt" / "*"))

@@ -255,3 +255,24 @@ def test_int8_quantization_roundtrip_and_cosine(spark, sf_dir):
     ).first()
     assert zc["zero_one"] is None and zc["zero_zero"] is None
     assert abs(zc["self"] - 1.0) < 1e-9
+
+
+def test_minhash_pipeline_reliable_checkpoint_identical(spark, sf_dir, tmp_path):
+    """checkpoint_dir (reliable checkpoint) must not change the verified
+    pair set."""
+    from movie_recommendation_etl_spark.operators.neardup import (
+        minhash_neardup_pairs,
+    )
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    default = sorted(
+        (r["doc_a"], r["doc_b"]) for r in minhash_neardup_pairs(docs).collect()
+    )
+    reliable = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_neardup_pairs(
+            docs, checkpoint_dir=str(tmp_path / "nd_ckpt")
+        ).collect()
+    )
+    assert default == reliable

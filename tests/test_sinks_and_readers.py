@@ -364,3 +364,33 @@ def test_write_sorted_parquet_disjoint_ranges(spark, sf_dir, tmp_path):
 
     # content round-trips
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_jdbc_array_column_types_exact():
+    """The createTableColumnTypes value for array columns must be the exact
+    Postgres array DDL the reference hand-writes (load/execute.py:54)."""
+    from pyspark.sql import types as T
+
+    from movie_recommendation_etl_spark.sources.writers import (
+        jdbc_array_column_types,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("scores", T.ArrayType(T.DoubleType())),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+    assert (
+        jdbc_array_column_types(schema)
+        == "tags TEXT[], scores DOUBLE PRECISION[]"
+    )
+    # no arrays -> None (option must be omitted entirely)
+    assert (
+        jdbc_array_column_types(
+            T.StructType([T.StructField("id", T.IntegerType())])
+        )
+        is None
+    )
