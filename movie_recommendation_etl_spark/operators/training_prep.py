@@ -1,0 +1,117 @@
+"""Training-set preparation: chunking, deterministic shuffle, sharded write.
+
+The last mile of a training-data pipeline after curation (operators/
+curate.py): split documents into token-bounded chunks with overlap, shuffle
+the corpus so batches decorrelate from crawl/source order, and write
+fixed-size shards. All three are pure Catalyst / writer-option constructs —
+no Python in the row path.
+
+Scale shape: chunking is a scan-stage explode (output rows ∝ corpus tokens
+/ chunk size); the shuffle is ONE range exchange on a hash key (that is
+what a "global shuffle" costs on a cluster — there is no cheaper exact
+form); sharding reuses write_sorted_parquet so shard files are themselves
+hash-ordered, which makes any contiguous subset of shards a valid uniform
+sample of the corpus (the property loaders exploit for cheap epoch
+restarts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.sources.writers import (
+    write_sorted_parquet,
+)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+) -> DataFrame:
+    """One row per chunk: (id, chunk_idx, chunk_text, n_tokens). Chunks
+    step by ``chunk_tokens - overlap_tokens`` so consecutive chunks share
+    ``overlap_tokens`` tokens (context continuity at boundaries). The final
+    chunk may be short; empty docs yield no rows. Whitespace tokenization —
+    swap the tokenizer expression for a BPE-count proxy when budgeting by
+    model tokens (functions/text.py:re_token_count).
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    # split("") yields [""] (size 1), so drop empty tokens explicitly —
+    # otherwise an empty doc produces one empty chunk
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    # chunk starts: 0, step, 2*step, ... while start < n (1-based slice)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / F.lit(step)).cast("int") + 1
+    )
+    # cap: never start a chunk that only repeats the previous one's tail —
+    # the last start must be < n (guaranteed by the floor above) AND chunks
+    # after the first must add at least one new token, i.e. start + overlap
+    # < n  =>  drop a trailing all-overlap chunk
+    starts = F.when(n_chunks <= 0, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.transform(
+                # sequence() is inclusive and runs DESCENDING when stop <
+                # start, hence the n_chunks guard above for empty docs
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: i * step,
+            ),
+            lambda s: (s == 0) | (s + F.lit(overlap_tokens) < n),
+        )
+    )
+    chunks = docs.select(
+        F.col(id_col),
+        n.alias("__n"),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk_toks = F.slice(
+        F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)
+    )
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.col("__n") - F.col("__start")
+        ).alias("n_tokens"),
+    )
+
+
+def shuffle_key(id_col: str = "doc_id", seed: int = 0):
+    """Deterministic per-row shuffle key: xxhash64(id, seed). Changing the
+    seed reshuffles; the same seed replays the identical order anywhere —
+    byte-identical epochs across reruns and cluster sizes."""
+    return F.xxhash64(F.col(id_col), F.lit(seed))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int = 16,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Globally shuffle by the seeded hash key and write ``num_shards``
+    hash-ordered parquet shards. One range exchange total; each shard file
+    covers a disjoint key range (write_sorted_parquet), so any contiguous
+    shard subset is an unbiased corpus sample."""
+    keyed = df.withColumn("__shuffle_key", shuffle_key(id_col, seed))
+    write_sorted_parquet(
+        keyed,
+        path,
+        ["__shuffle_key"],
+        num_files=num_shards,
+        max_records_per_file=max_records_per_file,
+    )

@@ -1,0 +1,91 @@
+"""Training-prep tests: chunk boundaries/overlap reconstruct the document,
+the shuffle is deterministic and seed-sensitive, shards are hash-ordered."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from movie_recommendation_etl_spark.operators.training_prep import (
+    chunk_documents,
+    write_training_shards,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _doc(n_tokens: int) -> str:
+    return " ".join(f"t{i}" for i in range(n_tokens))
+
+
+def test_chunking_covers_document_with_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, _doc(25)), (2, _doc(10)), (3, _doc(0)), (4, _doc(1))], SCHEMA
+    )
+    out = chunk_documents(
+        docs, chunk_tokens=10, overlap_tokens=3
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 3 (empty) yields nothing; doc 2/4 fit in one chunk
+    assert set(by_doc) == {1, 2, 4}
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == _doc(10)
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["chunk_text"] == "t0"
+
+    # doc 1: starts 0,7,14,21 -> 4 chunks, consecutive chunks share 3 tokens
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert len(chunks) == 4
+    toks = [c["chunk_text"].split() for c in chunks]
+    assert toks[0] == [f"t{i}" for i in range(10)]
+    for prev, cur in zip(toks, toks[1:]):
+        assert prev[-3:] == cur[:3]  # overlap
+    # the union of chunks reconstructs the document exactly
+    seen = toks[0]
+    for cur in toks[1:]:
+        seen += cur[3:]
+    assert seen == _doc(25).split()
+    # last chunk is short, n_tokens reports its real size
+    assert chunks[-1]["n_tokens"] == 4
+
+
+def test_no_trailing_all_overlap_chunk(spark):
+    # 13 tokens, chunk 10 / overlap 3 -> starts 0, 7; a start at 14 never
+    # exists, and a start at 10 (if stepping wrongly) would add tokens —
+    # verify the exact boundary: 10 tokens + overlap==remaining
+    docs = spark.createDataFrame([(1, _doc(10 + 3))], SCHEMA)
+    out = chunk_documents(docs, chunk_tokens=10, overlap_tokens=3).collect()
+    assert [r["chunk_idx"] for r in sorted(out, key=lambda r: r["chunk_idx"])] == [0, 1]
+
+
+def test_sharded_shuffle_deterministic(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(500)], SCHEMA
+    )
+    p1, p2, p3 = (str(tmp_path / n) for n in ("s1", "s2", "s3"))
+    write_training_shards(docs, p1, seed=7, num_shards=4)
+    write_training_shards(docs, p2, seed=7, num_shards=4)
+    write_training_shards(docs, p3, seed=8, num_shards=4)
+
+    assert len(glob.glob(f"{p1}/*.parquet")) == 4
+
+    def order(p):
+        return [
+            r["doc_id"]
+            for r in spark.read.parquet(p)
+            .orderBy("__shuffle_key", "doc_id")
+            .collect()
+        ]
+
+    a, b, c = order(p1), order(p2), order(p3)
+    assert a == b  # same seed -> identical order
+    assert a != c  # new seed -> reshuffled
+    assert sorted(a) == sorted(c) == list(range(500))  # nothing lost
