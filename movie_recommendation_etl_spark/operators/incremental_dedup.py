@@ -164,3 +164,117 @@ def admit_new_documents(
         key_cols=["doc_id", "band_idx"],
     )
     return admitted
+
+
+# --- embedding twin: SRP bands + int8 signatures ----------------------------
+#
+# The same admission pattern for dense vectors: the store keeps, per
+# admitted vector, its SRP LSH bands (operators/neardup.py:srp_bands — the
+# deterministic expression form) and an int8-quantized copy
+# (functions/vectors.py:quantize_int8, 4x smaller than float32), so probing
+# estimates cosine against candidates with integer dot products and never
+# needs the original embeddings. Store size ~ dim bytes/vector + 12 ints.
+
+EMB_N_BITS = 96
+EMB_ROWS_PER_BAND = 8
+EMB_N_BANDS = EMB_N_BITS // EMB_ROWS_PER_BAND
+
+
+def _embedding_band_rows(
+    vecs: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    from movie_recommendation_etl_spark.functions.vectors import quantize_int8
+    from movie_recommendation_etl_spark.operators.neardup import srp_bands
+
+    banded = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_int8(F.col(vec_col)).alias("qvec"),
+        srp_bands(
+            vec_col,
+            dim=dim,
+            n_bits=EMB_N_BITS,
+            rows_per_band=EMB_ROWS_PER_BAND,
+        ).alias("bands"),
+    )
+    return banded.select(
+        "vec_id", "qvec", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+
+
+def admit_new_embeddings(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    store_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    cos_threshold: float = 0.92,
+) -> DataFrame:
+    """Vector twin of admit_new_documents: admit new embeddings that are
+    not near-duplicates (quantized cosine >= ``cos_threshold``) of the
+    stored corpus or of a smaller-id batch neighbor sharing an SRP band;
+    merge admitted (band, int8 signature) rows into the store. Same
+    determinism and replay-idempotence contract."""
+    from movie_recommendation_etl_spark.functions.vectors import (
+        cosine_quantized,
+    )
+
+    bands = _embedding_band_rows(new_vecs, id_col, vec_col, dim)
+    bands = bands.localCheckpoint(eager=True)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    intra = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            cosine_quantized(F.col("a.qvec"), F.col("b.qvec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= cos_threshold)
+        .select("vec_id")
+        .distinct()
+    )
+
+    try:
+        store = spark.read.parquet(store_path)
+        hits = (
+            bands.alias("n")
+            .join(
+                store.alias("s"),
+                (F.col("n.band_idx") == F.col("s.band_idx"))
+                & (F.col("n.band_val") == F.col("s.band_val"))
+                & (F.col("n.vec_id") != F.col("s.vec_id")),
+            )
+            .select(
+                F.col("n.vec_id").alias("vec_id"),
+                cosine_quantized(F.col("n.qvec"), F.col("s.qvec")).alias(
+                    "cos"
+                ),
+            )
+            .filter(F.col("cos") >= cos_threshold)
+            .select("vec_id")
+            .distinct()
+        )
+        rejected = intra.unionByName(hits).distinct()
+    except Exception:  # bootstrap: no store yet
+        rejected = intra
+
+    admitted = new_vecs.join(
+        rejected.withColumnRenamed("vec_id", id_col), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+
+    admitted_bands = bands.join(
+        admitted.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+    )
+    merge_upsert_parquet(
+        spark,
+        admitted_bands,
+        store_path,
+        key_cols=["vec_id", "band_idx"],
+    )
+    return admitted

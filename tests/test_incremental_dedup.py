@@ -90,3 +90,55 @@ def test_original_columns_pass_through(spark, tmp_path):
     out = admit_new_documents(spark, docs, store)
     assert out.columns == ["doc_id", "text", "source"]
     assert out.collect()[0]["source"] == "crawl"
+
+
+def test_incremental_embedding_admission(spark, tmp_path):
+    import math
+
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_embeddings,
+    )
+
+    store = str(tmp_path / "emb_store")
+    DIM = 8
+
+    def unit(vals):
+        n = math.sqrt(sum(v * v for v in vals))
+        return [float(v / n) for v in vals]
+
+    base = unit([1, 2, 3, 4, 5, 6, 7, 8])
+    near = unit([1.02, 2.01, 3.0, 4.03, 5.0, 6.02, 7.0, 8.01])  # cos ~ 1
+    ortho = unit([8, -7, 6, -5, 4, -3, 2, -1])
+
+    schema = "vec_id long, embedding array<double>"
+
+    # batch 1: base + orthogonal, plus a within-batch near copy of base
+    a1 = admit_new_embeddings(
+        spark,
+        spark.createDataFrame([(1, base), (2, ortho), (3, near)], schema),
+        store,
+        dim=DIM,
+    )
+    assert {r["vec_id"] for r in a1.collect()} == {1, 2}
+
+    # batch 2: another near-copy (rejected vs store) + a fresh vector
+    fresh = unit([0, 1, 0, -1, 0, 1, 0, -1])
+    a2 = admit_new_embeddings(
+        spark,
+        spark.createDataFrame([(10, near), (11, fresh)], schema),
+        store,
+        dim=DIM,
+    )
+    assert {r["vec_id"] for r in a2.collect()} == {11}
+
+    # replay converges (self-match excluded, merge idempotent)
+    a2b = admit_new_embeddings(
+        spark,
+        spark.createDataFrame([(10, near), (11, fresh)], schema),
+        store,
+        dim=DIM,
+    )
+    assert {r["vec_id"] for r in a2b.collect()} == {11}
+    stored = spark.read.parquet(store)
+    assert stored.select("vec_id").distinct().count() == 3
+    assert stored.count() == 3 * 12  # 96 bits / 8 per band
