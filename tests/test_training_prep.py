@@ -89,3 +89,30 @@ def test_sharded_shuffle_deterministic(spark, tmp_path):
     assert a == b  # same seed -> identical order
     assert a != c  # new seed -> reshuffled
     assert sorted(a) == sorted(c) == list(range(500))  # nothing lost
+
+
+def test_end_to_end_training_pipeline(spark, sf_dir, tmp_path):
+    """The full last mile over real testdata: curate -> chunk -> shuffle ->
+    shards; every surviving chunk is traceable to a curated doc."""
+    import glob as _glob
+
+    from movie_recommendation_etl_spark.operators.curate import (
+        curate_documents,
+    )
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate_documents(docs, langs=None, min_quality=0.0)
+    chunks = chunk_documents(
+        curated, chunk_tokens=32, overlap_tokens=8
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(chunks, out, id_col="doc_id", seed=3, num_shards=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == chunks.count() > 0
+    assert len(_glob.glob(f"{out}/*.parquet")) == 4
+    # all chunk doc_ids come from the curated set
+    curated_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    chunk_ids = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
+    assert chunk_ids <= curated_ids
