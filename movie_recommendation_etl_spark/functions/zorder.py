@@ -68,4 +68,8 @@ def write_zordered_parquet(
         raise ValueError("z-order currently interleaves exactly 2 columns")
     a, b = zorder_cols
     keyed = df.withColumn("__zkey", morton_key(a, b, bits=bits))
-    write_sorted_parquet(keyed, path, ["__zkey"], num_files=num_files)
+    # the Morton key is derivable layout metadata, not data — drop it after
+    # the sort so readers see exactly the input schema
+    write_sorted_parquet(
+        keyed, path, ["__zkey"], num_files=num_files, drop_cols=["__zkey"]
+    )

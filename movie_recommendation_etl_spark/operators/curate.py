@@ -29,9 +29,16 @@ from movie_recommendation_etl_spark.operators.dedup import (
     dedup_keep_first,
     fingerprint,
 )
-from movie_recommendation_etl_spark.plans.curation import EMAIL_RE, PHONE_RE
 
 _SAMPLE_MOD = 1 << 20
+
+# Real-text PII patterns. Deliberately NOT the q56 oracle patterns
+# (plans/curation.py), which are lowercase-only because that synthetic
+# corpus plants lowercase PII: real documents carry mixed case, +, _, -
+# in addresses, and various phone shapes — a lowercase-only pattern would
+# silently leak those through the "redacted" output.
+EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"(?:\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
 
 
 def curate_documents(

@@ -119,11 +119,23 @@ def sentence_table(
     """Explode each document into its sentences via a LATERAL join against
     the UDTF — one (id, sentence_idx, sentence, n_tokens) row per sentence.
     The lateral correlation keeps this a per-row fan-out (no shuffle added
-    beyond the scan)."""
+    beyond the scan).
+
+    The input view name is unique per call and dropped immediately after
+    analysis (spark.sql resolves the plan eagerly, so the returned frame
+    does not need the view): concurrent/interleaved calls — threaded Spark
+    driving is in-repo reality via warm_catalog's pool — never clobber each
+    other's input, and nothing leaks into the session catalog."""
+    import uuid
+
     spark = df.sparkSession
     spark.udtf.register("split_sentences", _make_sentence_udtf())
-    df.select(*id_cols, text_col).createOrReplaceTempView("__udtf_in")
-    return spark.sql(
-        f"SELECT {', '.join(id_cols)}, s.* "
-        f"FROM __udtf_in, LATERAL split_sentences({text_col}) s"
-    )
+    view = f"__udtf_in_{uuid.uuid4().hex}"
+    df.select(*id_cols, text_col).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"SELECT {', '.join(id_cols)}, s.* "
+            f"FROM {view}, LATERAL split_sentences({text_col}) s"
+        )
+    finally:
+        spark.catalog.dropTempView(view)

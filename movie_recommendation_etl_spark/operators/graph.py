@@ -41,72 +41,83 @@ def connected_components(
     round by iteration 5 without truncation; flat with it). By default the
     checkpoint is ``localCheckpoint`` (executor blocks — fine for a batch
     job). Pass ``checkpoint_dir`` (reliable storage: HDFS/S3) to switch to
-    RELIABLE ``checkpoint()`` so executor loss cannot kill the lineage —
-    the production setting for long-running clusters; results are identical
-    (asserted in tests/test_graph_property.py).
+    RELIABLE ``checkpoint()`` so executor loss mid-run cannot kill the
+    lineage; the scope helper (operators/_checkpoint.py) restores the
+    session's previous checkpoint dir and deletes this run's checkpoint
+    files after the result is detached onto local blocks — per-round
+    durability without leaking a labels copy per iteration. Results are
+    identical either way (asserted in tests/test_graph_property.py).
 
     Raises after ``max_iter`` rounds without convergence (a near-dup graph
     that deep means the banding threshold is catastrophically loose).
     """
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    from movie_recommendation_etl_spark.operators._checkpoint import (
+        reliable_checkpoint_scope,
+    )
 
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     sym = fwd.union(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
-    labels = _ckpt(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-    )
-    try:
-        for _ in range(max_iter):
-            nbr = (
-                sym.join(labels, sym["b"] == labels["node"])
-                .groupBy("a")
-                .agg(F.min("lbl").alias("nbr_lbl"))
-            )
-            new_lbl = F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl")))
-            stepped = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
-                "node",
-                new_lbl.alias("lbl"),
-                # frame-qualified: the bare name would risk binding to
-                # the new "lbl" alias under lateral-alias resolution
-                labels["lbl"].alias("__prev"),
-            )
-            # Pointer doubling: follow the label one extra hop (label of my
-            # label) so label distance halves per round — convergence in
-            # O(log diameter) rounds instead of O(diameter). Every lbl is an
-            # existing node id (a min over node ids), so the hop join always
-            # matches; left join keeps the no-match case safe anyway. The
-            # convergence flag rides the same pass as the update — a
-            # separate old-vs-new join would add a shuffle per round.
-            hop = stepped.select(
-                F.col("node").alias("h_node"), F.col("lbl").alias("h_lbl")
-            )
-            doubled_lbl = F.least(
-                F.col("lbl"), F.coalesce("h_lbl", F.col("lbl"))
-            )
-            updated = _ckpt(
-                stepped.join(hop, stepped["lbl"] == hop["h_node"], "left")
-                .select(
-                    "node",
-                    doubled_lbl.alias("lbl"),
-                    (doubled_lbl != F.col("__prev")).alias("__changed"),
+    with reliable_checkpoint_scope(
+        edges.sparkSession, checkpoint_dir
+    ) as _ckpt:
+        labels = _ckpt(
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+        )
+        try:
+            for _ in range(max_iter):
+                nbr = (
+                    sym.join(labels, sym["b"] == labels["node"])
+                    .groupBy("a")
+                    .agg(F.min("lbl").alias("nbr_lbl"))
                 )
-            )
-            changed = updated.filter("__changed").limit(1).count()
-            labels = updated.drop("__changed")
-            if changed == 0:
-                return labels.select("node", F.col("lbl").alias("cluster_id"))
-    finally:
-        sym.unpersist()
+                new_lbl = F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                )
+                stepped = labels.join(
+                    nbr, labels["node"] == nbr["a"], "left"
+                ).select(
+                    "node",
+                    new_lbl.alias("lbl"),
+                    # frame-qualified: the bare name would risk binding to
+                    # the new "lbl" alias under lateral-alias resolution
+                    labels["lbl"].alias("__prev"),
+                )
+                # Pointer doubling: follow the label one extra hop (label of
+                # my label) so label distance halves per round — convergence
+                # in O(log diameter) rounds instead of O(diameter). Every
+                # lbl is an existing node id (a min over node ids), so the
+                # hop join always matches; left join keeps the no-match case
+                # safe anyway. The convergence flag rides the same pass as
+                # the update — a separate old-vs-new join would add a
+                # shuffle per round.
+                hop = stepped.select(
+                    F.col("node").alias("h_node"), F.col("lbl").alias("h_lbl")
+                )
+                doubled_lbl = F.least(
+                    F.col("lbl"), F.coalesce("h_lbl", F.col("lbl"))
+                )
+                updated = _ckpt(
+                    stepped.join(hop, stepped["lbl"] == hop["h_node"], "left")
+                    .select(
+                        "node",
+                        doubled_lbl.alias("lbl"),
+                        (doubled_lbl != F.col("__prev")).alias("__changed"),
+                    )
+                )
+                changed = updated.filter("__changed").limit(1).count()
+                labels = updated.drop("__changed")
+                if changed == 0:
+                    # detach the result from the (about-to-be-deleted)
+                    # reliable files; a no-op cost in local mode
+                    return labels.select(
+                        "node", F.col("lbl").alias("cluster_id")
+                    ).localCheckpoint(eager=True)
+        finally:
+            sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

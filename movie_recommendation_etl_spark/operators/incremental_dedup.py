@@ -44,6 +44,20 @@ NUM_HASHES = 12
 ROWS_PER_BAND = 3
 
 
+def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """The store frame, or None when the store does not exist yet
+    (bootstrap). ONLY the missing-path AnalysisException maps to None;
+    every other failure propagates (see admit_new_documents)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
 def _band_rows(
     docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
@@ -126,8 +140,12 @@ def admit_new_documents(
     )
 
     # -- store rejection: any agreement with a different stored doc --------
-    try:
-        store = spark.read.parquet(store_path)
+    # Only a MISSING store is bootstrap (AnalysisException on the read,
+    # caught narrowly around the read alone). Any other failure — corrupt
+    # footer, permissions, schema drift — must raise: swallowing it would
+    # silently disable cross-batch rejection and admit duplicates.
+    store = _read_store(spark, store_path)
+    if store is not None:
         hits = (
             bands.alias("n")
             .join(
@@ -145,7 +163,7 @@ def admit_new_documents(
             .distinct()
         )
         rejected = intra.unionByName(hits).distinct()
-    except Exception:  # bootstrap: no store yet
+    else:
         rejected = intra
 
     admitted = new_docs.join(
@@ -240,8 +258,8 @@ def admit_new_embeddings(
         .distinct()
     )
 
-    try:
-        store = spark.read.parquet(store_path)
+    store = _read_store(spark, store_path)
+    if store is not None:
         hits = (
             bands.alias("n")
             .join(
@@ -261,7 +279,7 @@ def admit_new_embeddings(
             .distinct()
         )
         rejected = intra.unionByName(hits).distinct()
-    except Exception:  # bootstrap: no store yet
+    else:
         rejected = intra
 
     admitted = new_vecs.join(

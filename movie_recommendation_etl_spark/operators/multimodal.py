@@ -476,11 +476,19 @@ def _index_pnm_frames(blob: bytes) -> list[tuple[int, int]]:
     return spans
 
 
-def sample_frames(blob: bytes, n_frames: int) -> list[tuple[int, dict]]:
+def sample_frames(
+    blob: bytes,
+    n_frames: int,
+    *,
+    spans: list[tuple[int, int]] | None = None,
+) -> list[tuple[int, dict]]:
     """Evenly-strided frame selection: decode only the ~n_frames chosen
     frames (header index first, pixel decode second — the access pattern a
-    keyframe-seeking real decoder has)."""
-    spans = _index_pnm_frames(bytes(blob))
+    keyframe-seeking real decoder has). Pass a precomputed ``spans`` index
+    to skip the header walk (extract_frame_features indexes once and reuses
+    it)."""
+    if spans is None:
+        spans = _index_pnm_frames(bytes(blob))
     total = len(spans)
     if total == 0:
         return []
@@ -513,8 +521,10 @@ def extract_frame_features(
                 f.name: [] for f in FRAME_FEATURES_SCHEMA.fields
             }
             for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
-                spans_total = len(_index_pnm_frames(bytes(blob)))
-                for idx, frame in sample_frames(bytes(blob), n_frames):
+                b = bytes(blob)
+                spans = _index_pnm_frames(b)
+                spans_total = len(spans)
+                for idx, frame in sample_frames(b, n_frames, spans=spans):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["n_frames"].append(spans_total)

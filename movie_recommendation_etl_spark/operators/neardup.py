@@ -171,16 +171,40 @@ def minhash_neardup_pairs(
     ``checkpoint_dir`` switches the two lineage-truncation points from
     ``localCheckpoint`` (executor blocks; lost with an executor) to
     reliable ``checkpoint()`` on the given HDFS/S3 path — the production
-    setting for long jobs; results are identical.
+    setting for long jobs; results are identical. The scope helper
+    (operators/_checkpoint.py) restores the previous session checkpoint
+    dir and deletes this run's checkpoint files once the result is
+    detached, so repeated invocations do not leak reliable-storage copies.
     """
-    if checkpoint_dir is not None:
-        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    from movie_recommendation_etl_spark.operators._checkpoint import (
+        reliable_checkpoint_scope,
+    )
 
-    def _ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    with reliable_checkpoint_scope(
+        docs.sparkSession, checkpoint_dir
+    ) as _ckpt:
+        return _minhash_neardup_pairs(
+            docs, id_col, text_col, k=k, num_hashes=num_hashes,
+            rows_per_band=rows_per_band, threshold=threshold,
+            cache_shingles=cache_shingles, reliable=checkpoint_dir is not None,
+            ckpt=_ckpt,
+        )
 
+
+def _minhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int,
+    num_hashes: int,
+    rows_per_band: int,
+    threshold: float,
+    cache_shingles: bool,
+    reliable: bool,
+    ckpt,
+) -> DataFrame:
+    _ckpt = ckpt
     toks = F.split(F.col(text_col), " ")
     sh = word_shingles(toks, k)
     # Docs with zero shingles can never pass verify (Jaccard over an empty
@@ -248,6 +272,11 @@ def minhash_neardup_pairs(
         # no-session-lifetime-leak rule the band frame follows (r2 ADVICE).
         verified = _ckpt(verified)
         base.unpersist()
+    if reliable:
+        # detach the result onto local blocks BEFORE the scope exit deletes
+        # this run's reliable checkpoint files (and restores the previous
+        # session checkpoint dir)
+        verified = verified.localCheckpoint(eager=True)
     return verified
 
 

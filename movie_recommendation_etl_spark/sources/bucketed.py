@@ -88,7 +88,13 @@ def bucketed_join(
     Tables bucketed into DIFFERENT counts still join shuffle-free when one
     count divides the other: ``coalesceBucketsInJoin`` (enabled here) reads
     the finer table's buckets k-at-a-time to match the coarser side — the
-    escape hatch when two datasets were sized independently."""
+    escape hatch when two datasets were sized independently.
+
+    The conf set below is deliberately session-sticky (no save/restore):
+    planning happens at ACTION time, not here, so a scoped restore would
+    silently defeat the setting; and it only activates for bucketed scans
+    with divisible counts, where it strictly removes an Exchange — plans
+    never get worse, semantics never change."""
     spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
     return read_bucketed(spark, left_table).join(
         read_bucketed(spark, right_table), list(on), how

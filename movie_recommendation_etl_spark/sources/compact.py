@@ -28,11 +28,21 @@ from pyspark.sql import functions as F
 DEFAULT_TARGET_FILE_BYTES = 256 * 1024 * 1024
 
 
-def _leaf_partitions(path: str) -> list[tuple[dict[str, str], list[str]]]:
+# Hive writes NULL partition values as this sentinel directory name.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _leaf_partitions(
+    path: str,
+) -> list[tuple[dict[str, str | None], list[str]]]:
     """(partition-values, parquet files) per leaf directory. Hive layout:
-    each level under the root is ``col=value``. A non-partitioned table
-    yields one entry with empty partition values."""
-    out: list[tuple[dict[str, str], list[str]]] = []
+    each level under the root is ``col=value`` with the value URL-escaped
+    (space -> %20 etc.) — values are unescaped here so they compare against
+    column data, and the null sentinel maps to None. A non-partitioned
+    table yields one entry with empty partition values."""
+    from urllib.parse import unquote
+
+    out: list[tuple[dict[str, str | None], list[str]]] = []
     for root, _dirs, files in os.walk(path):
         parquet = [
             os.path.join(root, f)
@@ -42,11 +52,11 @@ def _leaf_partitions(path: str) -> list[tuple[dict[str, str], list[str]]]:
         if not parquet:
             continue
         rel = os.path.relpath(root, path)
-        values: dict[str, str] = {}
+        values: dict[str, str | None] = {}
         if rel != ".":
             for seg in rel.split(os.sep):
                 k, _, v = seg.partition("=")
-                values[k] = v
+                values[k] = None if v == _HIVE_NULL else unquote(v)
         out.append((values, parquet))
     return out
 
@@ -56,6 +66,8 @@ def plan_compaction(
 ) -> list[dict]:
     """Dry-run: one dict per FRAGMENTED leaf partition (more files than the
     byte-optimal count). Returns [] for an already-compact table."""
+    import pyarrow.parquet as pq
+
     plans = []
     for values, files in _leaf_partitions(path):
         total = sum(os.path.getsize(f) for f in files)
@@ -67,6 +79,11 @@ def plan_compaction(
                     "n_files": len(files),
                     "target_files": want,
                     "bytes": total,
+                    # row count from the footers already being opened —
+                    # saves the rewrite a full counting scan
+                    "rows": sum(
+                        pq.ParquetFile(f).metadata.num_rows for f in files
+                    ),
                 }
             )
     return plans
@@ -100,14 +117,16 @@ def compact_parquet(
         # prune to the fragmented partitions: OR of per-partition conjuncts
         # on partition columns only (directory pruning applies); compare via
         # string cast so inferred partition types (int dates etc.) match the
-        # directory-name values
+        # (unescaped) directory-name values; None = the Hive null sentinel
         pred = reduce(
             lambda a, b: a | b,
             [
                 reduce(
                     lambda a, b: a & b,
                     [
-                        F.col(k).cast("string") == F.lit(v)
+                        F.col(k).isNull()
+                        if v is None
+                        else F.col(k).cast("string") == F.lit(v)
                         for k, v in p["partition"].items()
                     ],
                 )
@@ -119,9 +138,10 @@ def compact_parquet(
         frag = df
 
     # rows-per-file cap from observed bytes/row (parquet-encoded), so the
-    # rewrite hits ~target_file_bytes regardless of row width
+    # rewrite hits ~target_file_bytes regardless of row width; both totals
+    # come from the planning pass's footers — no counting scan
     total_bytes = sum(p["bytes"] for p in plans)
-    total_rows = frag.count()
+    total_rows = sum(p["rows"] for p in plans)
     if total_rows == 0:
         return plans
     rows_per_file = max(1, int(target_file_bytes / max(1, total_bytes / total_rows)))

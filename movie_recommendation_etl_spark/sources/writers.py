@@ -46,6 +46,7 @@ def write_sorted_parquet(
     num_files: int | None = None,
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    drop_cols: Sequence[str] | None = None,
 ) -> None:
     """Parquet sink with a GLOBAL sort layout: range-partition on
     ``sort_cols`` then sort within partitions, so every output file covers a
@@ -69,6 +70,10 @@ def write_sorted_parquet(
         else df.repartitionByRange(*cols)
     )
     out = out.sortWithinPartitions(*cols)
+    if drop_cols:
+        # derived sort keys (z-order keys etc.) need not pollute the stored
+        # schema; a projection after the sort keeps per-partition order
+        out = out.drop(*drop_cols)
     writer = out.write.mode(mode)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

@@ -42,29 +42,31 @@ def neardup_gated_documents(
     ts_col: str = "ts",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Streaming NEAR-dup ingestion gate: key the within-watermark dedup on
-    a content fingerprint instead of a message id, so re-posted /
-    trivially-reformatted copies of a document are dropped at ingestion
-    before they reach the corpus.
+    """Streaming near-dup ingestion gate: key the within-watermark dedup on
+    a NORMALIZED content fingerprint instead of a message id, so re-posted /
+    reformatted copies of a document (case, whitespace, punctuation runs)
+    are dropped at ingestion before they reach the corpus.
 
-    The fingerprint is the batch path's simhash16 over normalized tokens
-    (operators/neardup.py:simhash16 — same Catalyst expression, so
-    batch-established correctness transfers); collapsing to ONE 16-bit key
-    per doc makes this an exact-state-key dedup Structured Streaming can
-    run with bounded watermark state. It therefore catches only near-dups
-    whose simhash collides exactly (identical or near-identical token
-    multisets) — Hamming-radius matching needs the batch banded join
-    (operators/neardup.py), which is where lower-similarity pairs are
-    resolved offline. State is O(distinct fingerprints per watermark span).
+    The key is the batch exact-dedup fingerprint
+    (operators/dedup.py:fingerprint — lowercase, collapse non-alphanumerics,
+    md5): 128 bits, so unrelated documents never collide in practice. A
+    16-bit simhash key was rejected here deliberately — at >300 distinct
+    docs per watermark span the birthday bound makes silent false-positive
+    drops of UNRELATED documents likely, and past 65k distinct fingerprints
+    they are guaranteed. The price is semantics: this gate catches
+    formatting-level duplicates only; token-level near-dups (a few words
+    changed) are resolved by the offline banded pipeline
+    (operators/neardup.py) or the incremental signature store
+    (operators/incremental_dedup.py). State is O(distinct fingerprints per
+    watermark span).
     """
     from pyspark.sql import functions as F
 
-    from movie_recommendation_etl_spark.operators.neardup import simhash16
+    from movie_recommendation_etl_spark.operators.dedup import fingerprint
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    fingerprinted = docs.withColumn("__simhash", simhash16(toks))
+    fingerprinted = docs.withColumn("__fp", fingerprint(F.col(text_col)))
     return (
         fingerprinted.withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["__simhash"])
-        .drop("__simhash")
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
     )

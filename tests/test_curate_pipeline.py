@@ -21,7 +21,7 @@ GOOD = (
     "the world with remarkable consistency"
 )
 PII = (
-    "the committee announced that the contact address is alice@example.org "
+    "the committee announced that the contact address is Alice.Smith+tag@Example.ORG "
     "and the support line is 415-555-0123 for all further questions about "
     "the published schedule"
 )
@@ -52,7 +52,10 @@ def test_curate_stages(spark):
     # PII is masked in place
     assert "[EMAIL]" in by_id[2]["text"]
     assert "[PHONE]" in by_id[2]["text"]
-    assert "alice@example.org" not in by_id[2]["text"]
+    # mixed-case address with +tag must be caught (real-text pattern, not
+    # the lowercase-only q56 oracle pattern)
+    assert "Example.ORG" not in by_id[2]["text"]
+    assert "415-555-0123" not in by_id[2]["text"]
     # metadata columns survive for routing
     assert by_id[1]["lang"] == "en"
     assert by_id[1]["quality"] >= 0.25

@@ -85,5 +85,6 @@ def test_reliable_checkpoint_path_identical(spark, tmp_path):
     )
     assert default == reliable
     import glob
-    # the reliable path actually wrote checkpoint data
-    assert glob.glob(str(tmp_path / "ckpt" / "*"))
+    # the run's reliable checkpoint files are CLEANED UP after the result
+    # is detached (operators/_checkpoint.py) — no per-invocation leak
+    assert not glob.glob(str(tmp_path / "ckpt" / "*"))

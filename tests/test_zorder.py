@@ -84,3 +84,13 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
 
     # content round-trips
     assert spark.read.parquet(zpath).count() == 40_000
+
+
+def test_zorder_drops_derived_key(spark, tmp_path):
+    df = spark.range(0, 100).select(
+        (F.col("id") % 10).cast("int").alias("a"),
+        (F.col("id") % 7).cast("int").alias("b"),
+    )
+    path = str(tmp_path / "nokey")
+    write_zordered_parquet(df, path, ["a", "b"], num_files=2)
+    assert spark.read.parquet(path).columns == ["a", "b"]
