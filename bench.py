@@ -156,6 +156,29 @@ def main() -> int:
         _run_noop(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # Incremental near-dup admission: probe a full sf batch against a
+    # same-size signature store (the ingestion-gate cost a 100 TB corpus
+    # pays per batch — O(batch + band buckets), not O(corpus)).
+    import shutil
+    import tempfile
+
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_documents,
+    )
+
+    store_dir = tempfile.mkdtemp(prefix="bench_sig_store_")
+    try:
+        docs_inc = load_table(spark, SF_DIR, "documents")
+        half = docs_inc.filter("doc_id % 2 = 0")
+        admit_new_documents(spark, half, f"{store_dir}/store")  # build store
+        t0 = time.monotonic()
+        admit_new_documents(
+            spark, docs_inc.filter("doc_id % 2 = 1"), f"{store_dir}/store"
+        )
+        timings["incremental_admit"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
     # Warm ANN latency: fit once, cache, then repeated point queries
     # (the reference's interactive get_recommendations loop).
     docs = load_table(spark, SF_DIR, "documents")

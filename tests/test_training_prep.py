@@ -116,3 +116,41 @@ def test_end_to_end_training_pipeline(spark, sf_dir, tmp_path):
     curated_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
     chunk_ids = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
     assert chunk_ids <= curated_ids
+
+
+def test_chunking_property(spark):
+    """Property: for any (n_tokens, chunk, overlap), chunks reconstruct the
+    document exactly, never exceed chunk_tokens, and indexes are contiguous
+    from 0."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=120),
+        chunk=st.integers(min_value=2, max_value=40),
+        overlap=st.integers(min_value=0, max_value=39),
+    )
+    def _check(n, chunk, overlap):
+        if overlap >= chunk:
+            return
+        docs = spark.createDataFrame([(1, _doc(n))], SCHEMA)
+        rows = sorted(
+            chunk_documents(
+                docs, chunk_tokens=chunk, overlap_tokens=overlap
+            ).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        if n == 0:
+            assert rows == []
+            return
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        toks = [r["chunk_text"].split() for r in rows]
+        assert all(len(t) <= chunk for t in toks)
+        assert all(r["n_tokens"] == len(t) for r, t in zip(rows, toks))
+        seen = list(toks[0])
+        for cur in toks[1:]:
+            assert seen[-overlap:] == cur[:overlap] if overlap else True
+            seen += cur[overlap:]
+        assert seen == _doc(n).split()
+
+    _check()
