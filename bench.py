@@ -26,7 +26,6 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q07_top3_orders_per_customer",
-    "q08_running_total_per_customer",
     "q21_doc_scalar_suite",
     "q30_tumbling_window_agg",
     "q31_session_window_agg",

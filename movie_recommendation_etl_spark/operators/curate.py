@@ -17,7 +17,7 @@ operators/dedup.py (q18/q42 oracles), hash-mod sampling in the q55 pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from movie_recommendation_etl_spark.functions.text import (
@@ -53,12 +53,20 @@ def curate_documents(
     redact_pii: bool = True,
     dedup: bool = True,
     sample_fraction: float | None = None,
+    sample_unif: Column | None = None,
 ) -> DataFrame:
     """Filter → redact → dedup → sample. Returns surviving rows with the
     (possibly redacted) text plus the computed ``lang``, ``quality`` and
     ``n_tokens`` columns kept for downstream routing. Every stage is
     deterministic, so reruns produce byte-identical corpora (the property
     the merge sink and goldens rely on).
+
+    ``sample_unif`` optionally supplies the uniform-[0,1) variate the sample
+    stage thresholds (``sample_unif < sample_fraction``) instead of the
+    default xxhash64 form — e.g. the md5-hex form (q55/q58 pattern) when the
+    run must be replayable in an engine without xxhash64 (the DuckDB
+    correctness oracle). The default stays xxhash64: one 8-byte hash per row
+    beats an md5 + hex parse in the 100 TB scan stage.
     """
     toks = ws_tokens(F.col(text_col))
     n = F.size(toks)
@@ -108,8 +116,11 @@ def curate_documents(
         ).drop("__fp")
 
     if sample_fraction is not None:
-        out = out.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(_SAMPLE_MOD))
-            < int(_SAMPLE_MOD * sample_fraction)
-        )
+        if sample_unif is not None:
+            out = out.filter(sample_unif < F.lit(float(sample_fraction)))
+        else:
+            out = out.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(_SAMPLE_MOD))
+                < int(_SAMPLE_MOD * sample_fraction)
+            )
     return out

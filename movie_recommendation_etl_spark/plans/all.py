@@ -17,6 +17,7 @@ import movie_recommendation_etl_spark.plans.recommend  # noqa: F401
 import movie_recommendation_etl_spark.plans.relational  # noqa: F401
 import movie_recommendation_etl_spark.plans.relational_ext  # noqa: F401
 import movie_recommendation_etl_spark.plans.scalars  # noqa: F401
+import movie_recommendation_etl_spark.plans.training_pipeline  # noqa: F401
 
 from movie_recommendation_etl_spark.plans.registry import QUERIES
 

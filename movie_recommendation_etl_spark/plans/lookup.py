@@ -26,7 +26,8 @@ from movie_recommendation_etl_spark.sources.writers import write_csv
 @query(
     "q33_lookup_expr_suite",
     oracle=f"""
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal, revenue, n_rows
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, revenue, n_rows,
+           o_orderpriority, n_orders
     FROM (
         SELECT c_custkey, c_name, c_nationkey, c_acctbal
         FROM customer WHERE c_custkey = 42
@@ -35,19 +36,30 @@ from movie_recommendation_etl_spark.sources.writers import write_csv
                count(*) AS n_rows
         FROM lineitem
         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    ) CROSS JOIN (
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        GROUP BY o_orderpriority
     )
     """,
 )
 def q33_lookup_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6 point lookup + F5 SQL-string predicate in one row (merged
-    q33+q34 to fit the driver's 50-query correctness cap).
+    """F6 point lookup + F5 SQL-string predicate + F7 IN-subquery through
+    the SQL entry point, in one suite (merged q33+q34, then q35 folded in —
+    registry-cap fit, VERDICT.md r5 #1).
 
     F6: equality filter on the key — pushes into the parquet scan
     (PushedFilters), reading only row groups whose min/max admit the key
     (reference execute.ipynb:1647). F5: a SQL-string predicate through
     F.expr (the reference's df.filter("revenue == 0") idiom,
-    execute.ipynb:547) over a TPC-H-Q6-shaped aggregate. The combine is a
-    1-row × 1-row cross join — both scans keep their pushed filters."""
+    execute.ipynb:547) over a TPC-H-Q6-shaped aggregate. F7: an
+    IN-subquery through spark.sql (the reference has no SQL entry point —
+    SURVEY §2.11); Catalyst rewrites the IN to a left-semi join and
+    auto-broadcasts the dimension side. The combine is a 1-row × 1-row ×
+    5-row cross join — every scan keeps its pushed filters."""
     cust = load_table(spark, sf_dir, "customer")
     lookup = cust.filter(F.col("c_custkey") == 42).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
@@ -59,27 +71,9 @@ def q33_lookup_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    return lookup.crossJoin(rev)
-
-
-@query(
-    "q35_in_subquery_sql",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS n_orders
-    FROM orders
-    WHERE o_custkey IN (
-        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    )
-    GROUP BY o_orderpriority
-    """,
-)
-def q35_in_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7/IN-subquery through the engine's SQL entry point (the reference
-    has none — SURVEY §2.11). Catalyst rewrites the IN to a left-semi join
-    and auto-broadcasts the dimension side."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
+    cust.createOrReplaceTempView("customer")
+    prio = spark.sql(
         """
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders
@@ -89,6 +83,7 @@ def q35_in_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+    return lookup.crossJoin(rev).crossJoin(prio)
 
 
 @query(

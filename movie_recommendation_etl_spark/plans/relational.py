@@ -204,80 +204,27 @@ def q07_top3_orders_per_customer(spark, sf_dir):
     ).select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn"))
 
 
-# --- q08: running window aggregate ----------------------------------------
-# Decimal-cast inside the window sum keeps the running total order-exact.
-@query(
-    "q08_running_total_per_customer",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_spend
-    FROM orders
-    """,
-)
-def q08_running_total_per_customer(spark, sf_dir):
-    from pyspark.sql import Window as W
-
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-        .over(w)
-        .cast("double")
-        .alias("running_spend"),
-    )
-
-
-# --- q09: lag/lead analytics ----------------------------------------------
-@query(
-    "q09_order_gap_days",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(date_diff('day',
-                LAG(o_orderdate) OVER (PARTITION BY o_custkey
-                                       ORDER BY o_orderdate, o_orderkey),
-                o_orderdate) AS INTEGER) AS days_since_prev
-    FROM orders
-    """,
-)
-def q09_order_gap_days(spark, sf_dir):
-    from pyspark.sql import Window as W
-
-    orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.datediff(
-            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
-        ).cast("int").alias("days_since_prev"),
-    )
-
-
-# --- q10: set-op suite (SO2 intersect + SO3 except in one query) -----------
-# Consolidated from the former q10/q11 (registry-cap fit, VERDICT.md r2 #1).
+# --- q10: set-op suite (SO2 intersect + SO3 except + SO1 union-all) --------
+# Consolidated from the former q10/q11 (registry-cap fit, VERDICT.md r2 #1);
+# the former q20_table_stats_union's multi-table UNION ALL folded in as
+# 'count:<table>' rows (VERDICT.md r5 #1 — its A1 count coverage rides along).
 @query(
     "q10_setop_suite",
     oracle="""
-    SELECT 'intersect' AS op, nationkey FROM (
+    SELECT 'intersect' AS op, CAST(nationkey AS BIGINT) AS val FROM (
         SELECT c_nationkey AS nationkey FROM customer
         INTERSECT
         SELECT s_nationkey FROM supplier
     )
     UNION ALL
-    SELECT 'except' AS op, nationkey FROM (
+    SELECT 'except' AS op, CAST(nationkey AS BIGINT) AS val FROM (
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
         SELECT s_nationkey FROM supplier
     )
+    UNION ALL SELECT 'count:customer' AS op, COUNT(*) AS val FROM customer
+    UNION ALL SELECT 'count:orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'count:lineitem', COUNT(*) FROM lineitem
     """,
 )
 def q10_setop_suite(spark, sf_dir):
@@ -287,10 +234,18 @@ def q10_setop_suite(spark, sf_dir):
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    inter = cust.intersect(supp).select(F.lit("intersect").alias("op"), "nationkey")
+    val = F.col("nationkey").cast("bigint").alias("val")
+    inter = cust.intersect(supp).select(F.lit("intersect").alias("op"), val)
     # subtract == EXCEPT (set semantics); exceptAll would keep dup counts
-    exc = cust.subtract(supp).select(F.lit("except").alias("op"), "nationkey")
-    return inter.unionByName(exc)
+    exc = cust.subtract(supp).select(F.lit("except").alias("op"), val)
+    out = inter.unionByName(exc)
+    for name in ("customer", "orders", "lineitem"):
+        out = out.unionByName(
+            load_table(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("val"))
+            .select(F.lit(f"count:{name}").alias("op"), "val")
+        )
+    return out
 
 
 # --- q12: distinct aggregates + pivot, joined on the grouping key ----------
@@ -485,24 +440,4 @@ def q18_first_order_per_customer(spark, sf_dir):
     )
 
 
-# --- q20: multi-table union ------------------------------------------------
-@query(
-    "q20_table_stats_union",
-    oracle="""
-    SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
-    UNION ALL SELECT 'orders', COUNT(*) FROM orders
-    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
-    """,
-)
-def q20_table_stats_union(spark, sf_dir):
-    dfs = []
-    for name in ("customer", "orders", "lineitem"):
-        dfs.append(
-            load_table(spark, sf_dir, name)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit(name).alias("tbl"), "n")
-        )
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+# q20_table_stats_union folded into q10_setop_suite (VERDICT.md r5 #1).

@@ -44,24 +44,36 @@ def q37_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER w_price AS price_pct_rank,
            ntile(4)       OVER w_full  AS quartile,
            lag(o_totalprice)  OVER w_full AS prev_price,
-           lead(o_totalprice) OVER w_full AS next_price
+           lead(o_totalprice) OVER w_full AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (w_date ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           CAST(date_diff('day', lag(o_orderdate) OVER w_date, o_orderdate)
+                AS INTEGER) AS days_since_prev
     FROM orders
     WINDOW
       w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
       w_full  AS (PARTITION BY o_custkey
-                  ORDER BY o_totalprice DESC, o_orderkey)
+                  ORDER BY o_totalprice DESC, o_orderkey),
+      w_date  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
 def q38_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ranking-window family the reference lacks (SURVEY §2.6): rank/
     dense_rank/percent_rank over value order (tie-stable by definition),
-    ntile/lag/lead over a total order (unique tiebreaker → deterministic).
-    Both specs share the o_custkey partition: one shuffle, one sort."""
+    ntile/lag/lead over a total order (unique tiebreaker → deterministic),
+    plus the two date-ordered analytics folded in from the former q08/q09
+    (registry-cap fit, VERDICT.md r5 #1): a running total with an explicit
+    ROWS frame (W3 — decimal-cast inside the sum keeps it order-exact) and
+    days-since-previous-order via lag+datediff (W2). All three specs share
+    the o_custkey partition: one shuffle, three in-partition sorts."""
     orders = load_table(spark, sf_dir, "orders")
     w_price = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
     w_full = W.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
+    w_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_orderkey",
         "o_custkey",
@@ -72,6 +84,13 @@ def q38_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_full).alias("quartile"),
         F.lag("o_totalprice").over(w_full).alias("prev_price"),
         F.lead("o_totalprice").over(w_full).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w_date.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w_date))
+        .cast("int")
+        .alias("days_since_prev"),
     )
 
 

@@ -1,0 +1,349 @@
+"""Driver-gate promotion of the round-5 training-pipeline operators
+(VERDICT.md r5 #1): the one-call curation pipeline (operators/curate.py),
+document chunking (operators/training_prep.py) and the incremental near-dup
+admission store (operators/incremental_dedup.py), each with a full DuckDB
+oracle so the composition — not just the individually-checked pieces — is
+hash-compared bit-for-bit.
+
+The corpora are the planted-twin constructions the dedup suite already uses
+(plans/dedup_similarity.py): the synthetic documents table has no natural
+duplicates or PII, so each query plants deterministic ones first and the
+oracle replants identically.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.functions.text import SQL_STOPWORDS
+from movie_recommendation_etl_spark.operators.curate import (
+    EMAIL_RE,
+    PHONE_RE,
+    curate_documents,
+)
+from movie_recommendation_etl_spark.operators.training_prep import (
+    chunk_documents,
+)
+from movie_recommendation_etl_spark.plans.curation import _sql_hex8_to_bigint
+from movie_recommendation_etl_spark.plans.dedup_similarity import (
+    _SQL_VERIFIED_CTES,
+    _with_twins,
+)
+from movie_recommendation_etl_spark.plans.registry import query
+from movie_recommendation_etl_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# q72: end-to-end curation (filter → redact → dedup → sample)
+# ---------------------------------------------------------------------------
+
+# Deterministic mixed-case PII plant (the corpus has none naturally). Mixed
+# case / '+' / '_' / '(...)' shapes deliberately exercise the REAL-text
+# patterns (operators/curate.py EMAIL_RE/PHONE_RE with (?i)), which are
+# stronger than the lowercase-only q56 oracle patterns.
+_SQL_PLANT = """
+    planted0 AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                 WHEN 0 THEN text || ' Contact John.Doe+'
+                             || CAST(doc_id AS VARCHAR)
+                             || '@Example.COM or +1 555-123-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 WHEN 1 THEN text || ' reach Admin_'
+                             || CAST(doc_id AS VARCHAR) || '@test.org'
+                 ELSE text || ' call ('
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || ') 867-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               END AS text
+        FROM documents
+    )
+"""
+
+
+def _planted_text() -> "F.Column":
+    """Spark twin of _SQL_PLANT (applied to the original documents rows)."""
+    sid = F.col("doc_id").cast("string")
+    p4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    p3 = F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0")
+    return (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact John.Doe+"),
+                sid,
+                F.lit("@Example.COM or +1 555-123-"),
+                p4,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(" reach Admin_"), sid, F.lit("@test.org")),
+        )
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" call ("), p3, F.lit(") 867-"), p4)
+        )
+    )
+
+
+@query(
+    "q72_curate_pipeline",
+    oracle=f"""
+    WITH {_SQL_PLANT},
+    corpus AS (
+        SELECT doc_id, text FROM planted0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM planted0
+    ),
+    t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
+    m AS (
+        SELECT doc_id, text,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_uniq,
+               len(list_distinct(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1]))) AS n2_dist,
+               CAST(len(list_filter(toks, x -> x IN ({SQL_STOPWORDS})))
+                    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+               CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                   'sum') AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS mean_tok_len
+        FROM t
+    ),
+    scored AS (
+        SELECT doc_id, text, n_tokens,
+               CASE WHEN stop_ratio >= 0.15 THEN 'en' ELSE 'other' END AS lang,
+               0.3 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
+                 + 0.4 * (1.0 - stop_ratio)
+                 + 0.3 * (least(mean_tok_len, 10.0) / 10.0) AS quality,
+               1.0 - CAST(n_uniq AS DOUBLE) / n_tokens AS dup_tok,
+               CASE WHEN n_tokens > 1
+                    THEN 1.0 - CAST(n2_dist AS DOUBLE) / (n_tokens - 1)
+                    ELSE 0.0 END AS dup2
+        FROM m
+        WHERE n_tokens > 0
+    ),
+    filtered AS (
+        SELECT doc_id, text, n_tokens, lang, quality FROM scored
+        WHERE lang IN ('en') AND quality >= 0.5
+          AND dup_tok <= 0.6 AND dup2 <= 0.8
+    ),
+    red AS (
+        SELECT doc_id, n_tokens, lang, quality,
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PHONE_RE}', '[PHONE]', 'g') AS rtext
+        FROM filtered
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(rtext),
+                                         '[^a-z0-9]+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+        FROM red
+    )
+    SELECT doc_id, md5(rtext) AS text_md5, lang, quality, n_tokens
+    FROM ranked
+    WHERE rn = 1
+      AND CAST({_sql_hex8_to_bigint("md5(CAST(doc_id AS VARCHAR))")}
+               AS DOUBLE) / 4294967296.0 < 0.5
+    """,
+)
+def q72_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call curation pipeline end-to-end (operators/curate.py):
+    lang/quality/repetition filters → mixed-case PII redaction → exact dedup
+    (deterministic smallest-id survivor) → deterministic 50% sample.
+
+    The corpus plants PII in every doc (3 rotating mixed-case shapes) and
+    unions an id-shifted byte-identical copy, so every stage provably does
+    work: the copy must die in dedup (the original's smaller id wins), the
+    PII must die in redaction, and the survivors must halve in the sample.
+    The sample stage runs in its md5-hex form (``sample_unif``) so the whole
+    composition — not just each piece — replays in the DuckDB oracle;
+    production keeps the cheaper xxhash64 default. Scale shape is the
+    pipeline's own: all filters are scan-stage codegen ahead of the single
+    dedup shuffle on uniform md5 keys."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn("text", _planted_text())
+    corpus = planted.unionByName(
+        planted.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    unif = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    curated = curate_documents(
+        corpus,
+        langs=("en",),
+        min_quality=0.5,
+        max_dup_token_frac=0.6,
+        max_dup_2gram_frac=0.8,
+        redact_pii=True,
+        dedup=True,
+        sample_fraction=0.5,
+        sample_unif=unif,
+    )
+    return curated.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        "quality",
+        "n_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73: document chunking (explode-based, overlap semantics)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_OVERLAP = 8
+_STEP = _CHUNK_TOKENS - _OVERLAP
+
+
+@query(
+    "q73_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    st AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n <= 0 THEN []
+                    ELSE list_filter(
+                        list_transform(
+                            range(0, CAST(floor((n - 1) / {_STEP}.0)
+                                          AS BIGINT) + 1),
+                            i -> i * {_STEP}),
+                        x -> x = 0 OR x + {_OVERLAP} < n)
+               END AS starts
+        FROM s
+    ),
+    ex AS (
+        SELECT doc_id, toks, n,
+               unnest(list_transform(range(1, len(starts) + 1),
+                      i -> {{'ci': i - 1, 'st': starts[i]}})) AS c
+        FROM st
+    )
+    SELECT doc_id,
+           CAST(c.ci AS INTEGER) AS chunk_idx,
+           md5(array_to_string(toks[c.st + 1 : c.st + {_CHUNK_TOKENS}], ' '))
+               AS chunk_md5,
+           CAST(least({_CHUNK_TOKENS}, n - c.st) AS INTEGER) AS n_tokens
+    FROM ex
+    """,
+)
+def q73_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded chunking with overlap (operators/training_prep.py:
+    chunk_documents): one output row per chunk, consecutive chunks sharing
+    {_OVERLAP} tokens, trailing all-overlap chunks dropped. Pure Catalyst
+    explode — output rows ∝ corpus tokens / step, no Python, no shuffle;
+    the oracle replays the start-index arithmetic exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap_tokens=_OVERLAP
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74: incremental near-dup admission, two-batch replay
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q74_incremental_admission",
+    oracle=f"""
+    WITH {_SQL_VERIFIED_CTES},
+    sexpl AS (
+        SELECT doc_id, t.j AS band_idx, bands[t.j + 1] AS band_val
+        FROM banded CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t
+        WHERE len(sh) > 0
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sexpl a
+        JOIN sexpl b ON a.band_idx = b.band_idx
+                    AND a.band_val = b.band_val
+                    AND a.doc_id <> b.doc_id
+    ),
+    ag AS (
+        SELECT id_a, id_b,
+               CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i]))
+                    AS DOUBLE) / 12 AS est
+        FROM cand
+        JOIN sigs x ON x.doc_id = id_a
+        JOIN sigs y ON y.doc_id = id_b
+    ),
+    rej1 AS (
+        SELECT DISTINCT id_a AS doc_id FROM ag
+        WHERE id_a < 1000000 AND id_b < 1000000 AND id_a > id_b
+          AND est >= 0.7
+    ),
+    adm1 AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM rej1)
+    ),
+    rej2 AS (
+        SELECT DISTINCT id_a AS doc_id FROM ag
+        WHERE id_a >= 1000000 AND id_b >= 1000000 AND id_a > id_b
+          AND est >= 0.7
+        UNION
+        SELECT DISTINCT ag.id_a AS doc_id
+        FROM ag JOIN adm1 s ON ag.id_b = s.doc_id
+        WHERE ag.id_a >= 1000000 AND ag.id_b < 1000000 AND ag.est >= 0.7
+    ),
+    adm2 AS (
+        SELECT doc_id + 1000000 AS doc_id FROM documents
+        WHERE doc_id + 1000000 NOT IN (SELECT doc_id FROM rej2)
+    )
+    SELECT 1 AS batch, doc_id FROM adm1
+    UNION ALL
+    SELECT 2 AS batch, doc_id FROM adm2
+    """,
+)
+def q74_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch replay of the incremental admission store
+    (operators/incremental_dedup.py:admit_new_documents): batch 1 bootstraps
+    the signature store from the original documents; batch 2 offers their
+    near-dup twins (last 3 tokens dropped), which must be rejected by
+    signature agreement against the STORE — no re-read of the batch-1 text.
+    The oracle replays the full md5-derived Carter-Wegman MinHash family,
+    banding, and the 12-position agreement estimator, plus both rejection
+    scopes (within-batch smaller-id and cross-batch vs admitted store rows).
+
+    Store probe is an equi-join on (band_idx, band_val) against a store 3
+    orders smaller than the corpus — the O(batch) ingestion-gate shape that
+    never re-reads admitted text at 100 TB."""
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = _with_twins(docs).filter(F.col("doc_id") >= 1000000)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_q74_store_{os.path.basename(sf_dir)}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    adm1 = admit_new_documents(spark, docs, store, sim_threshold=0.7)
+    adm2 = admit_new_documents(spark, twins, store, sim_threshold=0.7)
+    return adm1.select(F.lit(1).alias("batch"), "doc_id").unionByName(
+        adm2.select(F.lit(2).alias("batch"), "doc_id")
+    )
