@@ -5,17 +5,33 @@ files are never deleted by Spark itself (``cleanCheckpoints`` defaults to
 false) — so an operator that just sets the dir and checkpoints every round
 both hijacks later ``checkpoint()`` calls elsewhere in the session and
 leaks one full frame copy per iteration onto HDFS/S3. This helper gives
-operators a scope that (a) restores the previous checkpoint dir on exit and
-(b) deletes the run's own checkpoint subdirectory after the caller has
-localCheckpoint'ed its final result off the reliable files. Durability is
-preserved where it matters: DURING the iteration (executor loss mid-run
-recovers from reliable storage); the final result is the caller's to
-persist.
+operators a scope that (a) restores the previous checkpoint BASE dir on
+exit and (b) deletes the run's own checkpoint subdirectory once the scope
+closes. Durability is preserved where it matters: DURING the iteration
+(executor loss mid-run recovers from reliable storage); the final result is
+the caller's to persist.
+
+Restore semantics (r5 ADVICE): ``SparkContext.setCheckpointDir(base)``
+stores ``base/<uuid>`` as the context's checkpoint dir, so naively
+restoring ``getCheckpointDir()`` re-bases onto the PREVIOUS RUN DIR and
+every scope nests one uuid level deeper. This module therefore tracks the
+last BASE dir it set per application itself; when no base is known (the
+session never had a checkpoint dir, or one was set outside this module
+before the first scope) the scope exit unsets the dir / falls back to the
+observed run dir respectively. Cleanup runs in a ``finally``: on an
+exception inside the scope the run's reliable files are deleted too (the
+iteration failed; frames checkpointed into the scope are not reusable
+after it exits — by contract callers detach results before returning).
 """
 
 from __future__ import annotations
 
 from contextlib import contextmanager
+
+# Last checkpoint BASE dir set through this module, per Spark application.
+# SparkContext only exposes the uuid-suffixed run dir, so the base must be
+# tracked on the Python side to restore without nesting.
+_LAST_BASE: dict[str, str | None] = {}
 
 
 @contextmanager
@@ -24,10 +40,10 @@ def reliable_checkpoint_scope(spark, checkpoint_dir: str | None):
 
     With ``checkpoint_dir`` None: ``ckpt`` = localCheckpoint (no global
     state touched). Otherwise: sets the context checkpoint dir for the
-    scope, ``ckpt`` = reliable checkpoint, and on successful exit restores
-    the previous dir and deletes the run's checkpoint files. Callers MUST
-    localCheckpoint (or write out) anything they return, because the
-    reliable files are gone after the scope closes.
+    scope, ``ckpt`` = reliable checkpoint, and on exit restores the
+    previous BASE dir (or unsets it) and deletes the run's checkpoint
+    files. Callers MUST localCheckpoint (or write out) anything they
+    return, because the reliable files are gone after the scope closes.
     """
     sc = spark.sparkContext
     if checkpoint_dir is None:
@@ -35,17 +51,30 @@ def reliable_checkpoint_scope(spark, checkpoint_dir: str | None):
         return
 
     jsc = sc._jsc.sc()
-    prev = jsc.getCheckpointDir()
-    prev_dir = prev.get() if prev.isDefined() else None
+    app_id = sc.applicationId
+    if app_id in _LAST_BASE:
+        prev_base = _LAST_BASE[app_id]
+    else:
+        # A dir set outside this module (or never): we can only observe the
+        # uuid run dir. Best effort — restore that run dir as the new base
+        # (checkpoints still land under the user's tree, one level deeper);
+        # subsequent scopes restore from _LAST_BASE and no longer nest.
+        prev = jsc.getCheckpointDir()
+        prev_base = prev.get() if prev.isDefined() else None
     sc.setCheckpointDir(checkpoint_dir)
-    # the actual run dir is <checkpoint_dir>/<uuid> — capture it for cleanup
+    _LAST_BASE[app_id] = checkpoint_dir
     run_dir = jsc.getCheckpointDir().get()
     try:
         yield lambda df: df.checkpoint(eager=True)
-        # success: the caller has detached its result; drop the run's files
+    finally:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(run_dir)
         hpath.getFileSystem(sc._jsc.hadoopConfiguration()).delete(hpath, True)
-    finally:
-        if prev_dir is not None:
-            sc.setCheckpointDir(prev_dir)
+        if prev_base is not None:
+            sc.setCheckpointDir(prev_base)
+        else:
+            # no prior dir: unset rather than leave the session pointing at
+            # the just-deleted run dir (checkpointDir is a plain scala var;
+            # package-private compiles to a public accessor)
+            getattr(jsc, "checkpointDir_$eq")(jvm.scala.Option.apply(None))
+        _LAST_BASE[app_id] = prev_base

@@ -10,6 +10,17 @@ band buckets), independent of corpus size. A 100 TB corpus's store is
 ~100 GB (3 orders smaller), and the probe is an equi-join on band hash:
 shuffle-friendly, prunable, never all-pairs.
 
+The store is PARTITIONED by a 16-way band-hash prefix (``band_pfx``,
+derived from ``band_val``), and the probe statically prunes the store scan
+to the batch's own prefixes: the batch's distinct prefixes (a driver
+collect bounded by N_STORE_PARTITIONS values) become a literal IN
+partition filter, so a small steady-state batch reads a few store
+partitions, not the whole store
+(tests/test_incremental_dedup.py asserts the PartitionFilters in the plan).
+Stores written before this layout (no ``band_pfx`` directory level) are
+read compatibly: the prefix is derived on read and pruning degrades to a
+post-scan filter until the store is rewritten.
+
 Similarity against stored docs is ESTIMATED from signature agreement
 (fraction of equal minhash positions — an unbiased Jaccard estimator; with
 12 hashes the std-err is ~0.13, so thresholds are coarse by design). The
@@ -18,12 +29,31 @@ store matches would mean keeping O(corpus tokens) around forever. Pipelines
 needing exact verification run the batch pipeline offline on the admitted
 corpus; this gate's job is cheap high-recall rejection at the front door.
 
+Within-batch semantics are GREEDY-BY-ID, not cluster-resolved: the
+survivors are exactly the docs with no above-threshold band-match to ANY
+smaller-id batch doc — including one that was itself rejected. For a
+near-dup chain A≈B≈C (ids ascending, C≉A), B dies against A and C dies
+against B; that coincides with the offline pipeline's connected-component
+resolution (q54 — one survivor per component), but on other similarity
+graphs the two rules genuinely differ (edges A–C and B–C only: greedy
+admits A AND B, cluster resolution keeps only A). Greedy-by-id is chosen
+because it needs one pass, no iteration, and is deterministic under
+partitioning; pipelines wanting cluster semantics run the batch near-dup +
+graph pass offline. Pinned by tests/test_incremental_dedup.py's chain and
+vee tests.
+
 Write path: admitted signatures merge into the store via
 merge_upsert_parquet keyed (doc_id, band_idx) — idempotent, so replaying a
 batch (at-least-once delivery) converges instead of duplicating store rows.
 Self-matches are excluded on probe, so a replayed doc does not reject
-itself. At scale, partition the store by a band-hash prefix for pruning and
-compact it periodically (sources/compact.py).
+itself. Compact the store periodically (sources/compact.py).
+
+``checkpoint_dir`` switches the two lineage-truncation points (the banded
+batch, the admitted result) from ``localCheckpoint`` — executor blocks,
+lost with an executor — to reliable ``checkpoint()`` on the given HDFS/S3
+path via operators/_checkpoint.reliable_checkpoint_scope. Ingestion is the
+one place this code runs forever, so surviving executor loss mid-admission
+matters; results are identical either way (dual-path pytest).
 """
 
 from __future__ import annotations
@@ -31,6 +61,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from movie_recommendation_etl_spark.operators._checkpoint import (
+    reliable_checkpoint_scope,
+)
 from movie_recommendation_etl_spark.operators.neardup import (
     minhash_signature_cols,
     band_hashes,
@@ -42,6 +75,10 @@ from movie_recommendation_etl_spark.sources.writers import (
 
 NUM_HASHES = 12
 ROWS_PER_BAND = 3
+# 16-way store partitioning on a band-hash prefix: enough spread that a
+# probe prunes ~15/16 of store files, few enough that small stores do not
+# fragment (compaction handles the rest).
+N_STORE_PARTITIONS = 16
 
 
 def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
@@ -56,6 +93,42 @@ def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return None
         raise
+
+
+def _doc_band_pfx(band_val) -> F.Column:
+    """Partition prefix for a doc-store band value (md5 hex string): the
+    leading hex digit as an int — same derivation probe-side and
+    store-side, so the join key doubles as the pruning key."""
+    c = F.col(band_val) if isinstance(band_val, str) else band_val
+    return F.conv(F.substring(c, 1, 1), 16, 10).cast("int")
+
+
+def _emb_band_pfx(band_val) -> F.Column:
+    """Partition prefix for an embedding-store band value (packed int)."""
+    c = F.col(band_val) if isinstance(band_val, str) else band_val
+    return F.pmod(c, F.lit(N_STORE_PARTITIONS)).cast("int")
+
+
+def _with_band_pfx(store: DataFrame, pfx_fn) -> DataFrame:
+    """Ensure the store frame carries band_pfx (legacy unpartitioned stores
+    predate the column; derive it on read — no pruning, still correct)."""
+    if "band_pfx" in store.columns:
+        return store
+    return store.withColumn("band_pfx", pfx_fn("band_val"))
+
+
+def _pruned_store(store: DataFrame, bands: DataFrame) -> DataFrame:
+    """Static partition pruning for the probe: the batch's DISTINCT band
+    prefixes — a driver collect bounded by N_STORE_PARTITIONS values, never
+    by row count — become a literal IN filter on the store scan, so the
+    probe reads only partitions the batch can possibly match. Static
+    pruning beats relying on DPP here: DPP only fires with a selective
+    predicate + broadcast on the probe side (neither guaranteed for a
+    checkpointed batch frame), while 16 collected ints prune at plan time
+    unconditionally. A small batch (the steady-state ingestion case) scans
+    a few store partitions instead of all of them."""
+    vals = [r[0] for r in bands.select("band_pfx").distinct().collect()]
+    return store.filter(F.col("band_pfx").isin(vals))
 
 
 def _band_rows(
@@ -83,7 +156,7 @@ def _band_rows(
         "doc_id",
         "sig",
         F.posexplode("bands").alias("band_idx", "band_val"),
-    )
+    ).withColumn("band_pfx", _doc_band_pfx("band_val"))
 
 
 def _sig_agreement(a, b):
@@ -98,6 +171,33 @@ def _sig_agreement(a, b):
     )
 
 
+def _probe_doc_store(
+    bands: DataFrame, store: DataFrame, sim_threshold: float
+) -> DataFrame:
+    """Store-probe join for documents: batch band rows vs stored band rows,
+    agreement-thresholded, distinct rejected doc_ids. The redundant
+    band_pfx equality (implied by band_val equality) feeds dynamic
+    partition pruning on the partitioned store scan — the plan shape
+    tests/test_incremental_dedup.py pins."""
+    return (
+        bands.alias("n")
+        .join(
+            store.alias("s"),
+            (F.col("n.band_pfx") == F.col("s.band_pfx"))
+            & (F.col("n.band_idx") == F.col("s.band_idx"))
+            & (F.col("n.band_val") == F.col("s.band_val"))
+            & (F.col("n.doc_id") != F.col("s.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            _sig_agreement(F.col("n.sig"), F.col("s.sig")).alias("est"),
+        )
+        .filter(F.col("est") >= sim_threshold)
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def admit_new_documents(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -107,81 +207,85 @@ def admit_new_documents(
     text_col: str = "text",
     k: int = 3,
     sim_threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Admit the subset of ``new_docs`` that near-dups neither the stored
     corpus nor an earlier (smaller-id) doc of the same batch, and merge the
     admitted signatures into the store. Returns the admitted rows with
     their original columns. Deterministic: within a batch the smallest id
-    of a duplicate group survives (matching dedup_keep_first's policy);
-    across batches, first-admitted wins. ``id_col`` values must be globally
+    of a duplicate group survives (matching dedup_keep_first's policy) and
+    rejection is greedy-by-id along chains (see module docstring); across
+    batches, first-admitted wins. ``id_col`` values must be globally
     unique across batches (replays of the same ids are the supported
-    exception and converge idempotently).
+    exception and converge idempotently). ``checkpoint_dir`` selects
+    reliable checkpointing for the two lineage barriers (module docstring).
     """
-    bands = _band_rows(new_docs, id_col, text_col, k).localCheckpoint(
-        eager=True
-    )
+    with reliable_checkpoint_scope(spark, checkpoint_dir) as _ckpt:
+        bands = _ckpt(_band_rows(new_docs, id_col, text_col, k))
 
-    # -- within-batch rejection: any doc agreeing with a SMALLER id --------
-    a, b = bands.alias("a"), bands.alias("b")
-    intra = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            _sig_agreement(F.col("a.sig"), F.col("b.sig")).alias("est"),
-        )
-        .filter(F.col("est") >= sim_threshold)
-        .select("doc_id")
-        .distinct()
-    )
-
-    # -- store rejection: any agreement with a different stored doc --------
-    # Only a MISSING store is bootstrap (AnalysisException on the read,
-    # caught narrowly around the read alone). Any other failure — corrupt
-    # footer, permissions, schema drift — must raise: swallowing it would
-    # silently disable cross-batch rejection and admit duplicates.
-    store = _read_store(spark, store_path)
-    if store is not None:
-        hits = (
-            bands.alias("n")
-            .join(
-                store.alias("s"),
-                (F.col("n.band_idx") == F.col("s.band_idx"))
-                & (F.col("n.band_val") == F.col("s.band_val"))
-                & (F.col("n.doc_id") != F.col("s.doc_id")),
+        # -- within-batch rejection: any doc agreeing with a SMALLER id ----
+        a, b = bands.alias("a"), bands.alias("b")
+        intra = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
             )
             .select(
-                F.col("n.doc_id").alias("doc_id"),
-                _sig_agreement(F.col("n.sig"), F.col("s.sig")).alias("est"),
+                F.col("a.doc_id").alias("doc_id"),
+                _sig_agreement(F.col("a.sig"), F.col("b.sig")).alias("est"),
             )
             .filter(F.col("est") >= sim_threshold)
             .select("doc_id")
             .distinct()
         )
-        rejected = intra.unionByName(hits).distinct()
-    else:
-        rejected = intra
 
-    admitted = new_docs.join(
-        rejected.withColumnRenamed("doc_id", id_col),
-        id_col,
-        "left_anti",
-    ).localCheckpoint(eager=True)
+        # -- store rejection: any agreement with a different stored doc ----
+        # Only a MISSING store is bootstrap (AnalysisException on the read,
+        # caught narrowly around the read alone). Any other failure —
+        # corrupt footer, permissions, schema drift — must raise: swallowing
+        # it would silently disable cross-batch rejection and admit dups.
+        # The redundant band_pfx equality (implied by band_val equality)
+        # feeds dynamic partition pruning on the partitioned store scan.
+        store = _read_store(spark, store_path)
+        # legacy (pre-band_pfx) stores keep their flat layout on merge —
+        # band_pfx becomes a plain column; rewrite/compact to gain pruning
+        legacy = store is not None and "band_pfx" not in store.columns
+        if store is not None:
+            store = _pruned_store(
+                _with_band_pfx(store, _doc_band_pfx), bands
+            )
+            hits = _probe_doc_store(bands, store, sim_threshold)
+            rejected = intra.unionByName(hits).distinct()
+        else:
+            rejected = intra
 
-    admitted_bands = bands.join(
-        admitted.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
-    )
-    merge_upsert_parquet(
-        spark,
-        admitted_bands,
-        store_path,
-        key_cols=["doc_id", "band_idx"],
-    )
-    return admitted
+        admitted = _ckpt(
+            new_docs.join(
+                rejected.withColumnRenamed("doc_id", id_col),
+                id_col,
+                "left_anti",
+            )
+        )
+
+        admitted_bands = bands.join(
+            admitted.select(F.col(id_col).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        merge_upsert_parquet(
+            spark,
+            admitted_bands,
+            store_path,
+            key_cols=["doc_id", "band_idx"],
+            partition_by=None if legacy else ["band_pfx"],
+        )
+        if checkpoint_dir is not None:
+            # detach onto local blocks before the scope deletes this run's
+            # reliable files on exit
+            admitted = admitted.localCheckpoint(eager=True)
+        return admitted
 
 
 # --- embedding twin: SRP bands + int8 signatures ----------------------------
@@ -216,6 +320,34 @@ def _embedding_band_rows(
     )
     return banded.select(
         "vec_id", "qvec", F.posexplode("bands").alias("band_idx", "band_val")
+    ).withColumn("band_pfx", _emb_band_pfx("band_val"))
+
+
+def _probe_emb_store(
+    bands: DataFrame, store: DataFrame, cos_threshold: float
+) -> DataFrame:
+    """Store-probe join for embeddings (int8 cosine; see _probe_doc_store
+    for the band_pfx pruning rationale)."""
+    from movie_recommendation_etl_spark.functions.vectors import (
+        cosine_quantized,
+    )
+
+    return (
+        bands.alias("n")
+        .join(
+            store.alias("s"),
+            (F.col("n.band_pfx") == F.col("s.band_pfx"))
+            & (F.col("n.band_idx") == F.col("s.band_idx"))
+            & (F.col("n.band_val") == F.col("s.band_val"))
+            & (F.col("n.vec_id") != F.col("s.vec_id")),
+        )
+        .select(
+            F.col("n.vec_id").alias("vec_id"),
+            cosine_quantized(F.col("n.qvec"), F.col("s.qvec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= cos_threshold)
+        .select("vec_id")
+        .distinct()
     )
 
 
@@ -228,71 +360,71 @@ def admit_new_embeddings(
     vec_col: str = "embedding",
     dim: int,
     cos_threshold: float = 0.92,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Vector twin of admit_new_documents: admit new embeddings that are
     not near-duplicates (quantized cosine >= ``cos_threshold``) of the
     stored corpus or of a smaller-id batch neighbor sharing an SRP band;
     merge admitted (band, int8 signature) rows into the store. Same
-    determinism and replay-idempotence contract."""
+    determinism, greedy-chain, replay-idempotence and checkpoint contract
+    as admit_new_documents (module docstring)."""
     from movie_recommendation_etl_spark.functions.vectors import (
         cosine_quantized,
     )
 
-    bands = _embedding_band_rows(new_vecs, id_col, vec_col, dim)
-    bands = bands.localCheckpoint(eager=True)
+    with reliable_checkpoint_scope(spark, checkpoint_dir) as _ckpt:
+        bands = _ckpt(_embedding_band_rows(new_vecs, id_col, vec_col, dim))
 
-    a, b = bands.alias("a"), bands.alias("b")
-    intra = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") > F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            cosine_quantized(F.col("a.qvec"), F.col("b.qvec")).alias("cos"),
-        )
-        .filter(F.col("cos") >= cos_threshold)
-        .select("vec_id")
-        .distinct()
-    )
-
-    store = _read_store(spark, store_path)
-    if store is not None:
-        hits = (
-            bands.alias("n")
-            .join(
-                store.alias("s"),
-                (F.col("n.band_idx") == F.col("s.band_idx"))
-                & (F.col("n.band_val") == F.col("s.band_val"))
-                & (F.col("n.vec_id") != F.col("s.vec_id")),
+        a, b = bands.alias("a"), bands.alias("b")
+        intra = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.vec_id") > F.col("b.vec_id")),
             )
             .select(
-                F.col("n.vec_id").alias("vec_id"),
-                cosine_quantized(F.col("n.qvec"), F.col("s.qvec")).alias(
-                    "cos"
-                ),
+                F.col("a.vec_id").alias("vec_id"),
+                cosine_quantized(
+                    F.col("a.qvec"), F.col("b.qvec")
+                ).alias("cos"),
             )
             .filter(F.col("cos") >= cos_threshold)
             .select("vec_id")
             .distinct()
         )
-        rejected = intra.unionByName(hits).distinct()
-    else:
-        rejected = intra
 
-    admitted = new_vecs.join(
-        rejected.withColumnRenamed("vec_id", id_col), id_col, "left_anti"
-    ).localCheckpoint(eager=True)
+        store = _read_store(spark, store_path)
+        legacy = store is not None and "band_pfx" not in store.columns
+        if store is not None:
+            store = _pruned_store(
+                _with_band_pfx(store, _emb_band_pfx), bands
+            )
+            hits = _probe_emb_store(bands, store, cos_threshold)
+            rejected = intra.unionByName(hits).distinct()
+        else:
+            rejected = intra
 
-    admitted_bands = bands.join(
-        admitted.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
-    )
-    merge_upsert_parquet(
-        spark,
-        admitted_bands,
-        store_path,
-        key_cols=["vec_id", "band_idx"],
-    )
-    return admitted
+        admitted = _ckpt(
+            new_vecs.join(
+                rejected.withColumnRenamed("vec_id", id_col),
+                id_col,
+                "left_anti",
+            )
+        )
+
+        admitted_bands = bands.join(
+            admitted.select(F.col(id_col).alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        merge_upsert_parquet(
+            spark,
+            admitted_bands,
+            store_path,
+            key_cols=["vec_id", "band_idx"],
+            partition_by=None if legacy else ["band_pfx"],
+        )
+        if checkpoint_dir is not None:
+            admitted = admitted.localCheckpoint(eager=True)
+        return admitted

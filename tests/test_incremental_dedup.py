@@ -1,15 +1,21 @@
 """Incremental near-dup admission (operators/incremental_dedup.py):
 cross-batch rejection against the signature store, within-batch
-smallest-id-wins, replay idempotence, and store growth bounded to admitted
-docs."""
+smallest-id-wins, greedy chain semantics, replay idempotence, store growth
+bounded to admitted docs, partition-pruned probes, and the reliable
+checkpoint path."""
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import types as T
 
 from movie_recommendation_etl_spark.operators.incremental_dedup import (
+    NUM_HASHES,
+    ROWS_PER_BAND,
     admit_new_documents,
 )
+from movie_recommendation_etl_spark.operators.neardup import CW_P, cw_coeffs
 
 SCHEMA = T.StructType(
     [
@@ -142,3 +148,225 @@ def test_incremental_embedding_admission(spark, tmp_path):
     stored = spark.read.parquet(store)
     assert stored.select("vec_id").distinct().count() == 3
     assert stored.count() == 3 * 12  # 96 bits / 8 per band
+
+
+# --- pure-Python replica of the signature family (hashlib.md5 == F.md5) ----
+
+
+def _py_sig(text: str, k: int = 3) -> list[int]:
+    toks = text.split(" ")
+    sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    ws = []
+    for s in sorted(sh):
+        h = hashlib.md5(s.encode()).hexdigest()
+        ws.append((int(h[:8], 16), int(h[8:16], 16)))
+    return [
+        min((a * w1 + b * w2 + c) % CW_P for w1, w2 in ws)
+        for a, b, c in cw_coeffs(NUM_HASHES)
+    ]
+
+
+def _py_est(sa: list[int], sb: list[int]) -> float:
+    return sum(x == y for x, y in zip(sa, sb)) / NUM_HASHES
+
+
+def _py_shares_band(sa: list[int], sb: list[int]) -> bool:
+    return any(
+        sa[j : j + ROWS_PER_BAND] == sb[j : j + ROWS_PER_BAND]
+        for j in range(0, NUM_HASHES, ROWS_PER_BAND)
+    )
+
+
+def _py_edge(sa, sb, thr=0.7) -> bool:
+    """True iff the operator would consider (a, b) an above-threshold
+    band-matching pair — the exact rejection predicate."""
+    return _py_shares_band(sa, sb) and _py_est(sa, sb) >= thr
+
+
+def test_chain_rejection_greedy_by_id(spark, tmp_path):
+    """Pin the documented greedy-by-id chain semantics: for A≈B≈C with
+    C≉A, C is rejected against B even though B was itself rejected.
+    Preconditions are PROVEN in-test with the pure-Python replica of the
+    md5 Carter-Wegman family, so the triple genuinely is a chain."""
+    common = " ".join(f"base{i}" for i in range(40))
+    found = None
+    for salt in range(200):
+        # sliding 10-token tails overlapping 5: A~B and B~C share half a
+        # tail (J≈0.75 — likely edges), A~C share none (J≈0.66 — likely
+        # below the 0.7 estimate)
+        tail = lambda lo, hi: " ".join(  # noqa: E731
+            f"x{salt}t{i}" for i in range(lo, hi)
+        )
+        a = common + " " + tail(0, 10)
+        b = common + " " + tail(5, 15)
+        c = common + " " + tail(10, 20)
+        sa, sb, sc = _py_sig(a), _py_sig(b), _py_sig(c)
+        if _py_edge(sa, sb) and _py_edge(sb, sc) and not _py_edge(sa, sc):
+            found = (a, b, c)
+            break
+    assert found, "no chain triple found in the deterministic search space"
+    a, b, c = found
+    store = str(tmp_path / "chain_store")
+    admitted = admit_new_documents(
+        spark, _df(spark, [(1, a), (2, b), (3, c)]), store
+    )
+    # B dies against A; C dies against the REJECTED B (greedy, not
+    # admitted-prefix probing); C's non-edge to A does not save it
+    assert {r["doc_id"] for r in admitted.collect()} == {1}
+
+
+def test_vee_graph_admits_both_roots(spark, tmp_path):
+    """The other side of greedy-by-id (module docstring): edges A–C and
+    B–C only (no A–B edge) admit BOTH A and B — cluster resolution would
+    keep only A. Preconditions proven with the Python replica."""
+    found = None
+    for salt in range(200):
+        shared = " ".join(f"s{salt}w{i}" for i in range(30))
+        a = shared + " " + " ".join(f"a{salt}t{i}" for i in range(10))
+        b = shared + " " + " ".join(f"b{salt}t{i}" for i in range(10))
+        cc = a + " " + " ".join(f"b{salt}t{i}" for i in range(10))
+        sa, sb, sc = _py_sig(a), _py_sig(b), _py_sig(cc)
+        if _py_edge(sa, sc) and _py_edge(sb, sc) and not _py_edge(sa, sb):
+            found = (a, b, cc)
+            break
+    assert found, "no vee triple found in the deterministic search space"
+    a, b, cc = found
+    store = str(tmp_path / "vee_store")
+    admitted = admit_new_documents(
+        spark, _df(spark, [(1, a), (2, b), (3, cc)]), store
+    )
+    assert {r["doc_id"] for r in admitted.collect()} == {1, 2}
+
+
+def test_store_partition_pruned_probe(spark, tmp_path):
+    """The store is written partitioned by band_pfx and the probe's store
+    scan carries a literal IN partition filter over the batch's own
+    prefixes — the layout+plan contract that keeps a small batch from
+    scanning a 100 TB store."""
+    import os
+    import re
+
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        _band_rows,
+        _doc_band_pfx,
+        _probe_doc_store,
+        _pruned_store,
+        _with_band_pfx,
+    )
+
+    store = str(tmp_path / "pfx_store")
+    docs = _df(
+        spark,
+        [(i, " ".join(f"d{i}w{j}" for j in range(25))) for i in range(1, 30)],
+    )
+    admit_new_documents(spark, docs, store)
+    # layout: hive-style band_pfx directories
+    pfx_dirs = [d for d in os.listdir(store) if d.startswith("band_pfx=")]
+    assert len(pfx_dirs) >= 2
+
+    probe = _df(spark, [(100, " ".join(f"d1w{j}" for j in range(25)))])
+    bands = _band_rows(probe, "doc_id", "text", 3).localCheckpoint(eager=True)
+    pruned = _pruned_store(
+        _with_band_pfx(spark.read.parquet(store), _doc_band_pfx), bands
+    )
+    plan = (
+        _probe_doc_store(bands, pruned, 0.7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[[^\]]*band_pfx[^\]]*IN \(", plan)
+    assert m, plan[:2000]
+    # and the probe still rejects the planted exact dup
+    out = admit_new_documents(spark, probe, store)
+    assert out.count() == 0
+
+
+def test_reliable_checkpoint_dual_path(spark, tmp_path):
+    """checkpoint_dir switches the admission barriers to reliable
+    checkpoint(); admitted sets and store contents must be identical to
+    the localCheckpoint default, the run's reliable files must be cleaned
+    up, and the session checkpoint dir must not be hijacked."""
+    import glob
+
+    rows1 = [(1, BASE_A), (2, BASE_B), (3, BASE_A)]
+    rows2 = [(10, NEAR_A), (11, FRESH)]
+
+    s_default = str(tmp_path / "store_default")
+    admit_new_documents(spark, _df(spark, rows1), s_default)
+    d2 = admit_new_documents(spark, _df(spark, rows2), s_default)
+
+    ckpt = str(tmp_path / "ckpt")
+    s_rel = str(tmp_path / "store_rel")
+    admit_new_documents(
+        spark, _df(spark, rows1), s_rel, checkpoint_dir=ckpt
+    )
+    r2 = admit_new_documents(
+        spark, _df(spark, rows2), s_rel, checkpoint_dir=ckpt
+    )
+    assert sorted(map(tuple, d2.collect())) == sorted(map(tuple, r2.collect()))
+    stored = lambda p: sorted(  # noqa: E731
+        map(tuple, spark.read.parquet(p).drop("band_pfx").collect())
+    )
+    assert stored(s_default) == stored(s_rel)
+    # reliable files cleaned up; session checkpoint dir not hijacked
+    assert not glob.glob(ckpt + "/*")
+    jsc = spark.sparkContext._jsc.sc()
+    assert not jsc.getCheckpointDir().isDefined()
+
+
+def test_embedding_reliable_checkpoint_dual_path(spark, tmp_path):
+    import math
+
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_embeddings,
+    )
+
+    def unit(vals):
+        n = math.sqrt(sum(v * v for v in vals))
+        return [float(v / n) for v in vals]
+
+    rows = [
+        (1, unit([1, 2, 3, 4, 5, 6, 7, 8])),
+        (2, unit([8, -7, 6, -5, 4, -3, 2, -1])),
+        (3, unit([1.02, 2.01, 3.0, 4.03, 5.0, 6.02, 7.0, 8.01])),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    out_d = admit_new_embeddings(
+        spark,
+        spark.createDataFrame(rows, schema),
+        str(tmp_path / "emb_d"),
+        dim=8,
+    )
+    out_r = admit_new_embeddings(
+        spark,
+        spark.createDataFrame(rows, schema),
+        str(tmp_path / "emb_r"),
+        dim=8,
+        checkpoint_dir=str(tmp_path / "emb_ckpt"),
+    )
+    assert {r["vec_id"] for r in out_d.collect()} == {
+        r["vec_id"] for r in out_r.collect()
+    }
+
+
+def test_legacy_unpartitioned_store_compat(spark, tmp_path):
+    """Stores written before the band_pfx layout (plain parquet, no
+    partition dirs, no band_pfx column) still probe correctly — the prefix
+    is derived on read."""
+    part_store = str(tmp_path / "part_store")
+    legacy_store = str(tmp_path / "legacy_store")
+    admit_new_documents(spark, _df(spark, [(1, BASE_A), (2, BASE_B)]), part_store)
+    # rewrite as the old layout: flat parquet without band_pfx
+    spark.read.parquet(part_store).drop("band_pfx").write.parquet(legacy_store)
+
+    out = admit_new_documents(spark, _df(spark, [(10, NEAR_A), (11, FRESH)]), legacy_store)
+    assert {r["doc_id"] for r in out.collect()} == {11}
+    # the merge respected the flat legacy layout (band_pfx as plain column,
+    # no partition dirs) and the upgraded store still probes correctly
+    merged = spark.read.parquet(legacy_store)
+    assert "band_pfx" in merged.columns
+    replay = admit_new_documents(
+        spark, _df(spark, [(10, NEAR_A), (11, FRESH)]), legacy_store
+    )
+    assert {r["doc_id"] for r in replay.collect()} == {11}
