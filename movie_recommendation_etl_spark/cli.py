@@ -82,12 +82,16 @@ def _cmd_compact(args: argparse.Namespace) -> int:
         plan_compaction,
     )
 
+    # the inventory lists through the Hadoop FileSystem API (hdfs/s3a/file)
+    # so both modes need the session
+    spark = get_spark(app_name="mre-compact")
     if args.dry_run:
         plans = plan_compaction(
-            args.path, target_file_bytes=args.target_file_mb * 1024 * 1024
+            spark,
+            args.path,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
         )
     else:
-        spark = get_spark(app_name="mre-compact")
         plans = compact_parquet(
             spark,
             args.path,

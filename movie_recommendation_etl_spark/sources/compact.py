@@ -14,12 +14,17 @@ Scale shape: the file inventory is a listing (one entry per FILE, never per
 row), only FRAGMENTED partitions are read and rewritten — well-compacted
 partitions are not touched — and the rewrite is one column-complete scan of
 just those partitions. Idempotent: a second run finds nothing fragmented.
+
+The inventory goes through the Hadoop FileSystem API (r5 ADVICE/VERDICT):
+the same listing and footer reads work on file:/, hdfs://, s3a:// — the
+filesystems the 100 TB target actually lives on — where the previous
+os.walk/local-pyarrow form silently saw an empty table on any remote
+scheme and reported a fragmented store as 'already compact'.
 """
 
 from __future__ import annotations
 
 import math
-import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,44 +38,79 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _leaf_partitions(
-    path: str,
-) -> list[tuple[dict[str, str | None], list[str]]]:
-    """(partition-values, parquet files) per leaf directory. Hive layout:
-    each level under the root is ``col=value`` with the value URL-escaped
-    (space -> %20 etc.) — values are unescaped here so they compare against
-    column data, and the null sentinel maps to None. A non-partitioned
-    table yields one entry with empty partition values."""
+    spark: SparkSession, path: str
+) -> list[tuple[dict[str, str | None], list[tuple[str, int]]]]:
+    """(partition-values, [(file-uri, bytes), ...]) per leaf directory,
+    listed via ``FileSystem.listFiles(recursive)`` so any Hadoop-supported
+    scheme works. Hive layout: each level under the root is ``col=value``
+    with the value URL-escaped (space -> %20 etc.) — values are unescaped
+    here so they compare against column data, and the null sentinel maps to
+    None. A non-partitioned table yields one entry with empty partition
+    values. Hidden/temporary trees (any ``_``/``.``-prefixed segment, e.g.
+    ``_temporary`` from an in-flight write) are skipped."""
     from urllib.parse import unquote
 
-    out: list[tuple[dict[str, str | None], list[str]]] = []
-    for root, _dirs, files in os.walk(path):
-        parquet = [
-            os.path.join(root, f)
-            for f in files
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        ]
-        if not parquet:
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath):
+        return []
+    root = fs.makeQualified(hpath).toString().rstrip("/")
+
+    groups: dict[str, list[tuple[str, int]]] = {}
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(root), True)
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        rel = full[len(root):].lstrip("/")
+        segs = rel.split("/")
+        if any(s.startswith(("_", ".")) for s in segs):
             continue
-        rel = os.path.relpath(root, path)
+        if not segs[-1].endswith(".parquet"):
+            continue
+        groups.setdefault("/".join(segs[:-1]), []).append(
+            (full, st.getLen())
+        )
+
+    out: list[tuple[dict[str, str | None], list[tuple[str, int]]]] = []
+    for parent_rel, files in sorted(groups.items()):
         values: dict[str, str | None] = {}
-        if rel != ".":
-            for seg in rel.split(os.sep):
+        if parent_rel:
+            for seg in parent_rel.split("/"):
                 k, _, v = seg.partition("=")
                 values[k] = None if v == _HIVE_NULL else unquote(v)
-        out.append((values, parquet))
+        out.append((values, files))
     return out
 
 
+def _footer_rows(spark: SparkSession, file_uri: str) -> int:
+    """Row count from the parquet footer, read through the Hadoop input
+    layer (works on any scheme; one open + footer read per file, no data
+    scan)."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    in_file = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(file_uri), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(in_file)
+    try:
+        return int(reader.getRecordCount())
+    finally:
+        reader.close()
+
+
 def plan_compaction(
-    path: str, *, target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
 ) -> list[dict]:
     """Dry-run: one dict per FRAGMENTED leaf partition (more files than the
     byte-optimal count). Returns [] for an already-compact table."""
-    import pyarrow.parquet as pq
-
     plans = []
-    for values, files in _leaf_partitions(path):
-        total = sum(os.path.getsize(f) for f in files)
+    for values, files in _leaf_partitions(spark, path):
+        total = sum(sz for _f, sz in files)
         want = max(1, math.ceil(total / target_file_bytes))
         if len(files) > want:
             plans.append(
@@ -82,7 +122,7 @@ def plan_compaction(
                     # row count from the footers already being opened —
                     # saves the rewrite a full counting scan
                     "rows": sum(
-                        pq.ParquetFile(f).metadata.num_rows for f in files
+                        _footer_rows(spark, f) for f, _sz in files
                     ),
                 }
             )
@@ -106,7 +146,7 @@ def compact_parquet(
     unsplittable file. Like the merge sink, the frame is localCheckpoint'ed
     before overwriting its own source files.
     """
-    plans = plan_compaction(path, target_file_bytes=target_file_bytes)
+    plans = plan_compaction(spark, path, target_file_bytes=target_file_bytes)
     if not plans:
         return plans
 

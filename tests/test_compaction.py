@@ -83,6 +83,27 @@ def test_unpartitioned_compaction(spark, tmp_path):
     assert _contents(spark, path) == before
 
 
+def test_file_uri_scheme_inventory_and_compaction(spark, tmp_path):
+    """The inventory goes through the Hadoop FileSystem API: a `file:/`
+    URI (the seam proving non-POSIX path handling — the old os.walk form
+    saw an empty table for ANY scheme'd path and silently no-op'd) must
+    plan and compact identically to the bare path."""
+    path = str(tmp_path / "uri_tbl")
+    spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p")
+    ).repartition(6).write.partitionBy("p").parquet(path)
+    uri = "file:" + path
+    plans = plan_compaction(spark, uri)
+    assert plans and {tuple(p["partition"].items()) for p in plans} == {
+        (("p", "0"),),
+        (("p", "1"),),
+    }
+    executed = compact_parquet(spark, uri)
+    assert [p["partition"] for p in executed] == [p["partition"] for p in plans]
+    assert len(_files(path)) == 2
+    assert compact_parquet(spark, uri) == []
+
+
 def test_big_partition_resplits_by_target_bytes(spark, tmp_path):
     """A partition over target size must not fuse into one unsplittable
     file: the rows-per-file cap re-splits it."""
