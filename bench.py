@@ -52,10 +52,11 @@ def _run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def previous_round_timings(repo_dir: str) -> dict[str, float] | None:
-    """Per-query timings from the newest BENCH_r*.json the driver recorded,
-    if any. The driver wraps our JSON line in its own envelope (under
-    "tail"), so accept either shape."""
+def previous_round_bench(repo_dir: str) -> dict | None:
+    """The newest BENCH_r*.json the driver recorded, as a dict holding at
+    least "queries" (and "calibration_sec" for rounds that measured it).
+    The driver wraps our JSON line in its own envelope (under "tail"), so
+    accept either shape."""
     import glob
     import re
 
@@ -71,14 +72,47 @@ def previous_round_timings(repo_dir: str) -> dict[str, float] | None:
         if not isinstance(blob, dict):
             return None
         if isinstance(blob.get("queries"), dict):
-            return blob["queries"]
-        for line in str(blob.get("tail", "")).splitlines():
+            return blob
+        tail = str(blob.get("tail", ""))
+        for line in tail.splitlines():
             line = line.strip()
             if line.startswith("{") and '"queries"' in line:
-                return json.loads(line).get("queries")
+                inner = json.loads(line)
+                if isinstance(inner.get("queries"), dict):
+                    return inner
+        # The driver keeps only the LAST bytes of stdout, so the JSON line
+        # often arrives with its head cut off — BENCH_r05's tail starts
+        # MID-queries-object. Reconstruct whatever "name": seconds pairs
+        # survived (a partial previous round just compares fewer queries);
+        # the calibration scalar prints after the queries, so it survives
+        # truncation whenever any timing does.
+        seg = tail.split('"regressions"')[0]
+        meta = {
+            "metric", "value", "sf", "calibration_sec",
+            "calibration_ratio_vs_prev", "n", "rc", "cpus",
+        }
+        pairs = re.findall(
+            r'"([A-Za-z_][A-Za-z_0-9]*)":\s*([0-9][0-9.eE+-]*)\s*[,}]', seg
+        )
+        queries = {
+            k: float(v) for k, v in pairs if k not in meta
+        }
+        if queries:
+            out: dict = {"queries": queries}
+            c = re.search(r'"calibration_sec":\s*([0-9.]+)', tail)
+            if c:
+                out["calibration_sec"] = float(c.group(1))
+            return out
     except (OSError, ValueError):
         return None
     return None
+
+
+def previous_round_timings(repo_dir: str) -> dict[str, float] | None:
+    """Per-query timings from the newest recorded round (see
+    previous_round_bench)."""
+    blob = previous_round_bench(repo_dir)
+    return blob["queries"] if blob else None
 
 
 def compute_regressions(
@@ -87,24 +121,34 @@ def compute_regressions(
     *,
     pct_threshold: float = 0.25,
     min_abs_sec: float = 0.1,
+    calibration_ratio: float = 1.0,
 ) -> dict[str, dict[str, float]]:
     """Queries >25% AND >0.1 s slower than the previous round — the in-band
     flag that would have caught q53's r3 regression (r3 VERDICT #6). The
-    absolute floor keeps sub-100 ms jitter from crying wolf."""
+    absolute floor keeps sub-100 ms jitter from crying wolf.
+
+    ``calibration_ratio`` = (this round's calibration_sec / previous
+    round's): current timings are divided by it before comparing, so a
+    host running 2x slower than last round (the r5 false-alarm storm —
+    20 queries flagged, all noise) does not flag every query. Flagged
+    entries report both the raw and the normalized seconds."""
     if not prev:
         return {}
+    ratio = calibration_ratio if calibration_ratio > 0 else 1.0
     out: dict[str, dict[str, float]] = {}
     for name, t_now in now.items():
         t_prev = prev.get(name)
+        t_norm = t_now / ratio
         if (
             t_prev
-            and t_now > t_prev * (1.0 + pct_threshold)
-            and t_now - t_prev > min_abs_sec
+            and t_norm > t_prev * (1.0 + pct_threshold)
+            and t_norm - t_prev > min_abs_sec
         ):
             out[name] = {
                 "prev": t_prev,
                 "now": t_now,
-                "pct": round(100.0 * (t_now / t_prev - 1.0), 1),
+                "now_normalized": round(t_norm, 3),
+                "pct": round(100.0 * (t_norm / t_prev - 1.0), 1),
             }
     return out
 
@@ -199,7 +243,16 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    prev = previous_round_timings(os.path.dirname(os.path.abspath(__file__)))
+    prev_blob = previous_round_bench(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    prev = prev_blob["queries"] if prev_blob else None
+    prev_cal = (prev_blob or {}).get("calibration_sec")
+    cal_ratio = (
+        calibration / prev_cal
+        if isinstance(prev_cal, (int, float)) and prev_cal > 0
+        else 1.0
+    )
     print(
         json.dumps(
             {
@@ -209,7 +262,10 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf) if sf else None,
                 "calibration_sec": calibration,
-                "regressions": compute_regressions(prev, timings),
+                "calibration_ratio_vs_prev": round(cal_ratio, 3),
+                "regressions": compute_regressions(
+                    prev, timings, calibration_ratio=cal_ratio
+                ),
             }
         )
     )

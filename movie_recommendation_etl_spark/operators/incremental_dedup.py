@@ -274,12 +274,21 @@ def admit_new_documents(
             "doc_id",
             "left_semi",
         )
+        # stable_partition_keys: band_pfx is a pure function of band_val,
+        # and the admission contract (docstring) only replays identical
+        # content per id — a key can never migrate partitions, so the
+        # merge skips the old-partition discovery scan of the store.
+        # Legacy stores stay PURE legacy (no band_pfx column at all):
+        # merging the column in would null-fill it on pre-existing rows,
+        # and a half-populated prefix column poisons the pruned probe
+        # (NULL rows silently escape both the IN filter and the join).
         merge_upsert_parquet(
             spark,
-            admitted_bands,
+            admitted_bands.drop("band_pfx") if legacy else admitted_bands,
             store_path,
             key_cols=["doc_id", "band_idx"],
             partition_by=None if legacy else ["band_pfx"],
+            stable_partition_keys=True,
         )
         if checkpoint_dir is not None:
             # detach onto local blocks before the scope deletes this run's
@@ -420,10 +429,11 @@ def admit_new_embeddings(
         )
         merge_upsert_parquet(
             spark,
-            admitted_bands,
+            admitted_bands.drop("band_pfx") if legacy else admitted_bands,
             store_path,
             key_cols=["vec_id", "band_idx"],
             partition_by=None if legacy else ["band_pfx"],
+            stable_partition_keys=True,
         )
         if checkpoint_dir is not None:
             admitted = admitted.localCheckpoint(eager=True)

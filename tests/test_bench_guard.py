@@ -5,7 +5,11 @@ from __future__ import annotations
 
 import json
 
-from bench import compute_regressions, previous_round_timings
+from bench import (
+    compute_regressions,
+    previous_round_bench,
+    previous_round_timings,
+)
 
 
 def test_compute_regressions_flags_only_real_slowdowns():
@@ -22,6 +26,57 @@ def test_compute_regressions_flags_only_real_slowdowns():
     assert regs["q01"]["pct"] == 40.0
     assert compute_regressions(None, now) == {}
     assert compute_regressions({}, now) == {}
+
+
+def test_compute_regressions_calibration_normalized():
+    """A uniformly slow host (the r5 false-alarm storm: every query up
+    26-296% in raw seconds, calibration 2x) must flag NOTHING once the
+    calibration ratio divides it out; a genuine regression on top of the
+    slow host must still be flagged, with both raw and normalized times."""
+    prev = {"q01": 1.0, "q02": 2.0, "q03": 0.5}
+    # host 2x slower across the board: raw seconds all doubled
+    uniform = {"q01": 2.0, "q02": 4.0, "q03": 1.0}
+    assert compute_regressions(prev, uniform, calibration_ratio=2.0) == {}
+    # same slow host, but q02 ALSO genuinely regressed 2x
+    real = {"q01": 2.0, "q02": 8.0, "q03": 1.0}
+    regs = compute_regressions(prev, real, calibration_ratio=2.0)
+    assert set(regs) == {"q02"}
+    assert regs["q02"]["now"] == 8.0
+    assert regs["q02"]["now_normalized"] == 4.0
+    assert regs["q02"]["pct"] == 100.0
+    # degenerate ratio never divides by zero
+    assert compute_regressions(prev, uniform, calibration_ratio=0.0)
+
+
+def test_previous_round_bench_recovers_truncated_tail(tmp_path):
+    """The driver records only the LAST bytes of stdout, so the JSON line
+    often arrives with its head cut off (BENCH_r05's actual shape). The
+    flat queries object and the calibration scalar must still parse."""
+    line = json.dumps(
+        {"metric": "bench_total_sec", "value": 9.0, "unit": "sec",
+         "queries": {"q01": 1.5, "q02": 2.5}, "sf": 0.1,
+         "calibration_sec": 1.005, "regressions": {}}
+    )
+    truncated = line[len('{"metric": "bench_total_sec", "va'):]
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"n": 5, "rc": 0, "tail": truncated})
+    )
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["queries"] == {"q01": 1.5, "q02": 2.5}
+    assert blob["calibration_sec"] == 1.005
+
+
+def test_previous_round_bench_carries_calibration(tmp_path):
+    line = json.dumps(
+        {"metric": "bench_total_sec", "value": 3.0, "unit": "sec",
+         "queries": {"q01": 1.5}, "calibration_sec": 0.9}
+    )
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"n": 5, "rc": 0, "tail": "noise\n" + line + "\n"})
+    )
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["queries"] == {"q01": 1.5}
+    assert blob["calibration_sec"] == 0.9
 
 
 def test_previous_round_timings_reads_driver_envelope(tmp_path):

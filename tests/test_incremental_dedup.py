@@ -362,10 +362,12 @@ def test_legacy_unpartitioned_store_compat(spark, tmp_path):
 
     out = admit_new_documents(spark, _df(spark, [(10, NEAR_A), (11, FRESH)]), legacy_store)
     assert {r["doc_id"] for r in out.collect()} == {11}
-    # the merge respected the flat legacy layout (band_pfx as plain column,
-    # no partition dirs) and the upgraded store still probes correctly
+    # the merge kept the store PURE legacy — writing band_pfx into a flat
+    # store would null-fill pre-existing rows and a half-populated prefix
+    # poisons the pruned probe (NULLs escape the IN filter and the join)
     merged = spark.read.parquet(legacy_store)
-    assert "band_pfx" in merged.columns
+    assert "band_pfx" not in merged.columns
+    assert merged.select("doc_id").distinct().count() == 3
     replay = admit_new_documents(
         spark, _df(spark, [(10, NEAR_A), (11, FRESH)]), legacy_store
     )
