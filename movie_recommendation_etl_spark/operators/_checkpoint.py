@@ -68,8 +68,15 @@ def reliable_checkpoint_scope(spark, checkpoint_dir: str | None):
         yield lambda df: df.checkpoint(eager=True)
     finally:
         jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(run_dir)
-        hpath.getFileSystem(sc._jsc.hadoopConfiguration()).delete(hpath, True)
+        # The run dir current AT EXIT can differ from the entry-time one: a
+        # nested scope's exit restores this scope's base, which mints a
+        # fresh uuid run dir that subsequent checkpoints land in. Both dirs
+        # live under this scope's base, so both are this scope's to clean.
+        cur = jsc.getCheckpointDir()
+        cur_dir = cur.get() if cur.isDefined() else None
+        # Restore session state BEFORE any FS delete so a transient delete
+        # failure can never leave the session pointing at a half-deleted
+        # run dir or the module's base tracking stale.
         if prev_base is not None:
             sc.setCheckpointDir(prev_base)
         else:
@@ -78,3 +85,14 @@ def reliable_checkpoint_scope(spark, checkpoint_dir: str | None):
             # package-private compiles to a public accessor)
             getattr(jsc, "checkpointDir_$eq")(jvm.scala.Option.apply(None))
         _LAST_BASE[app_id] = prev_base
+        hconf = sc._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(run_dir)
+        fs = hpath.getFileSystem(hconf)
+        to_delete = [hpath]
+        if cur_dir is not None and cur_dir != run_dir:
+            cur_path = jvm.org.apache.hadoop.fs.Path(cur_dir)
+            base_q = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(checkpoint_dir))
+            if fs.makeQualified(cur_path).getParent().equals(base_q):
+                to_delete.append(cur_path)
+        for p in to_delete:
+            fs.delete(p, True)
