@@ -17,6 +17,9 @@ collect bounded by N_STORE_PARTITIONS values) become a literal IN
 partition filter, so a small steady-state batch reads a few store
 partitions, not the whole store
 (tests/test_incremental_dedup.py asserts the PartitionFilters in the plan).
+The prune itself costs one driver job, so it only engages once the store
+exceeds PRUNE_MIN_STORE_BYTES — below that a full scan is cheaper than the
+job it saves; the layout is partitioned either way.
 Stores written before this layout (no ``band_pfx`` directory level) are
 read compatibly: the prefix is derived on read and pruning degrades to a
 post-scan filter until the store is rewritten.
@@ -79,6 +82,16 @@ ROWS_PER_BAND = 3
 # probe prunes ~15/16 of store files, few enough that small stores do not
 # fragment (compaction handles the rest).
 N_STORE_PARTITIONS = 16
+# The probe's plan-time prune costs one driver job (distinct band_pfx
+# collect over the batch). Below this store size a full store scan is
+# cheaper than that job, so the prune only engages above it; the 100 TB
+# steady state is far above, the sf-scale bench far below.
+PRUNE_MIN_STORE_BYTES = 64 << 20
+# Files each merge leaves per store partition dir. 1 keeps the store at
+# N_STORE_PARTITIONS files total (steady-state probes open 16 footers, not
+# hundreds); raise for write parallelism once partitions outgrow a single
+# task's comfortable output (~1 GB+/partition).
+STORE_FILES_PER_PARTITION = 1
 
 
 def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
@@ -93,6 +106,19 @@ def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return None
         raise
+
+
+def _store_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API (works for
+    file:/, hdfs:/, s3a:/ alike); 0 when the path is missing. One driver FS
+    call — gates whether the probe's plan-time prune is worth its job."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    try:
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.getContentSummary(p).getLength()
+    except Exception:
+        return 0
 
 
 def _doc_band_pfx(band_val) -> F.Column:
@@ -253,9 +279,9 @@ def admit_new_documents(
         # band_pfx becomes a plain column; rewrite/compact to gain pruning
         legacy = store is not None and "band_pfx" not in store.columns
         if store is not None:
-            store = _pruned_store(
-                _with_band_pfx(store, _doc_band_pfx), bands
-            )
+            store = _with_band_pfx(store, _doc_band_pfx)
+            if _store_bytes(spark, store_path) >= PRUNE_MIN_STORE_BYTES:
+                store = _pruned_store(store, bands)
             hits = _probe_doc_store(bands, store, sim_threshold)
             rejected = intra.unionByName(hits).distinct()
         else:
@@ -289,6 +315,7 @@ def admit_new_documents(
             key_cols=["doc_id", "band_idx"],
             partition_by=None if legacy else ["band_pfx"],
             stable_partition_keys=True,
+            out_files_per_partition=STORE_FILES_PER_PARTITION,
         )
         if checkpoint_dir is not None:
             # detach onto local blocks before the scope deletes this run's
@@ -406,9 +433,9 @@ def admit_new_embeddings(
         store = _read_store(spark, store_path)
         legacy = store is not None and "band_pfx" not in store.columns
         if store is not None:
-            store = _pruned_store(
-                _with_band_pfx(store, _emb_band_pfx), bands
-            )
+            store = _with_band_pfx(store, _emb_band_pfx)
+            if _store_bytes(spark, store_path) >= PRUNE_MIN_STORE_BYTES:
+                store = _pruned_store(store, bands)
             hits = _probe_emb_store(bands, store, cos_threshold)
             rejected = intra.unionByName(hits).distinct()
         else:
@@ -434,6 +461,7 @@ def admit_new_embeddings(
             key_cols=["vec_id", "band_idx"],
             partition_by=None if legacy else ["band_pfx"],
             stable_partition_keys=True,
+            out_files_per_partition=STORE_FILES_PER_PARTITION,
         )
         if checkpoint_dir is not None:
             admitted = admitted.localCheckpoint(eager=True)

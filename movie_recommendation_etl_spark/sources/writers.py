@@ -114,6 +114,7 @@ def merge_upsert_parquet(
     order_col: str | None = None,
     partition_by: Sequence[str] | None = None,
     stable_partition_keys: bool = False,
+    out_files_per_partition: int | None = None,
 ) -> None:
     """MERGE (upsert) into a parquet table: rows in ``updates`` replace
     existing rows with the same key; unmatched keys are inserted. Fixes the
@@ -282,8 +283,25 @@ def merge_upsert_parquet(
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__is_update")
-        .localCheckpoint(eager=True)
     )
+    if partition_by and out_files_per_partition:
+        # Bound output files per partition dir: the merge window shuffles by
+        # key, so without this every shuffle task writes its own file into
+        # every partition dir it holds rows for (up to shuffle.partitions
+        # files per dir per merge) and repeated merges fragment the table.
+        # Hash-cluster on the partition columns (+ a key-salt when >1 file
+        # is wanted for write parallelism on fat partitions) so each dir
+        # gets exactly out_files_per_partition files after every merge.
+        parts = [F.col(c) for c in partition_by]
+        if out_files_per_partition > 1:
+            parts.append(
+                F.pmod(
+                    F.hash(*[F.col(c) for c in keys]),
+                    F.lit(out_files_per_partition),
+                )
+            )
+        merged = merged.repartition(*parts)
+    merged = merged.localCheckpoint(eager=True)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
