@@ -31,6 +31,7 @@ from movie_recommendation_etl_spark.operators.training_prep import (
 )
 from movie_recommendation_etl_spark.plans.curation import _sql_hex8_to_bigint
 from movie_recommendation_etl_spark.plans.dedup_similarity import (
+    _SQL_HIGH,
     _SQL_VERIFIED_CTES,
     _with_twins,
 )
@@ -337,13 +338,210 @@ def q74_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     twins = _with_twins(docs).filter(F.col("doc_id") >= 1000000)
-    store = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_q74_store_{os.path.basename(sf_dir)}",
+    # mkdtemp: unique per invocation, so two concurrent drivers (or sf dirs
+    # with the same basename) can never rmtree each other's store mid-query;
+    # the result is localCheckpoint'ed so the store can be removed before
+    # the caller ever collects.
+    store_dir = tempfile.mkdtemp(prefix="spark_graft_q74_store_")
+    try:
+        store = os.path.join(store_dir, "store")
+        adm1 = admit_new_documents(spark, docs, store, sim_threshold=0.7)
+        adm2 = admit_new_documents(spark, twins, store, sim_threshold=0.7)
+        return (
+            adm1.select(F.lit(1).alias("batch"), "doc_id")
+            .unionByName(adm2.select(F.lit(2).alias("batch"), "doc_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q75: incremental EMBEDDING admission, two-batch replay (r6 VERDICT #3)
+# ---------------------------------------------------------------------------
+
+_Q75_DIM = 64
+_Q75_N_BITS = 96
+_Q75_RPB = 8
+_Q75_TAU = 0.92
+
+
+@query(
+    "q75_embedding_admission",
+    oracle=f"""
+    WITH orig AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    b2 AS (
+        SELECT o.vec_id + 100000 AS vec_id,
+               CASE WHEN o.vec_id % 2 = 0 THEN
+                   list_transform(range(1, {_Q75_DIM} + 1), i -> o.emb[i] *
+                       (CASE WHEN substring(md5('t:' || o.vec_id || ':'
+                                  || (i - 1)), 1, 1) IN ({_SQL_HIGH})
+                             THEN 1.1 ELSE 0.9 END))
+               ELSE list_transform(o.emb, x -> -x) END AS emb
+        FROM orig o
+    ),
+    unioned AS (
+        SELECT 1 AS batch, vec_id, emb FROM orig
+        UNION ALL
+        SELECT 2 AS batch, vec_id, emb FROM b2
+    ),
+    q AS (
+        SELECT batch, vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+        FROM unioned
+    ),
+    qq AS (
+        SELECT batch, vec_id, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(emb, x -> CAST(0 AS TINYINT))
+                    ELSE list_transform(emb,
+                         x -> CAST(round(x / scale) AS TINYINT))
+               END AS qv
+        FROM q
+    ),
+    bits AS (
+        SELECT batch, vec_id, hs.h AS h,
+               CASE WHEN list_aggregate(
+                        list_transform(range(1, {_Q75_DIM} + 1), i ->
+                            u.emb[i] * (CASE WHEN substring(
+                                md5(hs.h || ':' || (i - 1)), 1, 1)
+                                IN ({_SQL_HIGH})
+                                THEN 1.0 ELSE -1.0 END)), 'sum') > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM unioned u
+        CROSS JOIN (SELECT unnest(range(0, {_Q75_N_BITS})) AS h) hs
+    ),
+    banded AS (
+        SELECT batch, vec_id, CAST(h // {_Q75_RPB} AS INTEGER) AS band_idx,
+               list_reduce(list(bit ORDER BY h), (a, x) -> a * 2 + x)
+                   AS band_val
+        FROM bits
+        GROUP BY batch, vec_id, h // {_Q75_RPB}
+    ),
+    cand AS (
+        SELECT DISTINCT a.batch AS ba, a.vec_id AS id_a,
+                        b.batch AS bb, b.vec_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx
+                     AND a.band_val = b.band_val
+                     AND a.vec_id <> b.vec_id
+    ),
+    cosq AS (
+        SELECT c.ba, c.id_a, c.bb, c.id_b,
+               (CAST(list_aggregate(list_transform(
+                    range(1, {_Q75_DIM} + 1),
+                    i -> CAST(x.qv[i] AS BIGINT) * CAST(y.qv[i] AS BIGINT)),
+                    'sum') AS DOUBLE) * x.scale * y.scale)
+               / NULLIF(
+                   sqrt(CAST(list_aggregate(list_transform(
+                       range(1, {_Q75_DIM} + 1),
+                       i -> CAST(x.qv[i] AS BIGINT)
+                            * CAST(x.qv[i] AS BIGINT)), 'sum') AS DOUBLE))
+                     * x.scale
+                   * sqrt(CAST(list_aggregate(list_transform(
+                       range(1, {_Q75_DIM} + 1),
+                       i -> CAST(y.qv[i] AS BIGINT)
+                            * CAST(y.qv[i] AS BIGINT)), 'sum') AS DOUBLE))
+                     * y.scale, 0) AS cos
+        FROM cand c
+        JOIN qq x ON x.vec_id = c.id_a AND x.batch = c.ba
+        JOIN qq y ON y.vec_id = c.id_b AND y.batch = c.bb
+    ),
+    rej1 AS (
+        SELECT DISTINCT id_a AS vec_id FROM cosq
+        WHERE ba = 1 AND bb = 1 AND id_a > id_b AND cos >= {_Q75_TAU}
+    ),
+    adm1 AS (
+        SELECT vec_id FROM orig
+        WHERE vec_id NOT IN (SELECT vec_id FROM rej1)
+    ),
+    rej2 AS (
+        SELECT DISTINCT id_a AS vec_id FROM cosq
+        WHERE ba = 2 AND bb = 2 AND id_a > id_b AND cos >= {_Q75_TAU}
+        UNION
+        SELECT DISTINCT c.id_a AS vec_id
+        FROM cosq c JOIN adm1 s ON c.id_b = s.vec_id
+        WHERE c.ba = 2 AND c.bb = 1 AND c.cos >= {_Q75_TAU}
+    ),
+    adm2 AS (
+        SELECT vec_id FROM b2
+        WHERE vec_id NOT IN (SELECT vec_id FROM rej2)
     )
-    shutil.rmtree(store, ignore_errors=True)
-    adm1 = admit_new_documents(spark, docs, store, sim_threshold=0.7)
-    adm2 = admit_new_documents(spark, twins, store, sim_threshold=0.7)
-    return adm1.select(F.lit(1).alias("batch"), "doc_id").unionByName(
-        adm2.select(F.lit(2).alias("batch"), "doc_id")
+    SELECT 1 AS batch, vec_id FROM adm1
+    UNION ALL
+    SELECT 2 AS batch, vec_id FROM adm2
+    """,
+)
+def q75_embedding_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch replay of the EMBEDDING admission store
+    (operators/incremental_dedup.py:admit_new_embeddings): batch 1
+    bootstraps the SRP-band + int8-signature store from the embeddings
+    table; batch 2 offers, per original vector, either a scaled near-dup
+    twin (even ids, the q53 0.9/1.1 md5 construction, cos ~ 0.995 — must be
+    rejected against the STORE's int8 signatures, never the original
+    floats) or its negation (odd ids, cos = -1, bands bit-flipped — must be
+    admitted). The oracle replays the md5-derived Rademacher hyperplanes,
+    the sequential-fold bit signs, the MSB-first band packing, symmetric
+    int8 quantization (scale = absmax/127, round-half-away ties) and the
+    integer-dot cosine bit-for-bit, plus both rejection scopes
+    (within-batch smaller-id greedy, cross-batch vs admitted store rows).
+
+    Scale shape: identical to q74's — probe is an equi-join on
+    (band_idx, band_val) against a store holding 12 ints + dim bytes per
+    admitted vector, O(batch + band buckets), never O(corpus)."""
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_embeddings,
     )
+    from movie_recommendation_etl_spark.operators.neardup import HEX_HIGH
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    orig = emb.select("vec_id", as_double.alias("emb"))
+    twin_scale = F.transform(
+        as_double,
+        lambda x, i: x
+        * F.when(
+            F.md5(
+                F.concat(
+                    F.lit("t:"),
+                    F.col("vec_id").cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            )
+            .substr(1, 1)
+            .isin(*HEX_HIGH),
+            F.lit(1.1),
+        ).otherwise(F.lit(0.9)),
+    )
+    # Two selects for the same lateral-alias reason as q53: the twin's md5
+    # key must hash the ORIGINAL vec_id, so the +100000 shift happens after.
+    batch2 = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, twin_scale)
+        .otherwise(F.transform(as_double, lambda x: -x))
+        .alias("emb"),
+    ).select((F.col("vec_id") + 100000).alias("vec_id"), "emb")
+
+    store_dir = tempfile.mkdtemp(prefix="spark_graft_q75_store_")
+    try:
+        store = os.path.join(store_dir, "store")
+        adm1 = admit_new_embeddings(
+            spark, orig, store,
+            id_col="vec_id", vec_col="emb",
+            dim=_Q75_DIM, cos_threshold=_Q75_TAU,
+        )
+        adm2 = admit_new_embeddings(
+            spark, batch2, store,
+            id_col="vec_id", vec_col="emb",
+            dim=_Q75_DIM, cos_threshold=_Q75_TAU,
+        )
+        return (
+            adm1.select(F.lit(1).alias("batch"), "vec_id")
+            .unionByName(adm2.select(F.lit(2).alias("batch"), "vec_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
