@@ -161,11 +161,30 @@ def combine_features(cleaned: DataFrame) -> DataFrame:
     )
 
 
-def build_features(combined: DataFrame, *, min_df: int = 3):
+def build_features(
+    combined: DataFrame, *, min_df: int = 3, lemmatize: bool = True
+):
     """TF-IDF + seeded LSH over the combined tag text. Returns
-    (vectors_df cached, lsh_model)."""
+    (vectors_df cached, lsh_model).
+
+    M4 is ON by default, the reference's behavior (transform/execute.py:
+    198-202 lemmatizes every token with the pretrained AntBNC dictionary):
+    the dictionary here is the shipped irregular fixture unioned with
+    regular-morphology pairs induced from this corpus's own vocabulary
+    (ml/lemmas.py — the two public ingredients of a published lemma list).
+    Irregulars win collisions. ``lemmatize=False`` restores the r6
+    vocabulary for callers pinned to it."""
+    lemma_map = None
+    if lemmatize:
+        from movie_recommendation_etl_spark.ml.lemmas import induce_lemma_map
+        from movie_recommendation_etl_spark.ml.tfidf import (
+            load_default_lemmas,
+        )
+
+        lemma_map = induce_lemma_map(combined, "combined")
+        lemma_map.update(load_default_lemmas())
     _, vecs = fit_document_vectors(
-        combined, text_col="combined", min_df=min_df
+        combined, text_col="combined", min_df=min_df, lemma_map=lemma_map
     )
     vecs = vecs.cache()
     model = fit_lsh(vecs)

@@ -168,6 +168,93 @@ def test_lemma_pipeline_model_roundtrip(spark, tmp_path):
     assert [r["norm_features"] for r in a] == [r["norm_features"] for r in b]
 
 
+def test_expand_inflections_orthography():
+    """Forward regular morphology (ml/lemmas.py): sibilant -es, y→ies/ied,
+    e-drop before -ing, ie→ying, monosyllabic CVC doubling — the standard
+    public orthographic rules a published lemma list encodes for regular
+    words."""
+    from movie_recommendation_etl_spark.ml.lemmas import expand_inflections
+
+    m = expand_inflections(["walk", "box", "study", "love", "stop", "die"])
+    assert m["walks"] == "walk" and m["walked"] == "walk"
+    assert m["walking"] == "walk"
+    assert m["boxes"] == "box"
+    assert m["studies"] == "study" and m["studied"] == "study"
+    assert m["loves"] == "love" and m["loved"] == "love"
+    assert m["loving"] == "love"
+    assert m["stops"] == "stop" and m["stopped"] == "stop"
+    assert m["stopping"] == "stop"
+    assert m["dies"] == "die" and m["died"] == "die"
+    assert m["dying"] == "die"
+    # base forms never map, junk input skipped
+    assert "walk" not in m
+    assert expand_inflections(["X1", "a"]) == {}
+
+
+def test_induce_lemma_map_vocabulary_filtered(spark):
+    """Corpus induction (ml/lemmas.py): a token maps only when its best
+    rule candidate is itself attested in the corpus — 'walking'→'walk'
+    needs 'walk' present; CVC ordering restores 'hoping'→'hope'; junk
+    strips never materialize because their targets don't exist."""
+    from movie_recommendation_etl_spark.ml.lemmas import induce_lemma_map
+
+    rows = [
+        (0, "walk walked walking walks"),
+        (1, "hope hoping hoped stop stopped stopping"),
+        (2, "study studies studied movie movies"),
+        (3, "running gas sing singing"),  # run absent; 'ga' unattested
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    m = induce_lemma_map(df, "text")
+    assert m["walked"] == "walk" and m["walking"] == "walk"
+    assert m["walks"] == "walk"
+    assert m["hoping"] == "hope" and m["hoped"] == "hope"
+    assert m["stopped"] == "stop" and m["stopping"] == "stop"
+    assert m["studies"] == "study" and m["studied"] == "study"
+    assert m["movies"] == "movie"
+    assert m["singing"] == "sing"
+    assert "running" not in m  # base form not in corpus
+    assert "gas" not in m  # 'ga' unattested → no junk strip
+    assert "walk" not in m  # bases never map
+
+
+def test_antbnc_scale_dict_defaults_to_broadcast(spark):
+    """The r6 M4 closure: a >=50k-entry dictionary — irregular fixture ∪
+    regular morphology expanded over a base lexicon — routes through
+    BroadcastLemmatizer by DEFAULT formulation selection (no override) and
+    lemmatizes both rule-regular and irregular forms correctly."""
+    from movie_recommendation_etl_spark.ml.lemmas import expand_inflections
+    from movie_recommendation_etl_spark.ml.tfidf import (
+        BroadcastLemmatizer,
+        build_tfidf_pipeline,
+        load_default_lemmas,
+    )
+
+    enc = lambda i: "stem" + "".join(  # noqa: E731
+        "abcdefghij"[int(d)] for d in f"{i:05d}"
+    )
+    lexicon = ["walk", "love", "study", "stop"] + [
+        enc(i) for i in range(17_000)
+    ]
+    big = expand_inflections(lexicon)
+    big.update(load_default_lemmas())
+    assert len(big) >= 50_000
+
+    s42 = enc(42)  # "stemaaaec"
+    rows = [
+        (0, f"walked wolves {s42}s running"),
+        (1, f"studies loving {s42}ed ran"),
+        (2, f"stopped {s42}ing walks wolves"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pipe = build_tfidf_pipeline(min_df=1, min_doc_freq=0, lemma_map=big)
+    assert any(isinstance(s, BroadcastLemmatizer) for s in pipe.getStages())
+    model = pipe.fit(df)
+    vocab = set(model.stages[3].vocabulary)
+    assert {"walk", "wolf", "study", "love", "stop", "run", s42} <= vocab
+    assert not ({"walked", "wolves", "studies", "running", s42 + "s"} & vocab)
+
+
 def test_min_df_prunes_rare_terms(spark):
     rows = [(i, "common words here") for i in range(10)] + [
         (99, "common rareterm here")
