@@ -1,22 +1,26 @@
 """Z-order (Morton) keys: multi-column data clustering for file pruning.
 
 write_sorted_parquet (sources/writers.py) gives perfect pruning on ONE key;
-a table queried by two independent dimensions (customer AND date, tenant
-AND time) can't be sorted for both. Interleaving the bits of both columns
-into one Morton key and range-sorting on THAT gives each output file a
-small rectangle in (a, b) space — every file's min/max footer range is
-tight on BOTH columns, so predicates on either dimension (or both) skip
-most files. This is Delta/Iceberg's OPTIMIZE ZORDER BY, as a pure Catalyst
-expression over the same sorted-write primitive.
+a table queried by several independent dimensions (customer AND date,
+tenant AND region AND time) can't be sorted for all of them. Interleaving
+the bits of the columns into one Morton key and range-sorting on THAT gives
+each output file a small hyper-rectangle in the column space — every file's
+min/max footer range is tight on EVERY interleaved column, so predicates on
+any dimension (or several) skip most files. This is Delta/Iceberg's
+OPTIMIZE ZORDER BY, as a pure Catalyst expression over the same
+sorted-write primitive.
 
-The interleave is plan-time unrolled shift/mask terms (2*bits OR-terms of
+The interleave is plan-time unrolled shift/mask terms (n*bits OR-terms of
 whole-stage-codegen arithmetic) — no UDF, no shuffle beyond the range
 exchange the sorted write already pays.
 
-Inputs must be NON-NEGATIVE ints that fit ``bits`` bits; pre-bucket real
-columns first (days since epoch, id mod N, quantile bucket). Rank-based
-normalization is deliberately NOT built in: it would cost a window pass
-over the full table, and coarse static bucketing prunes just as well.
+Inputs must be NON-NEGATIVE ints that fit ``bits`` bits — ENFORCED: an
+out-of-range value raises at execution time instead of silently
+interleaving garbage bits (a corrupt key mis-clusters rows and poisons the
+footer ranges pruning relies on, r6 ADVICE). Pre-bucket real columns first
+(days since epoch, id mod N, quantile bucket). Rank-based normalization is
+deliberately NOT built in: it would cost a window pass over the full
+table, and coarse static bucketing prunes just as well.
 """
 
 from __future__ import annotations
@@ -27,24 +31,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def morton_key(a: Column | str, b: Column | str, *, bits: int = 21) -> Column:
-    """Interleave the low ``bits`` bits of two non-negative int columns:
-    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1. 21 bits
-    per column (the max for two columns in a signed long) covers ~2M
-    buckets per dimension — far finer than file-level pruning needs."""
-    if not 1 <= bits <= 31:
-        raise ValueError("bits must be in [1, 31]")
-    ca = (F.col(a) if isinstance(a, str) else a).cast("long")
-    cb = (F.col(b) if isinstance(b, str) else b).cast("long")
+def morton_key(
+    *cols: Column | str, bits: int | None = None
+) -> Column:
+    """Interleave the low ``bits`` bits of n >= 2 non-negative int columns:
+    bit i of column j lands at position i*n + j, so the key cycles through
+    the columns once per bit level and every column contributes equally to
+    every key prefix. ``bits`` defaults to the largest per-column budget
+    that keeps the key in a signed long, capped at 21 (~2M buckets per
+    dimension — far finer than file-level pruning needs): 21 bits for 2-3
+    columns, 15 for 4, 63//n beyond.
+
+    Each input is range-checked inline: a value outside [0, 2^bits) raises
+    at execution time (F.raise_error) rather than corrupting the interleave.
+    """
+    if len(cols) < 2:
+        raise ValueError(
+            "morton_key interleaves >= 2 columns; sort directly on one"
+        )
+    n = len(cols)
+    if bits is None:
+        bits = min(21, 63 // n)
+    if not 1 <= bits <= 63 // n:
+        raise ValueError(
+            f"bits must be in [1, {63 // n}] for {n} columns "
+            "(n*bits must fit a signed long)"
+        )
+    lim = 1 << bits
     key = F.lit(0).cast("long")
-    for i in range(bits):
-        key = key.bitwiseOR(
-            F.shiftleft(F.shiftrightunsigned(ca, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(
-                F.shiftrightunsigned(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1
+    for j, c in enumerate(cols):
+        raw = (F.col(c) if isinstance(c, str) else c).cast("long")
+        name = c if isinstance(c, str) else f"col{j}"
+        cc = F.when((raw >= 0) & (raw < lim), raw).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"morton_key: value out of [0, {lim}) "
+                        f"in column {name}: "
+                    ),
+                    raw.cast("string"),
+                )
             )
         )
+        for i in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(cc, i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
     return key
 
 
@@ -54,20 +89,22 @@ def write_zordered_parquet(
     zorder_cols: Sequence[str],
     *,
     num_files: int | None = None,
-    bits: int = 21,
+    bits: int | None = None,
 ) -> None:
-    """Range-sorted parquet on the Morton key of two pre-bucketed int
-    columns: each output file covers a compact rectangle of the key space,
-    so min/max footer pruning works for predicates on EITHER column
-    (asserted from the footers in tests/test_zorder.py)."""
+    """Range-sorted parquet on the Morton key of n pre-bucketed int
+    columns: each output file covers a compact hyper-rectangle of the key
+    space, so min/max footer pruning works for predicates on ANY
+    interleaved column (asserted from the footers in tests/test_zorder.py
+    for both 2 and 3 columns)."""
     from movie_recommendation_etl_spark.sources.writers import (
         write_sorted_parquet,
     )
 
-    if len(zorder_cols) != 2:
-        raise ValueError("z-order currently interleaves exactly 2 columns")
-    a, b = zorder_cols
-    keyed = df.withColumn("__zkey", morton_key(a, b, bits=bits))
+    if len(zorder_cols) < 2:
+        raise ValueError(
+            "z-order needs >= 2 columns; use write_sorted_parquet for one"
+        )
+    keyed = df.withColumn("__zkey", morton_key(*zorder_cols, bits=bits))
     # the Morton key is derivable layout metadata, not data — drop it after
     # the sort so readers see exactly the input schema
     write_sorted_parquet(
