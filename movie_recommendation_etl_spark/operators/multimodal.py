@@ -56,6 +56,15 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _id_field(df: DataFrame, id_col: str) -> T.StructField:
+    """The input id column's (name, type), preserved in output schemas
+    (r6 ADVICE: outputs previously hard-coded ``doc_id``/Long — a silent
+    rename, and string/int ids failed at Arrow serialization time). The
+    schema constants below keep the default ``doc_id``/Long first field;
+    the operators splice this in per-call."""
+    return T.StructField(id_col, df.schema[id_col].dataType)
+
+
 def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic binary payload per row (the UTF-8 of the text, doubled)
     plus a typed metadata struct — a stand-in for real image/audio bytes
@@ -291,7 +300,14 @@ def extract_media_features(
     and exactly the I/O shape a real decoder would see; the decoded columns
     (width/height/channels/px_*) are NULL. With ``decode=True`` each blob
     runs through decode_media and the pixel statistics are real (an unknown
-    media type raises, by contract)."""
+    media type raises, by contract).
+
+    The output id column keeps the INPUT's name and type (r6 ADVICE: it was
+    hard-coded doc_id/Long — a silent rename, and non-long ids failed at
+    Arrow serialization time)."""
+    out_schema = T.StructType(
+        [_id_field(media, id_col)] + list(MEDIA_FEATURES_SCHEMA.fields[1:])
+    )
 
     def _batches(it: Iterator) -> Iterator:
         import hashlib
@@ -299,9 +315,7 @@ def extract_media_features(
         import pandas as pd
 
         for pdf in it:
-            out: dict[str, list] = {
-                f.name: [] for f in MEDIA_FEATURES_SCHEMA.fields
-            }
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
             for doc_id, blob, meta in zip(
                 pdf[id_col], pdf[data_col], pdf[meta_col]
             ):
@@ -311,7 +325,7 @@ def extract_media_features(
                 hist = [0] * 8
                 for byte in b[:4096]:
                     hist[byte >> 5] += 1
-                out["doc_id"].append(doc_id)
+                out[id_col].append(doc_id)
                 out["media_type"].append(media_type)
                 out["n_bytes"].append(len(b))
                 out["content_md5"].append(hashlib.md5(b).hexdigest())
@@ -331,7 +345,7 @@ def extract_media_features(
             yield pd.DataFrame(out)
 
     cols = media.select(id_col, data_col, meta_col)
-    return cols.mapInPandas(_batches, schema=MEDIA_FEATURES_SCHEMA)
+    return cols.mapInPandas(_batches, schema=out_schema)
 
 
 # --- resize (brief: "decode / feature-extract / resize / frame-sample") -----
@@ -363,10 +377,11 @@ def resize_media(
     """decode -> nearest-neighbor resize -> re-encode, Arrow-batched.
     Output rows carry the re-encoded payload (netpbm: PPM for RGB, PGM for
     grayscale — BMP inputs come back as PPM) and refreshed metadata. Unknown
-    media types raise via decode_media, never pass through silently."""
+    media types raise via decode_media, never pass through silently. The id
+    column keeps the input's name and type (r6 ADVICE)."""
     out_schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            _id_field(media, id_col),
             T.StructField("media_data", T.BinaryType()),
             T.StructField("media_meta", MEDIA_META_SCHEMA),
         ]
@@ -390,7 +405,7 @@ def resize_media(
                     mt = PPM_MEDIA_TYPE
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        id_col: doc_id,
                         "media_data": data,
                         "media_meta": {
                             "media_type": mt,
@@ -511,21 +526,23 @@ def extract_frame_features(
 ) -> DataFrame:
     """One output row per sampled frame per input video — the fan-out shape
     of a frame-embedding pipeline (swap the px_mean stat for a model
-    forward pass at the same seam)."""
+    forward pass at the same seam). The id column keeps the input's name
+    and type (r6 ADVICE)."""
+    out_schema = T.StructType(
+        [_id_field(media, id_col)] + list(FRAME_FEATURES_SCHEMA.fields[1:])
+    )
 
     def _batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            out: dict[str, list] = {
-                f.name: [] for f in FRAME_FEATURES_SCHEMA.fields
-            }
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
             for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
                 b = bytes(blob)
                 spans = _index_pnm_frames(b)
                 spans_total = len(spans)
                 for idx, frame in sample_frames(b, n_frames, spans=spans):
-                    out["doc_id"].append(doc_id)
+                    out[id_col].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["n_frames"].append(spans_total)
                     out["width"].append(frame["width"])
@@ -535,7 +552,7 @@ def extract_frame_features(
             yield pd.DataFrame(out)
 
     return media.select(id_col, data_col).mapInPandas(
-        _batches, schema=FRAME_FEATURES_SCHEMA
+        _batches, schema=out_schema
     )
 
 

@@ -187,3 +187,62 @@ def test_frame_sampling_end_to_end(spark, sf_dir):
             assert f["width"] == px.shape[1]
             assert f["height"] == px.shape[0]
             assert abs(f["px_mean"] - float(np.asarray(px).mean())) < 1e-9
+
+
+def test_custom_id_column_name_and_type_preserved(spark, sf_dir):
+    """r6 ADVICE: the output id column must carry the INPUT's name and
+    type — a string-typed id named media_key round-trips through feature
+    extraction, resize, and frame sampling without rename or Long cast."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        attach_fake_images,
+        attach_fake_videos,
+        extract_frame_features,
+        extract_media_features,
+        resize_media,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(6)
+        .select(
+            F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias(
+                "media_key"
+            ),
+            "doc_id",
+            "text",
+        )
+    )
+    imgs = attach_fake_images(docs, id_col="doc_id").withColumnRenamed(
+        "doc_id", "media_key2"
+    )
+    # string-typed id through feature extraction
+    media = attach_fake_images(docs, id_col="doc_id").select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias(
+            "media_key"
+        ),
+        "media_data",
+        "media_meta",
+    )
+    feats = extract_media_features(media, id_col="media_key")
+    assert feats.schema["media_key"].dataType == T.StringType()
+    got = {r["media_key"] for r in feats.collect()}
+    assert got == {f"m-{r['doc_id']}" for r in docs.select("doc_id").collect()}
+
+    rs = resize_media(media, 4, 4, id_col="media_key")
+    assert rs.schema["media_key"].dataType == T.StringType()
+    assert rs.count() == 6
+
+    vids = attach_fake_videos(docs.limit(4), id_col="doc_id").select(
+        F.concat(F.lit("v-"), F.col("doc_id").cast("string")).alias(
+            "media_key"
+        ),
+        "media_data",
+    )
+    fr = extract_frame_features(vids, n_frames=2, id_col="media_key")
+    assert fr.schema["media_key"].dataType == T.StringType()
+    assert all(r["media_key"].startswith("v-") for r in fr.collect())
+    # unused renamed frame kept no stale doc_id expectations
+    assert "media_key2" in imgs.columns
