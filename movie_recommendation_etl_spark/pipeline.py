@@ -146,6 +146,10 @@ def combine_features(cleaned: DataFrame) -> DataFrame:
         strip_ws(F.col("companies_arr")),
     )
     tags = F.concat(
+        # title_arr deliberately NOT whitespace-stripped: the reference's
+        # .py (transform/execute.py:158-167) leaves titles intact while the
+        # notebook (execute.ipynb:1010-1013) strips them too — SURVEY §2.9
+        # T5 divergence, resolved to the .py (shipped-pipeline) behavior.
         F.col("title_arr"),
         strip_ws(F.col("all_combined_keywords")),
         strip_ws(F.col("genres_list")),
