@@ -31,15 +31,14 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q31_session_window_agg",
     "q32_asof_click_to_error",
     "q38_rank_suite",
-    "q41_lang_quality",
+    "q40_text_profile_suite",
     "q45_sliding_window_agg",
     "q50_minhash_lsh_neardup",
     "q56_pii_redaction",
     "q57_repetition_metrics",
-    "q58_stratified_sample",
+    "q58_sampling_suite",
     "q53_embedding_neardup_pairs",
     "q54_neardup_clusters",
-    "q55_hash_mod_sample",
     "q60_knn_bruteforce",
     "q61_knn_lsh_embeddings",
     "q62_knn_ivf_embeddings",

@@ -225,7 +225,7 @@ def _sql_hex8_to_bigint(hex_expr: str) -> str:
 
 
 @query(
-    "q58_stratified_sample",
+    "q58_sampling_suite",
     oracle=f"""
     WITH u AS (
         SELECT doc_id, lang,
@@ -240,17 +240,26 @@ def _sql_hex8_to_bigint(hex_expr: str) -> str:
         WHERE u.unif < least(1.0,
               CAST({OVERSAMPLE * STRATUM_TARGET} AS DOUBLE) / counts.n)
     )
-    SELECT doc_id, lang, rk FROM (
+    SELECT 'stratified' AS method, doc_id, lang, rk FROM (
         SELECT doc_id, lang,
                ROW_NUMBER() OVER (PARTITION BY lang
                                   ORDER BY unif, doc_id) AS rk
         FROM admitted
     )
     WHERE rk <= {STRATUM_TARGET}
+    UNION ALL
+    SELECT 'hash_mod' AS method, doc_id, lang, CAST(NULL AS BIGINT) AS rk
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
     """,
 )
-def q58_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling: exactly min(n, 25) docs per lang,
+def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling suite (r7 consolidation: absorbed
+    q55_hash_mod_sample as the ``hash_mod`` arm — both are md5-keyed
+    rerun-stable samplers over the same table, discriminated by the
+    ``method`` column).
+
+    Arm ``stratified``: exactly min(n, 25) docs per lang,
     chosen by md5 order — rerun-stable, engine-independent, no rand().
 
     Two-phase for scale: a naive `row_number over (partition by stratum)`
@@ -266,6 +275,13 @@ def q58_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     always survive; with {OVERSAMPLE}x oversampling the shortfall
     probability is Chernoff-negligible, and any stratum smaller than the
     target is admitted whole by the least(1, ...) clamp).
+
+    Arm ``hash_mod``: deterministic 2/16 sample by first hex digit of
+    md5(doc_id) — the reproducible-sampling primitive a training-data
+    pipeline needs (rerun the pipeline, get the SAME sample — unlike
+    rand()-based sampling, which depends on partitioning). Pure scan-stage
+    filter: no shuffle, and the sampling predicate rides along with any
+    pushed filters.
     """
     docs = load_table(spark, sf_dir, "documents")
     unif = (
@@ -285,8 +301,19 @@ def q58_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("lang").orderBy("unif", "doc_id")
-    return (
+    stratified = (
         admitted.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= STRATUM_TARGET)
-        .select("doc_id", "lang", "rk")
+        .select(
+            F.lit("stratified").alias("method"), "doc_id", "lang", "rk"
+        )
     )
+    hash_mod = docs.filter(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 1).isin("0", "1")
+    ).select(
+        F.lit("hash_mod").alias("method"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("int").alias("rk"),
+    )
+    return stratified.unionByName(hash_mod)

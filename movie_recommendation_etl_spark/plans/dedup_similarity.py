@@ -431,26 +431,6 @@ def q54_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q55_hash_mod_sample",
-    oracle="""
-    SELECT doc_id, lang, source FROM documents
-    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
-    """,
-)
-def q55_hash_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 2/16 sample by first hex digit of md5(doc_id): the
-    reproducible-sampling primitive a training-data pipeline needs (rerun
-    the pipeline, get the SAME sample — unlike rand()-based sampling, which
-    depends on partitioning). Pure scan-stage filter: no shuffle, prunes to
-    three columns, and the sampling predicate rides along with any pushed
-    filters."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(
-        F.md5(F.col("doc_id").cast("string")).substr(1, 1).isin("0", "1")
-    ).select("doc_id", "lang", "source")
-
-
-@query(
     "q63_embedding_outliers",
     oracle="""
     WITH expl0 AS (

@@ -32,49 +32,30 @@ from movie_recommendation_etl_spark.sources.catalog import load_table
 
 
 @query(
-    "q40_token_counts",
-    oracle=f"""
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_re_tokens,
-           len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
-           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fp
-    FROM documents
-    """,
-)
-def q40_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + regex) and prefix fingerprint. Narrow
-    ops only — no shuffle; at 100 TB this runs at scan speed."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = ws_tokens("text")
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_ws_tokens"),
-        re_token_count("text").alias("n_re_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
-        prefix_fingerprint(toks).alias("prefix_fp"),
-    )
-
-
-@query(
-    "q41_lang_quality",
+    "q40_text_profile_suite",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+        FROM documents
     ),
     m AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, lang, text, toks,
                CAST(len(list_filter(toks, x -> x IN ({SQL_STOPWORDS})))
                     AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-               CAST(len(list_filter(toks, x -> length(x) <= 2))
-                    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS short_ratio,
                CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
                     AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
                CAST(len(toks) AS DOUBLE) AS n
         FROM t
     )
     SELECT doc_id, lang,
-           stop_ratio, short_ratio, mean_tok_len,
+           len(toks) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_re_tokens,
+           len(list_distinct(toks)) AS n_uniq_tokens,
+           md5(array_to_string(toks[1:8], ' ')) AS prefix_fp,
+           stop_ratio,
+           CAST(len(list_filter(toks, x -> length(x) <= 2))
+                AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS short_ratio,
+           mean_tok_len,
            CASE WHEN stop_ratio >= 0.15 THEN 'en' ELSE 'other' END AS lang_pred,
            0.3 * (least(n, 100.0) / 100.0)
              + 0.4 * (1.0 - stop_ratio)
@@ -82,15 +63,24 @@ def q40_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     """,
 )
-def q41_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic + composite quality score per document.
-    Rational arithmetic only (see functions/text.py determinism policy), so
-    the doubles hash-match the SQL oracle exactly."""
+def q40_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile in ONE scan: token counting (whitespace +
+    regex), prefix fingerprint, language-ID heuristic, and composite quality
+    score (r7 consolidation of q40_token_counts + q41_lang_quality — both
+    were narrow single-scan projections over the same table, so one query
+    covers both operator families with half the scan cost). Narrow ops
+    only — no shuffle; at 100 TB this runs at scan speed. Rational
+    arithmetic only (see functions/text.py determinism policy), so the
+    doubles hash-match the SQL oracle exactly."""
     docs = load_table(spark, sf_dir, "documents")
     toks = ws_tokens("text")
     return docs.select(
         "doc_id",
         "lang",
+        F.size(toks).alias("n_ws_tokens"),
+        re_token_count("text").alias("n_re_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        prefix_fingerprint(toks).alias("prefix_fp"),
         stopword_ratio(toks).alias("stop_ratio"),
         short_token_ratio(toks).alias("short_ratio"),
         mean_token_len(toks).alias("mean_tok_len"),

@@ -5,9 +5,9 @@ assert the algorithmic properties the gate can't see)."""
 from __future__ import annotations
 
 from movie_recommendation_etl_spark.operators.graph import connected_components
+from movie_recommendation_etl_spark.plans.curation import q58_sampling_suite
 from movie_recommendation_etl_spark.plans.dedup_similarity import (
     q54_neardup_clusters,
-    q55_hash_mod_sample,
 )
 from movie_recommendation_etl_spark.plans.recommend import q71_tfidf_cosine_topk
 
@@ -52,8 +52,16 @@ def test_neardup_clusters_consistent_with_pairs(spark, sf_dir):
 
 
 def test_hash_mod_sample_deterministic(spark, sf_dir):
-    a = sorted(r["doc_id"] for r in q55_hash_mod_sample(spark, sf_dir).collect())
-    b = sorted(r["doc_id"] for r in q55_hash_mod_sample(spark, sf_dir).collect())
+    def hash_mod_ids():
+        return sorted(
+            r["doc_id"]
+            for r in q58_sampling_suite(spark, sf_dir)
+            .filter("method = 'hash_mod'")
+            .collect()
+        )
+
+    a = hash_mod_ids()
+    b = hash_mod_ids()
     assert a == b  # same sample on every run — the point of hash-mod
     assert a  # 2/16 of 500 docs ≈ 62: non-empty with huge margin
 

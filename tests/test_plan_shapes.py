@@ -75,11 +75,12 @@ def test_minhash_signature_stays_hash_aggregate(spark, sf_dir):
 
 
 def test_sample_prunes_text_column(spark, sf_dir):
-    """q55 samples on md5(doc_id): the scan must not read the wide text
-    column (the predicate needs doc_id only; output adds lang/source)."""
-    plan = _plan(spark, sf_dir, "q55_hash_mod_sample")
-    m = re.search(r"ReadSchema: ([^\n]*)", plan)
-    assert m and "text" not in m.group(1)
+    """Both sampling arms key on md5(doc_id): no scan in the suite may read
+    the wide text column (the predicates need doc_id only; output adds
+    lang)."""
+    plan = _plan(spark, sf_dir, "q58_sampling_suite")
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert schemas and all("text" not in s for s in schemas)
 
 
 def test_simhash_hashes_each_token_once(spark, sf_dir):
