@@ -138,3 +138,80 @@ def q42_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         "fingerprint", F.col("doc_id").alias("keep_doc_id"), "n_copies"
     )
+
+
+_Q76_NGRAM_SQL = (
+    "list_distinct(list_transform("
+    "range(1, len(string_split(text, ' ')) - 3), "
+    "i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))"
+)
+
+
+@query(
+    "q76_decontaminate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT doc_id, text FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ),
+    train AS (
+        SELECT doc_id, text FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, 'zq0 zq1 ' || text AS text
+        FROM ev
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+              IN ('0', '1', '2', '3', '4', '5', '6', '7')
+    ),
+    ev_grams AS (
+        SELECT DISTINCT unnest({_Q76_NGRAM_SQL}) AS gram FROM ev
+    ),
+    tr AS (
+        SELECT doc_id, {_Q76_NGRAM_SQL} AS grams FROM train
+    ),
+    hits AS (
+        SELECT t.doc_id, count(*) AS n_overlap
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) t
+        JOIN ev_grams e USING (gram)
+        GROUP BY t.doc_id
+    )
+    SELECT t.doc_id,
+           len(t.grams) AS n_grams,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           CASE WHEN len(t.grams) > 0
+                THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                     / CAST(len(t.grams) AS DOUBLE)
+                ELSE 0.0 END AS overlap_ratio,
+           CASE WHEN len(t.grams) > 0
+                THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                     / CAST(len(t.grams) AS DOUBLE)
+                ELSE 0.0 END >= 0.05 AS is_contaminated
+    FROM tr t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q76_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py) over a split
+    of the documents table: docs whose md5 leading hex digit is '0' play the
+    held-out eval benchmark; the rest are the training corpus, salted with
+    PLANTED contamination (half the eval docs re-enter training under a
+    shifted id with two junk tokens prepended — near-total 5-gram overlap,
+    but not an exact duplicate, so only an n-gram gate catches it).
+
+    Plan shape: eval gram set broadcast (plan-asserted in
+    tests/test_plan_shapes.py), one training scan, one Exchange on doc_id.
+    """
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
+    second_hex = F.md5(F.col("doc_id").cast("string")).substr(2, 1)
+    ev = docs.filter(first_hex == "0").select("doc_id", "text")
+    clean = docs.filter(first_hex != "0").select("doc_id", "text")
+    planted = ev.filter(second_hex.isin(*"01234567")).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("zq0 zq1 "), F.col("text")).alias("text"),
+    )
+    train = clean.unionByName(planted)
+    return ngram_contamination(train, ev, n=5, ratio_threshold=0.05)

@@ -93,3 +93,37 @@ def test_curate_runs_on_documents_table(spark, sf_dir):
     out = curate_documents(docs, langs=None, min_quality=0.0)
     assert out.count() > 0
     assert {"lang", "quality", "n_tokens"} <= set(out.columns)
+
+
+def test_ngram_contamination_semantics(spark):
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h"),       # full overlap: 4 of 4 grams
+            (11, "x y a b c d e z w q"),   # one shared gram (a b c d e)
+            (12, "p q r s t u v w"),       # disjoint: 0 of 4
+            (13, "too short"),             # no 5-gram at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_contamination(
+            train, ev, n=5, ratio_threshold=0.5
+        ).collect()
+    }
+    assert len(rows) == 4
+    assert rows[10]["n_grams"] == 4 and rows[10]["n_overlap"] == 4
+    assert rows[10]["is_contaminated"]
+    assert rows[11]["n_grams"] == 6 and rows[11]["n_overlap"] == 1
+    assert not rows[11]["is_contaminated"]
+    assert rows[12]["n_overlap"] == 0 and not rows[12]["is_contaminated"]
+    assert rows[13]["n_grams"] == 0
+    assert rows[13]["overlap_ratio"] == 0.0
+    assert not rows[13]["is_contaminated"]

@@ -111,3 +111,16 @@ def test_single_shuffle_for_window_suite(spark, sf_dir):
     exchange may appear."""
     plan = _plan(spark, sf_dir, "q38_rank_suite")
     assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """q76's contamination check must ride the training scan as a broadcast
+    hash join on the gram key (the eval side is small by construction) with
+    exactly ONE Exchange — the doc-id aggregation. A shuffled gram join
+    here means re-shuffling the 100 TB training side per eval refresh."""
+    plan = _plan(spark, sf_dir, "q76_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    # the TRAINING side shuffles exactly once (doc-id agg); the only other
+    # exchange allowed is the tiny eval-gram distinct under the broadcast
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
