@@ -115,3 +115,100 @@ def write_training_shards(
         num_files=num_shards,
         max_records_per_file=max_records_per_file,
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    seq_len: int = 512,
+    num_shards: int = 16,
+    seed: int = 0,
+    order_key=None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus token stream and
+    split it at fixed ``seq_len`` boundaries, so every training sequence is
+    exactly full (no padding waste; the standard concat-and-split recipe of
+    the public GPT-2/Pile/Dolma pipelines, where documents may straddle
+    sequence boundaries and an attention mask or EOD token separates them).
+
+    Input: one row per document/chunk with a token count. Output: one row
+    per (input row x training sequence it intersects):
+
+      (shard, seq_idx, id_col, slice_start, offset_in_seq, n_tokens_in_seq)
+
+    meaning: tokens [slice_start, slice_start + n_tokens_in_seq) of this
+    input row land in sequence ``seq_idx`` of ``shard`` at position
+    ``offset_in_seq``. Every sequence is exactly ``seq_len`` tokens except
+    each shard's ragged last one. A loader joins this map against the chunk
+    text/token store to materialize batches.
+
+    Deterministic + distributed: rows are assigned to ``num_shards`` hash
+    shards by a seeded key (xxhash64 by default; pass ``order_key`` for an
+    engine-portable md5 key) and ordered (key, id) within the shard — the
+    same seed replays byte-identical sequences on any cluster size. The
+    plan is ONE hash-partitioned window (cumulative token offsets per
+    shard) plus a scan-stage explode over each row's sequence span: no
+    driver loop, no Python. Shard count bounds window-partition size —
+    at 100 TB raise num_shards so each shard's token stream fits a
+    single task's sort budget.
+
+    All offset math is exact integer arithmetic (``div``, not double
+    division): safe past 2^53 tokens per shard.
+    """
+    from pyspark.sql import Window as W
+
+    if seq_len <= 0 or num_shards <= 0:
+        raise ValueError("seq_len and num_shards must be positive")
+    key = order_key if order_key is not None else shuffle_key(id_col, seed)
+    base = (
+        df.filter(F.col(count_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(count_col).cast("long").alias("__n"),
+            key.cast("long").alias("__key"),
+        )
+        .withColumn(
+            "shard", F.pmod(F.col("__key"), F.lit(num_shards)).cast("int")
+        )
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("__key", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = base.select(
+        "shard",
+        id_col,
+        "__n",
+        F.sum("__n").over(w).alias("__end"),
+    ).withColumn("__start", F.col("__end") - F.col("__n"))
+    L = F.lit(int(seq_len)).cast("long")
+    first_seq = F.expr(f"__start div {int(seq_len)}")
+    last_seq = F.expr(f"(__end - 1) div {int(seq_len)}")
+    spans = offs.select(
+        "shard",
+        id_col,
+        "__n",
+        "__start",
+        "__end",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_idx"),
+    )
+    seq_lo = F.col("seq_idx") * L
+    seq_hi = seq_lo + L
+    return spans.select(
+        "shard",
+        "seq_idx",
+        id_col,
+        F.greatest(F.lit(0).cast("long"), seq_lo - F.col("__start")).alias(
+            "slice_start"
+        ),
+        (F.greatest(F.col("__start"), seq_lo) - seq_lo).alias(
+            "offset_in_seq"
+        ),
+        (
+            F.least(F.col("__end"), seq_hi)
+            - F.greatest(F.col("__start"), seq_lo)
+        ).alias("n_tokens_in_seq"),
+    )

@@ -545,3 +545,82 @@ def q75_embedding_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
+
+
+_Q77_SEQ_LEN = 128
+_Q77_SHARDS = 8
+
+
+@query(
+    "q77_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {_sql_hex8_to_bigint("md5(CAST(doc_id AS VARCHAR))")} AS key
+        FROM documents
+        WHERE len(string_split(text, ' ')) > 0
+    ),
+    s AS (
+        SELECT doc_id, n_tokens, key,
+               CAST(key % {_Q77_SHARDS} AS INTEGER) AS shard
+        FROM d
+    ),
+    c AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY key, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        FROM s
+    ),
+    b AS (
+        SELECT shard, doc_id, n_tokens, end_off,
+               end_off - n_tokens AS start_off
+        FROM c
+    ),
+    e AS (
+        SELECT shard, doc_id, start_off, end_off,
+               unnest(range(start_off // {_Q77_SEQ_LEN},
+                            (end_off - 1) // {_Q77_SEQ_LEN} + 1)) AS seq_idx
+        FROM b
+    )
+    SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx, doc_id,
+           greatest(CAST(0 AS BIGINT),
+                    seq_idx * {_Q77_SEQ_LEN} - start_off) AS slice_start,
+           greatest(start_off, seq_idx * {_Q77_SEQ_LEN})
+               - seq_idx * {_Q77_SEQ_LEN} AS offset_in_seq,
+           least(end_off, (seq_idx + 1) * {_Q77_SEQ_LEN})
+               - greatest(start_off, seq_idx * {_Q77_SEQ_LEN})
+               AS n_tokens_in_seq
+    FROM e
+    """,
+)
+def q77_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/training_prep.py:pack_sequences) over the
+    documents table: whitespace token counts, {_Q77_SHARDS} md5-keyed
+    shards, {_Q77_SEQ_LEN}-token training sequences. The md5 order key
+    (engine-portable, same trick as q58) replaces the default xxhash64 so
+    DuckDB replays the identical shard assignment, order, and offsets —
+    the full concat-and-split map hash-matches bit-for-bit.
+    """
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    counted = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    md5_key = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
+        .cast("long")
+    )
+    return pack_sequences(
+        counted,
+        id_col="doc_id",
+        count_col="n_tokens",
+        seq_len=_Q77_SEQ_LEN,
+        num_shards=_Q77_SHARDS,
+        order_key=md5_key,
+    )

@@ -154,3 +154,92 @@ def test_chunking_property(spark):
         assert seen == _doc(n).split()
 
     _check()
+
+
+def test_pack_sequences_invariants(spark):
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 95 + 1) for i in range(200)],
+        "doc_id long, n_tokens long",
+    )
+    L = 64
+    rows = pack_sequences(
+        df, seq_len=L, num_shards=4, seed=7
+    ).collect()
+    # per-doc reconstruction: contributed slices tile the doc exactly
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_by_id = {i: (i * 37) % 95 + 1 for i in range(200)}
+    for doc, parts in by_doc.items():
+        parts.sort(key=lambda r: r["slice_start"])
+        assert parts[0]["slice_start"] == 0
+        pos = 0
+        for p in parts:
+            assert p["slice_start"] == pos
+            pos += p["n_tokens_in_seq"]
+        assert pos == n_by_id[doc]
+    assert set(by_doc) == set(n_by_id)  # every non-empty doc packed
+    # per-sequence: every sequence except each shard's last is exactly full,
+    # and parts within a sequence tile it contiguously from offset 0
+    by_seq: dict[tuple, list] = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq_idx"]), []).append(r)
+    last_seq = {}
+    for (shard, seq), _ in by_seq.items():
+        last_seq[shard] = max(last_seq.get(shard, -1), seq)
+    for (shard, seq), parts in by_seq.items():
+        parts.sort(key=lambda r: r["offset_in_seq"])
+        pos = 0
+        for p in parts:
+            assert p["offset_in_seq"] == pos
+            pos += p["n_tokens_in_seq"]
+        if seq < last_seq[shard]:
+            assert pos == L, (shard, seq, pos)
+        else:
+            assert 0 < pos <= L
+    # shards cover 0..num_shards-1 and sequences are dense per shard
+    for shard in last_seq:
+        seqs = sorted(s for (sh, s) in by_seq if sh == shard)
+        assert seqs == list(range(last_seq[shard] + 1))
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """Same seed => byte-identical packing regardless of input layout (the
+    determinism policy: a repartition must never change results)."""
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 50 + 1) for i in range(300)], "doc_id long, n_tokens long"
+    )
+    a = sorted(
+        map(tuple, pack_sequences(df, seq_len=32, num_shards=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                df.repartition(13), seq_len=32, num_shards=8
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pack_sequences_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with _pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
+    with _pytest.raises(ValueError):
+        pack_sequences(df, num_shards=0)
