@@ -67,16 +67,18 @@ def ngram_contamination(
         ev_grams = F.broadcast(ev_grams)
 
     grams = word_shingles(F.split(text_col, " "), n)
-    # One training scan: carry the per-doc gram count through the explode so
-    # the final agg needs no second pass (explode_outer keeps zero-gram docs).
+    # One training scan, and the shingle expression evaluates ONCE per row:
+    # the per-doc gram count is recovered in the aggregate as count(gram)
+    # (explode_outer emits a single NULL gram for zero-gram docs, which
+    # count() skips) instead of carrying F.size(grams) through the explode —
+    # Catalyst re-inlines a projected array into both Project and Generate,
+    # doubling the shingle work.
     exploded = train.select(
-        F.col(id_col),
-        F.size(grams).alias("n_grams"),
-        F.explode_outer(grams).alias("gram"),
+        F.col(id_col), F.explode_outer(grams).alias("gram")
     )
     joined = exploded.join(ev_grams, "gram", "left")
     agg = joined.groupBy(id_col).agg(
-        F.max("n_grams").alias("n_grams"),
+        F.count("gram").cast("int").alias("n_grams"),
         F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
     )
     ratio = F.when(

@@ -212,6 +212,10 @@ def q57_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # target) however large the corpus is.
 STRATUM_TARGET = 25
 OVERSAMPLE = 4
+# mixture arm: admission rate K/sqrt(n_domain) — unnormalized temperature
+# sampling at alpha = 0.5 (expected domain count K*sqrt(n_d)); K=4.0 keeps
+# every synthetic lang domain under rate 1.0 at sf>=0.001
+MIXTURE_K = 4.0
 
 def _sql_hex8_to_bigint(hex_expr: str) -> str:
     """DuckDB SQL: parse the leading 8 hex digits of ``hex_expr`` as a
@@ -251,6 +255,16 @@ def _sql_hex8_to_bigint(hex_expr: str) -> str:
     SELECT 'hash_mod' AS method, doc_id, lang, CAST(NULL AS BIGINT) AS rk
     FROM documents
     WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    UNION ALL
+    SELECT 'mixture' AS method, m.doc_id, m.lang, CAST(NULL AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, lang,
+               CAST({_sql_hex8_to_bigint(
+                   "md5('mx:' || CAST(doc_id AS VARCHAR))")}
+                    AS DOUBLE) / 4294967296.0 AS unif_mx
+        FROM documents
+    ) m JOIN counts USING (lang)
+    WHERE m.unif_mx < least(1.0, {MIXTURE_K} / sqrt(CAST(counts.n AS DOUBLE)))
     """,
 )
 def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +296,11 @@ def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rand()-based sampling, which depends on partitioning). Pure scan-stage
     filter: no shuffle, and the sampling predicate rides along with any
     pushed filters.
+
+    Arm ``mixture`` (r7): temperature data-mixture sampling at alpha=0.5
+    over lang domains — admission rate K/sqrt(n_domain), the standard LLM
+    pre-training mix that upweights rare domains relative to proportional
+    sampling. See the inline comment for why the rate is unnormalized.
     """
     docs = load_table(spark, sf_dir, "documents")
     unif = (
@@ -316,4 +335,40 @@ def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.lit(None).cast("int").alias("rk"),
     )
-    return stratified.unionByName(hash_mod)
+    # mixture arm: temperature sampling over lang domains at alpha = 0.5 —
+    # the LLM data-mixing primitive (upweight small domains, damp huge
+    # ones). Unnormalized (rate depends only on the domain's own count):
+    # no cross-domain double sum exists, so every admission decision is
+    # IEEE-exact sqrt + division and hash-matches the oracle. A fresh md5
+    # salt ('mx:') decorrelates this arm's variate from the stratified
+    # arm's. Same scale shape: broadcast counts join, scan-stage filter.
+    unif_mx = (
+        F.conv(
+            F.md5(
+                F.concat(F.lit("mx:"), F.col("doc_id").cast("string"))
+            ).substr(1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    mixture = (
+        docs.select("doc_id", "lang", unif_mx.alias("unif_mx"))
+        .join(F.broadcast(counts), "lang")
+        .filter(
+            F.col("unif_mx")
+            < F.least(
+                F.lit(1.0),
+                F.lit(MIXTURE_K) / F.sqrt(F.col("n").cast("double")),
+            )
+        )
+        .select(
+            F.lit("mixture").alias("method"),
+            "doc_id",
+            "lang",
+            F.lit(None).cast("int").alias("rk"),
+        )
+    )
+    return stratified.unionByName(hash_mod).unionByName(mixture)

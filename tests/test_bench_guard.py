@@ -104,3 +104,24 @@ def test_previous_round_timings_direct_shape_and_missing(tmp_path):
     # corrupt newest file -> None, never a crash in the bench
     (tmp_path / "BENCH_r05.json").write_text("{not json")
     assert previous_round_timings(str(tmp_path)) is None
+
+
+def test_previous_round_bench_surfaces_method_marker(tmp_path):
+    line = json.dumps(
+        {"metric": "bench_total_sec", "value": 3.0, "unit": "sec",
+         "queries": {"q01": 1.5}, "bench_method": "min2",
+         "calibration_sec": 0.2}
+    )
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"n": 7, "rc": 0, "tail": "noise\n" + line + "\n"})
+    )
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["bench_method"] == "min2"
+    # truncated-tail recovery also finds the marker
+    truncated = line[len('{"metric": "bench_total_sec", "va'):]
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"n": 8, "rc": 0, "tail": truncated})
+    )
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["bench_method"] == "min2"
+    assert blob["queries"] == {"q01": 1.5}
