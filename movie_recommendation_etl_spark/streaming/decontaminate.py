@@ -1,0 +1,87 @@
+"""Streaming ingestion-time benchmark decontamination: the streaming twin
+of operators/decontaminate.py — drop incoming documents whose word n-gram
+overlap with a held-out eval set clears a threshold, BEFORE they land in
+the corpus.
+
+Why not the batch plan (explode -> broadcast join -> groupBy doc)? The
+per-doc overlap COUNT is an aggregation, and a streaming aggregation keyed
+by doc id is stateful (watermark + update mode + state store) for what is
+semantically a STATELESS per-row decision — each document's verdict depends
+only on its own text and the static eval set. The streaming-idiomatic form
+is therefore a per-row check against a broadcast of the eval gram set:
+
+- the eval set is collected ONCE on the driver (benchmarks are small by
+  construction — thousands of docs, bounded gram count) and shipped to
+  executors as a Spark broadcast variable;
+- the overlap count is an Arrow-batched pandas_udf probing that broadcast
+  set — a hash probe per gram, no shuffle, no state, append-mode safe.
+  This is one of the sanctioned pandas-UDF gaps (SURVEY §2.11): built-in
+  Catalyst expressions cannot probe a driver-side set without a join, and
+  a join would force the stateful aggregation this design avoids.
+
+Batch/stream parity: gram extraction reuses operators/neardup.py
+word_shingles (the same expression the batch operator and the q76 oracle
+use), and tests/test_streaming.py asserts the gate's keep/drop decisions
+match operators/decontaminate.py:ngram_contamination on the same corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from movie_recommendation_etl_spark.operators.neardup import word_shingles
+
+
+def eval_gram_set(
+    eval_set: DataFrame, *, text_col: str = "text", n: int = 5
+) -> set[str]:
+    """Distinct word n-grams of the eval corpus, driver-side. Bounded by
+    the benchmark's size (NOT the training corpus); guard with a count if
+    the eval source is untrusted."""
+    rows = (
+        eval_set.select(
+            F.explode(word_shingles(F.split(text_col, " "), n)).alias("gram")
+        )
+        .distinct()
+        .collect()
+    )
+    return {r["gram"] for r in rows}
+
+
+def contamination_gated_documents(
+    docs: DataFrame,
+    grams: set[str],
+    *,
+    text_col: str = "text",
+    n: int = 5,
+    ratio_threshold: float = 0.05,
+) -> DataFrame:
+    """Filter a (streaming or batch) document frame down to rows whose
+    n-gram overlap ratio with ``grams`` is BELOW ``ratio_threshold``.
+    Stateless per row — works in append mode with no watermark and no
+    state store."""
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(frozenset(grams))
+
+    @F.pandas_udf(T.IntegerType())
+    def _overlap(gram_arrays: pd.Series) -> pd.Series:
+        ev = bc.value
+        return gram_arrays.map(
+            lambda arr: sum(1 for g in arr if g in ev) if arr is not None else 0
+        ).astype("int32")
+
+    doc_grams: Column = word_shingles(F.split(text_col, " "), n)
+    with_counts = docs.withColumn("__grams", doc_grams).select(
+        "*",
+        F.size("__grams").alias("__n_grams"),
+        _overlap(F.col("__grams")).alias("__n_overlap"),
+    )
+    keep = (F.col("__n_grams") <= 0) | (
+        F.col("__n_overlap").cast("double")
+        / F.col("__n_grams").cast("double")
+        < F.lit(ratio_threshold)
+    )
+    return with_counts.filter(keep).drop("__grams", "__n_grams", "__n_overlap")

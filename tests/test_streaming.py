@@ -221,3 +221,69 @@ def test_streaming_neardup_gate(spark, tmp_path):
     assert set(spark.table("neardup_gate").columns) == {
         "doc_id", "text", "ts"
     }
+
+
+def test_streaming_contamination_gate_matches_batch(spark, tmp_path):
+    """Ingestion-time decontamination: the streaming gate's keep/drop set
+    must equal the batch operator's is_contaminated verdicts on the same
+    corpus (append mode, no state store)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+    from movie_recommendation_etl_spark.streaming.decontaminate import (
+        contamination_gated_documents,
+        eval_gram_set,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ev = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    incoming = [
+        (1, "prefix junk " + bench_text),            # contaminated
+        (2, "totally unrelated words appear here now and then again ok"),
+        (3, bench_text),                             # contaminated (exact)
+        (4, "alpha beta gamma unrelated tail of fresh tokens here right"),
+        (5, "short doc"),                            # no 5-gram: passes
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rows = [(i, txt, t0 + dt.timedelta(seconds=i)) for i, txt in incoming]
+    src = str(tmp_path / "contam_stream_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    grams = eval_gram_set(ev, n=5)
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_available_now(
+        contamination_gated_documents(
+            stream, grams, n=5, ratio_threshold=0.5
+        ),
+        "contam_gate",
+        output_mode="append",
+    )
+    kept_streaming = {
+        r["doc_id"] for r in spark.table("contam_gate").collect()
+    }
+
+    batch = spark.createDataFrame(
+        [(i, txt) for i, txt in incoming], "doc_id long, text string"
+    )
+    verdicts = ngram_contamination(
+        batch, ev, n=5, ratio_threshold=0.5
+    ).collect()
+    kept_batch = {
+        r["doc_id"] for r in verdicts if not r["is_contaminated"]
+    }
+    assert kept_streaming == kept_batch
+    assert kept_streaming == {2, 4, 5}
