@@ -212,3 +212,134 @@ def pack_sequences(
             - F.greatest(F.col("__start"), seq_lo)
         ).alias("n_tokens_in_seq"),
     )
+
+
+def _shard_counts(
+    spark, path: str, count_col: str | None
+) -> list[dict]:
+    """Per-file row (and optional token) counts for every parquet file under
+    ``path`` — one distributed aggregation grouped by input_file_name(),
+    no row data to the driver."""
+    import posixpath
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if count_col is not None:
+        aggs.append(F.sum(F.col(count_col)).alias("n_tokens"))
+    per_file = (
+        df.groupBy(F.input_file_name().alias("file")).agg(*aggs).collect()
+    )
+    return sorted(
+        (
+            {
+                "file": posixpath.basename(r["file"]),
+                "n_rows": r["n_rows"],
+                **(
+                    {"n_tokens": r["n_tokens"]}
+                    if count_col is not None
+                    else {}
+                ),
+            }
+            for r in per_file
+        ),
+        key=lambda d: d["file"],
+    )
+
+
+def write_shard_manifest(
+    spark,
+    path: str,
+    *,
+    count_col: str | None = None,
+    extra: dict | None = None,
+) -> dict:
+    """Write ``_MANIFEST.json`` next to a shard directory: per-file row
+    counts (and token totals when ``count_col`` is given), plus overall
+    totals — the reproducibility record a training run needs to verify it
+    read EXACTLY the corpus the pipeline produced (file lost to a partial
+    sync, shard rewritten with a different seed: both surface as a manifest
+    mismatch before any gradient is wasted).
+
+    The manifest JSON itself is driver-written through the Hadoop
+    FileSystem API (object-store capable, same policy as
+    sources/compact.py). Returns the manifest dict.
+    """
+    import json
+
+    files = _shard_counts(spark, path, count_col)
+    manifest = {
+        "files": files,
+        "n_files": len(files),
+        "n_rows": sum(f["n_rows"] for f in files),
+        **(
+            {"n_tokens": sum(f["n_tokens"] for f in files)}
+            if count_col is not None
+            else {}
+        ),
+        **(extra or {}),
+    }
+    jvm = spark._jvm
+    out = jvm.org.apache.hadoop.fs.Path(path, "_MANIFEST.json")
+    fs = out.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(out, True)
+    try:
+        stream.write(bytearray(json.dumps(manifest, indent=1).encode()))
+    finally:
+        stream.close()
+    return manifest
+
+
+def read_shard_manifest(spark, path: str) -> dict:
+    """Load ``_MANIFEST.json`` from a shard directory (Hadoop FS — any
+    scheme). Raises ValueError when absent."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path, "_MANIFEST.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise ValueError(f"no _MANIFEST.json under {path}")
+    stream = fs.open(p)
+    try:
+        # py4j cannot fill a Java byte[] in place from Python; drain the
+        # stream JVM-side (commons-io ships with hadoop-common)
+        raw = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(raw.decode())
+
+
+def verify_shard_manifest(spark, path: str) -> dict:
+    """Recompute per-file counts and compare against ``_MANIFEST.json``;
+    raises ValueError naming every missing/extra/mismatched file. Run at
+    training-job start — one aggregation, no row data to the driver.
+    Returns the verified manifest."""
+    recorded = read_shard_manifest(spark, path)
+    count_col = (
+        "n_tokens"
+        if any("n_tokens" in f for f in recorded.get("files", []))
+        else None
+    )
+    current = {
+        f["file"]: f for f in _shard_counts(spark, path, count_col)
+    }
+    want = {f["file"]: f for f in recorded.get("files", [])}
+    problems = []
+    for name in sorted(set(want) - set(current)):
+        problems.append(f"missing file: {name}")
+    for name in sorted(set(current) - set(want)):
+        problems.append(f"unexpected file: {name}")
+    for name in sorted(set(want) & set(current)):
+        if want[name] != current[name]:
+            problems.append(
+                f"count mismatch for {name}: "
+                f"recorded {want[name]}, found {current[name]}"
+            )
+    if problems:
+        raise ValueError(
+            f"shard manifest verification failed under {path}: "
+            + "; ".join(problems)
+        )
+    return recorded

@@ -243,3 +243,50 @@ def test_pack_sequences_rejects_bad_args(spark):
         pack_sequences(df, seq_len=0)
     with _pytest.raises(ValueError):
         pack_sequences(df, num_shards=0)
+
+
+def test_shard_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        read_shard_manifest,
+        verify_shard_manifest,
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text", (i % 7) + 1) for i in range(100)],
+        "doc_id long, text string, n_tokens long",
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, num_shards=4)
+    manifest = write_shard_manifest(spark, path, count_col="n_tokens")
+    assert manifest["n_rows"] == 100
+    assert manifest["n_files"] == 4
+    assert manifest["n_tokens"] == sum((i % 7) + 1 for i in range(100))
+    assert read_shard_manifest(spark, path) == manifest
+    # clean verify passes and returns the recorded manifest
+    assert verify_shard_manifest(spark, path) == manifest
+
+    # tamper: delete one shard file -> verify must name it
+    import glob
+    import os
+
+    victim = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    os.remove(victim)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing file"):
+        verify_shard_manifest(spark, path)
+
+
+def test_shard_manifest_missing_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        read_shard_manifest,
+    )
+
+    path = str(tmp_path / "noshards")
+    spark.range(3).write.parquet(path)
+    with _pytest.raises(ValueError, match="no _MANIFEST"):
+        read_shard_manifest(spark, path)
