@@ -124,3 +124,12 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     # exchange allowed is the tiny eval-gram distinct under the broadcast
     assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """q77: exactly one Exchange (the per-shard window's hash partitioning);
+    the sequence-span explode and all offset math ride that stage. A second
+    shuffle here would re-move the 100 TB token stream for arithmetic."""
+    plan = _plan(spark, sf_dir, "q77_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Generate explode" in plan
