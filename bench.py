@@ -325,7 +325,17 @@ def main() -> int:
         except (subprocess.SubprocessError, OSError, ValueError, KeyError):
             pass
 
-    total = round(sum(timings.values()), 3)
+    # Headline total excludes the ref-scale replay entries: the replay is
+    # optional (env-skippable) and non-fatal, so folding its ~60 s into the
+    # total would swing the headline by its presence, not by the code.
+    total = round(
+        sum(
+            v
+            for k, v in timings.items()
+            if not k.startswith("ref_scale_")
+        ),
+        3,
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     prev_blob = previous_round_bench(
         os.path.dirname(os.path.abspath(__file__))

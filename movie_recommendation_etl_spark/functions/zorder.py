@@ -62,6 +62,9 @@ def morton_key(
     for j, c in enumerate(cols):
         raw = (F.col(c) if isinstance(c, str) else c).cast("long")
         name = c if isinstance(c, str) else f"col{j}"
+        # NULL values fall to the otherwise() branch too (NULL comparison
+        # is NULL, not true); coalesce keeps the error message non-NULL so
+        # the failure names the column instead of raising a blank error
         cc = F.when((raw >= 0) & (raw < lim), raw).otherwise(
             F.raise_error(
                 F.concat(
@@ -69,7 +72,7 @@ def morton_key(
                         f"morton_key: value out of [0, {lim}) "
                         f"in column {name}: "
                     ),
-                    raw.cast("string"),
+                    F.coalesce(raw.cast("string"), F.lit("NULL")),
                 )
             )
         )

@@ -33,6 +33,15 @@ from contextlib import contextmanager
 # tracked on the Python side to restore without nesting.
 _LAST_BASE: dict[str, str | None] = {}
 
+# Active scopes per application, innermost last. Each frame records the
+# scope's base dir and EVERY uuid run dir minted under it: the entry-time
+# one, plus one per nested-scope exit (restoring an outer base calls
+# setCheckpointDir(base) again, which mints a fresh run dir that subsequent
+# outer checkpoints land in). Without this ledger a scope containing two or
+# more nested scopes leaks the intermediate run dirs — it could only see
+# the entry-time and exit-time ones (r7 review finding).
+_SCOPE_STACK: dict[str, list[dict]] = {}
+
 
 @contextmanager
 def reliable_checkpoint_scope(spark, checkpoint_dir: str | None):
@@ -64,21 +73,35 @@ def reliable_checkpoint_scope(spark, checkpoint_dir: str | None):
     sc.setCheckpointDir(checkpoint_dir)
     _LAST_BASE[app_id] = checkpoint_dir
     run_dir = jsc.getCheckpointDir().get()
+    stack = _SCOPE_STACK.setdefault(app_id, [])
+    frame = {"base": checkpoint_dir, "dirs": [run_dir]}
+    stack.append(frame)
     try:
         yield lambda df: df.checkpoint(eager=True)
     finally:
         jvm = spark._jvm
-        # The run dir current AT EXIT can differ from the entry-time one: a
-        # nested scope's exit restores this scope's base, which mints a
-        # fresh uuid run dir that subsequent checkpoints land in. Both dirs
-        # live under this scope's base, so both are this scope's to clean.
+        # Safety net: the run dir current AT EXIT should be the last entry
+        # in this frame's ledger, but an external setCheckpointDir(base)
+        # inside the scope would mint one the ledger never saw.
         cur = jsc.getCheckpointDir()
         cur_dir = cur.get() if cur.isDefined() else None
+        if cur_dir is not None and cur_dir not in frame["dirs"]:
+            frame["dirs"].append(cur_dir)
+        if stack and stack[-1] is frame:
+            stack.pop()
         # Restore session state BEFORE any FS delete so a transient delete
         # failure can never leave the session pointing at a half-deleted
         # run dir or the module's base tracking stale.
         if prev_base is not None:
             sc.setCheckpointDir(prev_base)
+            # the restore minted a fresh run dir under prev_base; register
+            # it with the enclosing scope so IT gets cleaned at that
+            # scope's exit (this was the 2+-nested-scope leak)
+            restored = jsc.getCheckpointDir()
+            if stack and restored.isDefined():
+                outer = stack[-1]
+                if outer["base"] == prev_base:
+                    outer["dirs"].append(restored.get())
         else:
             # no prior dir: unset rather than leave the session pointing at
             # the just-deleted run dir (checkpointDir is a plain scala var;
@@ -86,13 +109,12 @@ def reliable_checkpoint_scope(spark, checkpoint_dir: str | None):
             getattr(jsc, "checkpointDir_$eq")(jvm.scala.Option.apply(None))
         _LAST_BASE[app_id] = prev_base
         hconf = sc._jsc.hadoopConfiguration()
-        hpath = jvm.org.apache.hadoop.fs.Path(run_dir)
-        fs = hpath.getFileSystem(hconf)
-        to_delete = [hpath]
-        if cur_dir is not None and cur_dir != run_dir:
-            cur_path = jvm.org.apache.hadoop.fs.Path(cur_dir)
-            base_q = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(checkpoint_dir))
-            if fs.makeQualified(cur_path).getParent().equals(base_q):
-                to_delete.append(cur_path)
-        for p in to_delete:
-            fs.delete(p, True)
+        base_path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+        fs = base_path.getFileSystem(hconf)
+        base_q = fs.makeQualified(base_path)
+        for d in frame["dirs"]:
+            p = jvm.org.apache.hadoop.fs.Path(d)
+            # only ever delete uuid run dirs directly under THIS scope's
+            # base — never a dir some other owner could have minted
+            if fs.makeQualified(p).getParent().equals(base_q):
+                fs.delete(p, True)

@@ -157,6 +157,18 @@ def _pruned_store(store: DataFrame, bands: DataFrame) -> DataFrame:
     return store.filter(F.col("band_pfx").isin(vals))
 
 
+def _maybe_pruned_store(spark, store, store_path, bands, pfx_fn):
+    """Shared store-prep for both admission paths: derive band_pfx when the
+    store predates the column, then apply the plan-time probe prune only
+    when the store is big enough for the prune's collect job to pay for
+    itself (PRUNE_MIN_STORE_BYTES). One definition so the doc and embedding
+    stores can never drift apart on gating policy."""
+    store = _with_band_pfx(store, pfx_fn)
+    if _store_bytes(spark, store_path) >= PRUNE_MIN_STORE_BYTES:
+        store = _pruned_store(store, bands)
+    return store
+
+
 def _band_rows(
     docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
@@ -279,9 +291,9 @@ def admit_new_documents(
         # band_pfx becomes a plain column; rewrite/compact to gain pruning
         legacy = store is not None and "band_pfx" not in store.columns
         if store is not None:
-            store = _with_band_pfx(store, _doc_band_pfx)
-            if _store_bytes(spark, store_path) >= PRUNE_MIN_STORE_BYTES:
-                store = _pruned_store(store, bands)
+            store = _maybe_pruned_store(
+                spark, store, store_path, bands, _doc_band_pfx
+            )
             hits = _probe_doc_store(bands, store, sim_threshold)
             rejected = intra.unionByName(hits).distinct()
         else:
@@ -433,9 +445,9 @@ def admit_new_embeddings(
         store = _read_store(spark, store_path)
         legacy = store is not None and "band_pfx" not in store.columns
         if store is not None:
-            store = _with_band_pfx(store, _emb_band_pfx)
-            if _store_bytes(spark, store_path) >= PRUNE_MIN_STORE_BYTES:
-                store = _pruned_store(store, bands)
+            store = _maybe_pruned_store(
+                spark, store, store_path, bands, _emb_band_pfx
+            )
             hits = _probe_emb_store(bands, store, cos_threshold)
             rejected = intra.unionByName(hits).distinct()
         else:

@@ -122,6 +122,7 @@ def pack_sequences(
     *,
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
+    chunk_col: str | None = None,
     seq_len: int = 512,
     num_shards: int = 16,
     seed: int = 0,
@@ -146,8 +147,15 @@ def pack_sequences(
 
     Deterministic + distributed: rows are assigned to ``num_shards`` hash
     shards by a seeded key (xxhash64 by default; pass ``order_key`` for an
-    engine-portable md5 key) and ordered (key, id) within the shard — the
-    same seed replays byte-identical sequences on any cluster size. The
+    engine-portable md5 key) and ordered (key, id[, chunk]) within the
+    shard — the same seed replays byte-identical sequences on any cluster
+    size. DETERMINISM REQUIRES A UNIQUE SORT KEY: ``id_col`` alone must be
+    unique, or pass ``chunk_col`` (e.g. chunk_documents' ``chunk_idx``) so
+    (id, chunk) is — duplicate keys make the cumulative offsets depend on
+    partition order. With ``chunk_col`` set, all chunks of a document land
+    in one shard, CONTIGUOUS and in chunk order in its token stream (the
+    property GPT-style packing wants), and the chunk column is carried in
+    the output map. The
     plan is ONE hash-partitioned window (cumulative token offsets per
     shard) plus a scan-stage explode over each row's sequence span: no
     driver loop, no Python. Shard count bounds window-partition size —
@@ -162,10 +170,11 @@ def pack_sequences(
     if seq_len <= 0 or num_shards <= 0:
         raise ValueError("seq_len and num_shards must be positive")
     key = order_key if order_key is not None else shuffle_key(id_col, seed)
+    carry = [id_col] + ([chunk_col] if chunk_col else [])
     base = (
         df.filter(F.col(count_col) > 0)
         .select(
-            F.col(id_col),
+            *[F.col(c) for c in carry],
             F.col(count_col).cast("long").alias("__n"),
             key.cast("long").alias("__key"),
         )
@@ -175,12 +184,12 @@ def pack_sequences(
     )
     w = (
         W.partitionBy("shard")
-        .orderBy("__key", id_col)
+        .orderBy("__key", *carry)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     offs = base.select(
         "shard",
-        id_col,
+        *carry,
         "__n",
         F.sum("__n").over(w).alias("__end"),
     ).withColumn("__start", F.col("__end") - F.col("__n"))
@@ -189,7 +198,7 @@ def pack_sequences(
     last_seq = F.expr(f"(__end - 1) div {int(seq_len)}")
     spans = offs.select(
         "shard",
-        id_col,
+        *carry,
         "__n",
         "__start",
         "__end",
@@ -200,7 +209,7 @@ def pack_sequences(
     return spans.select(
         "shard",
         "seq_idx",
-        id_col,
+        *carry,
         F.greatest(F.lit(0).cast("long"), seq_lo - F.col("__start")).alias(
             "slice_start"
         ),
@@ -272,7 +281,12 @@ def write_shard_manifest(
         "n_files": len(files),
         "n_rows": sum(f["n_rows"] for f in files),
         **(
-            {"n_tokens": sum(f["n_tokens"] for f in files)}
+            # count_col is recorded so verify_shard_manifest re-sums the
+            # SAME data column the writer did, whatever its name
+            {
+                "n_tokens": sum(f["n_tokens"] for f in files),
+                "count_col": count_col,
+            }
             if count_col is not None
             else {}
         ),
@@ -317,7 +331,10 @@ def verify_shard_manifest(spark, path: str) -> dict:
     training-job start — one aggregation, no row data to the driver.
     Returns the verified manifest."""
     recorded = read_shard_manifest(spark, path)
-    count_col = (
+    # re-sum the same data column the writer recorded; legacy manifests
+    # (token totals but no count_col field) predate the field and were
+    # always written from a column literally named n_tokens
+    count_col = recorded.get("count_col") or (
         "n_tokens"
         if any("n_tokens" in f for f in recorded.get("files", []))
         else None

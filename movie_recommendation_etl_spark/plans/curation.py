@@ -217,6 +217,19 @@ OVERSAMPLE = 4
 # every synthetic lang domain under rate 1.0 at sf>=0.001
 MIXTURE_K = 4.0
 
+def md5_hex8_long(col, salt: str | None = None):
+    """Spark twin of _sql_hex8_to_bigint ∘ md5: the leading 8 hex digits of
+    md5(CAST(col AS STRING)) as a BIGINT in [0, 2^32) — the engine's
+    deterministic, engine-portable uniform key (q58 sampling arms, q77
+    packing order). ``salt`` prefixes the hashed string to decorrelate
+    independent variates over the same ids. Keep this and the SQL twin in
+    lockstep: every keying-scheme change must hit both."""
+    s = (F.col(col) if isinstance(col, str) else col).cast("string")
+    if salt:
+        s = F.concat(F.lit(salt), s)
+    return F.conv(F.md5(s).substr(1, 8), 16, 10).cast("long")
+
+
 def _sql_hex8_to_bigint(hex_expr: str) -> str:
     """DuckDB SQL: parse the leading 8 hex digits of ``hex_expr`` as a
     BIGINT (DuckDB has no conv(x, 16, 10)) by folding positions 1..8
@@ -303,12 +316,7 @@ def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling. See the inline comment for why the rate is unnormalized.
     """
     docs = load_table(spark, sf_dir, "documents")
-    unif = (
-        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
-        .cast("long")
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    unif = md5_hex8_long("doc_id").cast("double") / F.lit(4294967296.0)
     u = docs.select("doc_id", "lang", unif.alias("unif"))
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     admitted = u.join(F.broadcast(counts), "lang").filter(
@@ -342,17 +350,8 @@ def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IEEE-exact sqrt + division and hash-matches the oracle. A fresh md5
     # salt ('mx:') decorrelates this arm's variate from the stratified
     # arm's. Same scale shape: broadcast counts join, scan-stage filter.
-    unif_mx = (
-        F.conv(
-            F.md5(
-                F.concat(F.lit("mx:"), F.col("doc_id").cast("string"))
-            ).substr(1, 8),
-            16,
-            10,
-        )
-        .cast("long")
-        .cast("double")
-        / F.lit(4294967296.0)
+    unif_mx = md5_hex8_long("doc_id", salt="mx:").cast("double") / F.lit(
+        4294967296.0
     )
     mixture = (
         docs.select("doc_id", "lang", unif_mx.alias("unif_mx"))

@@ -174,12 +174,9 @@ def q72_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = planted.unionByName(
         planted.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    unif = (
-        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
-        .cast("long")
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    from movie_recommendation_etl_spark.plans.curation import md5_hex8_long
+
+    unif = md5_hex8_long("doc_id").cast("double") / F.lit(4294967296.0)
     curated = curate_documents(
         corpus,
         langs=("en",),
@@ -612,10 +609,9 @@ def q77_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = docs.select(
         "doc_id", F.size(toks).cast("long").alias("n_tokens")
     )
-    md5_key = (
-        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
-        .cast("long")
-    )
+    from movie_recommendation_etl_spark.plans.curation import md5_hex8_long
+
+    md5_key = md5_hex8_long("doc_id")
     return pack_sequences(
         counted,
         id_col="doc_id",

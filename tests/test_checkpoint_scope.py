@@ -65,3 +65,28 @@ def test_run_files_cleaned_on_exception(spark, tmp_path):
             raise RuntimeError("boom")
     assert not glob.glob(base + "/*")
     assert _ckpt_dir(spark) is None
+
+
+def test_multiple_nested_scopes_leak_no_intermediate_run_dirs(spark, tmp_path):
+    """Each nested-scope exit mints a fresh run dir under the outer base;
+    with TWO nested scopes the middle dir is neither the outer's entry-time
+    nor exit-time dir — only the minted-dir ledger catches it (r7 review)."""
+    import os
+
+    outer = str(tmp_path / "outer")
+    inner_a = str(tmp_path / "inner_a")
+    inner_b = str(tmp_path / "inner_b")
+    with reliable_checkpoint_scope(spark, outer) as ck_o:
+        with reliable_checkpoint_scope(spark, inner_a) as ck_a:
+            ck_a(spark.range(2)).count()
+        # outer checkpoints land in minted run dir #2
+        ck_o(spark.range(3)).count()
+        mid = _strip_scheme(_ckpt_dir(spark))
+        assert os.path.dirname(mid) == outer
+        with reliable_checkpoint_scope(spark, inner_b) as ck_b:
+            ck_b(spark.range(4)).count()
+        # ...and now in minted run dir #3
+        ck_o(spark.range(5)).count()
+    assert _ckpt_dir(spark) is None
+    for base in (outer, inner_a, inner_b):
+        assert not glob.glob(base + "/*"), base

@@ -290,3 +290,56 @@ def test_shard_manifest_missing_raises(spark, tmp_path):
     spark.range(3).write.parquet(path)
     with _pytest.raises(ValueError, match="no _MANIFEST"):
         read_shard_manifest(spark, path)
+
+
+def test_pack_sequences_chunked_input_deterministic(spark):
+    """chunk_col makes (id, chunk) the unique sort key: chunked corpora
+    pack deterministically, chunks of a doc stay contiguous and in order
+    in the shard's token stream, and the chunk id survives in the map."""
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        pack_sequences,
+    )
+
+    rows = []
+    for doc in range(60):
+        for chunk in range((doc % 4) + 1):
+            rows.append((doc, chunk, (doc + chunk) % 30 + 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_tokens long"
+    )
+    a = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                df, chunk_col="chunk_idx", seq_len=48, num_shards=4
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                df.repartition(11),
+                chunk_col="chunk_idx",
+                seq_len=48,
+                num_shards=4,
+            ).collect(),
+        )
+    )
+    assert a == b
+    out = pack_sequences(
+        df, chunk_col="chunk_idx", seq_len=48, num_shards=4
+    ).collect()
+    assert "chunk_idx" in out[0].asDict()
+    # contiguity: within a doc, chunk k+1 starts exactly where chunk k ends
+    # in the global stream — recover stream offsets per (doc, chunk)
+    start_of = {}
+    for r in out:
+        key = (r["doc_id"], r["chunk_idx"])
+        pos = r["seq_idx"] * 48 + r["offset_in_seq"] - r["slice_start"]
+        start_of.setdefault(key, (r["shard"], pos))
+    n_of = {(d, c): n for d, c, n in rows}
+    for (doc, chunk), (shard, pos) in start_of.items():
+        nxt = (doc, chunk + 1)
+        if nxt in start_of:
+            assert start_of[nxt] == (shard, pos + n_of[(doc, chunk)])

@@ -156,3 +156,16 @@ def test_zorder_drops_derived_key(spark, tmp_path):
     path = str(tmp_path / "nokey")
     write_zordered_parquet(df, path, ["a", "b"], num_files=2)
     assert spark.read.parquet(path).columns == ["a", "b"]
+
+
+def test_morton_key_null_raises_named_error(spark):
+    """A NULL in a z-order column fails the job with a message that names
+    the column and says NULL — not a blank error (NULL comparisons fall to
+    otherwise(), and concat with a NULL cast would null the message)."""
+    import pytest
+
+    from movie_recommendation_etl_spark.functions.zorder import morton_key
+
+    df = spark.createDataFrame([(1, None)], "a long, b long")
+    with pytest.raises(Exception, match="column b.*NULL"):
+        df.select(morton_key("a", "b")).collect()
