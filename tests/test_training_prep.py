@@ -343,3 +343,55 @@ def test_pack_sequences_chunked_input_deterministic(spark):
         nxt = (doc, chunk + 1)
         if nxt in start_of:
             assert start_of[nxt] == (shard, pos + n_of[(doc, chunk)])
+
+
+def test_pack_sequences_property(spark):
+    """Property: for any token-count multiset and (seq_len, num_shards),
+    the packing map tiles every doc exactly, every non-final sequence per
+    shard is exactly full, and the total packed token count is conserved."""
+    from hypothesis import given, settings, strategies as st
+
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        pack_sequences,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        counts=st.lists(
+            st.integers(min_value=0, max_value=50), min_size=1, max_size=60
+        ),
+        seq_len=st.integers(min_value=1, max_value=64),
+        shards=st.integers(min_value=1, max_value=6),
+    )
+    def _check(counts, seq_len, shards):
+        df = spark.createDataFrame(
+            list(enumerate(counts)), "doc_id long, n_tokens long"
+        )
+        rows = pack_sequences(
+            df, seq_len=seq_len, num_shards=shards
+        ).collect()
+        total = sum(r["n_tokens_in_seq"] for r in rows)
+        assert total == sum(counts)  # conservation incl. zero-token drops
+        by_doc: dict[int, int] = {}
+        by_seq: dict[tuple, int] = {}
+        last_seq: dict[int, int] = {}
+        for r in rows:
+            assert 0 < r["n_tokens_in_seq"] <= seq_len
+            assert 0 <= r["offset_in_seq"] < seq_len
+            by_doc[r["doc_id"]] = (
+                by_doc.get(r["doc_id"], 0) + r["n_tokens_in_seq"]
+            )
+            key = (r["shard"], r["seq_idx"])
+            by_seq[key] = by_seq.get(key, 0) + r["n_tokens_in_seq"]
+            last_seq[r["shard"]] = max(
+                last_seq.get(r["shard"], -1), r["seq_idx"]
+            )
+        for doc, n in by_doc.items():
+            assert n == counts[doc]
+        for (shard, seq), n in by_seq.items():
+            if seq < last_seq[shard]:
+                assert n == seq_len
+            else:
+                assert 0 < n <= seq_len
+
+    _check()
