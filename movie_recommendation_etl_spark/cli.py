@@ -10,6 +10,7 @@ query. This CLI exposes the same lifecycle as subcommands of one module::
     python -m movie_recommendation_etl_spark load      <in_dir> --url ...
     python -m movie_recommendation_etl_spark recommend <out_dir> <movie_id>
     python -m movie_recommendation_etl_spark compact   <table_path> [--dry-run]
+    python -m movie_recommendation_etl_spark trainprep <in_parquet> <out_dir>
 
 Spark sizing is deliberately NOT argv (the reference threads master_ip +
 four memory/core numbers through every stage, transform/execute.py:305-318):
@@ -127,6 +128,77 @@ def _cmd_recommend(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_trainprep(args: argparse.Namespace) -> int:
+    """LLM training-set preparation end-to-end: curate -> chunk -> shuffled
+    shards (+ manifest) -> sequence-packing map (+ manifest). One command
+    from a raw documents parquet to a loader-ready corpus; every stage is
+    deterministic, so reruns are byte-identical."""
+    import json
+
+    from movie_recommendation_etl_spark.operators.curate import (
+        curate_documents,
+    )
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents,
+        pack_sequences,
+        write_shard_manifest,
+        write_training_shards,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-trainprep")
+    docs = spark.read.parquet(args.in_path)
+    curated = curate_documents(
+        docs,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        min_quality=args.min_quality,
+        sample_fraction=args.sample_fraction,
+    )
+    chunks = chunk_documents(
+        curated,
+        chunk_tokens=args.chunk_tokens,
+        overlap_tokens=args.overlap_tokens,
+    )
+    shards_dir = f"{args.out_dir}/shards"
+    write_training_shards(
+        chunks, shards_dir, seed=args.seed, num_shards=args.num_shards
+    )
+    shard_manifest = write_shard_manifest(
+        spark, shards_dir, count_col="n_tokens",
+        extra={"seed": args.seed, "chunk_tokens": args.chunk_tokens},
+    )
+    pack_dir = f"{args.out_dir}/pack_map"
+    pack_sequences(
+        spark.read.parquet(shards_dir),
+        chunk_col="chunk_idx",
+        seq_len=args.seq_len,
+        num_shards=args.num_shards,
+        seed=args.seed,
+    ).write.mode("overwrite").parquet(pack_dir)
+    pack_manifest = write_shard_manifest(
+        spark, pack_dir, count_col="n_tokens_in_seq",
+        extra={"seq_len": args.seq_len},
+    )
+    print(
+        json.dumps(
+            {
+                "shards": {
+                    "path": shards_dir,
+                    "n_rows": shard_manifest["n_rows"],
+                    "n_tokens": shard_manifest["n_tokens"],
+                    "n_files": shard_manifest["n_files"],
+                },
+                "pack_map": {
+                    "path": pack_dir,
+                    "n_rows": pack_manifest["n_rows"],
+                    "n_tokens": pack_manifest["n_tokens"],
+                },
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="movie_recommendation_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -167,6 +239,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="print the compaction plan without rewriting anything",
     )
     co.set_defaults(fn=_cmd_compact)
+
+    tp = sub.add_parser(
+        "trainprep",
+        help="documents parquet -> curate -> chunk -> shards + packing map",
+    )
+    tp.add_argument("in_path")
+    tp.add_argument("out_dir")
+    tp.add_argument("--langs", default="en", help="comma list; empty = all")
+    tp.add_argument("--min-quality", type=float, default=0.5)
+    tp.add_argument("--sample-fraction", type=float, default=None)
+    tp.add_argument("--chunk-tokens", type=int, default=512)
+    tp.add_argument("--overlap-tokens", type=int, default=64)
+    tp.add_argument("--seq-len", type=int, default=2048)
+    tp.add_argument("--num-shards", type=int, default=16)
+    tp.add_argument("--seed", type=int, default=0)
+    tp.set_defaults(fn=_cmd_trainprep)
 
     rc = sub.add_parser("recommend", help="ANN top-k for a movie id")
     rc.add_argument("out_dir")

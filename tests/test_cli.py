@@ -85,3 +85,45 @@ def test_cli_compact_dry_run_and_execute(capsys, spark, tmp_path):
     # second invocation reports nothing to do
     assert main(["compact", path]) == 0
     assert "already compact" in capsys.readouterr().out
+
+
+def test_cli_trainprep_end_to_end(capsys, spark, tmp_path):
+    """trainprep: documents parquet -> curated chunks -> shards + manifest
+    -> packing map + manifest, token-conserving throughout."""
+    import json
+
+    # stopword-rich, non-repetitive, long-ish tokens: passes the lang /
+    # quality / repetition gates (the q41 heuristics) without tripping the
+    # dup-2gram filter the way a repeated phrase would
+    def doc(i):
+        return " ".join(
+            f"the wordtoken{i}x{j} another{i}y{j}" for j in range(60)
+        )
+
+    rows = [(i, doc(i)) for i in range(30)]
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out = str(tmp_path / "prep")
+    assert (
+        main(
+            [
+                "trainprep", src, out,
+                "--chunk-tokens", "32", "--overlap-tokens", "8",
+                "--seq-len", "64", "--num-shards", "4",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["shards"]["n_files"] == 4
+    assert summary["shards"]["n_rows"] > 30  # chunking expanded docs
+    # packing conserves the chunked token count exactly
+    assert summary["pack_map"]["n_tokens"] == summary["shards"]["n_tokens"]
+
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        verify_shard_manifest,
+    )
+
+    assert verify_shard_manifest(spark, f"{out}/shards")["n_files"] == 4
+    assert verify_shard_manifest(spark, f"{out}/pack_map")
