@@ -27,7 +27,7 @@ from __future__ import annotations
 import math
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_BYTES = 256 * 1024 * 1024
