@@ -54,12 +54,20 @@ def curate_documents(
     dedup: bool = True,
     sample_fraction: float | None = None,
     sample_unif: Column | None = None,
+    extra_filter: Column | None = None,
 ) -> DataFrame:
     """Filter → redact → dedup → sample. Returns surviving rows with the
     (possibly redacted) text plus the computed ``lang``, ``quality`` and
     ``n_tokens`` columns kept for downstream routing. Every stage is
     deterministic, so reruns produce byte-identical corpora (the property
     the merge sink and goldens rely on).
+
+    ``extra_filter`` composes an additional boolean column into the
+    scan-stage filter block — the intended hook for a model-based quality
+    gate (operators/quality_model.py:scoring_expr(model) >= tau bakes the
+    fitted classifier into the same codegen stage as the heuristics; no
+    MLlib at serve time) or any bespoke predicate. It runs after the
+    heuristic filters and before redaction/dedup/sampling.
 
     ``sample_unif`` optionally supplies the uniform-[0,1) variate the sample
     stage thresholds (``sample_unif < sample_fraction``) instead of the
@@ -98,6 +106,9 @@ def curate_documents(
         & (F.col("__dup_2gram") <= max_dup_2gram_frac)
     )
     out = out.drop("__dup_tok", "__dup_2gram")
+
+    if extra_filter is not None:
+        out = out.filter(extra_filter)
 
     if redact_pii:
         out = out.withColumn(

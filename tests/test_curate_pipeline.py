@@ -127,3 +127,49 @@ def test_ngram_contamination_semantics(spark):
     assert rows[13]["n_grams"] == 0
     assert rows[13]["overlap_ratio"] == 0.0
     assert not rows[13]["is_contaminated"]
+
+
+def test_curate_with_model_quality_gate(spark):
+    """extra_filter composes a fitted classifier's Catalyst score into the
+    curation scan: planted spam that passes the heuristics is dropped by
+    the model gate, and the plan stays Python-free."""
+    from movie_recommendation_etl_spark.operators.curate import (
+        curate_documents,
+    )
+    from movie_recommendation_etl_spark.operators.quality_model import (
+        fit_quality_classifier,
+        scoring_expr,
+    )
+
+    def good(i):
+        return " ".join(
+            f"the goodword{i}x{j} of nicetoken{i}y{j}" for j in range(40)
+        )
+
+    # borderline spam: enough unique tokens and stopwords to slip past the
+    # heuristic dup/lang filters, but short-token-heavy
+    def spam(i):
+        return " ".join(f"zz the q{i}a{j} w" for j in range(40))
+
+    labeled = spark.createDataFrame(
+        [(i, good(i), 1.0) for i in range(25)]
+        + [(100 + i, spam(i), 0.0) for i in range(25)],
+        "doc_id long, text string, label double",
+    )
+    model = fit_quality_classifier(labeled)
+
+    corpus = labeled.drop("label")
+    gated = curate_documents(
+        corpus,
+        langs=None,
+        min_quality=0.0,
+        max_dup_token_frac=1.0,
+        max_dup_2gram_frac=1.0,
+        redact_pii=False,
+        dedup=False,
+        extra_filter=scoring_expr(model) >= 0.5,
+    )
+    kept = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert kept == set(range(25))
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
