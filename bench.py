@@ -52,6 +52,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q62_knn_ivf_embeddings",
     "q70_recommend_similar_docs",
     "q71_tfidf_cosine_topk",
+    "q72_curate_pipeline",
+    "q73_chunk_documents",
     "q76_decontaminate",
     "q77_pack_sequences",
 )
