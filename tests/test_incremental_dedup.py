@@ -372,3 +372,77 @@ def test_legacy_unpartitioned_store_compat(spark, tmp_path):
         spark, _df(spark, [(10, NEAR_A), (11, FRESH)]), legacy_store
     )
     assert {r["doc_id"] for r in replay.collect()} == {11}
+
+
+def test_store_compaction_preserves_admission_semantics(spark, tmp_path):
+    """Two contracts in one: (1) the admission merge keeps the store
+    CONTINUOUSLY compact (out_files_per_partition=1), so OPTIMIZE finds
+    nothing to do after any number of small batches; (2) when an external
+    writer DOES fragment the store (plain partitioned parquet — any tool
+    can append), sources/compact.py restores the layout and the pruned
+    probe still rejects the same duplicates afterwards."""
+    import os
+    import re
+
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        _band_rows,
+        _doc_band_pfx,
+        _probe_doc_store,
+        _pruned_store,
+        _with_band_pfx,
+    )
+    from movie_recommendation_etl_spark.sources.compact import (
+        compact_parquet,
+    )
+
+    store = str(tmp_path / "frag_store")
+    # 6 small batches fragment every band_pfx partition
+    for b in range(6):
+        batch = _df(
+            spark,
+            [
+                (b * 100 + i, " ".join(f"b{b}d{i}w{j}" for j in range(25)))
+                for i in range(1, 6)
+            ],
+        )
+        admit_new_documents(spark, batch, store)
+
+    def store_files():
+        out = []
+        for root, _dirs, files in os.walk(store):
+            out += [f for f in files if f.endswith(".parquet")]
+        return out
+
+    # (1) the merge's bounded per-partition file count IS continuous
+    # compaction: nothing for OPTIMIZE to do on a healthy store
+    assert compact_parquet(spark, store, target_file_bytes=1 << 30) == []
+
+    # (2) fragment externally: append a partitioned re-write of existing
+    # rows (any engine can do this to a plain parquet table), then compact
+    frag = spark.read.parquet(store)
+    frag.limit(20).write.mode("append").partitionBy("band_pfx").parquet(
+        store
+    )
+    before_files = len(store_files())
+    before_rows = spark.read.parquet(store).count()
+    plans = compact_parquet(spark, store, target_file_bytes=1 << 30)
+    assert plans  # the appended files fragmented at least one partition
+    assert len(store_files()) < before_files
+    assert spark.read.parquet(store).count() == before_rows
+    # hive layout intact
+    assert any(d.startswith("band_pfx=") for d in os.listdir(store))
+
+    # replay a known duplicate: still rejected, probe still pruned
+    dup = _df(spark, [(999, " ".join(f"b0d1w{j}" for j in range(25)))])
+    bands = _band_rows(dup, "doc_id", "text", 3).localCheckpoint(eager=True)
+    pruned = _pruned_store(
+        _with_band_pfx(spark.read.parquet(store), _doc_band_pfx), bands
+    )
+    plan = (
+        _probe_doc_store(bands, pruned, 0.7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*band_pfx", plan)
+    assert admit_new_documents(spark, dup, store).count() == 0
