@@ -36,18 +36,26 @@ from movie_recommendation_etl_spark.operators.neardup import word_shingles
 
 
 def eval_gram_set(
-    eval_set: DataFrame, *, text_col: str = "text", n: int = 5
+    eval_set: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 5,
+    max_grams: int = 10_000_000,
 ) -> set[str]:
     """Distinct word n-grams of the eval corpus, driver-side. Bounded by
-    the benchmark's size (NOT the training corpus); guard with a count if
-    the eval source is untrusted."""
-    rows = (
-        eval_set.select(
-            F.explode(word_shingles(F.split(text_col, " "), n)).alias("gram")
+    the benchmark's size (NOT the training corpus) — but that bound is
+    enforced, not assumed: the collect is capped at ``max_grams`` + 1 and
+    raises when a mis-pointed "eval set" (e.g. the training corpus itself)
+    would flood the driver."""
+    grams = eval_set.select(
+        F.explode(word_shingles(F.split(text_col, " "), n)).alias("gram")
+    ).distinct()
+    rows = grams.limit(max_grams + 1).collect()
+    if len(rows) > max_grams:
+        raise ValueError(
+            f"eval corpus yields more than max_grams={max_grams} distinct "
+            f"{n}-grams — is this really the (small) benchmark side?"
         )
-        .distinct()
-        .collect()
-    )
     return {r["gram"] for r in rows}
 
 

@@ -287,3 +287,20 @@ def test_streaming_contamination_gate_matches_batch(spark, tmp_path):
     }
     assert kept_streaming == kept_batch
     assert kept_streaming == {2, 4, 5}
+
+
+def test_eval_gram_set_bounded(spark):
+    from movie_recommendation_etl_spark.streaming.decontaminate import (
+        eval_gram_set,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}x{j}" for j in range(12))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    grams = eval_gram_set(ev, n=5, max_grams=1000)
+    assert len(grams) == 10 * 8  # 12 tokens -> 8 distinct 5-grams per doc
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_grams"):
+        eval_gram_set(ev, n=5, max_grams=10)
