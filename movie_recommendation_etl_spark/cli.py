@@ -154,6 +154,26 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
         min_quality=args.min_quality,
         sample_fraction=args.sample_fraction,
     )
+    if args.eval_path:
+        # benchmark decontamination before chunking: drop every curated doc
+        # whose n-gram overlap with the held-out eval set clears the
+        # threshold (operators/decontaminate.py; broadcast eval grams)
+        from movie_recommendation_etl_spark.operators.decontaminate import (
+            ngram_contamination,
+        )
+
+        ev = spark.read.parquet(args.eval_path)
+        verdicts = ngram_contamination(
+            curated,
+            ev,
+            n=args.decontam_ngram,
+            ratio_threshold=args.decontam_threshold,
+        )
+        curated = curated.join(
+            verdicts.filter("NOT is_contaminated").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     chunks = chunk_documents(
         curated,
         chunk_tokens=args.chunk_tokens,
@@ -247,6 +267,14 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("in_path")
     tp.add_argument("out_dir")
     tp.add_argument("--langs", default="en", help="comma list; empty = all")
+    tp.add_argument(
+        "--eval-path",
+        default=None,
+        help="parquet of held-out eval docs; curated docs overlapping them "
+        "by n-grams are dropped before chunking",
+    )
+    tp.add_argument("--decontam-ngram", type=int, default=5)
+    tp.add_argument("--decontam-threshold", type=float, default=0.05)
     tp.add_argument("--min-quality", type=float, default=0.5)
     tp.add_argument("--sample-fraction", type=float, default=None)
     tp.add_argument("--chunk-tokens", type=int, default=512)

@@ -127,3 +127,47 @@ def test_cli_trainprep_end_to_end(capsys, spark, tmp_path):
 
     assert verify_shard_manifest(spark, f"{out}/shards")["n_files"] == 4
     assert verify_shard_manifest(spark, f"{out}/pack_map")
+
+
+def test_cli_trainprep_decontaminates_against_eval(capsys, spark, tmp_path):
+    """--eval-path drops curated docs that overlap the eval set by n-grams
+    before chunking: the leaked docs' tokens never reach the shards."""
+    import json
+
+    def doc(i):
+        return " ".join(
+            f"the wordtoken{i}x{j} another{i}y{j}" for j in range(60)
+        )
+
+    rows = [(i, doc(i)) for i in range(20)]
+    src = str(tmp_path / "docs_src2")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    # eval set = verbatim copies of docs 0-4 (a benchmark leak)
+    ev = str(tmp_path / "eval_src")
+    spark.createDataFrame(
+        [(1000 + i, doc(i)) for i in range(5)], "doc_id long, text string"
+    ).write.parquet(ev)
+
+    out = str(tmp_path / "prep2")
+    assert (
+        main(
+            [
+                "trainprep", src, out,
+                "--eval-path", ev,
+                "--chunk-tokens", "64", "--overlap-tokens", "0",
+                "--seq-len", "64", "--num-shards", "2",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 15 surviving docs x 180 ws-tokens each
+    assert summary["shards"]["n_tokens"] == 15 * 180
+    shard_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/shards")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert shard_docs == set(range(5, 20))
