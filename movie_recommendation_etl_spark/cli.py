@@ -135,6 +135,8 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
     deterministic, so reruns are byte-identical."""
     import json
 
+    from pyspark.sql import functions as F
+
     from movie_recommendation_etl_spark.operators.curate import (
         curate_documents,
     )
@@ -174,6 +176,19 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
             "doc_id",
             "left_semi",
         )
+    if args.substring_dedup:
+        # cross-document boilerplate removal (operators/substring_dedup.py):
+        # rebuild each doc's text with duplicated n-gram spans dropped
+        from movie_recommendation_etl_spark.operators.substring_dedup import (
+            remove_duplicate_spans,
+        )
+
+        cleaned = remove_duplicate_spans(
+            curated.select("doc_id", "text"), n=args.substring_ngram
+        ).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        curated = curated.drop("text").join(cleaned, "doc_id")
     chunks = chunk_documents(
         curated,
         chunk_tokens=args.chunk_tokens,
@@ -275,6 +290,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tp.add_argument("--decontam-ngram", type=int, default=5)
     tp.add_argument("--decontam-threshold", type=float, default=0.05)
+    tp.add_argument(
+        "--substring-dedup",
+        action="store_true",
+        help="remove cross-document duplicated n-gram spans (boilerplate) "
+        "from surviving docs before chunking",
+    )
+    tp.add_argument("--substring-ngram", type=int, default=20)
     tp.add_argument("--min-quality", type=float, default=0.5)
     tp.add_argument("--sample-fraction", type=float, default=None)
     tp.add_argument("--chunk-tokens", type=int, default=512)

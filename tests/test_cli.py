@@ -171,3 +171,44 @@ def test_cli_trainprep_decontaminates_against_eval(capsys, spark, tmp_path):
         .collect()
     }
     assert shard_docs == set(range(5, 20))
+
+
+def test_cli_trainprep_substring_dedup(capsys, spark, tmp_path):
+    """--substring-dedup strips a shared boilerplate passage from every
+    surviving doc before chunking (token totals shrink accordingly)."""
+    import json
+
+    boiler = " ".join(f"the boiler{j} of common{j}" for j in range(8))
+
+    def doc(i):
+        uniq = " ".join(
+            f"the wordtoken{i}x{j} another{i}y{j}" for j in range(50)
+        )
+        return f"{boiler} {uniq}"
+
+    rows = [(i, doc(i)) for i in range(12)]
+    src = str(tmp_path / "docs_src3")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out = str(tmp_path / "prep3")
+    assert (
+        main(
+            [
+                "trainprep", src, out,
+                "--substring-dedup", "--substring-ngram", "8",
+                "--chunk-tokens", "64", "--overlap-tokens", "0",
+                "--seq-len", "64", "--num-shards", "2",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every doc: the 32 boiler tokens go, plus the first unique-part token
+    # ("the", itself shared verbatim across docs at the same offset — the
+    # final boiler-straddling window is genuinely duplicated); 149 remain
+    assert summary["shards"]["n_tokens"] == 12 * 149
+    texts = [
+        r["chunk_text"]
+        for r in spark.read.parquet(f"{out}/shards").collect()
+    ]
+    assert all("boiler0" not in t for t in texts)
