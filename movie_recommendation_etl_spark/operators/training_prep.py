@@ -360,3 +360,58 @@ def verify_shard_manifest(spark, path: str) -> dict:
             + "; ".join(problems)
         )
     return recorded
+
+
+def materialize_sequences(
+    pack_map: DataFrame,
+    chunks: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    chunk_col: str | None = None,
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Join a pack_sequences map against its token store and emit the
+    actual training sequences: (shard, seq_idx, tokens, n_tokens) with
+    ``tokens`` the concatenation, in offset order, of each contributing
+    row's [slice_start, slice_start + n_tokens_in_seq) token slice. Every
+    sequence is exactly seq_len tokens except each shard's ragged last one
+    (pack_sequences' contract).
+
+    This is the loader's final assembly step, kept in Catalyst so it can
+    run AT SCALE as the shard-writing job instead of per-training-process:
+    one equi-join on the (id[, chunk]) key, one per-sequence aggregation
+    (collect the few contributing slices, sort by offset, flatten). A
+    sequence's slices are bounded by ceil(seq_len / min_chunk_tokens) + 1 —
+    small by construction — so the collect_list is per-GROUP bounded, never
+    corpus-bounded."""
+    keys = [id_col] + ([chunk_col] if chunk_col else [])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    store = chunks.select(
+        *keys, F.filter(toks, lambda t: t != "").alias("__toks")
+    )
+    joined = pack_map.join(store, keys).select(
+        "shard",
+        "seq_idx",
+        "offset_in_seq",
+        F.slice(
+            "__toks", F.col("slice_start") + 1, F.col("n_tokens_in_seq")
+        ).alias("__slice"),
+    )
+    assembled = (
+        joined.groupBy("shard", "seq_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("offset_in_seq"), F.col("__slice"))
+                )
+            ).alias("__parts")
+        )
+        .select(
+            "shard",
+            "seq_idx",
+            F.flatten(
+                F.transform(F.col("__parts"), lambda p: p["__slice"])
+            ).alias("tokens"),
+        )
+    )
+    return assembled.withColumn("n_tokens", F.size("tokens"))

@@ -395,3 +395,58 @@ def test_pack_sequences_property(spark):
                 assert 0 < n <= seq_len
 
     _check()
+
+
+def test_materialize_sequences_roundtrip(spark):
+    """pack -> materialize reconstructs the exact per-shard token streams:
+    concatenating a shard's sequences in seq order equals concatenating its
+    chunks in pack order, every non-final sequence is exactly full, and
+    boundary-straddling chunks split correctly."""
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents,
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"d{i}w{j}" for j in range((i % 5 + 1) * 17)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap_tokens=0)
+    L = 24
+    pmap = pack_sequences(
+        chunks, chunk_col="chunk_idx", seq_len=L, num_shards=4, seed=3
+    )
+    seqs = materialize_sequences(
+        pmap, chunks, chunk_col="chunk_idx"
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in seqs:
+        by_shard.setdefault(r["shard"], []).append(r)
+    # reference streams from the map itself (ordered slices of chunk text)
+    chunk_toks = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"].split()
+        for r in chunks.collect()
+    }
+    pmap_rows = pmap.collect()
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["seq_idx"])
+        assert [r["seq_idx"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["n_tokens"] == L
+        stream = [t for r in rows for t in r["tokens"]]
+        ref_parts = sorted(
+            (p for p in pmap_rows if p["shard"] == shard),
+            key=lambda p: (p["seq_idx"], p["offset_in_seq"]),
+        )
+        ref_stream = [
+            t
+            for p in ref_parts
+            for t in chunk_toks[(p["doc_id"], p["chunk_idx"])][
+                p["slice_start"] : p["slice_start"] + p["n_tokens_in_seq"]
+            ]
+        ]
+        assert stream == ref_stream
