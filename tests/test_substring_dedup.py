@@ -96,3 +96,34 @@ def test_plan_has_no_python_or_cartesian(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_property_unique_corpora_untouched(spark):
+    """Property: when no n-gram repeats across docs, every document passes
+    through byte-identical (whitespace-normalized)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        sizes=st.lists(
+            st.integers(min_value=0, max_value=40), min_size=1, max_size=12
+        ),
+        n=st.integers(min_value=2, max_value=10),
+    )
+    def _check(sizes, n):
+        rows = [
+            (i, " ".join(f"u{i}q{j}" for j in range(k)))
+            for i, k in enumerate(sizes)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicate_spans(docs, n=n).collect()
+        }
+        assert len(out) == len(rows)
+        for i, k in enumerate(sizes):
+            assert out[i]["n_tokens_removed"] == 0
+            assert out[i]["n_spans"] == 0
+            assert out[i]["clean_text"] == rows[i][1]
+
+    _check()
