@@ -120,3 +120,52 @@ def test_pca_deterministic_across_partitioning(spark, sf_dir):
         .collect()
     }
     assert a == b
+
+
+def test_pca_composes_with_ivf_ann(spark):
+    """The 100 TB ANN recipe end-to-end: PCA-reduce, fit IVF cells in the
+    REDUCED space, probe-limited search there — recall vs full-space exact
+    top-k stays high on low-rank data while every distance runs on 4x
+    fewer dimensions."""
+    import random
+
+    from movie_recommendation_etl_spark.ml.ivf import (
+        fit_ivf_centroids,
+        ivf_knn,
+    )
+
+    rng = random.Random(11)
+    d, r, n = 32, 4, 500
+    basis = [[rng.gauss(0, 1) for _ in range(d)] for _ in range(r)]
+    rows = []
+    for i in range(n):
+        coef = [rng.gauss(0, 1) for _ in range(r)]
+        v = [
+            sum(c * b[j] for c, b in zip(coef, basis)) + rng.gauss(0, 0.01)
+            for j in range(d)
+        ]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = fit_pca(df, vec_col="embedding", k=8)
+    reduced = reduce_embeddings(model, df, vec_col="embedding").select(
+        "vec_id", F.col("reduced").alias("embedding")
+    )
+    km = fit_ivf_centroids(
+        reduced, "embedding", id_col="vec_id", n_centroids=8
+    )
+    queries = reduced.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding"),
+    )
+    approx = ivf_knn(km, reduced, queries, top_k=10, n_probe=4)
+    got = {
+        (r_["query_id"], r_["neighbor_id"])
+        for r_ in approx.select("query_id", "neighbor_id").collect()
+    }
+    exact = {
+        (r_["query_id"], r_["neighbor_id"])
+        for r_ in _topk(df, "embedding", k=10, n_queries=15).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, recall
