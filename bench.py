@@ -35,12 +35,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q02_top_revenue_orders",
     "q07_top3_orders_per_customer",
     "q21_doc_scalar_suite",
-    "q30_tumbling_window_agg",
-    "q31_session_window_agg",
+    "q30_window_agg_suite",
     "q32_asof_click_to_error",
     "q38_rank_suite",
     "q40_text_profile_suite",
-    "q45_sliding_window_agg",
     "q50_minhash_lsh_neardup",
     "q56_pii_redaction",
     "q57_repetition_metrics",

@@ -25,21 +25,10 @@ from movie_recommendation_etl_spark.plans.registry import query
 from movie_recommendation_etl_spark.sources.catalog import load_table
 
 
-@query(
-    "q30_tumbling_window_agg",
-    oracle=f"""
-    SELECT date_trunc('hour', ts) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           {sql_dsum("value")} AS sum_value
-    FROM events
-    GROUP BY date_trunc('hour', ts), event_type
-    """,
-)
-def q30_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregate over events (F.window). Epoch-aligned
-    1h windows == date_trunc('hour'), which is the DuckDB oracle."""
-    events = load_table(spark, sf_dir, "events")
+def tumbling_window_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window aggregate (F.window). Epoch-aligned 1h windows
+    == date_trunc('hour') in the DuckDB oracle. Shared by the q30 suite arm
+    and the streaming twin's batch expectation."""
     return (
         events.groupBy(
             F.window("ts", "1 hour").alias("w"), "event_type"
@@ -50,6 +39,7 @@ def q30_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
             "sum_value",
@@ -57,11 +47,79 @@ def q30_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_window_agg(events: DataFrame) -> DataFrame:
+    """Sliding 1h windows every 30min (each event lands in 2 windows)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame) -> DataFrame:
+    """Gap-based session windows (F.session_window, 4h inactivity gap).
+    Spark's session end = last event + gap."""
+    return (
+        events.groupBy(
+            F.session_window("ts", "4 hours").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 @query(
-    "q31_session_window_agg",
-    oracle="""
-    WITH marked AS (
-        SELECT user_id, ts,
+    "q30_window_agg_suite",
+    oracle=f"""
+    WITH tumb AS (
+        SELECT 'tumbling' AS arm,
+               date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+               event_type AS grp,
+               count(*) AS n_events,
+               {sql_dsum("value")} AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    ),
+    expanded AS (
+        SELECT e.*, unnest([
+            time_bucket(INTERVAL '30 minutes', ts),
+            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+        ]) AS window_start
+        FROM events e
+    ),
+    slid AS (
+        SELECT 'sliding' AS arm, window_start,
+               window_start + INTERVAL '1 hour' AS window_end,
+               event_type AS grp,
+               count(*) AS n_events,
+               {sql_dsum("value")} AS sum_value
+        FROM expanded
+        WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+        GROUP BY window_start, event_type
+    ),
+    marked AS (
+        SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL '4 hours'
                     THEN 1 ELSE 0 END AS new_session
@@ -69,37 +127,74 @@ def q30_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, 1)
     ),
     sessions AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, value,
                sum(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts
                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked
+    ),
+    sess AS (
+        SELECT 'session' AS arm,
+               min(ts) AS window_start,
+               max(ts) + INTERVAL '4 hours' AS window_end,
+               CAST(user_id AS VARCHAR) AS grp,
+               count(*) AS n_events,
+               {sql_dsum("value")} AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
     )
-    SELECT user_id,
-           min(ts) AS session_start,
-           max(ts) + INTERVAL '4 hours' AS session_end,
-           count(*) AS n_events
-    FROM sessions
-    GROUP BY user_id, session_id
+    SELECT * FROM tumb
+    UNION ALL SELECT * FROM slid
+    UNION ALL SELECT * FROM sess
     """,
 )
-def q31_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based session windows (F.session_window, 4h inactivity gap). The
-    DuckDB oracle is the classic gaps-and-islands rewrite: lag → new-session
-    marker → running sum → group. Spark's session end = last event + gap."""
+def q30_window_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time window suite in ONE registry slot (r8 consolidation of
+    q30_tumbling_window_agg + q31_session_window_agg + q45_sliding_window_agg
+    — all three were window aggregates over the same events scan,
+    discriminated here by the ``arm`` column; same playbook as the q40/q58
+    suite merges). Arms:
+
+    - ``tumbling``: 1h epoch-aligned F.window; oracle = date_trunc('hour').
+    - ``sliding``: 1h windows every 30min (each event in 2 windows); the
+      oracle expands each event into its candidate window starts and
+      filters — exactly what Spark's window generator does physically.
+    - ``session``: F.session_window with a 4h inactivity gap; the oracle is
+      the classic gaps-and-islands rewrite (lag → new-session marker →
+      running sum → group). Spark's session end = last event + gap.
+
+    Common schema (arm, window_start, window_end, grp, n_events, sum_value)
+    with ``grp`` = event_type for the time-window arms and the user id for
+    sessions. Each arm is one shuffle with map-side partial aggregation
+    (session windows shuffle on user_id then merge adjacent sessions
+    in-state); the union is plan-level only — no extra exchange."""
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            F.session_window("ts", "4 hours").alias("sw"), "user_id"
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
+
+    def _common(df: DataFrame, arm: str, grp) -> DataFrame:
+        return df.select(
+            F.lit(arm).alias("arm"),
+            F.col("window_start"),
+            F.col("window_end"),
+            grp.cast("string").alias("grp"),
             "n_events",
+            "sum_value",
         )
+
+    tumb = _common(
+        tumbling_window_agg(events), "tumbling", F.col("event_type")
     )
+    slid = _common(
+        sliding_window_agg(events), "sliding", F.col("event_type")
+    )
+    sess = session_window_agg(events).select(
+        F.lit("session").alias("arm"),
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        F.col("user_id").cast("string").alias("grp"),
+        "n_events",
+        "sum_value",
+    )
+    return tumb.unionByName(slid).unionByName(sess)
 
 
 @query(

@@ -1,5 +1,6 @@
-"""Sliding windows, range joins, grouping sets — the last §2 gap-list
-operators (SURVEY.md §2.4 J6, §2.5 grouping sets, §2.11 X1 sliding).
+"""Range joins and grouping sets (SURVEY.md §2.4 J6, §2.5 grouping sets).
+The sliding-window aggregate that used to live here (X1) is now the
+``sliding`` arm of q30_window_agg_suite in plans/events_stream.py.
 """
 
 from __future__ import annotations
@@ -12,44 +13,8 @@ from movie_recommendation_etl_spark.plans.registry import query
 from movie_recommendation_etl_spark.sources.catalog import load_table
 
 
-@query(
-    "q45_sliding_window_agg",
-    oracle=f"""
-    WITH expanded AS (
-        SELECT e.*, unnest([
-            time_bucket(INTERVAL '30 minutes', ts),
-            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
-        ]) AS window_start
-        FROM events e
-    )
-    SELECT window_start, event_type,
-           count(*) AS n_events,
-           {sql_dsum("value")} AS sum_value
-    FROM expanded
-    WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
-    GROUP BY window_start, event_type
-    """,
-)
-def q45_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 1h windows every 30min (each event lands in 2 windows). The
-    oracle expands each event into its candidate window starts and filters —
-    exactly what Spark's window generator does physically."""
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+# Sliding window aggregation moved into the q30_window_agg_suite (r8
+# consolidation) — see plans/events_stream.py:sliding_window_agg.
 
 
 @query(

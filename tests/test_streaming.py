@@ -6,7 +6,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from movie_recommendation_etl_spark.plans.registry import QUERIES
+from movie_recommendation_etl_spark.plans.events_stream import (
+    session_window_agg,
+)
 from movie_recommendation_etl_spark.sources.catalog import load_table
 from movie_recommendation_etl_spark.streaming.windows import (
     read_events_stream,
@@ -68,7 +70,9 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
     }
     exp = {
         (r["user_id"], r["session_start"]): r["n_events"]
-        for r in QUERIES["q31_session_window_agg"](spark, sf_dir).collect()
+        for r in session_window_agg(
+            load_table(spark, sf_dir, "events")
+        ).collect()
     }
     assert got == exp
 
