@@ -54,6 +54,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q73_chunk_documents",
     "q76_decontaminate",
     "q77_pack_sequences",
+    "q78_substring_dedup",
+    "q79_perplexity_band",
 )
 
 

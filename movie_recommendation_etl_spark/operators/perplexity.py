@@ -16,15 +16,33 @@ Spark-first shape:
   per-document mean of log-probabilities. Two shuffles total at any scale,
   both on uniform keys.
 
+Cross-engine determinism (the q79 oracle gate):
+- every log-probability is produced by the ENGINE's ``F.log2`` — including
+  the OOV constant, which is computed inside the fit aggregation rather
+  than by Python's ``math.log2`` (CPython's libm log2 differs from the JVM
+  result in the last ulp on part of this domain; measured,
+  scripts/measure_log_bitmatch.py);
+- the per-document mean accumulates the log2 values through
+  DECIMAL(38,18) (functions/numeric.py policy), so the cross-entropy is
+  independent of partitioning/shuffle order — the same number on 32 local
+  threads or 1000 executors;
+- the band cut filters on CROSS-ENTROPY, not perplexity: the kept set is
+  identical (2^x is monotone) and it keeps ``pow`` — whose last-ulp
+  behavior differs across libms (measured) — out of the decision path.
+
 The reference has no statistical quality filtering; north-star extension.
 """
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Decimal type for order-independent accumulation of log2-probabilities:
+# |log2p| is bounded by log2(denom) (< 64 for any corpus below 2^64
+# tokens), so 20 integer digits are ample and 18 fractional digits exceed
+# double precision.
+_DEC = "decimal(38,18)"
 
 
 def fit_unigram_model(
@@ -33,7 +51,8 @@ def fit_unigram_model(
     """Token -> log2 P(token) over the trusted corpus, add-one smoothed.
     Returns (model_df[token, log2p], oov_log2p) where ``oov_log2p`` is the
     smoothed log-probability charged to tokens never seen in training.
-    The model frame is vocabulary-sized — cache or broadcast it."""
+    The model frame is vocabulary-sized — cache or broadcast it. One driver
+    action (the totals row, which also evaluates oov_log2p engine-side)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     counts = (
         corpus.select(F.explode(toks).alias("token"))
@@ -41,9 +60,23 @@ def fit_unigram_model(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    totals = counts.agg(
-        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
-    ).first()
+    totals = (
+        counts.agg(
+            F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+        )
+        .select(
+            "n",
+            "v",
+            # the OOV token's log-prob, computed by the SAME engine
+            # function that scores vocabulary tokens below — bit-identical
+            # smoothing for cnt = 0
+            F.log2(
+                F.lit(1.0)
+                / (F.col("n") + F.col("v") + F.lit(1)).cast("double")
+            ).alias("oov_log2p"),
+        )
+        .first()
+    )
     n, v = totals["n"], totals["v"]
     denom = float(n + v + 1)  # +1: the single shared OOV event
     model = counts.select(
@@ -52,8 +85,7 @@ def fit_unigram_model(
             "log2p"
         ),
     )
-    oov_log2p = math.log2(1.0 / denom)
-    return model, oov_log2p
+    return model, float(totals["oov_log2p"])
 
 
 def score_perplexity(
@@ -68,7 +100,8 @@ def score_perplexity(
     """Per-document unigram cross-entropy and perplexity under ``model``:
     (id_col, n_tokens, n_oov, cross_entropy, perplexity). Lower perplexity
     = more like the trusted corpus. Zero-token docs are dropped (they carry
-    no evidence either way — gate them on length instead)."""
+    no evidence either way — gate them on length instead). The log2p sum
+    goes through decimal, so the score is partition-order independent."""
     m = F.broadcast(model) if broadcast_model else model
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     exploded = docs.select(
@@ -81,10 +114,46 @@ def score_perplexity(
     )
     agg = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("oov").alias("n_oov"),
-        (-F.avg("log2p")).alias("cross_entropy"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        (
+            -(
+                F.sum(F.col("log2p").cast(_DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("cross_entropy"),
     )
     return agg.withColumn("perplexity", F.pow(F.lit(2.0), "cross_entropy"))
+
+
+def perplexity_band(
+    docs: DataFrame,
+    trusted: DataFrame,
+    *,
+    keep_fraction: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``docs`` against a model fit on ``trusted`` and return the
+    scored rows in the lowest-cross-entropy ``keep_fraction`` band
+    (id_col, n_tokens, n_oov, cross_entropy, perplexity) — the CCNet
+    head/middle selection. The percentile cut rides the plan as a
+    broadcast 1-row frame (no extra driver action); cutting on
+    cross-entropy keeps the identical set a perplexity cut would (2^x is
+    monotone) without putting ``pow`` doubles in the decision."""
+    model, oov = fit_unigram_model(trusted, text_col=text_col)
+    scores = score_perplexity(
+        docs, model, oov, id_col=id_col, text_col=text_col
+    )
+    cut = scores.agg(
+        F.percentile("cross_entropy", F.lit(float(keep_fraction))).alias(
+            "__cut"
+        )
+    )
+    return (
+        scores.join(F.broadcast(cut))
+        .filter(F.col("cross_entropy") <= F.col("__cut"))
+        .drop("__cut")
+    )
 
 
 def perplexity_filter(
@@ -98,26 +167,26 @@ def perplexity_filter(
 ) -> DataFrame:
     """Keep the docs most like ``trusted``: fit the unigram model on the
     trusted corpus, score ``docs``, and keep either everything under
-    ``max_perplexity`` or the lowest-perplexity ``keep_fraction`` (the
-    CCNet head/middle band; the threshold is computed exactly via
-    percentile on the score frame — one extra tiny aggregation)."""
+    ``max_perplexity`` or the lowest-perplexity ``keep_fraction`` (via
+    perplexity_band — one driver action total, the model fit)."""
     if (max_perplexity is None) == (keep_fraction is None):
         raise ValueError(
             "pass exactly one of max_perplexity / keep_fraction"
         )
-    model, oov = fit_unigram_model(trusted, text_col=text_col)
-    scores = score_perplexity(
-        docs, model, oov, id_col=id_col, text_col=text_col
-    )
-    if max_perplexity is None:
-        cut = scores.agg(
-            F.percentile("perplexity", F.lit(float(keep_fraction))).alias(
-                "cut"
-            )
-        ).first()["cut"]
+    if max_perplexity is not None:
+        model, oov = fit_unigram_model(trusted, text_col=text_col)
+        scores = score_perplexity(
+            docs, model, oov, id_col=id_col, text_col=text_col
+        )
+        kept = scores.filter(
+            F.col("perplexity") <= float(max_perplexity)
+        ).select(id_col, "perplexity")
     else:
-        cut = float(max_perplexity)
-    kept = scores.filter(F.col("perplexity") <= cut).select(
-        id_col, "perplexity"
-    )
+        kept = perplexity_band(
+            docs,
+            trusted,
+            keep_fraction=float(keep_fraction),
+            id_col=id_col,
+            text_col=text_col,
+        ).select(id_col, "perplexity")
     return docs.join(kept, id_col)

@@ -620,3 +620,278 @@ def q77_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_shards=_Q77_SHARDS,
         order_key=md5_key,
     )
+
+
+# ---------------------------------------------------------------------------
+# q78: exact substring (duplicated-span) dedup, oracle-gated (r7 VERDICT #1)
+# ---------------------------------------------------------------------------
+
+_Q78_N = 20
+# Planted cross-document boilerplate (the corpus is word salad with no
+# natural >=20-token repeats): a 25-token "header" prepended to every 5th
+# doc and a 22-token "licence" appended to every 7th. Only the pure-
+# boilerplate windows repeat across docs (boundary windows mix in per-doc
+# text), so the expected merged spans are exactly the planted blocks.
+_Q78_HEADER = " ".join(f"bp{i:02d}" for i in range(25))
+_Q78_LICENCE = " ".join(f"lic{i:02d}" for i in range(22))
+
+
+@query(
+    "q78_substring_dedup",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN base || ' ' || '{_Q78_LICENCE}'
+                    ELSE base END AS text2
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN '{_Q78_HEADER}' || ' ' || text
+                        ELSE text END AS base
+            FROM documents
+        )
+    ),
+    base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text2), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM planted
+    ),
+    wins AS (
+        SELECT doc_id, i - 1 AS s,
+               md5(array_to_string(toks[i:i+{_Q78_N - 1}], ' ')) AS g
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(1, len(toks) - {_Q78_N} + 2)) AS i
+            FROM base
+            WHERE len(toks) >= {_Q78_N}
+        )
+    ),
+    dupg AS (
+        SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dwin AS (
+        SELECT w.doc_id, w.s, w.s + {_Q78_N} AS e
+        FROM wins w JOIN dupg USING (g)
+    ),
+    marked AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pme
+        FROM dwin
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ),
+    spans AS (
+        SELECT doc_id, island, min(s) AS ss, max(e) AS ee
+        FROM isl GROUP BY doc_id, island
+    ),
+    tokpos AS (
+        SELECT doc_id, i - 1 AS p, toks[i] AS tok
+        FROM (
+            SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+            FROM base
+        )
+    ),
+    keptagg AS (
+        SELECT t.doc_id,
+               string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text,
+               count(*) AS n_kept
+        FROM tokpos t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans sp
+            WHERE sp.doc_id = t.doc_id AND t.p >= sp.ss AND t.p < sp.ee
+        )
+        GROUP BY t.doc_id
+    ),
+    span_counts AS (
+        SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           md5(COALESCE(k.clean_text, '')) AS clean_md5,
+           CAST(len(b.toks) AS INTEGER) AS n_tokens,
+           CAST(len(b.toks) - COALESCE(k.n_kept, 0) AS INTEGER)
+               AS n_tokens_removed,
+           CAST(COALESCE(sc.n_spans, 0) AS INTEGER) AS n_spans
+    FROM base b
+    LEFT JOIN keptagg k USING (doc_id)
+    LEFT JOIN span_counts sc USING (doc_id)
+    """,
+)
+def q78_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (operators/substring_dedup.py:
+    remove_duplicate_spans) under the full hash gate: plant boilerplate
+    blocks across documents (header on every 5th doc, licence tail on every
+    7th — docs divisible by 35 carry both, exercising multi-span merge),
+    remove every {_Q78_N}-gram span shared by >=2 distinct docs, and report
+    per doc the md5 of the rebuilt text plus exact token/span counts.
+
+    Everything is integer span arithmetic, md5 keys, and string rebuilds —
+    no floating point — so the DuckDB gaps-and-islands oracle replays it
+    bit-for-bit. Scale shape unchanged from the operator: window explode
+    (rows ∝ corpus tokens), one hash-agg on uniform md5 gram keys, per-doc
+    windows over the few duplicated spans, scan-stage HOF rebuild."""
+    from movie_recommendation_etl_spark.operators.substring_dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(_Q78_HEADER), F.lit(" "), F.col("text")),
+    ).otherwise(F.col("text"))
+    text2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(base, F.lit(" "), F.lit(_Q78_LICENCE)),
+    ).otherwise(base)
+    planted = docs.select("doc_id", text2.alias("text"))
+    cleaned = remove_duplicate_spans(
+        planted, n=_Q78_N, min_docs=2
+    )
+    return cleaned.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens",
+        "n_tokens_removed",
+        "n_spans",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79: unigram perplexity band filter, oracle-gated (r7 VERDICT #2)
+# ---------------------------------------------------------------------------
+
+_Q79_KEEP = 0.7
+# Engine-portable log2: DuckDB's log2() disagrees with the JVM's in the
+# last ulp on part of this domain, but ln(x)/ln(2.0) reproduces Spark's
+# F.log2 bit-for-bit (measured over the full model-probability domain —
+# scripts/measure_log_bitmatch.py: 0 mismatches for ln/ln2 vs 5/25 for
+# native log2).
+_Q79_SQL_LOG2 = "ln({x}) / ln(2.0)"
+
+
+@query(
+    "q79_perplexity_band",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7') AS is_trusted
+        FROM documents
+    ),
+    trusted AS (SELECT doc_id, text FROM split WHERE is_trusted),
+    target AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' oovtok' || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS text
+        FROM split WHERE NOT is_trusted
+    ),
+    ttok AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> t <> '')) AS token
+        FROM trusted
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM ttok GROUP BY token),
+    tot AS (
+        SELECT CAST(sum(cnt) + count(*) + 1 AS DOUBLE) AS denom
+        FROM counts
+    ),
+    model AS (
+        SELECT token,
+               {_Q79_SQL_LOG2.format(x="CAST(cnt + 1 AS DOUBLE) / t.denom")}
+                   AS log2p
+        FROM counts CROSS JOIN tot t
+    ),
+    dtok AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> t <> '')) AS token
+        FROM target
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               COALESCE(m.log2p,
+                        {_Q79_SQL_LOG2.format(x="1.0 / t.denom")}) AS log2p,
+               CASE WHEN m.log2p IS NULL THEN 1 ELSE 0 END AS oov
+        FROM dtok d
+        LEFT JOIN model m USING (token)
+        CROSS JOIN tot t
+    ),
+    agg AS (
+        -- Two DuckDB/Spark cast-semantics gaps, both bridged via VARCHAR:
+        -- (1) Spark's DOUBLE -> DECIMAL parses the double's SHORTEST
+        -- round-trip string while DuckDB expands the exact binary value,
+        -- so at scale 18 they disagree past the 17th significant digit;
+        -- (2) DuckDB's DECIMAL -> DOUBLE divides the int128 in floating
+        -- point (not correctly rounded) while Spark's BigDecimal path is.
+        -- VARCHAR round-trips are exact-digit on both sides and
+        -- string -> double parsing is correctly rounded everywhere.
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               -(CAST(CAST(sum(CAST(CAST(log2p AS VARCHAR)
+                                    AS DECIMAL(38,18))) AS VARCHAR)
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS cross_entropy
+        FROM scored GROUP BY doc_id
+    ),
+    cut AS (
+        SELECT quantile_cont(cross_entropy, {_Q79_KEEP}) AS c FROM agg
+    )
+    SELECT doc_id, n_tokens, n_oov, cross_entropy
+    FROM agg CROSS JOIN cut WHERE cross_entropy <= cut.c
+    """,
+)
+def q79_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram perplexity band filter (operators/perplexity.py) under the
+    full hash gate: documents whose md5 leading hex digit is 0-7 play the
+    trusted corpus; the rest are the target corpus, with a PLANTED unique
+    OOV token appended to every third target doc (the synthetic corpus
+    shares one vocabulary, so without the plant the OOV path would never
+    execute). Fit the add-one-smoothed unigram model on trusted, score
+    each target doc's cross-entropy, keep the lowest {_Q79_KEEP:.0%} band.
+
+    Oracle-exactness choices (all measured or by-construction):
+    - log2 via the engine on both sides — F.log2 in Spark (including the
+      OOV constant, evaluated inside the fit aggregation), ln(x)/ln(2.0)
+      in DuckDB (bit-identical on this domain; native log2() is not);
+    - per-doc sums through DECIMAL(38,18) → order-independent;
+    - the band cut on cross-entropy (not pow-derived perplexity), via
+      percentile/quantile_cont — both interpolate between the same order
+      statistics, and an interior cut makes last-ulp cut differences
+      unobservable in the kept SET."""
+    from movie_recommendation_etl_spark.operators.perplexity import (
+        perplexity_band,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
+    trusted = docs.filter(first_hex.isin(*"01234567")).select(
+        "doc_id", "text"
+    )
+    target = docs.filter(~first_hex.isin(*"01234567")).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" oovtok"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return perplexity_band(
+        target, trusted, keep_fraction=_Q79_KEEP
+    ).select("doc_id", "n_tokens", "n_oov", "cross_entropy")
