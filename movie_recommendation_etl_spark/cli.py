@@ -129,10 +129,12 @@ def _cmd_recommend(args: argparse.Namespace) -> int:
 
 
 def _cmd_trainprep(args: argparse.Namespace) -> int:
-    """LLM training-set preparation end-to-end: curate -> chunk -> shuffled
-    shards (+ manifest) -> sequence-packing map (+ manifest). One command
-    from a raw documents parquet to a loader-ready corpus; every stage is
-    deterministic, so reruns are byte-identical."""
+    """LLM training-set preparation end-to-end: curate -> [perplexity band]
+    -> [decontaminate] -> [substring dedup] -> chunk -> shuffled shards
+    (+ manifest) -> sequence-packing map (+ manifest). One command from a
+    raw documents parquet to a loader-ready corpus; every stage is
+    deterministic (seeded hashes, unique total sort keys), so reruns are
+    byte-identical."""
     import json
 
     from pyspark.sql import functions as F
@@ -156,6 +158,22 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
         min_quality=args.min_quality,
         sample_fraction=args.sample_fraction,
     )
+    if args.trusted_path:
+        # perplexity band filter between the rule-based quality gate and
+        # decontamination (operators/perplexity.py): fit a unigram model on
+        # the trusted corpus, keep the lowest-cross-entropy band of the
+        # curated docs (CCNet-style head/middle selection)
+        from movie_recommendation_etl_spark.operators.perplexity import (
+            perplexity_band,
+        )
+
+        trusted = spark.read.parquet(args.trusted_path)
+        band = perplexity_band(
+            curated, trusted, keep_fraction=args.perplexity_keep
+        )
+        curated = curated.join(
+            band.select("doc_id"), "doc_id", "left_semi"
+        )
     if args.eval_path:
         # benchmark decontamination before chunking: drop every curated doc
         # whose n-gram overlap with the held-out eval set clears the
@@ -189,14 +207,26 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
             "doc_id", F.col("clean_text").alias("text")
         )
         curated = curated.drop("text").join(cleaned, "doc_id")
+    tokenizer = None
+    if args.tokenizer == "re":
+        from movie_recommendation_etl_spark.functions.text import re_tokens
+
+        tokenizer = re_tokens
     chunks = chunk_documents(
         curated,
         chunk_tokens=args.chunk_tokens,
         overlap_tokens=args.overlap_tokens,
+        tokenizer=tokenizer,
     )
     shards_dir = f"{args.out_dir}/shards"
+    # (doc_id, chunk_idx) is the unique key of chunked rows — the full
+    # tiebreak makes shard files byte-identical across reruns
     write_training_shards(
-        chunks, shards_dir, seed=args.seed, num_shards=args.num_shards
+        chunks,
+        shards_dir,
+        seed=args.seed,
+        num_shards=args.num_shards,
+        tiebreak_cols=("doc_id", "chunk_idx"),
     )
     shard_manifest = write_shard_manifest(
         spark, shards_dir, count_col="n_tokens",
@@ -298,6 +328,27 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tp.add_argument("--substring-ngram", type=int, default=20)
     tp.add_argument("--min-quality", type=float, default=0.5)
+    tp.add_argument(
+        "--trusted-path",
+        default=None,
+        help="parquet of trusted-domain docs; surviving docs are scored "
+        "against a unigram model fit on them and only the lowest-"
+        "cross-entropy band is kept (CCNet-style perplexity filter)",
+    )
+    tp.add_argument(
+        "--perplexity-keep",
+        type=float,
+        default=0.7,
+        help="fraction of docs kept by the perplexity band "
+        "(requires --trusted-path)",
+    )
+    tp.add_argument(
+        "--tokenizer",
+        choices=("ws", "re"),
+        default="ws",
+        help="token-budget unit for chunking: whitespace tokens (ws) or "
+        "BPE-ish regex tokens (re, functions/text.py:re_tokens)",
+    )
     tp.add_argument("--sample-fraction", type=float, default=None)
     tp.add_argument("--chunk-tokens", type=int, default=512)
     tp.add_argument("--overlap-tokens", type=int, default=64)

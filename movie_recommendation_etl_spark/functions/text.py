@@ -39,6 +39,16 @@ def re_token_count(col: Column | str, pattern: str = TOKEN_RE) -> Column:
     return F.regexp_count(c, F.lit(pattern))
 
 
+def re_tokens(col: Column | str, pattern: str = TOKEN_RE) -> Column:
+    """Regex tokenization (BPE-ish): the array of pattern matches over the
+    lowercased text — the token stream behind re_token_count. Tokens never
+    contain whitespace, so concat_ws(' ') round-trips them (the contract
+    operators/training_prep.py chunking/materialization relies on when this
+    is passed as the ``tokenizer``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
+
+
 def stopword_count(tokens: Column) -> Column:
     """Number of tokens (with multiplicity) that are stopwords."""
     return F.size(F.filter(tokens, lambda x: x.isin(*STOPWORDS)))

@@ -62,9 +62,15 @@ def reduce_embeddings(
     with_vec = df.withColumn(
         "__pca_in", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    projected = model.setInputCol("__pca_in").setOutputCol(
-        "__pca_out"
-    ).transform(with_vec)
+    # copy() so the caller's model instance keeps ITS column params — a
+    # shared model used concurrently (or later with other column names)
+    # must not silently inherit this call's internal __pca_* names
+    projected = (
+        model.copy()
+        .setInputCol("__pca_in")
+        .setOutputCol("__pca_out")
+        .transform(with_vec)
+    )
     return projected.withColumn(
         output_col, vector_to_array(F.col("__pca_out"))
     ).drop("__pca_in", "__pca_out")

@@ -40,6 +40,15 @@ _LAST_BASE: dict[str, str | None] = {}
 # outer checkpoints land in). Without this ledger a scope containing two or
 # more nested scopes leaks the intermediate run dirs — it could only see
 # the entry-time and exit-time ones (r7 review finding).
+#
+# CONCURRENCY: scopes must be opened/closed from ONE thread at a time per
+# application — the underlying SparkContext checkpoint dir is itself a
+# process-global, so interleaved scopes from two threads are semantically
+# broken regardless of this module's bookkeeping (each thread's reliable
+# checkpoints would land under whichever base was set last). The guard
+# below raises on detectable interleaving rather than silently skipping
+# cleanup; drained stacks are removed so the registry does not grow with
+# application ids.
 _SCOPE_STACK: dict[str, list[dict]] = {}
 
 
@@ -87,8 +96,22 @@ def reliable_checkpoint_scope(spark, checkpoint_dir: str | None):
         cur_dir = cur.get() if cur.isDefined() else None
         if cur_dir is not None and cur_dir not in frame["dirs"]:
             frame["dirs"].append(cur_dir)
-        if stack and stack[-1] is frame:
-            stack.pop()
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] is frame:
+                if i != len(stack) - 1:
+                    import warnings
+
+                    warnings.warn(
+                        "reliable_checkpoint_scope frames exited out of "
+                        "order — scopes interleaved (multi-threaded use?); "
+                        "checkpoint-dir restore semantics are undefined",
+                        RuntimeWarning,
+                        stacklevel=3,
+                    )
+                del stack[i]
+                break
+        if not stack:
+            _SCOPE_STACK.pop(app_id, None)
         # Restore session state BEFORE any FS delete so a transient delete
         # failure can never leave the session pointing at a half-deleted
         # run dir or the module's base tracking stale.

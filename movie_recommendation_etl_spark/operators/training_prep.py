@@ -17,6 +17,8 @@ restarts).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,22 +34,33 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 512,
     overlap_tokens: int = 64,
+    tokenizer=None,
 ) -> DataFrame:
     """One row per chunk: (id, chunk_idx, chunk_text, n_tokens). Chunks
     step by ``chunk_tokens - overlap_tokens`` so consecutive chunks share
     ``overlap_tokens`` tokens (context continuity at boundaries). The final
-    chunk may be short; empty docs yield no rows. Whitespace tokenization —
-    swap the tokenizer expression for a BPE-count proxy when budgeting by
-    model tokens (functions/text.py:re_token_count).
+    chunk may be short; empty docs yield no rows.
+
+    ``tokenizer`` is the pluggable budget hook: a callable mapping the text
+    column to an ``array<string>`` token Column (default: whitespace
+    split). Pass ``functions.text.re_tokens`` for BPE-ish regex budgeting,
+    or any custom expression — the only contract is that tokens contain no
+    whitespace, so ``concat_ws(' ')`` round-trips them and downstream
+    pack/materialize (which re-split chunk_text on whitespace) see the
+    identical stream. Token counts, chunk boundaries, and overlap are all
+    measured in the chosen tokenizer's units.
     """
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     step = chunk_tokens - overlap_tokens
-    # split("") yields [""] (size 1), so drop empty tokens explicitly —
-    # otherwise an empty doc produces one empty chunk
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    if tokenizer is None:
+        # split("") yields [""] (size 1), so drop empty tokens explicitly —
+        # otherwise an empty doc produces one empty chunk
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    else:
+        toks = F.filter(tokenizer(text_col), lambda t: t != "")
     n = F.size(toks)
     # chunk starts: 0, step, 2*step, ... while start < n (1-based slice)
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
@@ -102,16 +115,25 @@ def write_training_shards(
     seed: int = 0,
     num_shards: int = 16,
     max_records_per_file: int | None = None,
+    tiebreak_cols: Sequence[str] | None = None,
 ) -> None:
     """Globally shuffle by the seeded hash key and write ``num_shards``
     hash-ordered parquet shards. One range exchange total; each shard file
     covers a disjoint key range (write_sorted_parquet), so any contiguous
-    shard subset is an unbiased corpus sample."""
+    shard subset is an unbiased corpus sample.
+
+    Byte-identical reruns need a UNIQUE total sort key: the hash key alone
+    ties whenever ``id_col`` repeats (e.g. chunked input, many rows per
+    doc), and tie order would then depend on shuffle arrival. The sort
+    therefore appends ``tiebreak_cols`` (default: ``[id_col]``; pass
+    ``[id_col, "chunk_idx"]`` for chunked corpora) — callers must ensure
+    the combined key is unique."""
     keyed = df.withColumn("__shuffle_key", shuffle_key(id_col, seed))
+    ties = list(tiebreak_cols) if tiebreak_cols is not None else [id_col]
     write_sorted_parquet(
         keyed,
         path,
-        ["__shuffle_key"],
+        ["__shuffle_key", *ties],
         num_files=num_shards,
         max_records_per_file=max_records_per_file,
     )

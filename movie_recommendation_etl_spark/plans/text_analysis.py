@@ -59,7 +59,10 @@ from movie_recommendation_etl_spark.sources.catalog import load_table
            CASE WHEN stop_ratio >= 0.15 THEN 'en' ELSE 'other' END AS lang_pred,
            0.3 * (least(n, 100.0) / 100.0)
              + 0.4 * (1.0 - stop_ratio)
-             + 0.3 * (least(mean_tok_len, 10.0) / 10.0) AS quality
+             + 0.3 * (least(mean_tok_len, 10.0) / 10.0) AS quality,
+           CAST(len(list_distinct(toks)) AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE) AS type_token_ratio,
+           round(ln(CAST(len(toks) AS DOUBLE) + 1.0), 9) AS log_n_tokens_q9
     FROM m
     """,
 )
@@ -71,9 +74,23 @@ def q40_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers both operator families with half the scan cost). Narrow ops
     only — no shuffle; at 100 TB this runs at scan speed. Rational
     arithmetic only (see functions/text.py determinism policy), so the
-    doubles hash-match the SQL oracle exactly."""
+    doubles hash-match the SQL oracle exactly.
+
+    r8: the suite now also hash-gates the model-based quality classifier's
+    feature vector (operators/quality_model.py FEATURE_NAMES): stop_ratio /
+    short_ratio / mean_tok_len were already arms; type_token_ratio joins as
+    an exact division, and log_n_tokens is hashed QUANTIZED to 9 decimals
+    (``log_n_tokens_q9``) because JVM and DuckDB libm ln() diverge in the
+    last ulp on ~1% of the integer domain (measured,
+    scripts/measure_log_bitmatch.py — 0 mismatches at 1e-9 granularity on
+    every testdata SF, and the exact input n_ws_tokens is hashed
+    alongside). The sigmoid itself is deliberately NOT oracled — libm exp
+    is not cross-engine reproducible; MLlib-vs-Catalyst agreement at 1e-12
+    lives in tests/test_quality_model.py."""
     docs = load_table(spark, sf_dir, "documents")
     toks = ws_tokens("text")
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
     return docs.select(
         "doc_id",
         "lang",
@@ -86,6 +103,10 @@ def q40_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_token_len(toks).alias("mean_tok_len"),
         lang_guess(toks).alias("lang_pred"),
         quality_score(toks).alias("quality"),
+        (F.size(F.array_distinct(toks)).cast("double") / safe_n).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.log1p(n.cast("double")), 9).alias("log_n_tokens_q9"),
     )
 
 

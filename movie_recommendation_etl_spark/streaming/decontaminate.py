@@ -61,7 +61,7 @@ def eval_gram_set(
 
 def contamination_gated_documents(
     docs: DataFrame,
-    grams: set[str],
+    grams: "set[str] | object",
     *,
     text_col: str = "text",
     n: int = 5,
@@ -70,9 +70,23 @@ def contamination_gated_documents(
     """Filter a (streaming or batch) document frame down to rows whose
     n-gram overlap ratio with ``grams`` is BELOW ``ratio_threshold``.
     Stateless per row — works in append mode with no watermark and no
-    state store."""
-    sc = docs.sparkSession.sparkContext
-    bc = sc.broadcast(frozenset(grams))
+    state store.
+
+    ``grams`` is either a plain set (a Spark broadcast is created for this
+    gated frame) or an existing ``Broadcast`` of a frozenset. A long-lived
+    driver that rebuilds the gate on eval-set refresh should create the
+    broadcast itself (``sc.broadcast(frozenset(grams))``), pass the handle
+    here, and ``unpersist()`` the old one after the previous query stops —
+    per-call broadcasts are never auto-unpersisted (each live gated stream
+    still references its own) and would otherwise accumulate for the
+    session lifetime."""
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(grams, Broadcast):
+        bc = grams
+    else:
+        sc = docs.sparkSession.sparkContext
+        bc = sc.broadcast(frozenset(grams))
 
     @F.pandas_udf(T.IntegerType())
     def _overlap(gram_arrays: pd.Series) -> pd.Series:

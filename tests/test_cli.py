@@ -212,3 +212,71 @@ def test_cli_trainprep_substring_dedup(capsys, spark, tmp_path):
         for r in spark.read.parquet(f"{out}/shards").collect()
     ]
     assert all("boiler0" not in t for t in texts)
+
+
+def test_cli_trainprep_perplexity_band(capsys, spark, tmp_path):
+    """--trusted-path wires the CCNet-style perplexity band between the
+    rule-based quality gate and chunking: planted gibberish docs (stopword-
+    scaffolded so they PASS the rule gates, but all-OOV vs the trusted
+    vocabulary) are dropped; in-domain docs survive. Also exercises the
+    --tokenizer re budget hook end-to-end."""
+    import json
+
+    vocab = [f"word{v:02d}" for v in range(50)]
+
+    def in_domain(i):
+        # stopword-rich, shared vocabulary, plus per-doc filler tokens so
+        # the dup-token-fraction gate (uniq/n) passes; the fillers are in
+        # the trusted vocabulary too (trusted docs use the same generator)
+        return " ".join(
+            f"the {vocab[(i + j) % 50]} and fill{i}x{j}"
+            for j in range(40)
+        )
+
+    def gibberish(i):
+        # same stopword scaffold (passes lang/quality gates), but every
+        # content token is unseen in the trusted corpus
+        return " ".join(
+            f"the qz{i}a{j} and vx{i}b{j}" for j in range(40)
+        )
+
+    trusted_rows = [(1000 + i, in_domain(i)) for i in range(20)]
+    trusted_src = str(tmp_path / "trusted_src")
+    spark.createDataFrame(
+        trusted_rows, "doc_id long, text string"
+    ).write.parquet(trusted_src)
+
+    normal_ids = list(range(12))
+    gib_ids = [100, 101, 102, 103]
+    rows = [(i, in_domain(i)) for i in normal_ids] + [
+        (i, gibberish(i)) for i in gib_ids
+    ]
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out = str(tmp_path / "prep")
+    assert (
+        main(
+            [
+                "trainprep", src, out,
+                "--trusted-path", trusted_src,
+                "--perplexity-keep", "0.75",
+                "--tokenizer", "re",
+                "--chunk-tokens", "32", "--overlap-tokens", "8",
+                "--seq-len", "64", "--num-shards", "2",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["pack_map"]["n_tokens"] == summary["shards"]["n_tokens"]
+
+    shard_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/shards")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert shard_ids.isdisjoint(set(gib_ids))  # band dropped the gibberish
+    assert len(shard_ids & set(normal_ids)) >= 10  # in-domain survived

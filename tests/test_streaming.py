@@ -308,3 +308,45 @@ def test_eval_gram_set_bounded(spark):
 
     with _pytest.raises(ValueError, match="max_grams"):
         eval_gram_set(ev, n=5, max_grams=10)
+
+
+def test_contamination_gate_accepts_broadcast_handle(spark):
+    """A long-lived driver passes its own Broadcast (and unpersists it on
+    eval-set refresh); the gate must probe it identically to a plain set."""
+    from movie_recommendation_etl_spark.operators.neardup import (  # noqa: F401
+        word_shingles,
+    )
+    from movie_recommendation_etl_spark.streaming.decontaminate import (
+        contamination_gated_documents,
+        eval_gram_set,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta tail"),
+            (2, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    grams = eval_gram_set(ev, n=5)
+    bc = spark.sparkContext.broadcast(frozenset(grams))
+    try:
+        via_set = {
+            r["doc_id"]
+            for r in contamination_gated_documents(
+                docs, grams, n=5, ratio_threshold=0.5
+            ).collect()
+        }
+        via_bc = {
+            r["doc_id"]
+            for r in contamination_gated_documents(
+                docs, bc, n=5, ratio_threshold=0.5
+            ).collect()
+        }
+        assert via_set == via_bc == {2}
+    finally:
+        bc.unpersist()

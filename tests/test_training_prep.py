@@ -450,3 +450,104 @@ def test_materialize_sequences_roundtrip(spark):
             ]
         ]
         assert stream == ref_stream
+
+
+def test_chunked_shards_byte_identical_across_reruns(spark, tmp_path):
+    """With chunked input the shuffle key (xxhash64 of doc_id) is NON-unique
+    — many chunks per doc share it — so byte-identical reruns require the
+    full (key, doc_id, chunk_idx) tiebreak. Two identical runs must produce
+    files with identical bytes, not merely identical row sets."""
+    import hashlib
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, _doc(100)) for i in range(40)], SCHEMA
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap_tokens=4)
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    for p in (p1, p2):
+        write_training_shards(
+            # shuffle the input partitioning between runs so arrival-order
+            # nondeterminism would surface if the sort key were non-unique
+            chunks.repartition(7 if p is p1 else 3),
+            p,
+            seed=5,
+            num_shards=4,
+            tiebreak_cols=("doc_id", "chunk_idx"),
+        )
+
+    def digests(p):
+        # file names embed a per-run writer UUID; the stable identity of a
+        # shard is its part index (part-00003-<uuid>... -> "00003")
+        return {
+            os.path.basename(f).split("-")[1]: hashlib.md5(
+                open(f, "rb").read()
+            ).hexdigest()
+            for f in glob.glob(f"{p}/*.parquet")
+        }
+
+    d1, d2 = digests(p1), digests(p2)
+    assert len(d1) == 4
+    assert d1 == d2
+
+
+def test_chunk_pack_materialize_with_regex_tokenizer(spark):
+    """The pluggable tokenizer hook: chunking with the BPE-ish regex
+    tokenizer (functions/text.py:re_tokens) budgets in regex-token units,
+    and the chunk -> pack -> materialize round-trip conserves exactly that
+    token stream (punctuation stripped, case folded)."""
+    import re
+
+    from movie_recommendation_etl_spark.functions.text import (
+        TOKEN_RE,
+        re_tokens,
+    )
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    texts = {
+        1: "Hello, world! This is DOC-ONE with punct... and 42 numbers.",
+        2: "Second doc; shorter, but Mixed-Case and (parens) plus 7 8 9 "
+        + " ".join(f"tail{i}" for i in range(30)),
+        3: "Third! " + " ".join(f"w{i}-x{i}" for i in range(40)),
+    }
+    docs = spark.createDataFrame(list(texts.items()), SCHEMA)
+    chunks = chunk_documents(
+        docs, chunk_tokens=8, overlap_tokens=0, tokenizer=re_tokens
+    )
+    got = {r["doc_id"]: r for r in chunks.collect()}  # spot-check counts
+
+    def expect_tokens(t):
+        return re.findall(TOKEN_RE, t.lower())
+
+    for doc_id, text in texts.items():
+        exp = expect_tokens(text)
+        rows = sorted(
+            (r for r in chunks.collect() if r["doc_id"] == doc_id),
+            key=lambda r: r["chunk_idx"],
+        )
+        # chunk token counts measured in regex units, concatenation
+        # reconstructs the regex token stream exactly (overlap 0)
+        assert sum(r["n_tokens"] for r in rows) == len(exp)
+        assert " ".join(r["chunk_text"] for r in rows).split() == exp
+    assert got  # sanity
+
+    pack = pack_sequences(
+        chunks,
+        chunk_col="chunk_idx",
+        count_col="n_tokens",
+        seq_len=16,
+        num_shards=2,
+        seed=1,
+    )
+    seqs = materialize_sequences(
+        pack, chunks, chunk_col="chunk_idx"
+    ).collect()
+    total = sum(len(expect_tokens(t)) for t in texts.values())
+    assert sum(r["n_tokens"] for r in seqs) == total
+    # every materialized token is a regex token (no punctuation survived)
+    tok_re = re.compile(f"^{TOKEN_RE}$")
+    for r in seqs:
+        assert all(tok_re.match(t) for t in r["tokens"])
