@@ -76,11 +76,26 @@ def main() -> int:
     n_docs = corpus.count()
     gen_sec = time.monotonic() - t0
 
-    t0 = time.monotonic()
-    _, vecs = fit_document_vectors(corpus, vocab_size=1 << 18)
-    vecs = vecs.cache()
-    n_vec = vecs.count()  # materialize: CSV->vectors "ready"
-    fit_sec = time.monotonic() - t0
+    # Min-of-2 like bench.py's query loop (r8): the host is multi-tenant
+    # and a single fit sample under neighbor load has measured 10x worse
+    # than steady state — which the cross-round regression check would
+    # read as a code regression. The second sample is skipped when the
+    # first already ran long (contended host: don't double a multi-minute
+    # sample against the parent bench's subprocess timeout).
+    fit_samples: list[float] = []
+    vecs = None
+    n_vec = 0
+    for _ in range(2):
+        if vecs is not None:
+            vecs.unpersist()
+        t0 = time.monotonic()
+        _, vecs = fit_document_vectors(corpus, vocab_size=1 << 18)
+        vecs = vecs.cache()
+        n_vec = vecs.count()  # materialize: CSV->vectors "ready"
+        fit_samples.append(time.monotonic() - t0)
+        if fit_samples[0] > 120.0:
+            break
+    fit_sec = min(fit_samples)
 
     t0 = time.monotonic()
     lsh = fit_lsh(vecs)
