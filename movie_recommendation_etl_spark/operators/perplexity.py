@@ -35,6 +35,7 @@ The reference has no statistical quality filtering; north-star extension.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -141,9 +142,14 @@ def perplexity_band(
     cross-entropy keeps the identical set a perplexity cut would (2^x is
     monotone) without putting ``pow`` doubles in the decision."""
     model, oov = fit_unigram_model(trusted, text_col=text_col)
+    # Persist the doc-sized score frame: the plan consumes it TWICE (the
+    # percentile cut and the band filter), and without a cache each
+    # consumer re-runs the token-stream explode + model join + aggregation
+    # — 2x the scoring cost at 100 TB for a frame that is only one row per
+    # document (q71's persisted-weights precedent).
     scores = score_perplexity(
         docs, model, oov, id_col=id_col, text_col=text_col
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cut = scores.agg(
         F.percentile("cross_entropy", F.lit(float(keep_fraction))).alias(
             "__cut"

@@ -133,3 +133,30 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q77_pack_sequences")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Generate explode" in plan
+
+
+def test_perplexity_band_broadcasts_model(spark, sf_dir):
+    """q79: the vocabulary-sized unigram model joins as a broadcast (a
+    shuffled model join would re-shuffle the 100 TB token stream per
+    scoring run), and the doc-sized score frame is CACHED — the percentile
+    cut and the band filter are two consumers, and both must read the
+    cached relation (InMemoryTableScan) instead of re-running the
+    token-stream scoring. (The plan STRING prints the cached subtree under
+    each scan site, so exchange-count assertions would double-count;
+    the two InMemoryTableScans are the reuse signature.)"""
+    plan = _plan(spark, sf_dir, "q79_perplexity_band")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_substring_dedup_hash_aggregates_grams(spark, sf_dir):
+    """q78: duplicated-gram detection must be a hash aggregation on the
+    fixed-width md5 key (uniform, map-side combined) and the span
+    machinery must stay join/window work — no cartesian/NLJ fallbacks and
+    no Python in the row path."""
+    plan = _plan(spark, sf_dir, "q78_substring_dedup")
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
