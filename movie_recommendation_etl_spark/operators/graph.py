@@ -62,10 +62,20 @@ def connected_components(
     with reliable_checkpoint_scope(
         edges.sparkSession, checkpoint_dir
     ) as _ckpt:
+        # Seed labels with min(node, min neighbor) instead of the identity:
+        # from identity labels, round 1's expensive sym-join reduces to
+        # exactly this aggregation (neighbor labels ARE neighbor ids), so
+        # seeding this way buys the first propagation hop with one
+        # map-side-combined agg — no join — and replaces the node-list
+        # distinct (same shuffle key) rather than adding a shuffle. One
+        # fewer full round on typical near-dup graphs.
         labels = _ckpt(
-            sym.select(F.col("a").alias("node"))
-            .distinct()
-            .select("node", F.col("node").alias("lbl"))
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select(
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("__mb")).alias("lbl"),
+            )
         )
         try:
             for _ in range(max_iter):
