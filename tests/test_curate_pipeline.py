@@ -173,3 +173,33 @@ def test_curate_with_model_quality_gate(spark):
     assert kept == set(range(25))
     plan = gated._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_decontamination_shuffled_join_matches_broadcast(spark):
+    """ngram_contamination's degrade-to-shuffle path (broadcast_eval=False,
+    for eval sets too large to broadcast) must produce identical verdicts —
+    the docstring's 'same plan, different physical strategy' claim,
+    asserted."""
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "nothing shared here with the benchmark text at all ok"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = lambda bc: {  # noqa: E731
+        r["doc_id"]: (r["n_grams"], r["n_overlap"], r["is_contaminated"])
+        for r in ngram_contamination(
+            train, ev, n=5, ratio_threshold=0.3, broadcast_eval=bc
+        ).collect()
+    }
+    assert rows(True) == rows(False)

@@ -94,3 +94,88 @@ def test_scoring_plan_is_jvm_only(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_shuffled_model_join_matches_broadcast(spark):
+    """The degrade-to-shuffle path (broadcast_model=False, for vocabularies
+    too large to broadcast) must produce bit-identical scores — same join,
+    different physical strategy."""
+    trusted = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon " * 4) for i in range(6)],
+        "doc_id long, text string",
+    )
+    targets = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "zz qq ww"),
+            (3, "alpha zz delta epsilon beta"),
+        ],
+        "doc_id long, text string",
+    )
+    model, oov = fit_unigram_model(trusted)
+    a = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["cross_entropy"])
+        for r in score_perplexity(
+            targets, model, oov, broadcast_model=True
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["cross_entropy"])
+        for r in score_perplexity(
+            targets, model, oov, broadcast_model=False
+        ).collect()
+    }
+    assert a == b  # exact, including the decimal-accumulated doubles
+
+
+def test_perplexity_filter_max_threshold_path(spark):
+    """The absolute-threshold arm (max_perplexity) keeps exactly the docs
+    under the cut and passes through the input schema."""
+    trusted = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(4)]
+        + [(100, "xq zv wj kp")],
+        "doc_id long, text string",
+    )
+    model, oov = fit_unigram_model(trusted)
+    scored = {
+        r["doc_id"]: r["perplexity"]
+        for r in score_perplexity(docs, model, oov).collect()
+    }
+    cut = (max(p for i, p in scored.items() if i != 100) +
+           scored[100]) / 2.0
+    kept = perplexity_filter(docs, trusted, max_perplexity=cut,
+                             keep_fraction=None)
+    assert {r["doc_id"] for r in kept.collect()} == set(range(4))
+    assert set(kept.columns) == {"doc_id", "text", "perplexity"}
+
+
+def test_cross_entropy_partition_independent(spark):
+    """Determinism policy: a repartition must never change a score (the
+    decimal-accumulated sum is order-independent by construction)."""
+    trusted = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 37}" for j in range(i, i + 60)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 41}" for j in range(50)))
+         for i in range(15)],
+        "doc_id long, text string",
+    )
+    model, oov = fit_unigram_model(trusted)
+    base = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in score_perplexity(docs, model, oov).collect()
+    }
+    for parts in (1, 7):
+        again = {
+            r["doc_id"]: r["cross_entropy"]
+            for r in score_perplexity(
+                docs.repartition(parts), model.repartition(3), oov
+            ).collect()
+        }
+        assert again == base  # bit-identical, not approx
