@@ -30,6 +30,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # directions.
 BENCH_METHOD = "min2"
 
+# Same fencing for the reference-scale replay, whose methodology is
+# versioned independently (r8: the subprocess fit went min-of-2; its
+# single-shot r7 number is not comparable). The replay also runs minutes
+# after the calibration sample on a multi-tenant host, so when methods
+# mismatch its entries are dropped from the regression comparison rather
+# than normalized.
+REF_SCALE_METHOD = "min2_fit"
+
+
+def fence_ref_scale(
+    prev: dict[str, float] | None, prev_ref_method: str | None
+) -> dict[str, float] | None:
+    """Drop ref_scale_* entries from the previous-round timings when that
+    round's replay used a different methodology (or predates the marker)."""
+    if prev is None or prev_ref_method == REF_SCALE_METHOD:
+        return prev
+    return {k: v for k, v in prev.items() if not k.startswith("ref_scale_")}
+
 BENCH_QUERIES: tuple[str, ...] = (
     "q01_pricing_summary",
     "q02_top_revenue_orders",
@@ -123,6 +141,9 @@ def previous_round_bench(repo_dir: str) -> dict | None:
             m = re.search(r'"bench_method":\s*"([a-z0-9_-]+)"', tail)
             if m:
                 out["bench_method"] = m.group(1)
+            rm = re.search(r'"ref_scale_method":\s*"([a-z0-9_-]+)"', tail)
+            if rm:
+                out["ref_scale_method"] = rm.group(1)
             return out
     except (OSError, ValueError):
         return None
@@ -349,6 +370,15 @@ def main() -> int:
         and prev_blob.get("bench_method") == BENCH_METHOD
     )
     prev = prev_blob["queries"] if comparable else None
+    prev_ref_method = (
+        (prev_blob or {}).get("ref_scale_method") if comparable else None
+    )
+    ref_fenced = bool(
+        prev
+        and prev_ref_method != REF_SCALE_METHOD
+        and any(k.startswith("ref_scale_") for k in prev)
+    )
+    prev = fence_ref_scale(prev, prev_ref_method)
     prev_cal = (prev_blob or {}).get("calibration_sec") if comparable else None
     cal_ratio = (
         calibration / prev_cal
@@ -362,6 +392,7 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "bench_method": BENCH_METHOD,
+        "ref_scale_method": REF_SCALE_METHOD,
         "calibration_sec": calibration,
         "calibration_ratio_vs_prev": round(cal_ratio, 3),
         "regressions": compute_regressions(
@@ -373,6 +404,12 @@ def main() -> int:
             "previous round used a different timing methodology "
             f"({prev_blob.get('bench_method', 'single-shot')} vs "
             f"{BENCH_METHOD}); cross-round comparison suppressed this round"
+        )
+    elif ref_fenced:
+        out["regressions_note"] = (
+            "ref_scale_* entries excluded from the comparison: the replay "
+            f"methodology changed ({prev_ref_method or 'single-shot fit'} "
+            f"vs {REF_SCALE_METHOD}); they compare normally next round"
         )
     print(json.dumps(out))
     return 0

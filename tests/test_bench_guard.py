@@ -125,3 +125,17 @@ def test_previous_round_bench_surfaces_method_marker(tmp_path):
     blob = previous_round_bench(str(tmp_path))
     assert blob["bench_method"] == "min2"
     assert blob["queries"] == {"q01": 1.5}
+
+
+def test_fence_ref_scale_on_method_change():
+    from bench import REF_SCALE_METHOD, fence_ref_scale
+
+    prev = {"q01": 1.0, "ref_scale_fit_sec": 13.1,
+            "ref_scale_warm_ann_sec": 0.69}
+    # previous round predates the marker (or used another method): the
+    # replay entries drop out, in-session queries still compare
+    assert fence_ref_scale(prev, None) == {"q01": 1.0}
+    assert fence_ref_scale(prev, "single-shot") == {"q01": 1.0}
+    # same method: everything compares
+    assert fence_ref_scale(prev, REF_SCALE_METHOD) == prev
+    assert fence_ref_scale(None, None) is None
