@@ -34,9 +34,14 @@ def ws_tokens(col: Column | str) -> Column:
 
 
 def re_token_count(col: Column | str, pattern: str = TOKEN_RE) -> Column:
-    """Regex token count (BPE-ish): number of pattern matches."""
+    """Regex token count (BPE-ish): number of pattern matches over the
+    LOWERCASED text — always equal to ``F.size(re_tokens(col, pattern))``
+    (the two share one case-folding convention so budgets computed from
+    counts agree with chunk boundaries computed from the token stream;
+    without the fold, 'HeLLo' would count 2 [a-z0-9]+ runs but tokenize
+    to one)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(c, F.lit(pattern))
+    return F.regexp_count(F.lower(c), F.lit(pattern))
 
 
 def re_tokens(col: Column | str, pattern: str = TOKEN_RE) -> Column:

@@ -46,9 +46,9 @@ _LAST_BASE: dict[str, str | None] = {}
 # process-global, so interleaved scopes from two threads are semantically
 # broken regardless of this module's bookkeeping (each thread's reliable
 # checkpoints would land under whichever base was set last). The guard
-# below raises on detectable interleaving rather than silently skipping
-# cleanup; drained stacks are removed so the registry does not grow with
-# application ids.
+# below WARNS (RuntimeWarning) on detectable interleaving and still runs
+# this frame's cleanup rather than silently skipping it; drained stacks
+# are removed so the registry does not grow with application ids.
 _SCOPE_STACK: dict[str, list[dict]] = {}
 
 

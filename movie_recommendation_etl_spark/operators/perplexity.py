@@ -133,6 +133,8 @@ def perplexity_band(
     keep_fraction: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    storage_level: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
+    scores_out: list | None = None,
 ) -> DataFrame:
     """Score ``docs`` against a model fit on ``trusted`` and return the
     scored rows in the lowest-cross-entropy ``keep_fraction`` band
@@ -140,16 +142,26 @@ def perplexity_band(
     head/middle selection. The percentile cut rides the plan as a
     broadcast 1-row frame (no extra driver action); cutting on
     cross-entropy keeps the identical set a perplexity cut would (2^x is
-    monotone) without putting ``pow`` doubles in the decision."""
+    monotone) without putting ``pow`` doubles in the decision.
+
+    CACHE LIFECYCLE: the plan consumes the doc-sized score frame twice
+    (cut + filter), so it is persisted at ``storage_level`` — without it
+    each consumer re-runs the token-stream scoring, 2x the cost at 100 TB.
+    The cache lives until the session ends or the caller unpersists it:
+    one-shot jobs (a trainprep run, the oracle gate) need do nothing, but
+    a long-lived driver banding batch after batch should pass
+    ``scores_out=[]`` — the persisted frame is appended to it — and call
+    ``scores_out[0].unpersist()`` once the band's consumers have run
+    (or pass ``storage_level=None`` to trade the leak for the recompute).
+    """
     model, oov = fit_unigram_model(trusted, text_col=text_col)
-    # Persist the doc-sized score frame: the plan consumes it TWICE (the
-    # percentile cut and the band filter), and without a cache each
-    # consumer re-runs the token-stream explode + model join + aggregation
-    # — 2x the scoring cost at 100 TB for a frame that is only one row per
-    # document (q71's persisted-weights precedent).
     scores = score_perplexity(
         docs, model, oov, id_col=id_col, text_col=text_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if storage_level is not None:
+        scores = scores.persist(storage_level)
+    if scores_out is not None:
+        scores_out.append(scores)
     cut = scores.agg(
         F.percentile("cross_entropy", F.lit(float(keep_fraction))).alias(
             "__cut"

@@ -49,7 +49,7 @@ from movie_recommendation_etl_spark.sources.catalog import load_table
     )
     SELECT doc_id, lang,
            len(toks) AS n_ws_tokens,
-           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_re_tokens,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_re_tokens,
            len(list_distinct(toks)) AS n_uniq_tokens,
            md5(array_to_string(toks[1:8], ' ')) AS prefix_fp,
            stop_ratio,

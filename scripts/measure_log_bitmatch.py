@@ -58,21 +58,34 @@ def main() -> int:
     ).first()
     denom = float(totals["n"] + totals["v"] + 1)
 
-    # A: the model's probability domain, Spark side
-    probe = counts.select(
-        ((F.col("cnt") + 1).cast("double") / F.lit(denom)).alias("x"),
-        F.log2((F.col("cnt") + 1).cast("double") / F.lit(denom)).alias(
-            "spark_log2"
-        ),
-    ).distinct()
+    # A: the model's probability domain, Spark side — INCLUDING the OOV
+    # point x = 1/denom (cnt = 0), which the q79 oracle's COALESCE branch
+    # substitutes with ln(1/denom)/ln(2.0); a domain built from observed
+    # counts alone (cnt >= 1) would never test it.
+    probe = (
+        counts.select(F.col("cnt"))
+        .unionByName(spark.range(1).select(F.lit(0).alias("cnt")))
+        .select(
+            ((F.col("cnt") + 1).cast("double") / F.lit(denom)).alias("x"),
+            F.log2(
+                (F.col("cnt") + 1).cast("double") / F.lit(denom)
+            ).alias("spark_log2"),
+        )
+        .distinct()
+    )
     out_dir = tempfile.mkdtemp(prefix="bitmatch_")
     probe.write.mode("overwrite").parquet(f"{out_dir}/probA")
 
-    # B: integer ln domain (q40 log feature) — ln(1+n), n in 1..200000
+    # B: integer ln domain (q40 log feature) — ln(1+n), n in 1..200000.
+    # spark_round9 is the DEPLOYED q40 form: Spark-side F.round(F.log1p, 9)
+    # (Spark rounds via the decimal string, not floating-point math).
     intdom = spark.range(1, 200_001).select(
         F.col("id").cast("double").alias("n"),
         F.log(F.col("id").cast("double") + F.lit(1.0)).alias("spark_ln"),
         F.log1p(F.col("id").cast("double")).alias("spark_log1p"),
+        F.round(
+            F.log1p(F.col("id").cast("double")), 9
+        ).alias("spark_round9"),
     )
     intdom.write.mode("overwrite").parquet(f"{out_dir}/probB")
 
@@ -105,13 +118,22 @@ def main() -> int:
                sum(CASE WHEN ln(n + 1.0) <> spark_ln THEN 1 ELSE 0 END)
                    AS ln_mism,
                sum(CASE WHEN log(n + 1.0) <> spark_ln THEN 1 ELSE 0 END)
-                   AS log_mism
+                   AS log_mism,
+               sum(CASE WHEN ln(n + 1.0) <> spark_log1p THEN 1 ELSE 0 END)
+                   AS ln_vs_log1p_mism,
+               sum(CASE WHEN round(ln(n + 1.0), 9)
+                        <> spark_round9 THEN 1 ELSE 0 END)
+                   AS q9_ln_vs_log1p_mism
         FROM read_parquet('{out_dir}/probB/*.parquet')
         """
     ).fetchone()
     res["probB_n"] = b[0]
     res["probB_ln_mismatch"] = b[1]
     res["probB_log_vs_sparkln_mismatch"] = b[2]
+    # the pair q40 actually deploys: Spark F.log1p vs oracle ln(n+1.0) —
+    # raw bits (diverges ~1%) and quantized to 9 decimals (the hashed form)
+    res["probB_ln_vs_log1p_mismatch"] = b[3]
+    res["probB_quant9_ln_vs_log1p_mismatch"] = b[4]
 
     c = con.execute(
         f"""

@@ -179,3 +179,35 @@ def test_cross_entropy_partition_independent(spark):
             ).collect()
         }
         assert again == base  # bit-identical, not approx
+
+
+def test_band_cache_lifecycle_and_uncached_equivalence(spark):
+    """scores_out hands the caller the persisted score frame to unpersist
+    (the long-lived-driver contract); storage_level=None produces the
+    identical band with no cache at all."""
+    from movie_recommendation_etl_spark.operators.perplexity import (
+        perplexity_band,
+    )
+
+    trusted = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(8)]
+        + [(100 + i, "xq zv wj kp") for i in range(2)],
+        "doc_id long, text string",
+    )
+    handle: list = []
+    cached = perplexity_band(
+        docs, trusted, keep_fraction=0.8, scores_out=handle
+    )
+    kept_cached = {r["doc_id"] for r in cached.collect()}
+    assert len(handle) == 1
+    assert handle[0].storageLevel.useMemory  # actually persisted
+    handle[0].unpersist()
+    uncached = perplexity_band(
+        docs, trusted, keep_fraction=0.8, storage_level=None
+    )
+    assert {r["doc_id"] for r in uncached.collect()} == kept_cached
+    assert kept_cached == set(range(8))

@@ -551,3 +551,29 @@ def test_chunk_pack_materialize_with_regex_tokenizer(spark):
     tok_re = re.compile(f"^{TOKEN_RE}$")
     for r in seqs:
         assert all(tok_re.match(t) for t in r["tokens"])
+
+
+def test_re_token_count_matches_re_tokens_on_mixed_case(spark):
+    """The count and the stream share one case-folding convention: the
+    budget a curation gate computes from re_token_count must equal the
+    chunker's re_tokens stream length, even on mixed-case text."""
+    from movie_recommendation_etl_spark.functions.text import (
+        re_token_count,
+        re_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HeLLo WoRLD"),
+            (2, "ABC def 123"),
+            (3, "Mixed-Case, with PUNCT!"),
+            (4, "lower only here"),
+        ],
+        SCHEMA,
+    )
+    rows = docs.select(
+        re_token_count("text").alias("n"),
+        F.size(re_tokens("text")).alias("s"),
+    ).collect()
+    assert all(r["n"] == r["s"] for r in rows)
+    assert rows[0]["n"] == 2  # 'hello', 'world' — not 4 case-broken runs
