@@ -129,12 +129,13 @@ def _cmd_recommend(args: argparse.Namespace) -> int:
 
 
 def _cmd_trainprep(args: argparse.Namespace) -> int:
-    """LLM training-set preparation end-to-end: curate -> [perplexity band]
-    -> [decontaminate] -> [substring dedup] -> chunk -> shuffled shards
-    (+ manifest) -> sequence-packing map (+ manifest). One command from a
-    raw documents parquet to a loader-ready corpus; every stage is
-    deterministic (seeded hashes, unique total sort keys), so reruns are
-    byte-identical."""
+    """LLM training-set preparation end-to-end: curate (rule gates,
+    optionally composed with a saved model-based quality classifier) ->
+    [perplexity band] -> [decontaminate] -> [substring dedup] -> chunk ->
+    shuffled shards (+ manifest) -> sequence-packing map (+ manifest).
+    One command from a raw documents parquet to a loader-ready corpus;
+    every stage is deterministic (seeded hashes, unique total sort keys),
+    so reruns are byte-identical."""
     import json
 
     from pyspark.sql import functions as F
@@ -152,11 +153,26 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
 
     spark = get_spark(app_name="mre-trainprep")
     docs = spark.read.parquet(args.in_path)
+    extra_filter = None
+    if args.quality_model:
+        # model-based quality gate (operators/quality_model.py): the saved
+        # classifier's ~6 coefficients bake into the curation scan as a
+        # Catalyst sigmoid — no MLlib transform, no Python at serve time
+        from movie_recommendation_etl_spark.operators.quality_model import (
+            scoring_expr,
+        )
+        from movie_recommendation_etl_spark.sources.writers import (
+            load_logreg_model,
+        )
+
+        qm = load_logreg_model(args.quality_model)
+        extra_filter = scoring_expr(qm) >= args.quality_model_tau
     curated = curate_documents(
         docs,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         min_quality=args.min_quality,
         sample_fraction=args.sample_fraction,
+        extra_filter=extra_filter,
     )
     if args.trusted_path:
         # perplexity band filter between the rule-based quality gate and
@@ -328,6 +344,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tp.add_argument("--substring-ngram", type=int, default=20)
     tp.add_argument("--min-quality", type=float, default=0.5)
+    tp.add_argument(
+        "--quality-model",
+        default=None,
+        help="path of a saved LogisticRegression quality classifier "
+        "(operators/quality_model.py; save_model); applied as a baked-"
+        "coefficient Catalyst filter in the curation scan",
+    )
+    tp.add_argument(
+        "--quality-model-tau",
+        type=float,
+        default=0.5,
+        help="P(good) threshold for --quality-model",
+    )
     tp.add_argument(
         "--trusted-path",
         default=None,

@@ -347,6 +347,16 @@ def load_lsh_model(path: str):
     return BucketedRandomProjectionLSHModel.load(path)
 
 
+def load_logreg_model(path: str):
+    """Load a persisted LogisticRegressionModel — the quality-classifier
+    artifact operators/quality_model.py fits and save_model writes. At
+    serve time only its ~6 coefficients are read (scoring_expr bakes them
+    into the plan); no MLlib transform runs in the scan."""
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    return LogisticRegressionModel.load(path)
+
+
 def jdbc_array_column_types(schema) -> str | None:
     """The ``createTableColumnTypes`` option value covering every ARRAY
     column of ``schema`` (Postgres array DDL, e.g. ``tags TEXT[]`` — the

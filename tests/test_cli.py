@@ -280,3 +280,83 @@ def test_cli_trainprep_perplexity_band(capsys, spark, tmp_path):
     }
     assert shard_ids.isdisjoint(set(gib_ids))  # band dropped the gibberish
     assert len(shard_ids & set(normal_ids)) >= 10  # in-domain survived
+
+
+def test_cli_trainprep_model_quality_gate(capsys, spark, tmp_path):
+    """--quality-model applies a previously fitted classifier as a baked-
+    coefficient Catalyst filter inside the curation scan: docs the model
+    scores below tau are dropped even though they pass the rule gates."""
+    import json
+
+    from movie_recommendation_etl_spark.operators.quality_model import (
+        fit_quality_classifier,
+        score_documents,
+    )
+    from movie_recommendation_etl_spark.sources.writers import save_model
+
+    def good(i):
+        # moderate stopword ratio, long-ish unique tokens
+        return " ".join(
+            f"the contentword{i}x{j} holds another{i}y{j}" for j in range(40)
+        )
+
+    def junky(i):
+        # stopword-saturated scaffold with short fillers — passes the rule
+        # gates at min-quality 0 but sits on the other side of the learned
+        # stop-ratio/short-ratio boundary
+        return " ".join(f"the of a{i}b{j} to in c{i}d{j}" for j in range(40))
+
+    labeled = spark.createDataFrame(
+        [(i, good(i), 1.0) for i in range(20)]
+        + [(100 + i, junky(i), 0.0) for i in range(20)],
+        "doc_id long, text string, label double",
+    )
+    model = fit_quality_classifier(labeled)
+    model_path = str(tmp_path / "qmodel")
+    save_model(model, model_path)
+
+    good_ids = list(range(10))
+    junk_ids = [200, 201, 202]
+    rows = [(i, good(i)) for i in good_ids] + [
+        (i, junky(i - 200 + 50)) for i in junk_ids
+    ]
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    # sanity: every doc passes the rule gates at min-quality 0, and the
+    # model separates the classes on held-out generator instances
+    scored = {
+        r["doc_id"]: r["quality_score"]
+        for r in score_documents(
+            model, spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert all(scored[i] > 0.5 for i in good_ids)
+    assert all(scored[i] < 0.5 for i in junk_ids)
+
+    out = str(tmp_path / "prep")
+    assert (
+        main(
+            [
+                "trainprep", src, out,
+                "--min-quality", "0.0",
+                "--quality-model", model_path,
+                "--quality-model-tau", "0.5",
+                "--chunk-tokens", "32", "--overlap-tokens", "8",
+                "--seq-len", "64", "--num-shards", "2",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["shards"]["n_rows"] > 0
+
+    shard_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/shards")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert shard_ids.isdisjoint(set(junk_ids))
+    assert set(good_ids) <= shard_ids
