@@ -373,12 +373,9 @@ def main() -> int:
     prev_ref_method = (
         (prev_blob or {}).get("ref_scale_method") if comparable else None
     )
-    ref_fenced = bool(
-        prev
-        and prev_ref_method != REF_SCALE_METHOD
-        and any(k.startswith("ref_scale_") for k in prev)
-    )
-    prev = fence_ref_scale(prev, prev_ref_method)
+    fenced = fence_ref_scale(prev, prev_ref_method)
+    ref_fenced = fenced != prev  # single source of truth: what was dropped
+    prev = fenced
     prev_cal = (prev_blob or {}).get("calibration_sec") if comparable else None
     cal_ratio = (
         calibration / prev_cal

@@ -182,11 +182,16 @@ def perplexity_filter(
     text_col: str = "text",
     max_perplexity: float | None = None,
     keep_fraction: float | None = 0.7,
+    storage_level: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
+    scores_out: list | None = None,
 ) -> DataFrame:
     """Keep the docs most like ``trusted``: fit the unigram model on the
     trusted corpus, score ``docs``, and keep either everything under
     ``max_perplexity`` or the lowest-perplexity ``keep_fraction`` (via
-    perplexity_band — one driver action total, the model fit)."""
+    perplexity_band — one driver action total, the model fit).
+    ``storage_level``/``scores_out`` pass through to perplexity_band's
+    cache-lifecycle contract (only the keep_fraction arm caches — the
+    absolute-threshold arm consumes the scores once and needs none)."""
     if (max_perplexity is None) == (keep_fraction is None):
         raise ValueError(
             "pass exactly one of max_perplexity / keep_fraction"
@@ -206,5 +211,7 @@ def perplexity_filter(
             keep_fraction=float(keep_fraction),
             id_col=id_col,
             text_col=text_col,
+            storage_level=storage_level,
+            scores_out=scores_out,
         ).select(id_col, "perplexity")
     return docs.join(kept, id_col)

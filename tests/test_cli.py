@@ -301,10 +301,13 @@ def test_cli_trainprep_model_quality_gate(capsys, spark, tmp_path):
         )
 
     def junky(i):
-        # stopword-saturated scaffold with short fillers — passes the rule
-        # gates at min-quality 0 but sits on the other side of the learned
-        # stop-ratio/short-ratio boundary
-        return " ".join(f"the of a{i}b{j} to in c{i}d{j}" for j in range(40))
+        # stopword-heavy scaffold with UNIQUE fillers per position: dup-
+        # token fraction stays 1 - 123/240 ≈ 0.49 < 0.6, so the rule gates
+        # pass it at min-quality 0 — only the learned stop-ratio/short-
+        # ratio boundary separates it from good()
+        return " ".join(
+            f"the jx{i}a{j} of jx{i}b{j} to jx{i}c{j}" for j in range(40)
+        )
 
     labeled = spark.createDataFrame(
         [(i, good(i), 1.0) for i in range(20)]
@@ -323,13 +326,25 @@ def test_cli_trainprep_model_quality_gate(capsys, spark, tmp_path):
     src = str(tmp_path / "docs_src")
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
 
-    # sanity: every doc passes the rule gates at min-quality 0, and the
-    # model separates the classes on held-out generator instances
+    # sanity 1: WITHOUT the model, every doc (junk included) survives the
+    # rule gates at min-quality 0 — otherwise this test would prove the
+    # heuristics, not the --quality-model wiring
+    from movie_recommendation_etl_spark.operators.curate import (
+        curate_documents,
+    )
+
+    src_df = spark.createDataFrame(rows, "doc_id long, text string")
+    rule_survivors = {
+        r["doc_id"]
+        for r in curate_documents(src_df, min_quality=0.0)
+        .select("doc_id")
+        .collect()
+    }
+    assert rule_survivors == set(good_ids) | set(junk_ids)
+    # sanity 2: the model separates the classes on held-out instances
     scored = {
         r["doc_id"]: r["quality_score"]
-        for r in score_documents(
-            model, spark.createDataFrame(rows, "doc_id long, text string")
-        ).collect()
+        for r in score_documents(model, src_df).collect()
     }
     assert all(scored[i] > 0.5 for i in good_ids)
     assert all(scored[i] < 0.5 for i in junk_ids)
