@@ -280,6 +280,43 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_verify_shards(args: argparse.Namespace) -> int:
+    """Recompute per-file counts under a shard (or pack-map) directory and
+    compare against its _MANIFEST.json — the one-command integrity check a
+    training job runs before spending any gradient on the corpus. Exit 0
+    on match; exit 1 with the mismatch report on any missing/extra/
+    changed file."""
+    import json
+
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        verify_shard_manifest,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-verify-shards")
+    try:
+        manifest = verify_shard_manifest(spark, args.path)
+    except ValueError as e:
+        print(str(e))
+        return 1
+    print(
+        json.dumps(
+            {
+                "path": args.path,
+                "n_files": manifest["n_files"],
+                "n_rows": manifest["n_rows"],
+                **(
+                    {"n_tokens": manifest["n_tokens"]}
+                    if "n_tokens" in manifest
+                    else {}
+                ),
+                "verified": True,
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="movie_recommendation_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -385,6 +422,13 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--num-shards", type=int, default=16)
     tp.add_argument("--seed", type=int, default=0)
     tp.set_defaults(fn=_cmd_trainprep)
+
+    vs = sub.add_parser(
+        "verify-shards",
+        help="check a shard/pack-map directory against its _MANIFEST.json",
+    )
+    vs.add_argument("path")
+    vs.set_defaults(fn=_cmd_verify_shards)
 
     rc = sub.add_parser("recommend", help="ANN top-k for a movie id")
     rc.add_argument("out_dir")

@@ -375,3 +375,35 @@ def test_cli_trainprep_model_quality_gate(capsys, spark, tmp_path):
     }
     assert shard_ids.isdisjoint(set(junk_ids))
     assert set(good_ids) <= shard_ids
+
+
+def test_cli_verify_shards(capsys, spark, tmp_path):
+    """verify-shards: exit 0 + summary JSON on an intact shard dir; exit 1
+    naming the mismatch after a file is tampered with."""
+    import glob
+    import json
+
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} stream {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "vshards")
+    write_training_shards(docs, path, num_shards=2)
+    write_shard_manifest(spark, path)
+
+    assert main(["verify-shards", path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["verified"] and out["n_rows"] == 100 and out["n_files"] == 2
+
+    # tamper: drop one shard file
+    victim = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    import os
+
+    os.remove(victim)
+    assert main(["verify-shards", path]) == 1
+    assert "missing file" in capsys.readouterr().out
