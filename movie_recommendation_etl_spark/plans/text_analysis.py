@@ -88,25 +88,43 @@ def q40_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     is not cross-engine reproducible; MLlib-vs-Catalyst agreement at 1e-12
     lives in tests/test_quality_model.py."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = ws_tokens("text")
-    n = F.size(toks)
-    safe_n = F.greatest(n, F.lit(1)).cast("double")
-    return docs.select(
+    # Two-step select so the tokenization and the O(tokens) distinct-count
+    # evaluate ONCE each: CollapseProject keeps multi-referenced non-cheap
+    # aliases as a separate Project instead of re-inlining them (the same
+    # discipline as minhash_signature_cols' explicit md5 column) — without
+    # it, n_uniq_tokens and type_token_ratio would each build their own
+    # array_distinct hash set per row.
+    mid = docs.select(
         "doc_id",
         "lang",
-        F.size(toks).alias("n_ws_tokens"),
+        "text",
+        ws_tokens("text").alias("__t"),
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        "__t",
+        F.size("__t").alias("__n"),
+        F.size(F.array_distinct("__t")).alias("__u"),
+    )
+    toks = F.col("__t")
+    safe_n = F.greatest(F.col("__n"), F.lit(1)).cast("double")
+    return mid.select(
+        "doc_id",
+        "lang",
+        F.col("__n").alias("n_ws_tokens"),
         re_token_count("text").alias("n_re_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.col("__u").alias("n_uniq_tokens"),
         prefix_fingerprint(toks).alias("prefix_fp"),
         stopword_ratio(toks).alias("stop_ratio"),
         short_token_ratio(toks).alias("short_ratio"),
         mean_token_len(toks).alias("mean_tok_len"),
         lang_guess(toks).alias("lang_pred"),
         quality_score(toks).alias("quality"),
-        (F.size(F.array_distinct(toks)).cast("double") / safe_n).alias(
-            "type_token_ratio"
+        (F.col("__u").cast("double") / safe_n).alias("type_token_ratio"),
+        F.round(F.log1p(F.col("__n").cast("double")), 9).alias(
+            "log_n_tokens_q9"
         ),
-        F.round(F.log1p(n.cast("double")), 9).alias("log_n_tokens_q9"),
     )
 
 
