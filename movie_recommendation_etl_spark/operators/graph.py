@@ -12,9 +12,11 @@ min of its label, its neighbors' labels, and its label's label (the
 doubling hop — label distance halves per round); fixpoint = each node
 labeled with the min id of its component. Rounds needed = O(log diameter) —
 for near-dup graphs (cliques-ish clusters plus occasional chains) that is
-2-4 rounds, each one shuffle join + one map-side-combined min agg + one
-hop join. The convergence check is a single count action per round (no row
-data ever reaches the driver).
+2-4 rounds, each one candidate join + one union-min hash aggregation + one
+hop join (two big-frame exchanges per round). Convergence is detected by
+the exact (decimal) label sum going stationary — labels only decrease, so
+an unchanged sum proves an unchanged labeling with one scalar aggregation
+per round (no row data ever reaches the driver).
 """
 
 from __future__ import annotations
@@ -78,32 +80,35 @@ def connected_components(
             )
         )
         try:
+            # Convergence tracking: labels only ever DECREASE (every update
+            # is a min with more candidates), so the exact label sum is
+            # stationary iff no label changed — one decimal-exact
+            # aggregation per round replaces the old per-row __changed
+            # flag, whose old-vs-new bookkeeping forced a third join.
+            prev_sum = None
             for _ in range(max_iter):
-                nbr = (
-                    sym.join(labels, sym["b"] == labels["node"])
-                    .groupBy("a")
-                    .agg(F.min("lbl").alias("nbr_lbl"))
-                )
-                new_lbl = F.least(
-                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
-                )
-                stepped = labels.join(
-                    nbr, labels["node"] == nbr["a"], "left"
-                ).select(
-                    "node",
-                    new_lbl.alias("lbl"),
-                    # frame-qualified: the bare name would risk binding to
-                    # the new "lbl" alias under lateral-alias resolution
-                    labels["lbl"].alias("__prev"),
+                # min(own label, neighbors' labels) as ONE shuffle: union
+                # the neighbor-candidate stream with the labels themselves
+                # and take the per-node min — replaces the former
+                # join+agg+left-join round shape (two exchanges on the big
+                # frame) with a single hash aggregation; the join that
+                # produces candidates shuffles sym once on b (labels
+                # arrive hash-partitioned on node from the previous
+                # round's agg).
+                cand = sym.join(
+                    labels, sym["b"] == labels["node"]
+                ).select(sym["a"].alias("node"), "lbl")
+                stepped = (
+                    labels.unionByName(cand)
+                    .groupBy("node")
+                    .agg(F.min("lbl").alias("lbl"))
                 )
                 # Pointer doubling: follow the label one extra hop (label of
                 # my label) so label distance halves per round — convergence
                 # in O(log diameter) rounds instead of O(diameter). Every
                 # lbl is an existing node id (a min over node ids), so the
                 # hop join always matches; left join keeps the no-match case
-                # safe anyway. The convergence flag rides the same pass as
-                # the update — a separate old-vs-new join would add a
-                # shuffle per round.
+                # safe anyway.
                 hop = stepped.select(
                     F.col("node").alias("h_node"), F.col("lbl").alias("h_lbl")
                 )
@@ -112,20 +117,20 @@ def connected_components(
                 )
                 updated = _ckpt(
                     stepped.join(hop, stepped["lbl"] == hop["h_node"], "left")
-                    .select(
-                        "node",
-                        doubled_lbl.alias("lbl"),
-                        (doubled_lbl != F.col("__prev")).alias("__changed"),
-                    )
+                    .select("node", doubled_lbl.alias("lbl"))
                 )
-                changed = updated.filter("__changed").limit(1).count()
-                labels = updated.drop("__changed")
-                if changed == 0:
+                # exact decimal sum: overflow-free at any node-id scale
+                cur_sum = updated.agg(
+                    F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+                ).first()["s"]
+                labels = updated
+                if prev_sum is not None and cur_sum == prev_sum:
                     # detach the result from the (about-to-be-deleted)
                     # reliable files; a no-op cost in local mode
                     return labels.select(
                         "node", F.col("lbl").alias("cluster_id")
                     ).localCheckpoint(eager=True)
+                prev_sum = cur_sum
         finally:
             sym.unpersist()
     raise RuntimeError(
