@@ -415,13 +415,29 @@ def admit_new_embeddings(
     stored corpus or of a smaller-id batch neighbor sharing an SRP band;
     merge admitted (band, int8 signature) rows into the store. Same
     determinism, greedy-chain, replay-idempotence and checkpoint contract
-    as admit_new_documents (module docstring)."""
+    as admit_new_documents (module docstring).
+
+    Degenerate vectors — NULL, wrong length vs ``dim``, containing NULL
+    elements, or all-zero — are EXCLUDED from admission entirely (neither
+    admitted nor stored): they cannot be compared (their SRP bits all fold
+    to 0, so every one lands in the same 12 hub buckets and the probe join
+    grows linearly with every polluted batch, while their quantized cosine
+    is NULL and never rejects), and a length mismatch would NULL-poison
+    the banding for the whole batch via zip_with padding. Same policy as
+    the doc path's zero-shingle drop (operators/neardup.py)."""
     from movie_recommendation_etl_spark.functions.vectors import (
         cosine_quantized,
     )
 
+    valid = new_vecs.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(vec_col, lambda x: x.isNull())
+        & F.exists(vec_col, lambda x: x != 0)
+    )
+
     with reliable_checkpoint_scope(spark, checkpoint_dir) as _ckpt:
-        bands = _ckpt(_embedding_band_rows(new_vecs, id_col, vec_col, dim))
+        bands = _ckpt(_embedding_band_rows(valid, id_col, vec_col, dim))
 
         a, b = bands.alias("a"), bands.alias("b")
         intra = (
@@ -454,7 +470,7 @@ def admit_new_embeddings(
             rejected = intra
 
         admitted = _ckpt(
-            new_vecs.join(
+            valid.join(
                 rejected.withColumnRenamed("vec_id", id_col),
                 id_col,
                 "left_anti",

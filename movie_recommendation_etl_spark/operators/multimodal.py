@@ -65,6 +65,24 @@ def _id_field(df: DataFrame, id_col: str) -> T.StructField:
     return T.StructField(id_col, df.schema[id_col].dataType)
 
 
+def _spliced_schema(
+    df: DataFrame, id_col: str, rest: list[T.StructField]
+) -> T.StructType:
+    """Output schema = input id field + the operator's fixed feature
+    fields, REJECTING name collisions: a duplicate field name would make
+    the dict-keyed batch builder append id and feature values into one
+    list (column lengths diverge, Arrow fails opaquely — or worse,
+    misaligns silently)."""
+    clash = {f.name for f in rest} & {id_col}
+    if clash:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a fixed output column; "
+            f"rename the id column before calling (reserved: "
+            f"{sorted(f.name for f in rest)})"
+        )
+    return T.StructType([_id_field(df, id_col)] + rest)
+
+
 def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic binary payload per row (the UTF-8 of the text, doubled)
     plus a typed metadata struct — a stand-in for real image/audio bytes
@@ -149,7 +167,11 @@ def _decode_bmp(blob: bytes) -> dict:
         )
     bottom_up = h_signed > 0
     h = abs(h_signed)
+    if w < 1 or h < 1:
+        raise ValueError(f"invalid BMP dimensions {w}x{h_signed}")
     stride = (w * 3 + 3) // 4 * 4
+    if pixel_offset + stride * h > len(blob):
+        raise ValueError("truncated BMP raster")
     rows = np.frombuffer(blob, np.uint8, stride * h, pixel_offset).reshape(
         h, stride
     )
@@ -164,35 +186,54 @@ def _decode_bmp(blob: bytes) -> dict:
     }
 
 
+def _pnm_header(blob: bytes, i: int) -> tuple[bytes, int, int, int, int]:
+    """Parse one binary-netpbm header starting at offset ``i`` (the magic):
+    returns (magic, width, height, channels, raster_offset), VALIDATED —
+    truncated tokens, non-positive dimensions, and unsupported maxval all
+    raise instead of producing garbage downstream (np.frombuffer with a
+    negative count silently reads everything; reshape infers a negative
+    dim). One parser shared by the single-image decoder and the video
+    frame indexer, so the two can never drift (they had: the indexer was
+    missing the truncation guard)."""
+    magic = blob[i : i + 2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(
+            f"not a binary PGM/PPM (magic {magic!r} at offset {i})"
+        )
+    tokens: list[int] = []
+    j = i + 2
+    while len(tokens) < 3:
+        while j < len(blob) and blob[j : j + 1].isspace():
+            j += 1
+        if j < len(blob) and blob[j] == ord("#"):
+            while j < len(blob) and blob[j] != ord("\n"):
+                j += 1
+            continue
+        start = j
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        if start == j:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(blob[start:j]))
+    j += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = tokens
+    if w < 1 or h < 1:
+        raise ValueError(f"invalid netpbm dimensions {w}x{h}")
+    if not 1 <= maxval <= 255:
+        raise NotImplementedError(
+            f"netpbm maxval {maxval} not supported (8-bit only)"
+        )
+    return magic, w, h, (3 if magic == b"P6" else 1), j
+
+
 def _decode_pnm(blob: bytes) -> dict:
     """Binary netpbm: P6 (RGB) / P5 (grayscale), maxval <= 255. Header
     tokens separated by whitespace; '#' comments allowed."""
     import numpy as np
 
-    magic = blob[:2]
-    if magic not in (b"P5", b"P6"):
-        raise ValueError(f"not a binary PGM/PPM (magic {magic!r})")
-
-    tokens: list[int] = []
-    i = 2
-    while len(tokens) < 3:
-        while i < len(blob) and blob[i : i + 1].isspace():
-            i += 1
-        if i < len(blob) and blob[i] == ord("#"):
-            while i < len(blob) and blob[i] != ord("\n"):
-                i += 1
-            continue
-        start = i
-        while i < len(blob) and not blob[i : i + 1].isspace():
-            i += 1
-        if start == i:
-            raise ValueError("truncated netpbm header")
-        tokens.append(int(blob[start:i]))
-    i += 1  # single whitespace byte after maxval, then raster
-    w, h, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm not supported")
-    channels = 3 if magic == b"P6" else 1
+    _magic, w, h, channels, i = _pnm_header(blob, 0)
+    if i + w * h * channels > len(blob):
+        raise ValueError("truncated netpbm raster")
     px = np.frombuffer(blob, np.uint8, w * h * channels, i).reshape(
         h, w, channels
     )
@@ -305,34 +346,49 @@ def extract_media_features(
     The output id column keeps the INPUT's name and type (r6 ADVICE: it was
     hard-coded doc_id/Long — a silent rename, and non-long ids failed at
     Arrow serialization time)."""
-    out_schema = T.StructType(
-        [_id_field(media, id_col)] + list(MEDIA_FEATURES_SCHEMA.fields[1:])
+    out_schema = _spliced_schema(
+        media, id_col, list(MEDIA_FEATURES_SCHEMA.fields[1:])
     )
 
     def _batches(it: Iterator) -> Iterator:
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
+        decoded_keys = (
+            "width", "height", "channels", "px_mean", "px_min", "px_max"
+        )
         for pdf in it:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
             for doc_id, blob, meta in zip(
                 pdf[id_col], pdf[data_col], pdf[meta_col]
             ):
+                out[id_col].append(doc_id)
+                if blob is None or meta is None:
+                    # dropped-payload row (realistic at ingest scale): keep
+                    # the id, NULL every feature — one bad row must not
+                    # kill the task (bytes(None) raises)
+                    out["media_type"].append(
+                        None if meta is None else meta["media_type"]
+                    )
+                    for k in ("n_bytes", "content_md5",
+                              "byte_histogram_head", *decoded_keys):
+                        out[k].append(None)
+                    continue
                 media_type = meta["media_type"]
                 b = bytes(blob)
                 decoded = decode_media(b, media_type) if decode else None
-                hist = [0] * 8
-                for byte in b[:4096]:
-                    hist[byte >> 5] += 1
-                out[id_col].append(doc_id)
+                # vectorized 8-bucket histogram of the first 4 KiB (the
+                # pure-Python per-byte loop dominated this hot path)
+                head = np.frombuffer(b[:4096], np.uint8)
+                hist = np.bincount(head >> 5, minlength=8).tolist()
                 out["media_type"].append(media_type)
                 out["n_bytes"].append(len(b))
                 out["content_md5"].append(hashlib.md5(b).hexdigest())
                 out["byte_histogram_head"].append(hist)
                 if decoded is None:
-                    for k in ("width", "height", "channels", "px_mean",
-                              "px_min", "px_max"):
+                    for k in decoded_keys:
                         out[k].append(None)
                 else:
                     px = decoded["pixels"]
@@ -379,12 +435,13 @@ def resize_media(
     grayscale — BMP inputs come back as PPM) and refreshed metadata. Unknown
     media types raise via decode_media, never pass through silently. The id
     column keeps the input's name and type (r6 ADVICE)."""
-    out_schema = T.StructType(
+    out_schema = _spliced_schema(
+        media,
+        id_col,
         [
-            _id_field(media, id_col),
             T.StructField("media_data", T.BinaryType()),
             T.StructField("media_meta", MEDIA_META_SCHEMA),
-        ]
+        ],
     )
 
     def _batches(it: Iterator) -> Iterator:
@@ -461,28 +518,7 @@ def _index_pnm_frames(blob: bytes) -> list[tuple[int, int]]:
     spans: list[tuple[int, int]] = []
     i = 0
     while i < len(blob):
-        magic = blob[i : i + 2]
-        if magic not in (b"P5", b"P6"):
-            raise ValueError(
-                f"bad frame magic {magic!r} at offset {i} (truncated or "
-                "not a raw-pnm container)"
-            )
-        j = i + 2
-        tokens: list[int] = []
-        while len(tokens) < 3:
-            while j < len(blob) and blob[j : j + 1].isspace():
-                j += 1
-            if j < len(blob) and blob[j] == ord("#"):
-                while j < len(blob) and blob[j] != ord("\n"):
-                    j += 1
-                continue
-            start = j
-            while j < len(blob) and not blob[j : j + 1].isspace():
-                j += 1
-            tokens.append(int(blob[start:j]))
-        j += 1  # single whitespace after maxval
-        w, h, _maxval = tokens
-        channels = 3 if magic == b"P6" else 1
+        _magic, w, h, channels, j = _pnm_header(blob, i)
         end = j + w * h * channels
         if end > len(blob):
             raise ValueError(f"truncated frame raster at offset {i}")
@@ -528,8 +564,8 @@ def extract_frame_features(
     of a frame-embedding pipeline (swap the px_mean stat for a model
     forward pass at the same seam). The id column keeps the input's name
     and type (r6 ADVICE)."""
-    out_schema = T.StructType(
-        [_id_field(media, id_col)] + list(FRAME_FEATURES_SCHEMA.fields[1:])
+    out_schema = _spliced_schema(
+        media, id_col, list(FRAME_FEATURES_SCHEMA.fields[1:])
     )
 
     def _batches(it: Iterator) -> Iterator:

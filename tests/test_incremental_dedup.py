@@ -446,3 +446,42 @@ def test_store_compaction_preserves_admission_semantics(spark, tmp_path):
     )
     assert re.search(r"PartitionFilters: \[[^\]]*band_pfx", plan)
     assert admit_new_documents(spark, dup, store).count() == 0
+
+
+def test_embedding_admission_excludes_degenerate_vectors(spark, tmp_path):
+    """NULL / wrong-dim / zero vectors are neither admitted nor stored:
+    their SRP bits all fold to zero (one hub bucket per band, probe
+    fan-out grows per batch) and their quantized cosine is NULL, so they
+    could never be rejected — the invalid-input policy mirrors the doc
+    path's zero-shingle drop."""
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_embeddings,
+    )
+
+    dim = 8
+
+    def vec(seed):
+        return [float((seed * 31 + k * 7) % 13 - 6) for k in range(dim)]
+
+    rows = [
+        (1, vec(1)),
+        (2, vec(2)),
+        (3, [0.0] * dim),          # zero vector
+        (4, vec(4)[: dim - 2]),    # wrong length
+        (5, None),                 # NULL vector
+    ]
+    batch = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    store = str(tmp_path / "emb_store")
+    admitted = {
+        r["vec_id"]
+        for r in admit_new_embeddings(
+            spark, batch, store, dim=dim
+        ).collect()
+    }
+    assert admitted == {1, 2}
+    stored = {
+        r["vec_id"] for r in spark.read.parquet(store).collect()
+    }
+    assert stored == {1, 2}  # no degenerate signatures in the store

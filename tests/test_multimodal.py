@@ -246,3 +246,76 @@ def test_custom_id_column_name_and_type_preserved(spark, sf_dir):
     assert all(r["media_key"].startswith("v-") for r in fr.collect())
     # unused renamed frame kept no stale doc_id expectations
     assert "media_key2" in imgs.columns
+
+
+def test_decoder_rejects_malformed_headers():
+    """Negative/zero dimensions and truncated rasters must raise — a
+    crafted header must never decode to a garbage pixel array (frombuffer
+    with a negative count reads everything; reshape infers negative
+    dims)."""
+    import pytest as _pytest
+
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        PPM_MEDIA_TYPE,
+        _index_pnm_frames,
+        decode_media,
+    )
+
+    with _pytest.raises(ValueError, match="dimensions"):
+        decode_media(b"P6\n2 -1\n255\n" + bytes(12), PPM_MEDIA_TYPE)
+    with _pytest.raises(ValueError, match="dimensions"):
+        decode_media(b"P6\n0 0\n255\n", PPM_MEDIA_TYPE)
+    with _pytest.raises(ValueError, match="truncated netpbm raster"):
+        decode_media(b"P6\n4 4\n255\n" + bytes(5), PPM_MEDIA_TYPE)
+    with _pytest.raises(ValueError, match="truncated netpbm header"):
+        decode_media(b"P6\n4 4", PPM_MEDIA_TYPE)
+    # the frame indexer shares the SAME validated parser
+    with _pytest.raises(ValueError, match="dimensions"):
+        _index_pnm_frames(b"P5\n3 -2\n255\n" + bytes(6))
+    with _pytest.raises(ValueError, match="truncated netpbm header"):
+        _index_pnm_frames(b"P5\n3")
+
+
+def test_feature_extraction_null_payload_rows(spark):
+    """A dropped-payload row (NULL media_data) yields NULL features with
+    the id preserved instead of killing the task."""
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    media = attach_fake_media(docs).withColumn(
+        "media_data",
+        F.when(F.col("doc_id") == 2, F.lit(None)).otherwise(
+            F.col("media_data")
+        ),
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_media_features(media).collect()
+    }
+    assert rows[1]["content_md5"] is not None
+    assert rows[2]["content_md5"] is None
+    assert rows[2]["n_bytes"] is None
+    assert rows[2]["media_type"] == "fake/blob"  # meta survived
+
+
+def test_id_collision_rejected(spark):
+    import pytest as _pytest
+
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha")], "width long, text string"
+    )
+    media = attach_fake_media(docs)
+    with _pytest.raises(ValueError, match="collides"):
+        extract_media_features(media, id_col="width")
