@@ -135,7 +135,9 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
     shuffled shards (+ manifest) -> sequence-packing map (+ manifest).
     One command from a raw documents parquet to a loader-ready corpus;
     every stage is deterministic (seeded hashes, unique total sort keys),
-    so reruns are byte-identical."""
+    so reruns are byte-identical. ``--tokenizer re`` normalizes the
+    shipped chunk text itself (lowercase, [a-z0-9]-only), not just the
+    token budget — see the flag's help and chunk_documents' docstring."""
     import json
 
     from pyspark.sql import functions as F
@@ -413,7 +415,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("ws", "re"),
         default="ws",
         help="token-budget unit for chunking: whitespace tokens (ws) or "
-        "BPE-ish regex tokens (re, functions/text.py:re_tokens)",
+        "BPE-ish regex tokens (re, functions/text.py:re_tokens). "
+        "CAUTION: chunk_text is rebuilt from the tokenizer's stream, so "
+        "'re' REWRITES the shipped shard text (lowercased, every "
+        "non-[a-z0-9] character stripped) — use it only when the training "
+        "target wants that normalization; 'ws' preserves the original "
+        "text modulo whitespace collapsing",
     )
     tp.add_argument("--sample-fraction", type=float, default=None)
     tp.add_argument("--chunk-tokens", type=int, default=512)

@@ -85,7 +85,20 @@ def connected_components(
             # stationary iff no label changed — one decimal-exact
             # aggregation per round replaces the old per-row __changed
             # flag, whose old-vs-new bookkeeping forced a third join.
-            prev_sum = None
+            #
+            # Seeded from the INITIAL labeling, not None: an already-
+            # converged seed (common: clique-ish near-dup clusters where
+            # min(node, min-neighbor) is final) now exits after round 1,
+            # and an EMPTY edge list short-circuits here instead of
+            # summing NULL forever and raising after max_iter rounds —
+            # zero near-dup pairs is a perfectly normal corpus.
+            prev_sum = labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            if prev_sum is None:
+                return labels.select(
+                    "node", F.col("lbl").alias("cluster_id")
+                ).localCheckpoint(eager=True)
             for _ in range(max_iter):
                 # min(own label, neighbors' labels) as ONE shuffle: union
                 # the neighbor-candidate stream with the labels themselves
@@ -119,12 +132,15 @@ def connected_components(
                     stepped.join(hop, stepped["lbl"] == hop["h_node"], "left")
                     .select("node", doubled_lbl.alias("lbl"))
                 )
-                # exact decimal sum: overflow-free at any node-id scale
+                # Exact decimal sum. decimal(38,0) holds ~1e38 of total
+                # label mass — unreachable in practice, but non-ANSI
+                # overflow would return NULL, and two NULL rounds must not
+                # compare equal: require cur_sum non-NULL to converge.
                 cur_sum = updated.agg(
                     F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
                 ).first()["s"]
                 labels = updated
-                if prev_sum is not None and cur_sum == prev_sum:
+                if cur_sum is not None and cur_sum == prev_sum:
                     # detach the result from the (about-to-be-deleted)
                     # reliable files; a no-op cost in local mode
                     return labels.select(

@@ -452,6 +452,15 @@ def resize_media(
             for doc_id, blob, meta in zip(
                 pdf[id_col], pdf[data_col], pdf[meta_col]
             ):
+                if blob is None or meta is None:
+                    # same dropped-payload policy as extract_media_features:
+                    # keep the id, NULL the payload — one bad row must not
+                    # kill the task (bytes(None) raises)
+                    rows.append(
+                        {id_col: doc_id, "media_data": None,
+                         "media_meta": None}
+                    )
+                    continue
                 decoded = decode_media(bytes(blob), meta["media_type"])
                 px = resize_nearest(decoded["pixels"], out_w, out_h)
                 if decoded["channels"] == 1:

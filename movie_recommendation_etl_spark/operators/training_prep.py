@@ -49,6 +49,14 @@ def chunk_documents(
     pack/materialize (which re-split chunk_text on whitespace) see the
     identical stream. Token counts, chunk boundaries, and overlap are all
     measured in the chosen tokenizer's units.
+
+    NOTE the flip side of that contract: ``chunk_text`` is rebuilt FROM
+    the token stream, so a lossy tokenizer rewrites the shipped text, not
+    just the budget unit — ``re_tokens`` lowercases and strips every
+    non-``[a-z0-9]`` character from the chunks it emits. The default
+    whitespace tokenizer preserves the original text modulo whitespace
+    collapsing. Choose a lossy tokenizer only when the training target
+    wants that normalization baked into the corpus.
     """
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")

@@ -61,6 +61,28 @@ def test_components_match_union_find(edges):
     assert got == _union_find(edges)
 
 
+def test_empty_edges_returns_empty(spark):
+    """A corpus with zero near-dup pairs feeds an EMPTY edge list — that
+    must return an empty (node, cluster_id) frame, not raise after
+    max_iter rounds (r8 ADVICE: F.sum over the empty labels frame is NULL
+    every round, so the old sum-stationary check never fired)."""
+    edges = spark.createDataFrame([], "src: long, dst: long")
+    out = connected_components(edges)
+    assert out.columns == ["node", "cluster_id"]
+    assert out.count() == 0
+
+
+def test_converged_seed_single_round(spark):
+    """min(node, min-neighbor) seeding is already the fixpoint for a
+    single edge — prev_sum seeded from the initial labeling must converge
+    within max_iter=1 (callers lost this when prev_sum started as None)."""
+    edges = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+    got = sorted(
+        map(tuple, connected_components(edges, max_iter=1).collect())
+    )
+    assert got == [(1, 1), (2, 1)]
+
+
 def test_reliable_checkpoint_path_identical(spark, tmp_path):
     """checkpoint_dir switches to reliable checkpoint(); cluster assignments
     must be identical to the localCheckpoint default."""

@@ -305,6 +305,36 @@ def test_feature_extraction_null_payload_rows(spark):
     assert rows[2]["media_type"] == "fake/blob"  # meta survived
 
 
+def test_resize_null_payload_rows(spark, sf_dir):
+    """resize_media mirrors the extract path's dropped-payload policy
+    (r8 ADVICE: it called bytes(blob) unguarded): NULL media_data rows
+    come back with the id and NULL payload, decodable rows still resize."""
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        attach_fake_images,
+        resize_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(4)
+    media = attach_fake_images(docs.select("doc_id", "text")).withColumn(
+        "media_data",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(None)).otherwise(
+            F.col("media_data")
+        ),
+    )
+    rows = {
+        r["doc_id"]: r for r in resize_media(media, 4, 3).collect()
+    }
+    assert len(rows) == 4
+    for doc_id, r in rows.items():
+        if doc_id % 2 == 0:
+            assert r["media_data"] is None and r["media_meta"] is None
+        else:
+            assert r["media_meta"]["width"] == 4
+            assert r["media_meta"]["height"] == 3
+
+
 def test_id_collision_rejected(spark):
     import pytest as _pytest
 
