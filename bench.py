@@ -135,6 +135,13 @@ def previous_round_bench(repo_dir: str) -> dict | None:
         }
         if queries:
             out: dict = {"queries": queries}
+            # flagged-query names survive truncation too (the regressions
+            # block prints AFTER the queries): min-of-3 targeting works
+            # even when the driver clipped the head of the JSON line
+            if '"regressions"' in tail:
+                reg_seg = tail.split('"regressions"', 1)[1]
+                flagged = re.findall(r'"(q\d+[a-z_0-9]*)":\s*\{', reg_seg)
+                out["regressions"] = {k: {} for k in flagged}
             c = re.search(r'"calibration_sec":\s*([0-9.]+)', tail)
             if c:
                 out["calibration_sec"] = float(c.group(1))
@@ -236,6 +243,20 @@ def main() -> int:
     calibration = round(min(samples[1:]), 3)
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+
+    # Queries the PREVIOUS round flagged as regressions get one extra
+    # sample this round (min-of-3): a flag is either real (all three
+    # samples stay high) or neighbor noise (one clean sample clears it) —
+    # the judge's r8 ask after q02 flagged +107% on untouched code. The
+    # estimator is still "min of the samples", so min2-recorded rounds
+    # stay comparable; extra samples only tighten it.
+    prev_blob_early = previous_round_bench(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    prev_flagged = set(
+        (prev_blob_early or {}).get("regressions", {}) or {}
+    )
 
     # Warm the session table cache ONCE, and charge its full cost to the
     # bench total as its own line item: every per-query number below is a
@@ -244,22 +265,32 @@ def main() -> int:
     t0 = time.monotonic()
     warm_catalog(spark, SF_DIR, eager=True)
     timings["catalog_warm"] = round(time.monotonic() - t0, 3)
-    # Min-of-2 per query: the bench host is multi-tenant and single-shot
-    # wall times vary up to 6x under neighbor load (r7: q53 measured 23 s
-    # in one shot, 3.7 s steady-state). The min of two runs is a far
-    # tighter estimator of the code's actual cost than one sample, and the
-    # second run is skipped once a query exceeds 10 s — bounding the added
-    # bench time while still stabilizing every entry that matters for
-    # regression comparison.
+    # Min-of-2 per query (min-of-3 when flagged last round): the bench
+    # host is multi-tenant and single-shot wall times vary up to 6x under
+    # neighbor load (r7: q53 measured 23 s in one shot, 3.7 s
+    # steady-state). The min of the runs is a far tighter estimator of the
+    # code's actual cost than one sample. The second sample is ALWAYS
+    # taken unless the first ran over 60 s — r9 found the old 10 s
+    # skip-retry rule recorded a neighbor-noise 3x number for any query it
+    # inflated past 10 s, exactly the queries a regression check cares
+    # about; third samples (flagged queries only) still stop at 10 s. The
+    # per-query relative spread ((max-min)/min over the samples) is
+    # reported so a noisy host is visible IN the artifact, not inferred
+    # afterwards.
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        _run_noop(QUERIES[name](spark, SF_DIR))
-        first = time.monotonic() - t0
-        if first <= 10.0:
+        n_runs = 3 if name in prev_flagged else 2
+        samples: list[float] = []
+        for i in range(n_runs):
             t0 = time.monotonic()
             _run_noop(QUERIES[name](spark, SF_DIR))
-            first = min(first, time.monotonic() - t0)
-        timings[name] = round(first, 3)
+            samples.append(time.monotonic() - t0)
+            if samples[-1] > (60.0 if i == 0 else 10.0):
+                break
+        timings[name] = round(min(samples), 3)
+        if len(samples) > 1:
+            spread[name] = round(
+                (max(samples) - min(samples)) / min(samples), 3
+            )
 
     # Incremental near-dup admission: probe a full sf batch against a
     # same-size signature store (the ingestion-gate cost a 100 TB corpus
@@ -289,6 +320,9 @@ def main() -> int:
         finally:
             shutil.rmtree(store_dir, ignore_errors=True)
     timings["incremental_admit"] = round(min(admit_samples), 3)
+    spread["incremental_admit"] = round(
+        (max(admit_samples) - min(admit_samples)) / min(admit_samples), 3
+    )
 
     # Warm ANN latency: fit once, cache, then repeated point queries
     # (the reference's interactive get_recommendations loop).
@@ -360,9 +394,7 @@ def main() -> int:
         3,
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    prev_blob = previous_round_bench(
-        os.path.dirname(os.path.abspath(__file__))
-    )
+    prev_blob = prev_blob_early
     # Only compare same-methodology rounds (see BENCH_METHOD): a min-of-2
     # number vs a single-shot one differs by the noise term, not the code.
     comparable = (
@@ -392,6 +424,8 @@ def main() -> int:
         "ref_scale_method": REF_SCALE_METHOD,
         "calibration_sec": calibration,
         "calibration_ratio_vs_prev": round(cal_ratio, 3),
+        "query_spread": spread,
+        "extra_sampled": sorted(prev_flagged & set(timings)),
         "regressions": compute_regressions(
             prev, timings, calibration_ratio=cal_ratio
         ),
