@@ -209,11 +209,31 @@ def _sig_agreement(a, b):
     )
 
 
-def _probe_doc_store(
-    bands: DataFrame, store: DataFrame, sim_threshold: float
+def _intra_rejects(bands: DataFrame, *, key: str, sim, threshold) -> DataFrame:
+    """Within-batch rejection: distinct ids whose similarity to ANY
+    smaller-id batch row sharing a band meets the threshold (the
+    greedy-by-id rule of the module docstring). ``sim`` maps the two join
+    alias prefixes to the similarity Column."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{key}") > F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias(key), sim("a", "b").alias("est"))
+        .filter(F.col("est") >= threshold)
+        .select(key)
+        .distinct()
+    )
+
+
+def _probe_store(
+    bands: DataFrame, store: DataFrame, *, key: str, sim, threshold
 ) -> DataFrame:
-    """Store-probe join for documents: batch band rows vs stored band rows,
-    agreement-thresholded, distinct rejected doc_ids. The redundant
+    """Store-probe join: batch band rows vs stored band rows,
+    similarity-thresholded, distinct rejected ids. The redundant
     band_pfx equality (implied by band_val equality) feeds dynamic
     partition pruning on the partitioned store scan — the plan shape
     tests/test_incremental_dedup.py pins."""
@@ -224,16 +244,94 @@ def _probe_doc_store(
             (F.col("n.band_pfx") == F.col("s.band_pfx"))
             & (F.col("n.band_idx") == F.col("s.band_idx"))
             & (F.col("n.band_val") == F.col("s.band_val"))
-            & (F.col("n.doc_id") != F.col("s.doc_id")),
+            & (F.col(f"n.{key}") != F.col(f"s.{key}")),
         )
-        .select(
-            F.col("n.doc_id").alias("doc_id"),
-            _sig_agreement(F.col("n.sig"), F.col("s.sig")).alias("est"),
-        )
-        .filter(F.col("est") >= sim_threshold)
-        .select("doc_id")
+        .select(F.col(f"n.{key}").alias(key), sim("n", "s").alias("est"))
+        .filter(F.col("est") >= threshold)
+        .select(key)
         .distinct()
     )
+
+
+def _admit_batch(
+    spark: SparkSession,
+    source: DataFrame,
+    bands: DataFrame,
+    store_path: str,
+    *,
+    id_col: str,
+    key: str,
+    sim,
+    threshold: float,
+    pfx_fn,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """The admission skeleton both stores share (r8 ADVICE: it was
+    duplicated and drifting): checkpoint the band rows, reject
+    within-batch smaller-id matches and store matches, anti-join the
+    survivors, merge their signatures into the store. ``source`` is the
+    frame whose surviving rows are returned; ``bands`` its band rows
+    keyed ``key``; ``sim`` the alias-prefix → similarity-Column factory
+    shared by the intra and probe joins."""
+    with reliable_checkpoint_scope(spark, checkpoint_dir) as _ckpt:
+        bands = _ckpt(bands)
+
+        intra = _intra_rejects(bands, key=key, sim=sim, threshold=threshold)
+
+        # Only a MISSING store is bootstrap (AnalysisException on the read,
+        # caught narrowly around the read alone). Any other failure —
+        # corrupt footer, permissions, schema drift — must raise: swallowing
+        # it would silently disable cross-batch rejection and admit dups.
+        store = _read_store(spark, store_path)
+        # legacy (pre-band_pfx) stores keep their flat layout on merge —
+        # band_pfx becomes a plain column; rewrite/compact to gain pruning
+        legacy = store is not None and "band_pfx" not in store.columns
+        if store is not None:
+            store = _maybe_pruned_store(
+                spark, store, store_path, bands, pfx_fn
+            )
+            hits = _probe_store(
+                bands, store, key=key, sim=sim, threshold=threshold
+            )
+            rejected = intra.unionByName(hits).distinct()
+        else:
+            rejected = intra
+
+        admitted = _ckpt(
+            source.join(
+                rejected.withColumnRenamed(key, id_col),
+                id_col,
+                "left_anti",
+            )
+        )
+
+        admitted_bands = bands.join(
+            admitted.select(F.col(id_col).alias(key)),
+            key,
+            "left_semi",
+        )
+        # stable_partition_keys: band_pfx is a pure function of band_val,
+        # and the admission contract (docstring) only replays identical
+        # content per id — a key can never migrate partitions, so the
+        # merge skips the old-partition discovery scan of the store.
+        # Legacy stores stay PURE legacy (no band_pfx column at all):
+        # merging the column in would null-fill it on pre-existing rows,
+        # and a half-populated prefix column poisons the pruned probe
+        # (NULL rows silently escape both the IN filter and the join).
+        merge_upsert_parquet(
+            spark,
+            admitted_bands.drop("band_pfx") if legacy else admitted_bands,
+            store_path,
+            key_cols=[key, "band_idx"],
+            partition_by=None if legacy else ["band_pfx"],
+            stable_partition_keys=True,
+            out_files_per_partition=STORE_FILES_PER_PARTITION,
+        )
+        if checkpoint_dir is not None:
+            # detach onto local blocks before the scope deletes this run's
+            # reliable files on exit
+            admitted = admitted.localCheckpoint(eager=True)
+        return admitted
 
 
 def admit_new_documents(
@@ -258,82 +356,20 @@ def admit_new_documents(
     exception and converge idempotently). ``checkpoint_dir`` selects
     reliable checkpointing for the two lineage barriers (module docstring).
     """
-    with reliable_checkpoint_scope(spark, checkpoint_dir) as _ckpt:
-        bands = _ckpt(_band_rows(new_docs, id_col, text_col, k))
-
-        # -- within-batch rejection: any doc agreeing with a SMALLER id ----
-        a, b = bands.alias("a"), bands.alias("b")
-        intra = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_val") == F.col("b.band_val"))
-                & (F.col("a.doc_id") > F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_id"),
-                _sig_agreement(F.col("a.sig"), F.col("b.sig")).alias("est"),
-            )
-            .filter(F.col("est") >= sim_threshold)
-            .select("doc_id")
-            .distinct()
-        )
-
-        # -- store rejection: any agreement with a different stored doc ----
-        # Only a MISSING store is bootstrap (AnalysisException on the read,
-        # caught narrowly around the read alone). Any other failure —
-        # corrupt footer, permissions, schema drift — must raise: swallowing
-        # it would silently disable cross-batch rejection and admit dups.
-        # The redundant band_pfx equality (implied by band_val equality)
-        # feeds dynamic partition pruning on the partitioned store scan.
-        store = _read_store(spark, store_path)
-        # legacy (pre-band_pfx) stores keep their flat layout on merge —
-        # band_pfx becomes a plain column; rewrite/compact to gain pruning
-        legacy = store is not None and "band_pfx" not in store.columns
-        if store is not None:
-            store = _maybe_pruned_store(
-                spark, store, store_path, bands, _doc_band_pfx
-            )
-            hits = _probe_doc_store(bands, store, sim_threshold)
-            rejected = intra.unionByName(hits).distinct()
-        else:
-            rejected = intra
-
-        admitted = _ckpt(
-            new_docs.join(
-                rejected.withColumnRenamed("doc_id", id_col),
-                id_col,
-                "left_anti",
-            )
-        )
-
-        admitted_bands = bands.join(
-            admitted.select(F.col(id_col).alias("doc_id")),
-            "doc_id",
-            "left_semi",
-        )
-        # stable_partition_keys: band_pfx is a pure function of band_val,
-        # and the admission contract (docstring) only replays identical
-        # content per id — a key can never migrate partitions, so the
-        # merge skips the old-partition discovery scan of the store.
-        # Legacy stores stay PURE legacy (no band_pfx column at all):
-        # merging the column in would null-fill it on pre-existing rows,
-        # and a half-populated prefix column poisons the pruned probe
-        # (NULL rows silently escape both the IN filter and the join).
-        merge_upsert_parquet(
-            spark,
-            admitted_bands.drop("band_pfx") if legacy else admitted_bands,
-            store_path,
-            key_cols=["doc_id", "band_idx"],
-            partition_by=None if legacy else ["band_pfx"],
-            stable_partition_keys=True,
-            out_files_per_partition=STORE_FILES_PER_PARTITION,
-        )
-        if checkpoint_dir is not None:
-            # detach onto local blocks before the scope deletes this run's
-            # reliable files on exit
-            admitted = admitted.localCheckpoint(eager=True)
-        return admitted
+    return _admit_batch(
+        spark,
+        new_docs,
+        _band_rows(new_docs, id_col, text_col, k),
+        store_path,
+        id_col=id_col,
+        key="doc_id",
+        sim=lambda l, r: _sig_agreement(
+            F.col(f"{l}.sig"), F.col(f"{r}.sig")
+        ),
+        threshold=sim_threshold,
+        pfx_fn=_doc_band_pfx,
+        checkpoint_dir=checkpoint_dir,
+    )
 
 
 # --- embedding twin: SRP bands + int8 signatures ----------------------------
@@ -369,34 +405,6 @@ def _embedding_band_rows(
     return banded.select(
         "vec_id", "qvec", F.posexplode("bands").alias("band_idx", "band_val")
     ).withColumn("band_pfx", _emb_band_pfx("band_val"))
-
-
-def _probe_emb_store(
-    bands: DataFrame, store: DataFrame, cos_threshold: float
-) -> DataFrame:
-    """Store-probe join for embeddings (int8 cosine; see _probe_doc_store
-    for the band_pfx pruning rationale)."""
-    from movie_recommendation_etl_spark.functions.vectors import (
-        cosine_quantized,
-    )
-
-    return (
-        bands.alias("n")
-        .join(
-            store.alias("s"),
-            (F.col("n.band_pfx") == F.col("s.band_pfx"))
-            & (F.col("n.band_idx") == F.col("s.band_idx"))
-            & (F.col("n.band_val") == F.col("s.band_val"))
-            & (F.col("n.vec_id") != F.col("s.vec_id")),
-        )
-        .select(
-            F.col("n.vec_id").alias("vec_id"),
-            cosine_quantized(F.col("n.qvec"), F.col("s.qvec")).alias("cos"),
-        )
-        .filter(F.col("cos") >= cos_threshold)
-        .select("vec_id")
-        .distinct()
-    )
 
 
 def admit_new_embeddings(
@@ -436,61 +444,17 @@ def admit_new_embeddings(
         & F.exists(vec_col, lambda x: x != 0)
     )
 
-    with reliable_checkpoint_scope(spark, checkpoint_dir) as _ckpt:
-        bands = _ckpt(_embedding_band_rows(valid, id_col, vec_col, dim))
-
-        a, b = bands.alias("a"), bands.alias("b")
-        intra = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_val") == F.col("b.band_val"))
-                & (F.col("a.vec_id") > F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("vec_id"),
-                cosine_quantized(
-                    F.col("a.qvec"), F.col("b.qvec")
-                ).alias("cos"),
-            )
-            .filter(F.col("cos") >= cos_threshold)
-            .select("vec_id")
-            .distinct()
-        )
-
-        store = _read_store(spark, store_path)
-        legacy = store is not None and "band_pfx" not in store.columns
-        if store is not None:
-            store = _maybe_pruned_store(
-                spark, store, store_path, bands, _emb_band_pfx
-            )
-            hits = _probe_emb_store(bands, store, cos_threshold)
-            rejected = intra.unionByName(hits).distinct()
-        else:
-            rejected = intra
-
-        admitted = _ckpt(
-            valid.join(
-                rejected.withColumnRenamed("vec_id", id_col),
-                id_col,
-                "left_anti",
-            )
-        )
-
-        admitted_bands = bands.join(
-            admitted.select(F.col(id_col).alias("vec_id")),
-            "vec_id",
-            "left_semi",
-        )
-        merge_upsert_parquet(
-            spark,
-            admitted_bands.drop("band_pfx") if legacy else admitted_bands,
-            store_path,
-            key_cols=["vec_id", "band_idx"],
-            partition_by=None if legacy else ["band_pfx"],
-            stable_partition_keys=True,
-            out_files_per_partition=STORE_FILES_PER_PARTITION,
-        )
-        if checkpoint_dir is not None:
-            admitted = admitted.localCheckpoint(eager=True)
-        return admitted
+    return _admit_batch(
+        spark,
+        valid,
+        _embedding_band_rows(valid, id_col, vec_col, dim),
+        store_path,
+        id_col=id_col,
+        key="vec_id",
+        sim=lambda l, r: cosine_quantized(
+            F.col(f"{l}.qvec"), F.col(f"{r}.qvec")
+        ),
+        threshold=cos_threshold,
+        pfx_fn=_emb_band_pfx,
+        checkpoint_dir=checkpoint_dir,
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from movie_recommendation_etl_spark.operators.incremental_dedup import (
@@ -249,8 +250,9 @@ def test_store_partition_pruned_probe(spark, tmp_path):
     from movie_recommendation_etl_spark.operators.incremental_dedup import (
         _band_rows,
         _doc_band_pfx,
-        _probe_doc_store,
+        _probe_store,
         _pruned_store,
+        _sig_agreement,
         _with_band_pfx,
     )
 
@@ -270,7 +272,13 @@ def test_store_partition_pruned_probe(spark, tmp_path):
         _with_band_pfx(spark.read.parquet(store), _doc_band_pfx), bands
     )
     plan = (
-        _probe_doc_store(bands, pruned, 0.7)
+        _probe_store(
+            bands, pruned, key="doc_id",
+            sim=lambda l, r: _sig_agreement(
+                F.col(f"{l}.sig"), F.col(f"{r}.sig")
+            ),
+            threshold=0.7,
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -387,8 +395,9 @@ def test_store_compaction_preserves_admission_semantics(spark, tmp_path):
     from movie_recommendation_etl_spark.operators.incremental_dedup import (
         _band_rows,
         _doc_band_pfx,
-        _probe_doc_store,
+        _probe_store,
         _pruned_store,
+        _sig_agreement,
         _with_band_pfx,
     )
     from movie_recommendation_etl_spark.sources.compact import (
@@ -439,7 +448,13 @@ def test_store_compaction_preserves_admission_semantics(spark, tmp_path):
         _with_band_pfx(spark.read.parquet(store), _doc_band_pfx), bands
     )
     plan = (
-        _probe_doc_store(bands, pruned, 0.7)
+        _probe_store(
+            bands, pruned, key="doc_id",
+            sim=lambda l, r: _sig_agreement(
+                F.col(f"{l}.sig"), F.col(f"{r}.sig")
+            ),
+            threshold=0.7,
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
