@@ -74,6 +74,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q77_pack_sequences",
     "q78_substring_dedup",
     "q79_perplexity_band",
+    "q80_trainprep_composed",
 )
 
 

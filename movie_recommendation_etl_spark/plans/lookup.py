@@ -27,7 +27,8 @@ from movie_recommendation_etl_spark.sources.writers import write_csv
     "q33_lookup_expr_suite",
     oracle=f"""
     SELECT c_custkey, c_name, c_nationkey, c_acctbal, revenue, n_rows,
-           o_orderpriority, n_orders
+           o_orderpriority, n_orders,
+           n_regionkey, n_nations, first_name, last_name
     FROM (
         SELECT c_custkey, c_name, c_nationkey, c_acctbal
         FROM customer WHERE c_custkey = 42
@@ -43,6 +44,11 @@ from movie_recommendation_etl_spark.sources.writers import write_csv
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         )
         GROUP BY o_orderpriority
+    ) CROSS JOIN (
+        SELECT n_regionkey, count(*) AS n_nations,
+               min(n_name) AS first_name, max(n_name) AS last_name
+        FROM nation
+        GROUP BY n_regionkey
     )
     """,
 )
@@ -58,8 +64,13 @@ def q33_lookup_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     execute.ipynb:547) over a TPC-H-Q6-shaped aggregate. F7: an
     IN-subquery through spark.sql (the reference has no SQL entry point —
     SURVEY §2.11); Catalyst rewrites the IN to a left-semi join and
-    auto-broadcasts the dimension side. The combine is a 1-row × 1-row ×
-    5-row cross join — every scan keeps its pushed filters."""
+    auto-broadcasts the dimension side. S3 (folded-in q36, r9 slot
+    consolidation): nation written to CSV with the robust dialect and read
+    back with an explicit schema (never inferSchema — a second full pass
+    at scale, SURVEY §1), then aggregated; the oracle reads the parquet
+    original, so this arm passes only if the round-trip is lossless. The
+    combine is a 1 × 1 × 5 × 5-row cross join — every scan keeps its
+    pushed filters."""
     cust = load_table(spark, sf_dir, "customer")
     lookup = cust.filter(F.col("c_custkey") == 42).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
@@ -83,31 +94,15 @@ def q33_lookup_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
-    return lookup.crossJoin(rev).crossJoin(prio)
-
-
-@query(
-    "q36_csv_roundtrip_scan",
-    oracle="""
-    SELECT n_regionkey, count(*) AS n_nations,
-           min(n_name) AS first_name, max(n_name) AS last_name
-    FROM nation
-    GROUP BY n_regionkey
-    """,
-)
-def q36_csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: write nation to CSV with the robust dialect, read it back with an
-    explicit schema (never inferSchema — a second full pass at scale,
-    SURVEY §1), and aggregate. Oracle reads the parquet original — the gate
-    passes only if the CSV round-trip is lossless."""
     nation = load_table(spark, sf_dir, "nation")
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_csv_nation_{os.path.basename(sf_dir)}"
     )
     write_csv(nation, path)
     back = read_csv_robust(spark, path, schema=nation.schema)
-    return back.groupBy("n_regionkey").agg(
+    csv_agg = back.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_name"),
         F.max("n_name").alias("last_name"),
     )
+    return lookup.crossJoin(rev).crossJoin(prio).crossJoin(csv_agg)

@@ -92,10 +92,15 @@ def _planted_text() -> "F.Column":
     )
 
 
-@query(
-    "q72_curate_pipeline",
-    oracle=f"""
-    WITH {_SQL_PLANT},
+def _sql_curated_ctes(langs_sql: str = "'en'", min_quality: float = 0.5) -> str:
+    """The full curation chain (plant → score → filter → redact → dedup →
+    sample) as reusable CTEs ending in ``curated(doc_id, rtext, lang,
+    quality, n_tokens)`` — q72 gates it directly at the strict settings;
+    q80 chains chunking and packing on top of the same construction with a
+    permissive lang/quality gate (volume for the downstream stages; the
+    strict-filter behavior is q72's own job)."""
+    return f"""
+    {_SQL_PLANT},
     corpus AS (
         SELECT doc_id, text FROM planted0
         UNION ALL
@@ -130,7 +135,7 @@ def _planted_text() -> "F.Column":
     ),
     filtered AS (
         SELECT doc_id, text, n_tokens, lang, quality FROM scored
-        WHERE lang IN ('en') AND quality >= 0.5
+        WHERE lang IN ({langs_sql}) AND quality >= {min_quality}
           AND dup_tok <= 0.6 AND dup2 <= 0.8
     ),
     red AS (
@@ -147,12 +152,23 @@ def _planted_text() -> "F.Column":
                                          '[^a-z0-9]+', ' ', 'g')))
                    ORDER BY doc_id) AS rn
         FROM red
+    ),
+    curated AS (
+        SELECT doc_id, rtext, lang, quality, n_tokens
+        FROM ranked
+        WHERE rn = 1
+          AND CAST({_sql_hex8_to_bigint("md5(CAST(doc_id AS VARCHAR))")}
+                   AS DOUBLE) / 4294967296.0 < 0.5
     )
+"""
+
+
+@query(
+    "q72_curate_pipeline",
+    oracle=f"""
+    WITH {_sql_curated_ctes()}
     SELECT doc_id, md5(rtext) AS text_md5, lang, quality, n_tokens
-    FROM ranked
-    WHERE rn = 1
-      AND CAST({_sql_hex8_to_bigint("md5(CAST(doc_id AS VARCHAR))")}
-               AS DOUBLE) / 4294967296.0 < 0.5
+    FROM curated
     """,
 )
 def q72_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,17 +222,20 @@ _OVERLAP = 8
 _STEP = _CHUNK_TOKENS - _OVERLAP
 
 
-@query(
-    "q73_chunk_documents",
-    oracle=f"""
-    WITH t AS (
+def _sql_chunk_ctes(src: str, text_expr: str) -> str:
+    """The chunk_documents start-index arithmetic as reusable CTEs over
+    ``src(doc_id, {text_expr})``, ending in ``chunks(doc_id, chunk_idx,
+    chunk_md5, n_tokens)`` — q73 gates it against the raw documents; q80
+    chains it after curation. Uses the module chunk constants."""
+    return f"""
+    ctk AS (
         SELECT doc_id,
-               list_filter(string_split_regex(trim(text), '\\s+'),
+               list_filter(string_split_regex(trim({text_expr}), '\\s+'),
                            x -> x <> '') AS toks
-        FROM documents
+        FROM {src}
     ),
-    s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-    st AS (
+    csz AS (SELECT doc_id, toks, len(toks) AS n FROM ctk),
+    cst AS (
         SELECT doc_id, toks, n,
                CASE WHEN n <= 0 THEN []
                     ELSE list_filter(
@@ -226,20 +245,32 @@ _STEP = _CHUNK_TOKENS - _OVERLAP
                             i -> i * {_STEP}),
                         x -> x = 0 OR x + {_OVERLAP} < n)
                END AS starts
-        FROM s
+        FROM csz
     ),
-    ex AS (
+    cex AS (
         SELECT doc_id, toks, n,
                unnest(list_transform(range(1, len(starts) + 1),
                       i -> {{'ci': i - 1, 'st': starts[i]}})) AS c
-        FROM st
+        FROM cst
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(c.ci AS INTEGER) AS chunk_idx,
+               md5(array_to_string(toks[c.st + 1 : c.st + {_CHUNK_TOKENS}],
+                                   ' ')) AS chunk_md5,
+               least({_CHUNK_TOKENS}, n - c.st) AS n_tokens
+        FROM cex
     )
-    SELECT doc_id,
-           CAST(c.ci AS INTEGER) AS chunk_idx,
-           md5(array_to_string(toks[c.st + 1 : c.st + {_CHUNK_TOKENS}], ' '))
-               AS chunk_md5,
-           CAST(least({_CHUNK_TOKENS}, n - c.st) AS INTEGER) AS n_tokens
-    FROM ex
+    """
+
+
+@query(
+    "q73_chunk_documents",
+    oracle=f"""
+    WITH {_sql_chunk_ctes("documents", "text")}
+    SELECT doc_id, chunk_idx, chunk_md5,
+           CAST(n_tokens AS INTEGER) AS n_tokens
+    FROM chunks
     """,
 )
 def q73_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,3 +926,128 @@ def q79_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_band(
         target, trusted, keep_fraction=_Q79_KEEP
     ).select("doc_id", "n_tokens", "n_oov", "cross_entropy")
+
+
+# ---------------------------------------------------------------------------
+# q80: the trainprep COMPOSITION itself (curate → chunk → pack), oracle-gated
+# ---------------------------------------------------------------------------
+
+_Q80_SEQ_LEN = 128
+_Q80_SHARDS = 8
+
+
+@query(
+    "q80_trainprep_composed",
+    oracle=f"""
+    WITH {_sql_curated_ctes(langs_sql="'en','other'", min_quality=0.3)},
+    {_sql_chunk_ctes("curated", "rtext")},
+    keyed AS (
+        SELECT doc_id, chunk_idx, chunk_md5,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               {_sql_hex8_to_bigint("md5(CAST(doc_id AS VARCHAR))")} AS key
+        FROM chunks
+    ),
+    sh AS (
+        SELECT *, CAST(key % {_Q80_SHARDS} AS INTEGER) AS shard FROM keyed
+    ),
+    co AS (
+        SELECT shard, doc_id, chunk_idx, chunk_md5, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY key, doc_id, chunk_idx
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        FROM sh
+    ),
+    bo AS (
+        SELECT shard, doc_id, chunk_idx, chunk_md5, n_tokens, end_off,
+               end_off - n_tokens AS start_off
+        FROM co
+    ),
+    ex2 AS (
+        SELECT shard, doc_id, chunk_idx, chunk_md5, start_off, end_off,
+               unnest(range(start_off // {_Q80_SEQ_LEN},
+                            (end_off - 1) // {_Q80_SEQ_LEN} + 1)) AS seq_idx
+        FROM bo
+    )
+    SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx, doc_id, chunk_idx,
+           chunk_md5,
+           greatest(CAST(0 AS BIGINT),
+                    seq_idx * {_Q80_SEQ_LEN} - start_off) AS slice_start,
+           greatest(start_off, seq_idx * {_Q80_SEQ_LEN})
+               - seq_idx * {_Q80_SEQ_LEN} AS offset_in_seq,
+           least(end_off, (seq_idx + 1) * {_Q80_SEQ_LEN})
+               - greatest(start_off, seq_idx * {_Q80_SEQ_LEN})
+               AS n_tokens_in_seq
+    FROM ex2
+    """,
+)
+def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainprep CLI's core composition under ONE hash gate (r8 VERDICT
+    #3): curate (lang/quality/repetition filters → mixed-case PII redaction
+    → exact dedup → deterministic 50% sample, the q72 construction) →
+    chunk_documents ({_CHUNK_TOKENS}-token chunks, {_OVERLAP} overlap, the
+    q73 construction) → pack_sequences ({_Q80_SEQ_LEN}-token sequences in
+    {_Q80_SHARDS} md5-keyed shards, the q77 construction with the chunked
+    compound key). The stages are individually gated by q72/q73/q77; this
+    gate proves the COMPOSITION — chunking runs on the redacted survivor
+    text, packing on the chunk stream — with per-chunk content lineage:
+    each packed slice carries the md5 of its chunk's text, smuggled through
+    pack_sequences' ``chunk_col`` as a (chunk_idx, chunk_md5) struct so the
+    whole thing stays ONE pipeline (no re-read, no join, one window).
+
+    Scale shape is the sum of its parts: scan-stage curation filters ahead
+    of the single dedup shuffle, chunk explode at scan, one
+    hash-partitioned window for pack offsets. A 100 TB corpus pays three
+    shuffles total (dedup keys, sample-survivor pack keys, window sort)."""
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        pack_sequences,
+    )
+    from movie_recommendation_etl_spark.plans.curation import md5_hex8_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn("text", _planted_text())
+    corpus = planted.unionByName(
+        planted.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    unif = md5_hex8_long("doc_id").cast("double") / F.lit(4294967296.0)
+    curated = curate_documents(
+        corpus,
+        langs=("en", "other"),
+        min_quality=0.3,
+        max_dup_token_frac=0.6,
+        max_dup_2gram_frac=0.8,
+        redact_pii=True,
+        dedup=True,
+        sample_fraction=0.5,
+        sample_unif=unif,
+    )
+    ch = chunk_documents(
+        curated.select("doc_id", "text"),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap_tokens=_OVERLAP,
+    )
+    withck = ch.select(
+        "doc_id",
+        F.struct(
+            F.col("chunk_idx"), F.md5("chunk_text").alias("chunk_md5")
+        ).alias("ck"),
+        "n_tokens",
+    )
+    packed = pack_sequences(
+        withck,
+        id_col="doc_id",
+        count_col="n_tokens",
+        chunk_col="ck",
+        seq_len=_Q80_SEQ_LEN,
+        num_shards=_Q80_SHARDS,
+        order_key=md5_hex8_long("doc_id"),
+    )
+    return packed.select(
+        "shard",
+        "seq_idx",
+        "doc_id",
+        F.col("ck.chunk_idx").alias("chunk_idx"),
+        F.col("ck.chunk_md5").alias("chunk_md5"),
+        "slice_start",
+        "offset_in_seq",
+        "n_tokens_in_seq",
+    )

@@ -135,6 +135,17 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     assert "Generate explode" in plan
 
 
+def test_trainprep_composed_two_shuffles(spark, sf_dir):
+    """q80 (curate → chunk → pack composed): exactly two hash Exchanges —
+    the dedup window's partition on the normalized-text md5 and the pack
+    window's partition on shard. Curation filters, redaction, the sample,
+    and the chunk explode all ride scan stages; a third shuffle would move
+    the 100 TB token stream again for arithmetic."""
+    plan = _plan(spark, sf_dir, "q80_trainprep_composed")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Generate explode" in plan
+
+
 def test_perplexity_band_broadcasts_model(spark, sf_dir):
     """q79: the vocabulary-sized unigram model joins as a broadcast (a
     shuffled model join would re-shuffle the 100 TB token stream per
