@@ -359,9 +359,22 @@ def q74_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Store probe is an equi-join on (band_idx, band_val) against a store 3
     orders smaller than the corpus — the O(batch) ingestion-gate shape that
-    never re-reads admitted text at 100 TB."""
+    never re-reads admitted text at 100 TB.
+
+    Between the batches the store is deliberately FRAGMENTED (rewritten as
+    many small files per band_pfx partition) and then compacted
+    (sources/compact.py:compact_parquet) — r8 VERDICT #2: compaction
+    rewrites user data, the riskiest operator to leave off the oracle.
+    Batch 2 probes the compacted store, so a compaction that loses,
+    duplicates, or corrupts even one signature row changes the rejection
+    set and hash-fails this gate. The construction raises if the fragment
+    step failed to fragment (an empty compaction plan would mean the gate
+    silently stopped exercising the rewrite)."""
     from movie_recommendation_etl_spark.operators.incremental_dedup import (
         admit_new_documents,
+    )
+    from movie_recommendation_etl_spark.sources.compact import (
+        compact_parquet,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -374,6 +387,20 @@ def q74_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store = os.path.join(store_dir, "store")
         adm1 = admit_new_documents(spark, docs, store, sim_threshold=0.7)
+        # fragment: re-spread every partition over ~6 files (detach the
+        # content first — the write overwrites its own source files)
+        frag = spark.read.parquet(store).localCheckpoint(eager=True)
+        (
+            frag.repartition(6)
+            .write.mode("overwrite")
+            .partitionBy("band_pfx")
+            .parquet(store)
+        )
+        plans = compact_parquet(spark, store)
+        if not plans:
+            raise RuntimeError(
+                "q74 compaction interposition did not fragment the store"
+            )
         adm2 = admit_new_documents(spark, twins, store, sim_threshold=0.7)
         return (
             adm1.select(F.lit(1).alias("batch"), "doc_id")
