@@ -146,6 +146,10 @@ def session_window_agg(events: DataFrame) -> DataFrame:
     SELECT * FROM tumb
     UNION ALL SELECT * FROM slid
     UNION ALL SELECT * FROM sess
+    UNION ALL
+    SELECT 'tumbling_stream' AS arm, window_start, window_end, grp,
+           n_events, sum_value
+    FROM tumb
     """,
 )
 def q30_window_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,6 +166,11 @@ def q30_window_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``session``: F.session_window with a 4h inactivity gap; the oracle is
       the classic gaps-and-islands rewrite (lag → new-session marker →
       running sum → group). Spark's session end = last event + gap.
+
+    - ``tumbling_stream`` (r9): the tumbling arm's IDENTICAL expression
+      executed through the STREAMING engine (readStream → availableNow →
+      memory sink, complete mode) — streaming oracle parity under the same
+      hash gate; see _streamed_tumbling.
 
     Common schema (arm, window_start, window_end, grp, n_events, sum_value)
     with ``grp`` = event_type for the time-window arms and the user id for
@@ -194,7 +203,62 @@ def q30_window_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return tumb.unionByName(slid).unionByName(sess)
+    stream = _common(
+        _streamed_tumbling(spark, sf_dir),
+        "tumbling_stream",
+        F.col("event_type"),
+    )
+    return tumb.unionByName(slid).unionByName(sess).unionByName(stream)
+
+
+def _streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling arm executed through the STREAMING engine (r8 VERDICT
+    stretch: streaming oracle parity): the IDENTICAL tumbling_window_agg
+    expression applied to a readStream source, drained with an
+    availableNow trigger into a memory sink, and returned as the finished
+    result frame. Complete output mode (not append) because parity is the
+    point — append would withhold every window newer than the final
+    watermark, and this gate wants the streaming engine's FULL answer to
+    hash-match the batch oracle. dsum keeps the value sum decimal-exact and
+    order-independent across micro-batch state merges.
+
+    Unique sink names make concurrent/repeated invocations safe; the
+    memory table is copied off (localCheckpoint) and dropped before
+    returning, so the session accumulates no sink views."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from movie_recommendation_etl_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    # the file-stream source lists a DIRECTORY; the testdata table is a
+    # single parquet file — symlink it into a scratch dir (no copy)
+    stream_dir = tempfile.mkdtemp(prefix="spark_graft_q30_stream_")
+    try:
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stream_dir, "events.parquet"),
+        )
+        events = read_events_stream(spark, stream_dir)
+        name = f"q30_stream_{uuid.uuid4().hex}"
+        q = (
+            tumbling_window_agg(events)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.table(name).localCheckpoint(eager=True)
+        finally:
+            spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
 
 @query(
