@@ -176,6 +176,18 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
         sample_fraction=args.sample_fraction,
         extra_filter=extra_filter,
     )
+    base_curated = None
+    if args.trusted_path or args.eval_path or args.substring_dedup:
+        # Each optional stage below is a SELF-join (curated appears as both
+        # the stage input and the semi-join/rebuild left side), so without
+        # a persist the whole curation subtree re-executes once per branch
+        # — measured as two full __fp dedup shuffles in the q80 plan, and
+        # up to ~6 re-executions with all three stages on. Persist the
+        # curated base once; freed after the shard/pack writes.
+        from pyspark import StorageLevel
+
+        curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
+        base_curated = curated
     if args.trusted_path:
         # perplexity band filter between the rule-based quality gate and
         # decontamination (operators/perplexity.py): fit a unigram model on
@@ -262,6 +274,8 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
         spark, pack_dir, count_col="n_tokens_in_seq",
         extra={"seq_len": args.seq_len},
     )
+    if base_curated is not None:
+        base_curated.unpersist()
     print(
         json.dumps(
             {

@@ -967,7 +967,41 @@ _Q80_SHARDS = 8
     "q80_trainprep_composed",
     oracle=f"""
     WITH {_sql_curated_ctes(langs_sql="'en','other'", min_quality=0.3)},
-    {_sql_chunk_ctes("curated", "rtext")},
+    evd AS (
+        SELECT doc_id, text FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ),
+    ev_grams AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+            range(1, len(string_split(text, ' ')) - 3),
+            i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))))
+            AS gram
+        FROM evd
+    ),
+    cgr AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, len(string_split(rtext, ' ')) - 3),
+            i -> array_to_string(string_split(rtext, ' ')[i:i+4], ' ')))
+            AS grams
+        FROM curated
+    ),
+    chits AS (
+        SELECT t.doc_id, count(*) AS n_overlap
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM cgr) t
+        JOIN ev_grams e USING (gram)
+        GROUP BY t.doc_id
+    ),
+    decon AS (
+        SELECT c.doc_id, c.rtext
+        FROM curated c
+        JOIN cgr g USING (doc_id)
+        LEFT JOIN chits h USING (doc_id)
+        WHERE NOT (CASE WHEN len(g.grams) > 0
+                   THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                        / CAST(len(g.grams) AS DOUBLE)
+                   ELSE 0.0 END >= 0.05)
+    ),
+    {_sql_chunk_ctes("decon", "rtext")},
     keyed AS (
         SELECT doc_id, chunk_idx, chunk_md5,
                CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -1010,21 +1044,29 @@ _Q80_SHARDS = 8
 def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trainprep CLI's core composition under ONE hash gate (r8 VERDICT
     #3): curate (lang/quality/repetition filters → mixed-case PII redaction
-    → exact dedup → deterministic 50% sample, the q72 construction) →
-    chunk_documents ({_CHUNK_TOKENS}-token chunks, {_OVERLAP} overlap, the
-    q73 construction) → pack_sequences ({_Q80_SEQ_LEN}-token sequences in
-    {_Q80_SHARDS} md5-keyed shards, the q77 construction with the chunked
-    compound key). The stages are individually gated by q72/q73/q77; this
-    gate proves the COMPOSITION — chunking runs on the redacted survivor
-    text, packing on the chunk stream — with per-chunk content lineage:
-    each packed slice carries the md5 of its chunk's text, smuggled through
-    pack_sequences' ``chunk_col`` as a (chunk_idx, chunk_md5) struct so the
-    whole thing stays ONE pipeline (no re-read, no join, one window).
+    → exact dedup → deterministic 50% sample, the q72 construction at a
+    permissive lang/quality gate for volume) → benchmark DECONTAMINATION
+    (ngram_contamination vs the md5-hex-'0' eval slice, 5-grams, 0.05
+    ratio — the q76 construction; drops ~15% of curated docs, provably
+    active) → chunk_documents ({_CHUNK_TOKENS}-token chunks, {_OVERLAP}
+    overlap, the q73 construction) → pack_sequences ({_Q80_SEQ_LEN}-token
+    sequences in {_Q80_SHARDS} md5-keyed shards, the q77 construction with
+    the chunked compound key). The stages are individually gated by
+    q72/q76/q73/q77; this gate proves the COMPOSITION — decontamination
+    reads the redacted survivor text, chunking the decontaminated stream —
+    with per-chunk content lineage: each packed slice carries the md5 of
+    its chunk's text, smuggled through pack_sequences' ``chunk_col`` as a
+    (chunk_idx, chunk_md5) struct (no re-read, no extra join, one window).
 
-    Scale shape is the sum of its parts: scan-stage curation filters ahead
-    of the single dedup shuffle, chunk explode at scan, one
-    hash-partitioned window for pack offsets. A 100 TB corpus pays three
-    shuffles total (dedup keys, sample-survivor pack keys, window sort)."""
+    Scale shape: scan-stage curation filters ahead of the single dedup
+    shuffle; the curated base is materialized ONCE (localCheckpoint —
+    it feeds both the contamination verdicts and the semi-join left side;
+    without the barrier the curation subtree executes twice, measured as
+    a doubled __fp exchange); eval grams broadcast; then one small
+    gram-hit aggregation, the chunk explode at scan, and one
+    hash-partitioned window for pack offsets. A 100 TB corpus pays four
+    big-data shuffles total (dedup keys, gram hits, pack window, plus the
+    eval-gram distinct on the SMALL eval set)."""
     from movie_recommendation_etl_spark.operators.training_prep import (
         pack_sequences,
     )
@@ -1047,8 +1089,27 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_fraction=0.5,
         sample_unif=unif,
     )
+    # curated feeds BOTH the contamination verdicts and the semi-join left
+    # side — materialize it once (q74's pattern) or the whole curation
+    # subtree (incl. its dedup shuffle) executes twice in one action
+    curated = curated.localCheckpoint(eager=True)
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    ev = docs.filter(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 1) == "0"
+    )
+    verdicts = ngram_contamination(
+        curated, ev, n=5, ratio_threshold=0.05
+    )
+    decon = curated.join(
+        verdicts.filter(~F.col("is_contaminated")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
     ch = chunk_documents(
-        curated.select("doc_id", "text"),
+        decon.select("doc_id", "text"),
         chunk_tokens=_CHUNK_TOKENS,
         overlap_tokens=_OVERLAP,
     )

@@ -135,14 +135,17 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     assert "Generate explode" in plan
 
 
-def test_trainprep_composed_two_shuffles(spark, sf_dir):
-    """q80 (curate → chunk → pack composed): exactly two hash Exchanges —
-    the dedup window's partition on the normalized-text md5 and the pack
-    window's partition on shard. Curation filters, redaction, the sample,
-    and the chunk explode all ride scan stages; a third shuffle would move
-    the 100 TB token stream again for arithmetic."""
+def test_trainprep_composed_shuffle_shape(spark, sf_dir):
+    """q80 (curate → decontaminate → chunk → pack composed): the final
+    (post-checkpoint) plan holds exactly three hash Exchanges — the
+    gram-hit aggregation on doc_id, the eval-gram distinct (small side),
+    and the pack window's shard partition — plus broadcast exchanges for
+    the eval grams and verdict semi-join; the curation dedup shuffle runs
+    ONCE inside the checkpointed segment. More exchanges here would mean
+    the curation subtree started re-executing per branch again."""
     plan = _plan(spark, sf_dir, "q80_trainprep_composed")
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "BroadcastExchange" in plan
     assert "Generate explode" in plan
 
 
