@@ -835,6 +835,82 @@ _Q79_KEEP = 0.7
 _Q79_SQL_LOG2 = "ln({x}) / ln(2.0)"
 
 
+def _sql_perplexity_band_ctes(
+    trusted_rel: str,
+    target_rel: str,
+    *,
+    trusted_text: str = "text",
+    target_text: str = "text",
+    keep: float = _Q79_KEEP,
+) -> str:
+    """The perplexity_band scoring chain (fit add-one unigram model on
+    ``trusted_rel`` → score ``target_rel`` → quantile cut) as reusable
+    CTEs ending in ``pagg(doc_id, n_tokens, n_oov, cross_entropy)``,
+    ``pcut(c)`` and ``pband(doc_id)`` (the kept set). q79 gates the scores
+    directly; q80 chains the band filter inside the composed lifecycle.
+    Exactness bridges (ln/ln2 log2, VARCHAR decimal sums) documented at
+    the q79 call site."""
+    return f"""
+    ptok AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(trim({trusted_text}), '\\s+'),
+                   t -> t <> '')) AS token
+        FROM {trusted_rel}
+    ),
+    pcounts AS (SELECT token, count(*) AS cnt FROM ptok GROUP BY token),
+    ptot AS (
+        SELECT CAST(sum(cnt) + count(*) + 1 AS DOUBLE) AS denom
+        FROM pcounts
+    ),
+    pmodel AS (
+        SELECT token,
+               {_Q79_SQL_LOG2.format(x="CAST(cnt + 1 AS DOUBLE) / t.denom")}
+                   AS log2p
+        FROM pcounts CROSS JOIN ptot t
+    ),
+    pdtok AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(trim({target_text}), '\\s+'),
+                   t -> t <> '')) AS token
+        FROM {target_rel}
+    ),
+    pscored AS (
+        SELECT d.doc_id,
+               COALESCE(m.log2p,
+                        {_Q79_SQL_LOG2.format(x="1.0 / t.denom")}) AS log2p,
+               CASE WHEN m.log2p IS NULL THEN 1 ELSE 0 END AS oov
+        FROM pdtok d
+        LEFT JOIN pmodel m USING (token)
+        CROSS JOIN ptot t
+    ),
+    pagg AS (
+        -- Two DuckDB/Spark cast-semantics gaps, both bridged via VARCHAR:
+        -- (1) Spark's DOUBLE -> DECIMAL parses the double's SHORTEST
+        -- round-trip string while DuckDB expands the exact binary value,
+        -- so at scale 18 they disagree past the 17th significant digit;
+        -- (2) DuckDB's DECIMAL -> DOUBLE divides the int128 in floating
+        -- point (not correctly rounded) while Spark's BigDecimal path is.
+        -- VARCHAR round-trips are exact-digit on both sides and
+        -- string -> double parsing is correctly rounded everywhere.
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               -(CAST(CAST(sum(CAST(CAST(log2p AS VARCHAR)
+                                    AS DECIMAL(38,18))) AS VARCHAR)
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS cross_entropy
+        FROM pscored GROUP BY doc_id
+    ),
+    pcut AS (
+        SELECT quantile_cont(cross_entropy, {keep}) AS c FROM pagg
+    ),
+    pband AS (
+        SELECT doc_id FROM pagg CROSS JOIN pcut WHERE cross_entropy <= pcut.c
+    )
+    """
+
+
 @query(
     "q79_perplexity_band",
     oracle=f"""
@@ -852,62 +928,9 @@ _Q79_SQL_LOG2 = "ln({x}) / ln(2.0)"
                     ELSE text END AS text
         FROM split WHERE NOT is_trusted
     ),
-    ttok AS (
-        SELECT unnest(list_filter(
-                   regexp_split_to_array(trim(text), '\\s+'),
-                   t -> t <> '')) AS token
-        FROM trusted
-    ),
-    counts AS (SELECT token, count(*) AS cnt FROM ttok GROUP BY token),
-    tot AS (
-        SELECT CAST(sum(cnt) + count(*) + 1 AS DOUBLE) AS denom
-        FROM counts
-    ),
-    model AS (
-        SELECT token,
-               {_Q79_SQL_LOG2.format(x="CAST(cnt + 1 AS DOUBLE) / t.denom")}
-                   AS log2p
-        FROM counts CROSS JOIN tot t
-    ),
-    dtok AS (
-        SELECT doc_id,
-               unnest(list_filter(
-                   regexp_split_to_array(trim(text), '\\s+'),
-                   t -> t <> '')) AS token
-        FROM target
-    ),
-    scored AS (
-        SELECT d.doc_id,
-               COALESCE(m.log2p,
-                        {_Q79_SQL_LOG2.format(x="1.0 / t.denom")}) AS log2p,
-               CASE WHEN m.log2p IS NULL THEN 1 ELSE 0 END AS oov
-        FROM dtok d
-        LEFT JOIN model m USING (token)
-        CROSS JOIN tot t
-    ),
-    agg AS (
-        -- Two DuckDB/Spark cast-semantics gaps, both bridged via VARCHAR:
-        -- (1) Spark's DOUBLE -> DECIMAL parses the double's SHORTEST
-        -- round-trip string while DuckDB expands the exact binary value,
-        -- so at scale 18 they disagree past the 17th significant digit;
-        -- (2) DuckDB's DECIMAL -> DOUBLE divides the int128 in floating
-        -- point (not correctly rounded) while Spark's BigDecimal path is.
-        -- VARCHAR round-trips are exact-digit on both sides and
-        -- string -> double parsing is correctly rounded everywhere.
-        SELECT doc_id,
-               count(*) AS n_tokens,
-               CAST(sum(oov) AS BIGINT) AS n_oov,
-               -(CAST(CAST(sum(CAST(CAST(log2p AS VARCHAR)
-                                    AS DECIMAL(38,18))) AS VARCHAR)
-                      AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE)) AS cross_entropy
-        FROM scored GROUP BY doc_id
-    ),
-    cut AS (
-        SELECT quantile_cont(cross_entropy, {_Q79_KEEP}) AS c FROM agg
-    )
+    {_sql_perplexity_band_ctes("trusted", "target")}
     SELECT doc_id, n_tokens, n_oov, cross_entropy
-    FROM agg CROSS JOIN cut WHERE cross_entropy <= cut.c
+    FROM pagg CROSS JOIN pcut WHERE cross_entropy <= pcut.c
     """,
 )
 def q79_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,6 +990,15 @@ _Q80_SHARDS = 8
     "q80_trainprep_composed",
     oracle=f"""
     WITH {_sql_curated_ctes(langs_sql="'en','other'", min_quality=0.3)},
+    ptrusted AS (
+        SELECT doc_id, text FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7')
+    ),
+    {_sql_perplexity_band_ctes("ptrusted", "curated", target_text="rtext")},
+    banded AS (
+        SELECT c.doc_id, c.rtext FROM curated c JOIN pband USING (doc_id)
+    ),
     evd AS (
         SELECT doc_id, text FROM documents
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
@@ -983,7 +1015,7 @@ _Q80_SHARDS = 8
             range(1, len(string_split(rtext, ' ')) - 3),
             i -> array_to_string(string_split(rtext, ' ')[i:i+4], ' ')))
             AS grams
-        FROM curated
+        FROM banded
     ),
     chits AS (
         SELECT t.doc_id, count(*) AS n_overlap
@@ -993,7 +1025,7 @@ _Q80_SHARDS = 8
     ),
     decon AS (
         SELECT c.doc_id, c.rtext
-        FROM curated c
+        FROM banded c
         JOIN cgr g USING (doc_id)
         LEFT JOIN chits h USING (doc_id)
         WHERE NOT (CASE WHEN len(g.grams) > 0
@@ -1045,28 +1077,35 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trainprep CLI's core composition under ONE hash gate (r8 VERDICT
     #3): curate (lang/quality/repetition filters → mixed-case PII redaction
     → exact dedup → deterministic 50% sample, the q72 construction at a
-    permissive lang/quality gate for volume) → benchmark DECONTAMINATION
-    (ngram_contamination vs the md5-hex-'0' eval slice, 5-grams, 0.05
-    ratio — the q76 construction; drops ~15% of curated docs, provably
-    active) → chunk_documents ({_CHUNK_TOKENS}-token chunks, {_OVERLAP}
-    overlap, the q73 construction) → pack_sequences ({_Q80_SEQ_LEN}-token
-    sequences in {_Q80_SHARDS} md5-keyed shards, the q77 construction with
-    the chunked compound key). The stages are individually gated by
-    q72/q76/q73/q77; this gate proves the COMPOSITION — decontamination
-    reads the redacted survivor text, chunking the decontaminated stream —
-    with per-chunk content lineage: each packed slice carries the md5 of
-    its chunk's text, smuggled through pack_sequences' ``chunk_col`` as a
-    (chunk_idx, chunk_md5) struct (no re-read, no extra join, one window).
+    permissive lang/quality gate for volume) → PERPLEXITY BAND (unigram
+    model fit on the md5-hex-0-7 trusted slice, keep the lowest-{_Q79_KEEP:.0%}
+    cross-entropy band — the q79 construction; drops 30% of curated docs)
+    → benchmark DECONTAMINATION (ngram_contamination vs the md5-hex-'0'
+    eval slice, 5-grams, 0.05 ratio — the q76 construction; drops ~15%
+    more, provably active) → chunk_documents ({_CHUNK_TOKENS}-token
+    chunks, {_OVERLAP} overlap, the q73 construction) → pack_sequences
+    ({_Q80_SEQ_LEN}-token sequences in {_Q80_SHARDS} md5-keyed shards, the
+    q77 construction with the chunked compound key). This is the trainprep
+    CLI's full lifecycle minus substring dedup. The stages are
+    individually gated by q72/q79/q76/q73/q77; this gate proves the
+    COMPOSITION — the band scores the redacted survivor text,
+    decontamination reads the banded stream, chunking the decontaminated
+    one — with per-chunk content lineage: each packed slice carries the
+    md5 of its chunk's text, smuggled through pack_sequences'
+    ``chunk_col`` as a (chunk_idx, chunk_md5) struct (no re-read, no
+    extra join, one window).
 
     Scale shape: scan-stage curation filters ahead of the single dedup
-    shuffle; the curated base is materialized ONCE (localCheckpoint —
-    it feeds both the contamination verdicts and the semi-join left side;
-    without the barrier the curation subtree executes twice, measured as
-    a doubled __fp exchange); eval grams broadcast; then one small
-    gram-hit aggregation, the chunk explode at scan, and one
-    hash-partitioned window for pack offsets. A 100 TB corpus pays four
-    big-data shuffles total (dedup keys, gram hits, pack window, plus the
-    eval-gram distinct on the SMALL eval set)."""
+    shuffle; the curated base is materialized ONCE (localCheckpoint — it
+    feeds the band target, the contamination verdicts, and each stage's
+    semi-join left side; without the barrier the curation subtree
+    executes once per branch, measured as a doubled __fp exchange);
+    the unigram model and eval grams ride broadcasts; the perplexity
+    score frame is persisted (the q79 cache-lifecycle contract); the
+    chunk explode is scan-stage and pack is one hash-partitioned window.
+    A 100 TB corpus pays five big-data shuffles total (dedup keys, model
+    fit on the trusted slice, scoring agg, gram hits, pack window) —
+    plan-asserted as five DISTINCT exchange ids."""
     from movie_recommendation_etl_spark.operators.training_prep import (
         pack_sequences,
     )
@@ -1089,10 +1128,22 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_fraction=0.5,
         sample_unif=unif,
     )
-    # curated feeds BOTH the contamination verdicts and the semi-join left
-    # side — materialize it once (q74's pattern) or the whole curation
-    # subtree (incl. its dedup shuffle) executes twice in one action
+    # curated feeds the perplexity-band target, the contamination
+    # verdicts, AND each stage's semi-join left side — materialize it once
+    # (q74's pattern) or the whole curation subtree (incl. its dedup
+    # shuffle) executes once per branch in one action
     curated = curated.localCheckpoint(eager=True)
+    from movie_recommendation_etl_spark.operators.perplexity import (
+        perplexity_band,
+    )
+
+    trusted = docs.filter(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 1).isin(*"01234567")
+    ).select("doc_id", "text")
+    band = perplexity_band(
+        curated.select("doc_id", "text"), trusted, keep_fraction=_Q79_KEEP
+    )
+    curated = curated.join(band.select("doc_id"), "doc_id", "left_semi")
     from movie_recommendation_etl_spark.operators.decontaminate import (
         ngram_contamination,
     )

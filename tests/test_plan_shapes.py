@@ -136,15 +136,21 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
 
 
 def test_trainprep_composed_shuffle_shape(spark, sf_dir):
-    """q80 (curate → decontaminate → chunk → pack composed): the final
-    (post-checkpoint) plan holds exactly three hash Exchanges — the
-    gram-hit aggregation on doc_id, the eval-gram distinct (small side),
-    and the pack window's shard partition — plus broadcast exchanges for
-    the eval grams and verdict semi-join; the curation dedup shuffle runs
-    ONCE inside the checkpointed segment. More exchanges here would mean
-    the curation subtree started re-executing per branch again."""
+    """q80 (curate → perplexity band → decontaminate → chunk → pack
+    composed): the final (post-checkpoint) plan holds exactly five DISTINCT
+    hash Exchanges — unigram model fit (token), perplexity scoring agg
+    (doc_id), gram-hit agg (doc_id), eval-gram distinct (small side), and
+    the pack window's shard partition; the curation dedup shuffle runs
+    ONCE inside the checkpointed segment, and the persisted perplexity
+    score frame's subtree prints under each of its scan sites (same
+    double-counting caveat as q79's test), so the count is over unique
+    exchange ids, with the cache reuse pinned via InMemoryTableScan. More
+    distinct exchanges would mean a subtree started re-executing per
+    branch again."""
     plan = _plan(spark, sf_dir, "q80_trainprep_composed")
-    assert plan.count("Exchange hashpartitioning") == 3, plan
+    ids = set(re.findall(r"Exchange hashpartitioning\(([^,]+)", plan))
+    assert len(ids) == 5, plan
+    assert "InMemoryTableScan" in plan
     assert "BroadcastExchange" in plan
     assert "Generate explode" in plan
 
