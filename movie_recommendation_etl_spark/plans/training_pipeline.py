@@ -694,6 +694,84 @@ _Q78_HEADER = " ".join(f"bp{i:02d}" for i in range(25))
 _Q78_LICENCE = " ".join(f"lic{i:02d}" for i in range(22))
 
 
+def _sql_substring_dedup_ctes(src_rel: str, text_expr: str) -> str:
+    """remove_duplicate_spans' gaps-and-islands arithmetic as reusable
+    CTEs over ``src_rel(doc_id, {text_expr})``, ending in ``sbase(doc_id,
+    toks)``, ``skept``/``sspanc`` (per-doc rebuild + span counts) and
+    ``sdclean(doc_id, clean_text)`` — q78 gates the counts directly; q80
+    chains the cleaned text into chunking. All integer span arithmetic
+    and md5 keys; the {_Q78_N}-gram window (\u2265 2 distinct docs) matches the
+    operator's defaults."""
+    return f"""
+    sbase AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim({text_expr}), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM {src_rel}
+    ),
+    swins AS (
+        SELECT doc_id, i - 1 AS s,
+               md5(array_to_string(toks[i:i+{_Q78_N - 1}], ' ')) AS g
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(1, len(toks) - {_Q78_N} + 2)) AS i
+            FROM sbase
+            WHERE len(toks) >= {_Q78_N}
+        )
+    ),
+    sdupg AS (
+        SELECT g FROM swins GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    sdwin AS (
+        SELECT w.doc_id, w.s, w.s + {_Q78_N} AS e
+        FROM swins w JOIN sdupg USING (g)
+    ),
+    smarked AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pme
+        FROM sdwin
+    ),
+    sisl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM smarked
+    ),
+    sspans AS (
+        SELECT doc_id, island, min(s) AS ss, max(e) AS ee
+        FROM sisl GROUP BY doc_id, island
+    ),
+    stokpos AS (
+        SELECT doc_id, i - 1 AS p, toks[i] AS tok
+        FROM (
+            SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+            FROM sbase
+        )
+    ),
+    skept AS (
+        SELECT t.doc_id,
+               string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text,
+               count(*) AS n_kept
+        FROM stokpos t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sspans sp
+            WHERE sp.doc_id = t.doc_id AND t.p >= sp.ss AND t.p < sp.ee
+        )
+        GROUP BY t.doc_id
+    ),
+    sspanc AS (
+        SELECT doc_id, count(*) AS n_spans FROM sspans GROUP BY doc_id
+    ),
+    sdclean AS (
+        SELECT b.doc_id, COALESCE(k.clean_text, '') AS clean_text
+        FROM sbase b LEFT JOIN skept k USING (doc_id)
+    )
+    """
+
+
 @query(
     "q78_substring_dedup",
     oracle=f"""
@@ -710,77 +788,16 @@ _Q78_LICENCE = " ".join(f"lic{i:02d}" for i in range(22))
             FROM documents
         )
     ),
-    base AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(trim(text2), '\\s+'),
-                           t -> t <> '') AS toks
-        FROM planted
-    ),
-    wins AS (
-        SELECT doc_id, i - 1 AS s,
-               md5(array_to_string(toks[i:i+{_Q78_N - 1}], ' ')) AS g
-        FROM (
-            SELECT doc_id, toks,
-                   unnest(range(1, len(toks) - {_Q78_N} + 2)) AS i
-            FROM base
-            WHERE len(toks) >= {_Q78_N}
-        )
-    ),
-    dupg AS (
-        SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2
-    ),
-    dwin AS (
-        SELECT w.doc_id, w.s, w.s + {_Q78_N} AS e
-        FROM wins w JOIN dupg USING (g)
-    ),
-    marked AS (
-        SELECT doc_id, s, e,
-               max(e) OVER (PARTITION BY doc_id ORDER BY s
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING) AS pme
-        FROM dwin
-    ),
-    isl AS (
-        SELECT doc_id, s, e,
-               sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY doc_id ORDER BY s
-                         ROWS UNBOUNDED PRECEDING) AS island
-        FROM marked
-    ),
-    spans AS (
-        SELECT doc_id, island, min(s) AS ss, max(e) AS ee
-        FROM isl GROUP BY doc_id, island
-    ),
-    tokpos AS (
-        SELECT doc_id, i - 1 AS p, toks[i] AS tok
-        FROM (
-            SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
-            FROM base
-        )
-    ),
-    keptagg AS (
-        SELECT t.doc_id,
-               string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text,
-               count(*) AS n_kept
-        FROM tokpos t
-        WHERE NOT EXISTS (
-            SELECT 1 FROM spans sp
-            WHERE sp.doc_id = t.doc_id AND t.p >= sp.ss AND t.p < sp.ee
-        )
-        GROUP BY t.doc_id
-    ),
-    span_counts AS (
-        SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
-    )
+    {_sql_substring_dedup_ctes("planted", "text2")}
     SELECT b.doc_id,
            md5(COALESCE(k.clean_text, '')) AS clean_md5,
            CAST(len(b.toks) AS INTEGER) AS n_tokens,
            CAST(len(b.toks) - COALESCE(k.n_kept, 0) AS INTEGER)
                AS n_tokens_removed,
            CAST(COALESCE(sc.n_spans, 0) AS INTEGER) AS n_spans
-    FROM base b
-    LEFT JOIN keptagg k USING (doc_id)
-    LEFT JOIN span_counts sc USING (doc_id)
+    FROM sbase b
+    LEFT JOIN skept k USING (doc_id)
+    LEFT JOIN sspanc sc USING (doc_id)
     """,
 )
 def q78_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,7 +1050,21 @@ _Q80_SHARDS = 8
                         / CAST(len(g.grams) AS DOUBLE)
                    ELSE 0.0 END >= 0.05)
     ),
-    {_sql_chunk_ctes("decon", "rtext")},
+    splant AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN sb || ' ' || '{_Q78_LICENCE}'
+                    ELSE sb END AS sdtext
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN '{_Q78_HEADER}' || ' ' || rtext
+                        ELSE rtext END AS sb
+            FROM decon
+        )
+    ),
+    {_sql_substring_dedup_ctes("splant", "sdtext")},
+    {_sql_chunk_ctes("sdclean", "clean_text")},
     keyed AS (
         SELECT doc_id, chunk_idx, chunk_md5,
                CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -1082,15 +1113,18 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-entropy band — the q79 construction; drops 30% of curated docs)
     → benchmark DECONTAMINATION (ngram_contamination vs the md5-hex-'0'
     eval slice, 5-grams, 0.05 ratio — the q76 construction; drops ~15%
-    more, provably active) → chunk_documents ({_CHUNK_TOKENS}-token
-    chunks, {_OVERLAP} overlap, the q73 construction) → pack_sequences
-    ({_Q80_SEQ_LEN}-token sequences in {_Q80_SHARDS} md5-keyed shards, the
-    q77 construction with the chunked compound key). This is the trainprep
-    CLI's full lifecycle minus substring dedup. The stages are
-    individually gated by q72/q79/q76/q73/q77; this gate proves the
-    COMPOSITION — the band scores the redacted survivor text,
-    decontamination reads the banded stream, chunking the decontaminated
-    one — with per-chunk content lineage: each packed slice carries the
+    more, provably active) → SUBSTRING DEDUP (remove_duplicate_spans with
+    the q78 boilerplate planted on the survivors — header on every 5th
+    doc, licence tail on every 7th — so the stage provably removes spans)
+    → chunk_documents ({_CHUNK_TOKENS}-token chunks, {_OVERLAP} overlap,
+    the q73 construction) → pack_sequences ({_Q80_SEQ_LEN}-token
+    sequences in {_Q80_SHARDS} md5-keyed shards, the q77 construction
+    with the chunked compound key). This is the trainprep CLI's FULL
+    lifecycle. The stages are individually gated by q72/q79/q76/q78/
+    q73/q77; this gate proves the COMPOSITION — the band scores the
+    redacted survivor text, decontamination reads the banded stream,
+    substring dedup rebuilds the decontaminated one, chunking the rebuilt
+    text — with per-chunk content lineage: each packed slice carries the
     md5 of its chunk's text, smuggled through pack_sequences'
     ``chunk_col`` as a (chunk_idx, chunk_md5) struct (no re-read, no
     extra join, one window).
@@ -1099,13 +1133,15 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the curated base is materialized ONCE (localCheckpoint — it
     feeds the band target, the contamination verdicts, and each stage's
     semi-join left side; without the barrier the curation subtree
-    executes once per branch, measured as a doubled __fp exchange);
-    the unigram model and eval grams ride broadcasts; the perplexity
-    score frame is persisted (the q79 cache-lifecycle contract); the
-    chunk explode is scan-stage and pack is one hash-partitioned window.
-    A 100 TB corpus pays five big-data shuffles total (dedup keys, model
-    fit on the trusted slice, scoring agg, gram hits, pack window) —
-    plan-asserted as five DISTINCT exchange ids."""
+    executes once per branch, measured as a doubled __fp exchange), and
+    so are the decontaminated survivors (remove_duplicate_spans consumes
+    its input ~3x); the unigram model and eval grams ride broadcasts; the
+    perplexity score frame is persisted (the q79 cache-lifecycle
+    contract); the chunk explode is scan-stage and pack is one
+    hash-partitioned window. A 100 TB corpus pays seven big-data shuffles
+    total (dedup keys, model fit, scoring agg, gram hits, dup-gram agg,
+    span windows, pack window); the final post-checkpoint segment is
+    plan-asserted at three DISTINCT exchange ids."""
     from movie_recommendation_etl_spark.operators.training_prep import (
         pack_sequences,
     )
@@ -1159,8 +1195,33 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_semi",
     )
+    from movie_recommendation_etl_spark.operators.substring_dedup import (
+        remove_duplicate_spans,
+    )
+
+    # remove_duplicate_spans consumes its input ~3x (window enumeration,
+    # dup-gram probe, rebuild join) — materialize the decontaminated
+    # survivors once so the band/decon semi-join chain doesn't re-execute
+    # per consumer
+    decon = decon.localCheckpoint(eager=True)
+    # plant the q78 boilerplate on the decontaminated survivors so the
+    # substring stage provably removes spans (the corpus has no natural
+    # >=20-token cross-doc repeats), then rebuild each doc's text with the
+    # duplicated spans dropped — the CLI's --substring-dedup stage
+    sb = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(_Q78_HEADER), F.lit(" "), F.col("text")),
+    ).otherwise(F.col("text"))
+    sdtext = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(sb, F.lit(" "), F.lit(_Q78_LICENCE)),
+    ).otherwise(sb)
+    splanted = decon.select("doc_id", sdtext.alias("text"))
+    cleaned = remove_duplicate_spans(
+        splanted, n=_Q78_N, min_docs=2
+    ).select("doc_id", F.col("clean_text").alias("text"))
     ch = chunk_documents(
-        decon.select("doc_id", "text"),
+        cleaned,
         chunk_tokens=_CHUNK_TOKENS,
         overlap_tokens=_OVERLAP,
     )

@@ -136,22 +136,19 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
 
 
 def test_trainprep_composed_shuffle_shape(spark, sf_dir):
-    """q80 (curate → perplexity band → decontaminate → chunk → pack
-    composed): the final (post-checkpoint) plan holds exactly five DISTINCT
-    hash Exchanges — unigram model fit (token), perplexity scoring agg
-    (doc_id), gram-hit agg (doc_id), eval-gram distinct (small side), and
-    the pack window's shard partition; the curation dedup shuffle runs
-    ONCE inside the checkpointed segment, and the persisted perplexity
-    score frame's subtree prints under each of its scan sites (same
-    double-counting caveat as q79's test), so the count is over unique
-    exchange ids, with the cache reuse pinned via InMemoryTableScan. More
-    distinct exchanges would mean a subtree started re-executing per
-    branch again."""
+    """q80 (curate → perplexity band → decontaminate → substring dedup →
+    chunk → pack composed): the curation and band/decon segments run ONCE
+    each behind their checkpoints (their shuffle shapes are guarded by
+    q72/q79/q76's own tests), so the FINAL plan is exactly the substring +
+    chunk + pack segment — three DISTINCT hash Exchanges: the dup-gram
+    aggregation on the md5 key, the per-doc span/rebuild partition on
+    doc_id (windows and rebuild agg REUSE one partitioning), and the pack
+    window's shard. More distinct exchanges would mean a subtree started
+    re-executing per consumer again (remove_duplicate_spans reads its
+    input ~3x)."""
     plan = _plan(spark, sf_dir, "q80_trainprep_composed")
     ids = set(re.findall(r"Exchange hashpartitioning\(([^,]+)", plan))
-    assert len(ids) == 5, plan
-    assert "InMemoryTableScan" in plan
-    assert "BroadcastExchange" in plan
+    assert len(ids) == 3, plan
     assert "Generate explode" in plan
 
 
