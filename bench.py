@@ -39,6 +39,36 @@ BENCH_METHOD = "min2"
 REF_SCALE_METHOD = "min2_fit"
 
 
+# Per-query SCOPE tags: bumped when a query's measured work deliberately
+# grows (a new arm, a folded-in stage), so the cross-round regression
+# comparison skips exactly that query for ONE round instead of flagging
+# intentional scope growth as a slowdown (the r8 q40 false-weak). Fencing
+# mirrors bench_method: a query enters the comparison only when the
+# previous round recorded the SAME tag (or both rounds have none). The
+# next round's blob carries the tag, so comparison resumes automatically.
+SCOPE_TAGS: dict[str, str] = {
+    "q30_window_agg_suite": "r9-stream-arm",
+    "q33_lookup_expr_suite": "r9-csv-arm",
+    "q80_trainprep_composed": "r9-full-lifecycle",
+}
+
+
+def fence_scope_tags(
+    prev: dict[str, float] | None, prev_tags: dict[str, str]
+) -> tuple[dict[str, float] | None, list[str]]:
+    """Drop queries whose scope tag changed since the previous round from
+    the comparison baseline; returns (fenced timings, dropped names)."""
+    if prev is None:
+        return prev, []
+    dropped = [
+        k for k in prev
+        if SCOPE_TAGS.get(k) != (prev_tags or {}).get(k)
+    ]
+    if not dropped:
+        return prev, []
+    return {k: v for k, v in prev.items() if k not in dropped}, sorted(dropped)
+
+
 def fence_ref_scale(
     prev: dict[str, float] | None, prev_ref_method: str | None
 ) -> dict[str, float] | None:
@@ -141,8 +171,18 @@ def previous_round_bench(repo_dir: str) -> dict | None:
             # even when the driver clipped the head of the JSON line
             if '"regressions"' in tail:
                 reg_seg = tail.split('"regressions"', 1)[1]
-                flagged = re.findall(r'"(q\d+[a-z_0-9]*)":\s*\{', reg_seg)
+                flagged = re.findall(
+                    r'"(q\d+[a-z_0-9]*|incremental_admit|catalog_warm'
+                    r'|ann_warm_query|ref_scale_[a-z_]+)":\s*\{',
+                    reg_seg,
+                )
                 out["regressions"] = {k: {} for k in flagged}
+            st = re.search(r'"scope_tags":\s*(\{[^{}]*\})', tail)
+            if st:
+                try:
+                    out["scope_tags"] = json.loads(st.group(1))
+                except ValueError:
+                    pass
             c = re.search(r'"calibration_sec":\s*([0-9.]+)', tail)
             if c:
                 out["calibration_sec"] = float(c.group(1))
@@ -409,6 +449,9 @@ def main() -> int:
     fenced = fence_ref_scale(prev, prev_ref_method)
     ref_fenced = fenced != prev  # single source of truth: what was dropped
     prev = fenced
+    prev, scope_dropped = fence_scope_tags(
+        prev, (prev_blob or {}).get("scope_tags") or {}
+    )
     prev_cal = (prev_blob or {}).get("calibration_sec") if comparable else None
     cal_ratio = (
         calibration / prev_cal
@@ -426,7 +469,11 @@ def main() -> int:
         "calibration_sec": calibration,
         "calibration_ratio_vs_prev": round(cal_ratio, 3),
         "query_spread": spread,
-        "extra_sampled": sorted(prev_flagged & set(timings)),
+        # only loop queries actually receive the third sample — reporting
+        # a flagged non-loop entry (incremental_admit etc.) here would
+        # claim a tightened estimate that was never taken (r9 review)
+        "extra_sampled": sorted(prev_flagged & set(BENCH_QUERIES)),
+        "scope_tags": SCOPE_TAGS,
         "regressions": compute_regressions(
             prev, timings, calibration_ratio=cal_ratio
         ),
@@ -436,6 +483,12 @@ def main() -> int:
             "previous round used a different timing methodology "
             f"({prev_blob.get('bench_method', 'single-shot')} vs "
             f"{BENCH_METHOD}); cross-round comparison suppressed this round"
+        )
+    elif scope_dropped:
+        out["regressions_note"] = (
+            "scope-grown queries excluded from the comparison (their "
+            f"measured work deliberately changed): {scope_dropped}; they "
+            "compare normally next round"
         )
     elif ref_fenced:
         out["regressions_note"] = (

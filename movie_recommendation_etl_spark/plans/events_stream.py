@@ -235,13 +235,28 @@ def _streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # the file-stream source lists a DIRECTORY; the testdata table is a
-    # single parquet file — symlink it into a scratch dir (no copy)
+    # single parquet file — symlink it into a scratch dir (no copy).
+    # abspath: a relative sf_dir (resolved against cwd by batch readers)
+    # would otherwise produce a dangling symlink inside /tmp and an
+    # empty-stream arm (r9 review).
+    src_file = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     stream_dir = tempfile.mkdtemp(prefix="spark_graft_q30_stream_")
     try:
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(stream_dir, "events.parquet"),
-        )
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            # Probe with a batch read: earlier testdata generations carry
+            # TIMESTAMP(NANOS) ts, which the stream's fixed micros schema
+            # cannot convert (load_table's _NANOS_TS_COLS fallback handles
+            # it batch-side only). A nanos file fails schema conversion
+            # HERE, and the stream then reads a micros REWRITE of the
+            # table instead — one extra copy, paid only on legacy data.
+            spark.read.parquet(src_file).schema
+            os.symlink(src_file, os.path.join(stream_dir, "events.parquet"))
+        except AnalysisException:
+            load_table(spark, sf_dir, "events").write.mode(
+                "overwrite"
+            ).parquet(stream_dir)
         events = read_events_stream(spark, stream_dir)
         name = f"q30_stream_{uuid.uuid4().hex}"
         q = (

@@ -694,6 +694,22 @@ _Q78_HEADER = " ".join(f"bp{i:02d}" for i in range(25))
 _Q78_LICENCE = " ".join(f"lic{i:02d}" for i in range(22))
 
 
+def _boilerplate_planted(text_col: str = "text") -> "F.Column":
+    """The q78 boilerplate plant as a Column: header prepended on every
+    5th doc, licence appended on every 7th (docs divisible by 35 carry
+    both — multi-span merge). Shared by q78's stage gate and q80's
+    composed gate so the two plants can never drift (the SQL twins share
+    the same property via the CASE expressions both oracles inline)."""
+    base = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(_Q78_HEADER), F.lit(" "), F.col(text_col)),
+    ).otherwise(F.col(text_col))
+    return F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(base, F.lit(" "), F.lit(_Q78_LICENCE)),
+    ).otherwise(base)
+
+
 def _sql_substring_dedup_ctes(src_rel: str, text_expr: str) -> str:
     """remove_duplicate_spans' gaps-and-islands arithmetic as reusable
     CTEs over ``src_rel(doc_id, {text_expr})``, ending in ``sbase(doc_id,
@@ -818,15 +834,7 @@ def q78_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = F.when(
-        F.col("doc_id") % 5 == 0,
-        F.concat(F.lit(_Q78_HEADER), F.lit(" "), F.col("text")),
-    ).otherwise(F.col("text"))
-    text2 = F.when(
-        F.col("doc_id") % 7 == 0,
-        F.concat(base, F.lit(" "), F.lit(_Q78_LICENCE)),
-    ).otherwise(base)
-    planted = docs.select("doc_id", text2.alias("text"))
+    planted = docs.select("doc_id", _boilerplate_planted().alias("text"))
     cleaned = remove_duplicate_spans(
         planted, n=_Q78_N, min_docs=2
     )
@@ -850,6 +858,13 @@ _Q79_KEEP = 0.7
 # scripts/measure_log_bitmatch.py: 0 mismatches for ln/ln2 vs 5/25 for
 # native log2).
 _Q79_SQL_LOG2 = "ln({x}) / ln(2.0)"
+
+
+def _trusted_first_hex(col: str = "doc_id") -> "F.Column":
+    """True where md5(id)'s leading hex digit is 0-7 — the deterministic
+    50/50 trusted/target split shared by q79's stage gate and q80's
+    composed gate (SQL twins inline the same substring-IN predicate)."""
+    return F.md5(F.col(col).cast("string")).substr(1, 1).isin(*"01234567")
 
 
 def _sql_perplexity_band_ctes(
@@ -973,11 +988,8 @@ def q79_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    first_hex = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
-    trusted = docs.filter(first_hex.isin(*"01234567")).select(
-        "doc_id", "text"
-    )
-    target = docs.filter(~first_hex.isin(*"01234567")).select(
+    trusted = docs.filter(_trusted_first_hex()).select("doc_id", "text")
+    target = docs.filter(~_trusted_first_hex()).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -1173,9 +1185,7 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
         perplexity_band,
     )
 
-    trusted = docs.filter(
-        F.md5(F.col("doc_id").cast("string")).substr(1, 1).isin(*"01234567")
-    ).select("doc_id", "text")
+    trusted = docs.filter(_trusted_first_hex()).select("doc_id", "text")
     band = perplexity_band(
         curated.select("doc_id", "text"), trusted, keep_fraction=_Q79_KEEP
     )
@@ -1208,15 +1218,9 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # substring stage provably removes spans (the corpus has no natural
     # >=20-token cross-doc repeats), then rebuild each doc's text with the
     # duplicated spans dropped — the CLI's --substring-dedup stage
-    sb = F.when(
-        F.col("doc_id") % 5 == 0,
-        F.concat(F.lit(_Q78_HEADER), F.lit(" "), F.col("text")),
-    ).otherwise(F.col("text"))
-    sdtext = F.when(
-        F.col("doc_id") % 7 == 0,
-        F.concat(sb, F.lit(" "), F.lit(_Q78_LICENCE)),
-    ).otherwise(sb)
-    splanted = decon.select("doc_id", sdtext.alias("text"))
+    splanted = decon.select(
+        "doc_id", _boilerplate_planted().alias("text")
+    )
     cleaned = remove_duplicate_spans(
         splanted, n=_Q78_N, min_docs=2
     ).select("doc_id", F.col("clean_text").alias("text"))
