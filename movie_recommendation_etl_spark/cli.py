@@ -237,17 +237,36 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
             "doc_id", F.col("clean_text").alias("text")
         )
         curated = curated.drop("text").join(cleaned, "doc_id")
-    tokenizer = None
-    if args.tokenizer == "re":
-        from movie_recommendation_etl_spark.functions.text import re_tokens
+    if args.tokenizer == "re-budget":
+        # budget by BPE-ish regex token cost, ship the ORIGINAL text (the
+        # lossless alternative to 're'); non-overlapping by construction
+        from movie_recommendation_etl_spark.operators.training_prep import (
+            chunk_documents_by_budget,
+        )
 
-        tokenizer = re_tokens
-    chunks = chunk_documents(
-        curated,
-        chunk_tokens=args.chunk_tokens,
-        overlap_tokens=args.overlap_tokens,
-        tokenizer=tokenizer,
-    )
+        if args.overlap_tokens:
+            print(
+                "trainprep: --overlap-tokens ignored with "
+                "--tokenizer re-budget (non-overlapping by construction)",
+                file=sys.stderr,
+            )
+        chunks = chunk_documents_by_budget(
+            curated, budget=args.chunk_tokens
+        )
+    else:
+        tokenizer = None
+        if args.tokenizer == "re":
+            from movie_recommendation_etl_spark.functions.text import (
+                re_tokens,
+            )
+
+            tokenizer = re_tokens
+        chunks = chunk_documents(
+            curated,
+            chunk_tokens=args.chunk_tokens,
+            overlap_tokens=args.overlap_tokens,
+            tokenizer=tokenizer,
+        )
     shards_dir = f"{args.out_dir}/shards"
     # (doc_id, chunk_idx) is the unique key of chunked rows — the full
     # tiebreak makes shard files byte-identical across reruns
@@ -426,15 +445,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tp.add_argument(
         "--tokenizer",
-        choices=("ws", "re"),
+        choices=("ws", "re", "re-budget"),
         default="ws",
-        help="token-budget unit for chunking: whitespace tokens (ws) or "
-        "BPE-ish regex tokens (re, functions/text.py:re_tokens). "
+        help="token-budget unit for chunking: whitespace tokens (ws), "
+        "BPE-ish regex tokens (re, functions/text.py:re_tokens), or "
+        "re-budget — budget chunks by the regex-token COST of each "
+        "whitespace token while shipping the ORIGINAL text "
+        "(non-overlapping; --overlap-tokens ignored). "
         "CAUTION: chunk_text is rebuilt from the tokenizer's stream, so "
         "'re' REWRITES the shipped shard text (lowercased, every "
         "non-[a-z0-9] character stripped) — use it only when the training "
-        "target wants that normalization; 'ws' preserves the original "
-        "text modulo whitespace collapsing",
+        "target wants that normalization; 'ws' and 're-budget' preserve "
+        "the original text modulo whitespace collapsing",
     )
     tp.add_argument("--sample-fraction", type=float, default=None)
     tp.add_argument("--chunk-tokens", type=int, default=512)

@@ -108,6 +108,110 @@ def chunk_documents(
     )
 
 
+def chunk_documents_by_budget(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    cost_fn=None,
+) -> DataFrame:
+    """Budget-based chunking that PRESERVES the original text (the r8
+    ADVICE follow-through on ``--tokenizer re``): chunks are built from
+    the document's whitespace tokens — so ``chunk_text`` keeps case and
+    punctuation, modulo whitespace collapsing — but the chunk BOUNDARY is
+    a cost budget measured by ``cost_fn``, a callable mapping ONE token
+    Column to its integer cost (default: the BPE-ish regex token count,
+    functions/text.py:re_token_count — 'Hello,world!' costs 2). This is
+    the standard LLM-pipeline shape: budget by the training tokenizer's
+    units, ship the raw text.
+
+    One row per chunk: (id, chunk_idx, chunk_text, n_tokens, budget_cost)
+    with ``n_tokens`` the chunk's WHITESPACE token count (the unit
+    downstream pack/materialize re-split on) and ``budget_cost`` its cost
+    sum. Greedy packing: each chunk takes consecutive tokens while its
+    cost stays <= ``budget``; a token whose cost alone exceeds the budget
+    still lands in a chunk (opens one if needed — no token is ever
+    dropped), and zero-cost tokens never open a chunk. Non-overlapping by
+    construction (budget units don't subdivide a token, so a token-grain
+    overlap in cost units is ill-defined); chunks concatenate back to the
+    exact token stream, asserted in tests.
+
+    Scale shape: the greedy fold is ONE scan-stage Catalyst ``aggregate``
+    over the token array (no shuffle, no Python); the explode emits rows
+    ∝ corpus tokens / budget like fixed-size chunking."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if cost_fn is None:
+        from movie_recommendation_etl_spark.functions.text import (
+            re_token_count,
+        )
+
+        cost_fn = re_token_count
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    # (cost, index) per token; the fold walks them in order
+    indexed = F.transform(
+        toks,
+        lambda t, i: F.struct(
+            cost_fn(t).cast("long").alias("c"), i.alias("i")
+        ),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("acc"),
+        F.array().cast("array<int>").alias("starts"),
+    )
+
+    def _merge(s, x):
+        new_chunk = (F.size(s["starts"]) == 0) | (
+            s["acc"] + x["c"] > F.lit(budget)
+        )
+        return F.struct(
+            F.when(new_chunk, x["c"])
+            .otherwise(s["acc"] + x["c"])
+            .alias("acc"),
+            F.when(
+                new_chunk, F.concat(s["starts"], F.array(x["i"]))
+            )
+            .otherwise(s["starts"])
+            .alias("starts"),
+        )
+
+    starts = F.aggregate(indexed, init, _merge, lambda s: s["starts"])
+    costs = F.transform(indexed, lambda x: x["c"])
+    # chunk length = next start (1-based lookup; try_element_at -> NULL
+    # past the last chunk, coalesced to n) - start
+    chunk_len = (
+        F.coalesce(
+            F.try_element_at(
+                F.col("__starts_all"), F.col("chunk_idx") + 2
+            ),
+            F.col("__n"),
+        )
+        - F.col("__start")
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("__n"),
+        toks.alias("__toks"),
+        costs.alias("__costs"),
+        starts.alias("__starts_all"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk_toks = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_len)
+    chunk_costs = F.slice(F.col("__costs"), F.col("__start") + 1, chunk_len)
+    return base.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+        F.size(chunk_toks).alias("n_tokens"),
+        F.aggregate(
+            chunk_costs, F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("budget_cost"),
+    )
+
+
 def shuffle_key(id_col: str = "doc_id", seed: int = 0):
     """Deterministic per-row shuffle key: xxhash64(id, seed). Changing the
     seed reshuffles; the same seed replays the identical order anywhere —

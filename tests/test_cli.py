@@ -407,3 +407,43 @@ def test_cli_verify_shards(capsys, spark, tmp_path):
     os.remove(victim)
     assert main(["verify-shards", path]) == 1
     assert "missing file" in capsys.readouterr().out
+
+
+def test_cli_trainprep_re_budget_tokenizer(capsys, spark, tmp_path):
+    """--tokenizer re-budget: chunks budgeted by regex-token cost but the
+    shipped shard text keeps its ORIGINAL form (case + punctuation), and
+    every shard chunk respects the budget (or is a single token)."""
+    import json
+
+    rows = [
+        (
+            i,
+            " ".join(
+                f"The Word{i}-{j}, and FILL{i}x{j}!" for j in range(30)
+            ),
+        )
+        for i in range(8)
+    ]
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out = str(tmp_path / "prep")
+    assert (
+        main(
+            [
+                "trainprep", src, out,
+                "--tokenizer", "re-budget",
+                "--chunk-tokens", "16",
+                "--seq-len", "64", "--num-shards", "2",
+                "--min-quality", "0.0",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["shards"]["n_rows"] > 0
+    shards = spark.read.parquet(f"{out}/shards").collect()
+    assert any("The Word" in r["chunk_text"] for r in shards)  # lossless
+    assert all(
+        r["budget_cost"] <= 16 or r["n_tokens"] == 1 for r in shards
+    )

@@ -577,3 +577,97 @@ def test_re_token_count_matches_re_tokens_on_mixed_case(spark):
     ).collect()
     assert all(r["n"] == r["s"] for r in rows)
     assert rows[0]["n"] == 2  # 'hello', 'world' — not 4 case-broken runs
+
+
+def test_budget_chunking_matches_python_greedy(spark):
+    """chunk_documents_by_budget: the Catalyst fold must replay a
+    by-definition Python greedy packer exactly — boundaries, texts, and
+    per-chunk cost sums — while PRESERVING case and punctuation (the
+    lossless alternative to the text-rewriting 're' tokenizer)."""
+    import re as _re
+
+    from movie_recommendation_etl_spark.functions.text import TOKEN_RE
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents_by_budget,
+    )
+
+    rows = [
+        (1, "Hello, World! This is Mixed-CASE text with URLs http://x.y/z"),
+        (2, ""),
+        (3, "one"),
+        (4, "--- ### !!!"),  # all zero-cost tokens -> ONE chunk
+        (5, " ".join(f"w{i}-X{i}" for i in range(60))),  # cost 2 each
+        (6, "a " * 40),  # 40 cost-1 tokens
+    ]
+    budget = 7
+    docs = spark.createDataFrame(rows, SCHEMA)
+    out = chunk_documents_by_budget(docs, budget=budget).orderBy(
+        "doc_id", "chunk_idx"
+    ).collect()
+
+    def pycost(t):
+        return len(_re.findall(TOKEN_RE, t.lower()))
+
+    def pygreedy(text):
+        toks = text.split()
+        chunks, cur, acc = [], [], 0
+        for t in toks:
+            c = pycost(t)
+            if cur and acc + c > budget:
+                chunks.append(cur)
+                cur, acc = [], 0
+            cur.append(t)
+            acc += c
+        if cur:
+            chunks.append(cur)
+        return [" ".join(c) for c in chunks]
+
+    for doc_id, text in rows:
+        got = [r for r in out if r["doc_id"] == doc_id]
+        assert [r["chunk_text"] for r in got] == pygreedy(text), doc_id
+        assert [r["chunk_idx"] for r in got] == list(range(len(got)))
+        # non-overlapping conservation: chunks concatenate back exactly
+        assert " ".join(r["chunk_text"] for r in got).split() == text.split()
+        for r in got:
+            assert r["n_tokens"] == len(r["chunk_text"].split())
+            assert r["budget_cost"] == sum(
+                pycost(t) for t in r["chunk_text"].split()
+            )
+            # budget respected unless a single token alone exceeds it
+            assert r["budget_cost"] <= budget or r["n_tokens"] == 1
+    # case/punctuation survived (the whole point)
+    d1 = " ".join(
+        r["chunk_text"] for r in out if r["doc_id"] == 1
+    )
+    assert "Mixed-CASE" in d1 and "Hello," in d1
+
+
+def test_budget_chunking_plan_is_scan_stage(spark):
+    """The greedy fold must ride the scan: no Exchange, no Python UDF —
+    one Catalyst aggregate over the token array plus the explode."""
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents_by_budget,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d")], SCHEMA)
+    plan = (
+        chunk_documents_by_budget(docs, budget=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate posexplode" in plan
+
+
+def test_budget_chunking_rejects_bad_budget(spark):
+    import pytest
+
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents_by_budget,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], SCHEMA)
+    with pytest.raises(ValueError):
+        chunk_documents_by_budget(docs, budget=0)
