@@ -350,3 +350,97 @@ def test_contamination_gate_accepts_broadcast_handle(spark):
         assert via_set == via_bc == {2}
     finally:
         bc.unpersist()
+
+
+def test_q30_stream_arm_relative_sf_dir(spark, monkeypatch):
+    """The tumbling_stream arm must resolve a RELATIVE sf_dir before
+    symlinking (r9 review: a cwd-relative path produced a dangling link
+    in /tmp and an empty stream arm): streamed results from a relative
+    path must equal the batch aggregation."""
+    import os
+
+    from movie_recommendation_etl_spark.plans.events_stream import (
+        _streamed_tumbling,
+        tumbling_window_agg,
+    )
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    abs_dir = "/root/testdata/sf0.001"
+    monkeypatch.chdir(os.path.dirname(abs_dir.rstrip("/")) + "/..")
+    rel_dir = os.path.relpath(abs_dir)
+    assert not os.path.isabs(rel_dir)
+    got = sorted(
+        map(tuple, _streamed_tumbling(spark, rel_dir).collect())
+    )
+    exp = sorted(
+        map(
+            tuple,
+            tumbling_window_agg(
+                load_table(spark, abs_dir, "events")
+            ).collect(),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_q30_stream_arm_nanos_timestamp_fallback(spark, tmp_path):
+    """A legacy TIMESTAMP(NANOS) events file (earlier testdata
+    generations — catalog._NANOS_TS_COLS exists for exactly this) cannot
+    pass the stream's fixed micros schema; the arm must fall back to a
+    one-time micros rewrite and still match the batch aggregation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movie_recommendation_etl_spark.plans.events_stream import (
+        _streamed_tumbling,
+        tumbling_window_agg,
+    )
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    n = 200
+    base_ns = 1_700_000_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                base_ns + np.arange(n, dtype=np.int64) * 137_000_000_000,
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "event_type": pa.array(
+                ["click", "view", "error"][i % 3] for i in range(n)
+            ),
+            "value": pa.array(
+                [float(i) / 8 for i in range(n)], pa.float64()
+            ),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    sf_dir = str(tmp_path / "nanos_sf")
+    import os
+
+    os.makedirs(sf_dir)
+    pq.write_table(
+        tbl, f"{sf_dir}/events.parquet", store_schema=False,
+        coerce_timestamps=None,
+    )
+    # sanity: the file really is nanos (a plain spark read must fail)
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    got = sorted(
+        map(tuple, _streamed_tumbling(spark, sf_dir).collect())
+    )
+    exp = sorted(
+        map(
+            tuple,
+            tumbling_window_agg(
+                load_table(spark, sf_dir, "events")
+            ).collect(),
+        )
+    )
+    assert got == exp and len(got) > 0
