@@ -244,7 +244,7 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
             chunk_documents_by_budget,
         )
 
-        if args.overlap_tokens:
+        if args.overlap_tokens is not None:
             print(
                 "trainprep: --overlap-tokens ignored with "
                 "--tokenizer re-budget (non-overlapping by construction)",
@@ -264,7 +264,9 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
         chunks = chunk_documents(
             curated,
             chunk_tokens=args.chunk_tokens,
-            overlap_tokens=args.overlap_tokens,
+            overlap_tokens=(
+                64 if args.overlap_tokens is None else args.overlap_tokens
+            ),
             tokenizer=tokenizer,
         )
     shards_dir = f"{args.out_dir}/shards"
@@ -460,7 +462,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tp.add_argument("--sample-fraction", type=float, default=None)
     tp.add_argument("--chunk-tokens", type=int, default=512)
-    tp.add_argument("--overlap-tokens", type=int, default=64)
+    # None sentinel: the re-budget warning must fire only when the user
+    # actually TYPED the flag, not on the implicit default
+    tp.add_argument("--overlap-tokens", type=int, default=None)
     tp.add_argument("--seq-len", type=int, default=2048)
     tp.add_argument("--num-shards", type=int, default=16)
     tp.add_argument("--seed", type=int, default=0)

@@ -27,6 +27,16 @@ SQL_STOPWORDS = ", ".join(f"'{w}'" for w in STOPWORDS)
 TOKEN_RE = "[a-z0-9]+"
 
 
+def ws_token_array(col: Column | str) -> Column:
+    """Whitespace token array with empty tokens dropped — THE chunking
+    tokenization convention (split("") yields [""], size 1, so the filter
+    is what keeps an empty doc producing zero chunks). Shared by
+    chunk_documents and chunk_documents_by_budget so the two chunkers'
+    token streams can never desynchronize."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
 def ws_tokens(col: Column | str) -> Column:
     """Whitespace tokenization (split on single space, like the reference's
     concat_ws(' ') round-trip at transform/execute.py:180)."""

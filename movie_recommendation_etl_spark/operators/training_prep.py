@@ -62,11 +62,11 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     step = chunk_tokens - overlap_tokens
     if tokenizer is None:
-        # split("") yields [""] (size 1), so drop empty tokens explicitly —
-        # otherwise an empty doc produces one empty chunk
-        toks = F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        from movie_recommendation_etl_spark.functions.text import (
+            ws_token_array,
         )
+
+        toks = ws_token_array(text_col)
     else:
         toks = F.filter(tokenizer(text_col), lambda t: t != "")
     n = F.size(toks)
@@ -129,17 +129,23 @@ def chunk_documents_by_budget(
     One row per chunk: (id, chunk_idx, chunk_text, n_tokens, budget_cost)
     with ``n_tokens`` the chunk's WHITESPACE token count (the unit
     downstream pack/materialize re-split on) and ``budget_cost`` its cost
-    sum. Greedy packing: each chunk takes consecutive tokens while its
-    cost stays <= ``budget``; a token whose cost alone exceeds the budget
-    still lands in a chunk (opens one if needed — no token is ever
-    dropped), and zero-cost tokens never open a chunk. Non-overlapping by
-    construction (budget units don't subdivide a token, so a token-grain
-    overlap in cost units is ill-defined); chunks concatenate back to the
-    exact token stream, asserted in tests.
+    sum. Greedy packing: the first token (whatever its cost) opens chunk
+    0; each later token joins the current chunk unless adding its cost
+    would exceed ``budget``, in which case it opens a new chunk — so a
+    token whose cost alone exceeds the budget still lands in a chunk and
+    no token is ever dropped, and a zero-cost token opens a chunk only
+    when it is the first token or follows an at/over-budget chunk.
+    Non-overlapping by construction (budget units don't subdivide a
+    token, so a token-grain overlap in cost units is ill-defined); chunks
+    concatenate back to the exact token stream, asserted in tests.
 
     Scale shape: the greedy fold is ONE scan-stage Catalyst ``aggregate``
     over the token array (no shuffle, no Python); the explode emits rows
-    ∝ corpus tokens / budget like fixed-size chunking."""
+    ∝ corpus tokens / budget like fixed-size chunking. The token array
+    and per-token costs are materialized in staged projections, so the
+    split and the cost regex each run ONCE per token (HOFs are
+    CodegenFallback — within one projection Catalyst would re-evaluate
+    them per consuming expression)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     if cost_fn is None:
@@ -148,15 +154,22 @@ def chunk_documents_by_budget(
         )
 
         cost_fn = re_token_count
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    from movie_recommendation_etl_spark.functions.text import ws_token_array
+
+    # stage 1: tokenize once; stage 2: cost once per token
+    staged = docs.select(
+        F.col(id_col), ws_token_array(text_col).alias("__toks")
+    ).select(
+        id_col,
+        "__toks",
+        F.size("__toks").alias("__n"),
+        F.transform(
+            "__toks", lambda t: cost_fn(t).cast("long")
+        ).alias("__costs"),
     )
-    # (cost, index) per token; the fold walks them in order
+    # (cost, index) pairs; the fold walks them in order
     indexed = F.transform(
-        toks,
-        lambda t, i: F.struct(
-            cost_fn(t).cast("long").alias("c"), i.alias("i")
-        ),
+        "__costs", lambda c, i: F.struct(c.alias("c"), i.alias("i"))
     )
     init = F.struct(
         F.lit(0).cast("long").alias("acc"),
@@ -179,7 +192,6 @@ def chunk_documents_by_budget(
         )
 
     starts = F.aggregate(indexed, init, _merge, lambda s: s["starts"])
-    costs = F.transform(indexed, lambda x: x["c"])
     # chunk length = next start (1-based lookup; try_element_at -> NULL
     # past the last chunk, coalesced to n) - start
     chunk_len = (
@@ -191,11 +203,11 @@ def chunk_documents_by_budget(
         )
         - F.col("__start")
     )
-    base = docs.select(
+    base = staged.select(
         F.col(id_col),
-        F.size(toks).alias("__n"),
-        toks.alias("__toks"),
-        costs.alias("__costs"),
+        "__n",
+        "__toks",
+        "__costs",
         starts.alias("__starts_all"),
         F.posexplode(starts).alias("chunk_idx", "__start"),
     )

@@ -237,12 +237,24 @@ def _streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _streamed_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session-window arm through the STREAMING engine: merging
-    session state across micro-batches is the hardest stateful path the
-    engine has, which is exactly why it belongs under the hash gate."""
-    return _drain_streamed(spark, sf_dir, session_window_agg)
+    session state ACROSS micro-batches is the hardest stateful path the
+    engine has, so this arm forces it — the events table is rewritten
+    into 4 files fed one per trigger, making every session that spans a
+    file boundary a genuine cross-batch state merge (a single-batch drain
+    would never execute that path while the gate claimed it did)."""
+    return _drain_streamed(
+        spark, sf_dir, session_window_agg, n_files=4, max_files_per_trigger=1
+    )
 
 
-def _drain_streamed(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+def _drain_streamed(
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    *,
+    n_files: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Run ``build`` (a batch-defined aggregation builder — Spark's
     unified model applies it to a streaming frame unchanged) through the
     STREAMING engine (r8 VERDICT stretch: streaming oracle parity): a
@@ -276,20 +288,33 @@ def _drain_streamed(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     try:
         from pyspark.sql.utils import AnalysisException
 
-        try:
-            # Probe with a batch read: earlier testdata generations carry
-            # TIMESTAMP(NANOS) ts, which the stream's fixed micros schema
-            # cannot convert (load_table's _NANOS_TS_COLS fallback handles
-            # it batch-side only). A nanos file fails schema conversion
-            # HERE, and the stream then reads a micros REWRITE of the
-            # table instead — one extra copy, paid only on legacy data.
-            spark.read.parquet(src_file).schema
-            os.symlink(src_file, os.path.join(stream_dir, "events.parquet"))
-        except AnalysisException:
-            load_table(spark, sf_dir, "events").write.mode(
-                "overwrite"
-            ).parquet(stream_dir)
-        events = read_events_stream(spark, stream_dir)
+        if n_files is not None:
+            # multi-file rewrite: n_files files fed max_files_per_trigger
+            # at a time = a controlled micro-batch count (the session arm
+            # uses this to force cross-batch state merges)
+            load_table(spark, sf_dir, "events").repartition(
+                n_files
+            ).write.mode("overwrite").parquet(stream_dir)
+        else:
+            try:
+                # Probe with a batch read: earlier testdata generations
+                # carry TIMESTAMP(NANOS) ts, which the stream's fixed
+                # micros schema cannot convert (load_table's
+                # _NANOS_TS_COLS fallback handles it batch-side only). A
+                # nanos file fails schema conversion HERE, and the stream
+                # then reads a micros REWRITE of the table instead — one
+                # extra copy, paid only on legacy data.
+                spark.read.parquet(src_file).schema
+                os.symlink(
+                    src_file, os.path.join(stream_dir, "events.parquet")
+                )
+            except AnalysisException:
+                load_table(spark, sf_dir, "events").write.mode(
+                    "overwrite"
+                ).parquet(stream_dir)
+        events = read_events_stream(
+            spark, stream_dir, max_files_per_trigger=max_files_per_trigger
+        )
         name = f"q30_stream_{uuid.uuid4().hex}"
         q = (
             build(events)

@@ -365,8 +365,10 @@ def test_q30_stream_arm_relative_sf_dir(spark, monkeypatch):
     )
     from movie_recommendation_etl_spark.sources.catalog import load_table
 
-    abs_dir = "/root/testdata/sf0.001"
-    monkeypatch.chdir(os.path.dirname(abs_dir.rstrip("/")) + "/..")
+    from tests.conftest import SF_SMALL
+
+    abs_dir = os.path.abspath(SF_SMALL)
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(abs_dir)))
     rel_dir = os.path.relpath(abs_dir)
     assert not os.path.isabs(rel_dir)
     got = sorted(
