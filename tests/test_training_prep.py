@@ -671,3 +671,58 @@ def test_budget_chunking_rejects_bad_budget(spark):
     docs = spark.createDataFrame([(1, "a")], SCHEMA)
     with pytest.raises(ValueError):
         chunk_documents_by_budget(docs, budget=0)
+
+
+def test_budget_chunking_property(spark):
+    """Property: for any token stream (mixed costs, including zero-cost
+    punctuation tokens and over-budget mega-tokens) and any budget, the
+    Catalyst greedy fold replays the by-definition Python packer exactly
+    and chunks conserve the stream."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from movie_recommendation_etl_spark.functions.text import TOKEN_RE
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents_by_budget,
+    )
+
+    # token alphabet spanning cost 0 (pure punctuation), cost 1, cost 2,
+    # and an over-budget chain of alnum runs
+    vocab = ["!!!", "---", "ab", "Xy9", "a-b", "C,d", "-".join("q" * 1) * 1,
+             "-".join(f"r{k}" for k in range(12))]
+    tok = st.sampled_from(vocab)
+
+    def pycost(t):
+        return len(_re.findall(TOKEN_RE, t.lower()))
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        toks=st.lists(tok, min_size=0, max_size=40),
+        budget=st.integers(min_value=1, max_value=9),
+    )
+    def _check(toks, budget):
+        text = " ".join(toks)
+        docs = spark.createDataFrame([(1, text)], SCHEMA)
+        rows = sorted(
+            chunk_documents_by_budget(docs, budget=budget).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        chunks, cur, acc = [], [], 0
+        for t in toks:
+            c = pycost(t)
+            if cur and acc + c > budget:
+                chunks.append(cur)
+                cur, acc = [], 0
+            cur.append(t)
+            acc += c
+        if cur:
+            chunks.append(cur)
+        assert [r["chunk_text"] for r in rows] == [
+            " ".join(c) for c in chunks
+        ]
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        got_stream = [t for r in rows for t in r["chunk_text"].split()]
+        assert got_stream == toks
+
+    _check()
