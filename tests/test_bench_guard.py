@@ -139,3 +139,46 @@ def test_fence_ref_scale_on_method_change():
     # same method: everything compares
     assert fence_ref_scale(prev, REF_SCALE_METHOD) == prev
     assert fence_ref_scale(None, None) is None
+
+
+def test_fence_scope_tags_drops_changed_and_resumes_on_match():
+    """A query whose scope tag changed since the previous round (or that
+    gained one) is excluded from the comparison for ONE round; once the
+    previous blob carries the same tag, comparison resumes. Tag-free
+    queries are never touched."""
+    import bench
+    from bench import fence_scope_tags
+
+    prev = {"q30_window_agg_suite": 1.6, "q01": 1.0}
+    # previous round had no tags (r8): the newly tagged q30 is fenced
+    fenced, dropped = fence_scope_tags(prev, {})
+    assert dropped == ["q30_window_agg_suite"]
+    assert fenced == {"q01": 1.0}
+    # previous round recorded the SAME tags (r10 vs r9): nothing fenced
+    fenced2, dropped2 = fence_scope_tags(prev, dict(bench.SCOPE_TAGS))
+    assert dropped2 == [] and fenced2 == prev
+    # None baseline passes through
+    assert fence_scope_tags(None, {}) == (None, [])
+
+
+def test_reconstruction_recovers_scope_tags_and_nonq_flags(tmp_path):
+    """The truncated-tail fallback must recover scope_tags and keep
+    non-q flagged names (incremental_admit) for min-of-3 targeting."""
+    import bench
+
+    tail = (
+        '"q54_neardup_clusters": 4.7, "incremental_admit": 2.4, '
+        '"calibration_sec": 0.22, "bench_method": "min2", '
+        '"regressions": {"q54_neardup_clusters": {"prev": 1}, '
+        '"incremental_admit": {"prev": 2}}, '
+        '"scope_tags": {"q30_window_agg_suite": "r9-stream-arm"}}'
+    )
+    (tmp_path / "BENCH_r42.json").write_text(
+        json.dumps({"tail": tail})
+    )
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["queries"]["incremental_admit"] == 2.4
+    assert set(blob["regressions"]) == {
+        "q54_neardup_clusters", "incremental_admit"
+    }
+    assert blob["scope_tags"] == {"q30_window_agg_suite": "r9-stream-arm"}
