@@ -146,7 +146,18 @@ def previous_round_bench(repo_dir: str) -> dict | None:
         # survived (a partial previous round just compares fewer queries);
         # the calibration scalar prints after the queries, so it survives
         # truncation whenever any timing does.
-        seg = tail.split('"regressions"')[0]
+        # Cut BEFORE every meta block that also contains query names as
+        # numeric pairs (query_spread holds "qNN": ratio entries — r9
+        # ADVICE: splitting only at "regressions" let spread RATIOS
+        # overwrite the real timings in the dict comprehension below).
+        seg = tail
+        for marker in (
+            '"query_spread"',
+            '"extra_sampled"',
+            '"scope_tags"',
+            '"regressions"',
+        ):
+            seg = seg.split(marker)[0]
         pairs = re.findall(
             r'"([A-Za-z_][A-Za-z_0-9]*)":\s*([0-9][0-9.eE+-]*)\s*[,}]', seg
         )
@@ -318,6 +329,7 @@ def main() -> int:
     # per-query relative spread ((max-min)/min over the samples) is
     # reported so a noisy host is visible IN the artifact, not inferred
     # afterwards.
+    extra_sampled: list[str] = []
     for name in BENCH_QUERIES:
         n_runs = 3 if name in prev_flagged else 2
         samples: list[float] = []
@@ -325,6 +337,12 @@ def main() -> int:
             t0 = time.monotonic()
             _run_noop(QUERIES[name](spark, SF_DIR))
             samples.append(time.monotonic() - t0)
+            if i == 2:
+                # the third sample actually ran (the break below can stop
+                # a flagged query at two — r9 ADVICE: deriving this set
+                # from prev_flagged claimed min-of-3 estimates that were
+                # never taken)
+                extra_sampled.append(name)
             if samples[-1] > (60.0 if i == 0 else 10.0):
                 break
         timings[name] = round(min(samples), 3)
@@ -458,6 +476,11 @@ def main() -> int:
         if isinstance(prev_cal, (int, float)) and prev_cal > 0
         else 1.0
     )
+    # Key order is load-bearing for the truncated-tail reconstruction
+    # (previous_round_bench): the driver keeps only the LAST stdout bytes,
+    # so everything that must survive head-clipping — and every meta block
+    # whose "qNN": number pairs could masquerade as timings — prints AFTER
+    # the queries object, with query_spread/scope_tags/regressions LAST.
     out = {
         "metric": "bench_total_sec",
         "value": total,
@@ -469,33 +492,38 @@ def main() -> int:
         "calibration_sec": calibration,
         "calibration_ratio_vs_prev": round(cal_ratio, 3),
         "query_spread": spread,
-        # only loop queries actually receive the third sample — reporting
-        # a flagged non-loop entry (incremental_admit etc.) here would
-        # claim a tightened estimate that was never taken (r9 review)
-        "extra_sampled": sorted(prev_flagged & set(BENCH_QUERIES)),
+        # names that ACTUALLY got a third sample this round (tracked in
+        # the loop — the >10 s break can stop a flagged query at two)
+        "extra_sampled": sorted(extra_sampled),
         "scope_tags": SCOPE_TAGS,
         "regressions": compute_regressions(
             prev, timings, calibration_ratio=cal_ratio
         ),
     }
+    # All applicable fencing notes, not first-match-wins (r9 ADVICE: the
+    # old elif chain silently dropped the ref_scale note whenever a scope
+    # fence also fired).
+    notes: list[str] = []
     if prev_blob is not None and not comparable:
-        out["regressions_note"] = (
+        notes.append(
             "previous round used a different timing methodology "
             f"({prev_blob.get('bench_method', 'single-shot')} vs "
             f"{BENCH_METHOD}); cross-round comparison suppressed this round"
         )
-    elif scope_dropped:
-        out["regressions_note"] = (
+    if scope_dropped:
+        notes.append(
             "scope-grown queries excluded from the comparison (their "
             f"measured work deliberately changed): {scope_dropped}; they "
             "compare normally next round"
         )
-    elif ref_fenced:
-        out["regressions_note"] = (
+    if ref_fenced:
+        notes.append(
             "ref_scale_* entries excluded from the comparison: the replay "
             f"methodology changed ({prev_ref_method or 'single-shot fit'} "
             f"vs {REF_SCALE_METHOD}); they compare normally next round"
         )
+    if notes:
+        out["regressions_note"] = "; ".join(notes)
     print(json.dumps(out))
     return 0
 

@@ -134,7 +134,9 @@ def chunk_documents_by_budget(
     would exceed ``budget``, in which case it opens a new chunk — so a
     token whose cost alone exceeds the budget still lands in a chunk and
     no token is ever dropped, and a zero-cost token opens a chunk only
-    when it is the first token or follows an at/over-budget chunk.
+    when it is the first token or follows a chunk whose accumulated cost
+    already EXCEEDS the budget (after an exactly-at-budget chunk,
+    ``acc + 0 > budget`` is false, so the zero-cost token joins it).
     Non-overlapping by construction (budget units don't subdivide a
     token, so a token-grain overlap in cost units is ill-defined); chunks
     concatenate back to the exact token stream, asserted in tests.

@@ -161,6 +161,34 @@ def test_fence_scope_tags_drops_changed_and_resumes_on_match():
     assert fence_scope_tags(None, {}) == (None, [])
 
 
+def test_reconstruction_ignores_query_spread_ratios(tmp_path):
+    """BENCH_r09's actual shape: the head-clipped tail starts MID-queries
+    and ALSO carries the query_spread block, whose "qNN": ratio pairs must
+    not overwrite (or stand in for) the real timings — r9 ADVICE reproduced
+    a baseline of 0.35 (a spread ratio) instead of 1.62 (the timing)."""
+    tail = (
+        '_cosine_topk": 1.449, "q72_curate_pipeline": 1.62, '
+        '"sf": 0.1, "bench_method": "min2", "calibration_sec": 0.282, '
+        '"query_spread": {"q72_curate_pipeline": 0.35, '
+        '"q01_pricing_summary": 1.751}, '
+        '"extra_sampled": ["q02_top_revenue_orders"], '
+        '"scope_tags": {"q80_trainprep_composed": "r9-full-lifecycle"}, '
+        '"regressions": {"q53_embedding_neardup_pairs": {"prev": 2.7}}}'
+    )
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps({"tail": tail}))
+    blob = previous_round_bench(str(tmp_path))
+    # the clipped leading pair ("..._cosine_topk") has a mangled name and
+    # is dropped by the allowlist; the intact timing survives untouched
+    assert blob["queries"] == {"q72_curate_pipeline": 1.62}
+    # spread-only names never enter the timings
+    assert "q01_pricing_summary" not in blob["queries"]
+    assert blob["calibration_sec"] == 0.282
+    assert set(blob["regressions"]) == {"q53_embedding_neardup_pairs"}
+    assert blob["scope_tags"] == {
+        "q80_trainprep_composed": "r9-full-lifecycle"
+    }
+
+
 def test_reconstruction_recovers_scope_tags_and_nonq_flags(tmp_path):
     """The truncated-tail fallback must recover scope_tags and keep
     non-q flagged names (incremental_admit) for min-of-3 targeting."""
