@@ -32,11 +32,22 @@ BENCH_METHOD = "min2"
 
 # Same fencing for the reference-scale replay, whose methodology is
 # versioned independently (r8: the subprocess fit went min-of-2; its
-# single-shot r7 number is not comparable). The replay also runs minutes
-# after the calibration sample on a multi-tenant host, so when methods
-# mismatch its entries are dropped from the regression comparison rather
-# than normalized.
-REF_SCALE_METHOD = "min2_fit"
+# single-shot r7 number is not comparable). r10 ("min2_fit_cal"): the
+# replay now runs the SAME host-speed calibration job inside the
+# subprocess and reports ref_scale_calibration_sec, so its entries are
+# normalized by the replay's OWN ratio — the replay runs minutes after
+# the parent's calibration sample on a multi-tenant host, and r9's
+# un-normalized comparison produced a phantom +544% ref_scale_fit_sec
+# flag (re-measured 7.2 s vs the recorded 140.3 s). The method bump
+# fences the un-calibrated r9 entries for one round; comparison resumes
+# calibrated in r11.
+REF_SCALE_METHOD = "min2_fit_cal"
+
+# A calibration ratio this far from 1.0 means the host was in a
+# different regime when the two samples ran (or one sample is junk) —
+# dividing by it would manufacture precision, so the affected entries
+# are fenced for the round instead.
+CALIBRATION_RATIO_FENCE = 5.0
 
 
 # Per-query SCOPE tags: bumped when a query's measured work deliberately
@@ -67,6 +78,19 @@ def fence_scope_tags(
     if not dropped:
         return prev, []
     return {k: v for k, v in prev.items() if k not in dropped}, sorted(dropped)
+
+
+def ref_ratio_in_regime(ratio: float | None) -> bool:
+    """True when a replay calibration ratio is usable for normalization:
+    present, positive, and within the fence bound (both samples saw the
+    same host regime, up to ordinary multi-tenant noise)."""
+    return (
+        ratio is not None
+        and ratio > 0
+        and 1.0 / CALIBRATION_RATIO_FENCE
+        <= ratio
+        <= CALIBRATION_RATIO_FENCE
+    )
 
 
 def fence_ref_scale(
@@ -110,6 +134,25 @@ BENCH_QUERIES: tuple[str, ...] = (
 
 def _run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def host_calibration(spark) -> float:
+    """Host-speed calibration: a fixed synthetic job (no I/O, no code under
+    test) whose wall-time depends only on the machine. Three runs: the
+    FIRST pays codegen/JIT for this exact plan (~0.8 s, fixed cost, not
+    host speed) and is dropped; the min of the remaining two is the
+    steady-state host-speed number (~0.2-0.5 s on a healthy 32-core host).
+    Shared by the in-session bench loop AND the reference-scale replay
+    subprocess (scripts/bench_reference_scale.py), so both report numbers
+    normalizable by their own host regime."""
+    samples = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) as s"
+        ).write.format("noop").mode("overwrite").save()
+        samples.append(time.monotonic() - t0)
+    return round(min(samples[1:]), 3)
 
 
 def previous_round_bench(repo_dir: str) -> dict | None:
@@ -197,6 +240,11 @@ def previous_round_bench(repo_dir: str) -> dict | None:
             c = re.search(r'"calibration_sec":\s*([0-9.]+)', tail)
             if c:
                 out["calibration_sec"] = float(c.group(1))
+            rc = re.search(
+                r'"ref_scale_calibration_sec":\s*([0-9.]+)', tail
+            )
+            if rc:
+                out["ref_scale_calibration_sec"] = float(rc.group(1))
             m = re.search(r'"bench_method":\s*"([a-z0-9_-]+)"', tail)
             if m:
                 out["bench_method"] = m.group(1)
@@ -223,6 +271,7 @@ def compute_regressions(
     pct_threshold: float = 0.25,
     min_abs_sec: float = 0.1,
     calibration_ratio: float = 1.0,
+    ref_scale_ratio: float | None = None,
 ) -> dict[str, dict[str, float]]:
     """Queries >25% AND >0.1 s slower than the previous round — the in-band
     flag that would have caught q53's r3 regression (r3 VERDICT #6). The
@@ -232,14 +281,28 @@ def compute_regressions(
     round's): current timings are divided by it before comparing, so a
     host running 2x slower than last round (the r5 false-alarm storm —
     20 queries flagged, all noise) does not flag every query. Flagged
-    entries report both the raw and the normalized seconds."""
+    entries report both the raw and the normalized seconds.
+
+    ``ref_scale_ratio`` is the same ratio measured INSIDE the ref-scale
+    replay subprocess (its calibration_sec vs the previous round's) —
+    ``ref_scale_*`` entries normalize by it, because the replay runs
+    minutes after the parent's calibration sample and the host regime can
+    differ by then (r9: a +544% phantom flag on an un-normalized replay
+    that re-measured faster than the previous round)."""
     if not prev:
         return {}
     ratio = calibration_ratio if calibration_ratio > 0 else 1.0
+    ref_ratio = (
+        ref_scale_ratio
+        if ref_scale_ratio is not None and ref_scale_ratio > 0
+        else ratio
+    )
     out: dict[str, dict[str, float]] = {}
     for name, t_now in now.items():
         t_prev = prev.get(name)
-        t_norm = t_now / ratio
+        t_norm = t_now / (
+            ref_ratio if name.startswith("ref_scale_") else ratio
+        )
         if (
             t_prev
             and t_norm > t_prev * (1.0 + pct_threshold)
@@ -275,24 +338,12 @@ def main() -> int:
     # JVM warm-up so the first measured query doesn't pay codegen/classload.
     _run_noop(load_table(spark, SF_DIR, "lineitem").limit(1000))
 
-    # Host-speed calibration: a fixed synthetic job (no I/O, no code under
-    # test) whose wall-time depends only on the machine. Round 5 saw the
-    # host degrade 2-4x mid-round, making cross-round per-query deltas
-    # meaningless; dividing by the calibration ratio recovers a comparable
-    # signal. ~0.5 s on a healthy 32-core host.
-    # Three runs: the FIRST pays codegen/JIT for this exact plan (~0.8 s,
-    # fixed cost, not host speed) and is dropped; the min of the remaining
-    # two is the steady-state host-speed number. This changes the scale of
-    # calibration_sec vs rounds <= 6 (single-shot, compile included) —
-    # BENCH_METHOD below fences the cross-round comparison accordingly.
-    samples = []
-    for _ in range(3):
-        t0 = time.monotonic()
-        spark.range(0, 200_000_000, 1, 32).selectExpr(
-            "sum(id * 2654435761 % 1000003) as s"
-        ).write.format("noop").mode("overwrite").save()
-        samples.append(time.monotonic() - t0)
-    calibration = round(min(samples[1:]), 3)
+    # Round 5 saw the host degrade 2-4x mid-round, making cross-round
+    # per-query deltas meaningless; dividing by the calibration ratio
+    # recovers a comparable signal. The steady-state estimator (drop the
+    # codegen-paying first sample) changed the scale of calibration_sec vs
+    # rounds <= 6 — BENCH_METHOD fences the comparison accordingly.
+    calibration = host_calibration(spark)
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -410,6 +461,7 @@ def main() -> int:
     # (scripts/bench_reference_scale.py), which must not leak into this
     # session. Skippable (SPARK_GRAFT_SKIP_REF_SCALE=1) and non-fatal —
     # a replay failure degrades the bench, it doesn't kill it.
+    ref_scale_calibration: float | None = None
     if os.environ.get("SPARK_GRAFT_SKIP_REF_SCALE") != "1":
         import subprocess
 
@@ -437,6 +489,11 @@ def main() -> int:
                     timings["ref_scale_warm_ann_sec"] = float(
                         ref["ann_warm_median_sec"]
                     )
+                    # the replay's own host-speed sample (taken inside the
+                    # subprocess, minutes after the parent's) — the number
+                    # ref_scale_* comparisons normalize by
+                    if "calibration_sec" in ref:
+                        ref_scale_calibration = float(ref["calibration_sec"])
                     break
         except (subprocess.SubprocessError, OSError, ValueError, KeyError):
             pass
@@ -476,6 +533,34 @@ def main() -> int:
         if isinstance(prev_cal, (int, float)) and prev_cal > 0
         else 1.0
     )
+    # The replay's own calibration ratio (subprocess-vs-subprocess): only
+    # meaningful when BOTH rounds measured one (REF_SCALE_METHOD gates the
+    # un-calibrated past). A ratio outside the fence bound means the two
+    # samples saw different host regimes — fence the replay entries this
+    # round rather than normalize by a junk ratio.
+    prev_ref_cal = (
+        (prev_blob or {}).get("ref_scale_calibration_sec")
+        if comparable
+        else None
+    )
+    ref_cal_ratio = (
+        ref_scale_calibration / prev_ref_cal
+        if ref_scale_calibration
+        and isinstance(prev_ref_cal, (int, float))
+        and prev_ref_cal > 0
+        else None
+    )
+    ref_ratio_fenced = False
+    if ref_cal_ratio is not None and not ref_ratio_in_regime(ref_cal_ratio):
+        if prev:
+            kept = {
+                k: v
+                for k, v in prev.items()
+                if not k.startswith("ref_scale_")
+            }
+            ref_ratio_fenced = kept != prev
+            prev = kept
+        ref_cal_ratio = None
     # Key order is load-bearing for the truncated-tail reconstruction
     # (previous_round_bench): the driver keeps only the LAST stdout bytes,
     # so everything that must survive head-clipping — and every meta block
@@ -491,13 +576,26 @@ def main() -> int:
         "ref_scale_method": REF_SCALE_METHOD,
         "calibration_sec": calibration,
         "calibration_ratio_vs_prev": round(cal_ratio, 3),
+        **(
+            {"ref_scale_calibration_sec": ref_scale_calibration}
+            if ref_scale_calibration is not None
+            else {}
+        ),
+        **(
+            {"ref_scale_calibration_ratio_vs_prev": round(ref_cal_ratio, 3)}
+            if ref_cal_ratio is not None
+            else {}
+        ),
         "query_spread": spread,
         # names that ACTUALLY got a third sample this round (tracked in
         # the loop — the >10 s break can stop a flagged query at two)
         "extra_sampled": sorted(extra_sampled),
         "scope_tags": SCOPE_TAGS,
         "regressions": compute_regressions(
-            prev, timings, calibration_ratio=cal_ratio
+            prev,
+            timings,
+            calibration_ratio=cal_ratio,
+            ref_scale_ratio=ref_cal_ratio,
         ),
     }
     # All applicable fencing notes, not first-match-wins (r9 ADVICE: the
@@ -521,6 +619,14 @@ def main() -> int:
             "ref_scale_* entries excluded from the comparison: the replay "
             f"methodology changed ({prev_ref_method or 'single-shot fit'} "
             f"vs {REF_SCALE_METHOD}); they compare normally next round"
+        )
+    if ref_ratio_fenced:
+        notes.append(
+            "ref_scale_* entries excluded from the comparison: the "
+            "replay's calibration ratio vs the previous round is outside "
+            f"[1/{CALIBRATION_RATIO_FENCE}, {CALIBRATION_RATIO_FENCE}] "
+            "(different host regimes — normalizing would manufacture "
+            "precision)"
         )
     if notes:
         out["regressions_note"] = "; ".join(notes)

@@ -47,6 +47,15 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # The replay runs minutes after the parent bench's calibration sample
+    # on a multi-tenant host, so its numbers need their OWN host-speed
+    # sample: the parent normalizes ref_scale_* cross-round deltas by
+    # (this calibration / previous round's) — r9's un-normalized replay
+    # produced a phantom +544% regression flag under neighbor load.
+    from bench import host_calibration
+
+    calibration = host_calibration(spark)
+
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     n_src = docs.count()
     copies = (TARGET_DOCS + n_src - 1) // n_src
@@ -120,6 +129,7 @@ def main() -> int:
             {
                 "n_docs": n_docs,
                 "n_vectors": n_vec,
+                "calibration_sec": calibration,
                 "corpus_gen_sec": round(gen_sec, 1),
                 "tfidf_fit_transform_sec": round(fit_sec, 1),
                 "lsh_fit_sec": round(lsh_fit_sec, 1),

@@ -127,6 +127,70 @@ def test_previous_round_bench_surfaces_method_marker(tmp_path):
     assert blob["queries"] == {"q01": 1.5}
 
 
+def test_compute_regressions_ref_scale_uses_replay_ratio():
+    """ref_scale_* entries normalize by the replay subprocess's OWN
+    calibration ratio, not the parent loop's — the r9 phantom: the replay
+    ran under 8x neighbor load while the in-session calibration was clean,
+    so the un-normalized 140.3 s read as +544% on code that re-measured
+    FASTER than the previous round."""
+    prev = {"q01": 1.0, "ref_scale_fit_sec": 17.0}
+    now = {"q01": 1.0, "ref_scale_fit_sec": 140.0}
+    # parent host clean (ratio 1.0) but replay host 8x slower: normalized
+    # 140/8 = 17.5 -> inside noise, nothing flagged
+    assert (
+        compute_regressions(
+            prev, now, calibration_ratio=1.0, ref_scale_ratio=8.0
+        )
+        == {}
+    )
+    # without the replay ratio the ref_scale entry falls back to the
+    # parent ratio and false-flags (the r9 behavior, kept as fallback)
+    regs = compute_regressions(prev, now, calibration_ratio=1.0)
+    assert set(regs) == {"ref_scale_fit_sec"}
+    # a REAL replay regression still flags under its own clean ratio
+    regs2 = compute_regressions(
+        prev, now, calibration_ratio=1.0, ref_scale_ratio=1.0
+    )
+    assert set(regs2) == {"ref_scale_fit_sec"}
+    # and the replay ratio never leaks onto in-session queries
+    slow = {"q01": 3.0, "ref_scale_fit_sec": 17.0}
+    regs3 = compute_regressions(
+        prev, slow, calibration_ratio=1.0, ref_scale_ratio=8.0
+    )
+    assert set(regs3) == {"q01"}
+
+
+def test_ref_ratio_in_regime_bounds():
+    from bench import CALIBRATION_RATIO_FENCE, ref_ratio_in_regime
+
+    assert ref_ratio_in_regime(1.0)
+    assert ref_ratio_in_regime(CALIBRATION_RATIO_FENCE)
+    assert ref_ratio_in_regime(1.0 / CALIBRATION_RATIO_FENCE)
+    assert not ref_ratio_in_regime(CALIBRATION_RATIO_FENCE * 1.01)
+    assert not ref_ratio_in_regime(0.9 / CALIBRATION_RATIO_FENCE)
+    assert not ref_ratio_in_regime(None)
+    assert not ref_ratio_in_regime(0.0)
+    assert not ref_ratio_in_regime(-1.0)
+
+
+def test_reconstruction_recovers_ref_scale_calibration(tmp_path):
+    """The replay's calibration scalar must survive head-clipped tails
+    (it prints after the queries object), and the plain 'calibration_sec'
+    regex must not swallow it (quote-anchored)."""
+    tail = (
+        '"q01_pricing_summary": 1.5, "ref_scale_fit_sec": 9.0, '
+        '"bench_method": "min2", "ref_scale_method": "min2_fit_cal", '
+        '"calibration_sec": 0.25, "ref_scale_calibration_sec": 0.31, '
+        '"regressions": {}}'
+    )
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps({"tail": tail}))
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["calibration_sec"] == 0.25
+    assert blob["ref_scale_calibration_sec"] == 0.31
+    assert blob["ref_scale_method"] == "min2_fit_cal"
+    assert blob["queries"]["ref_scale_fit_sec"] == 9.0
+
+
 def test_fence_ref_scale_on_method_change():
     from bench import REF_SCALE_METHOD, fence_ref_scale
 
