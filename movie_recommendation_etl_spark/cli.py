@@ -239,19 +239,20 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
         curated = curated.drop("text").join(cleaned, "doc_id")
     if args.tokenizer == "re-budget":
         # budget by BPE-ish regex token cost, ship the ORIGINAL text (the
-        # lossless alternative to 're'); non-overlapping by construction
+        # lossless alternative to 're'). --overlap-tokens here is ws-token
+        # boundary context (the budget governs NEW tokens only); default 0
+        # — overlap is opt-in on the budget path, unlike fixed-size
+        # chunking whose 64-token default mirrors chunk_documents.
         from movie_recommendation_etl_spark.operators.training_prep import (
             chunk_documents_by_budget,
         )
 
-        if args.overlap_tokens is not None:
-            print(
-                "trainprep: --overlap-tokens ignored with "
-                "--tokenizer re-budget (non-overlapping by construction)",
-                file=sys.stderr,
-            )
         chunks = chunk_documents_by_budget(
-            curated, budget=args.chunk_tokens
+            curated,
+            budget=args.chunk_tokens,
+            overlap_tokens=(
+                0 if args.overlap_tokens is None else args.overlap_tokens
+            ),
         )
     else:
         tokenizer = None
@@ -453,7 +454,8 @@ def build_parser() -> argparse.ArgumentParser:
         "BPE-ish regex tokens (re, functions/text.py:re_tokens), or "
         "re-budget — budget chunks by the regex-token COST of each "
         "whitespace token while shipping the ORIGINAL text "
-        "(non-overlapping; --overlap-tokens ignored). "
+        "(--overlap-tokens adds ws-token boundary context, default 0; "
+        "the budget governs new tokens only). "
         "CAUTION: chunk_text is rebuilt from the tokenizer's stream, so "
         "'re' REWRITES the shipped shard text (lowercased, every "
         "non-[a-z0-9] character stripped) — use it only when the training "
@@ -462,8 +464,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tp.add_argument("--sample-fraction", type=float, default=None)
     tp.add_argument("--chunk-tokens", type=int, default=512)
-    # None sentinel: the re-budget warning must fire only when the user
-    # actually TYPED the flag, not on the implicit default
+    # None sentinel: each chunking path applies its own default (64 for
+    # fixed-size, 0 for re-budget) only when the flag was not typed
     tp.add_argument("--overlap-tokens", type=int, default=None)
     tp.add_argument("--seq-len", type=int, default=2048)
     tp.add_argument("--num-shards", type=int, default=16)

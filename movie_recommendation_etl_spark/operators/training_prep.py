@@ -114,6 +114,7 @@ def chunk_documents_by_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     budget: int = 512,
+    overlap_tokens: int = 0,
     cost_fn=None,
 ) -> DataFrame:
     """Budget-based chunking that PRESERVES the original text (the r8
@@ -126,20 +127,32 @@ def chunk_documents_by_budget(
     the standard LLM-pipeline shape: budget by the training tokenizer's
     units, ship the raw text.
 
-    One row per chunk: (id, chunk_idx, chunk_text, n_tokens, budget_cost)
-    with ``n_tokens`` the chunk's WHITESPACE token count (the unit
-    downstream pack/materialize re-split on) and ``budget_cost`` its cost
-    sum. Greedy packing: the first token (whatever its cost) opens chunk
-    0; each later token joins the current chunk unless adding its cost
-    would exceed ``budget``, in which case it opens a new chunk — so a
-    token whose cost alone exceeds the budget still lands in a chunk and
-    no token is ever dropped, and a zero-cost token opens a chunk only
-    when it is the first token or follows a chunk whose accumulated cost
-    already EXCEEDS the budget (after an exactly-at-budget chunk,
-    ``acc + 0 > budget`` is false, so the zero-cost token joins it).
-    Non-overlapping by construction (budget units don't subdivide a
-    token, so a token-grain overlap in cost units is ill-defined); chunks
-    concatenate back to the exact token stream, asserted in tests.
+    One row per chunk: (id, chunk_idx, chunk_text, n_tokens,
+    n_new_tokens, budget_cost) with ``n_tokens`` the chunk's WHITESPACE
+    token count (the unit downstream pack/materialize re-split on),
+    ``n_new_tokens`` the count excluding the overlap prefix (== n_tokens
+    when ``overlap_tokens`` is 0), and ``budget_cost`` the cost sum of
+    the FULL chunk. Greedy packing: the first token (whatever its cost)
+    opens chunk 0; each later token joins the current chunk unless adding
+    its cost would exceed ``budget``, in which case it opens a new chunk
+    — so a token whose cost alone exceeds the budget still lands in a
+    chunk and no token is ever dropped, and a zero-cost token opens a
+    chunk only when it is the first token or follows a chunk whose
+    accumulated cost already EXCEEDS the budget (after an exactly-
+    at-budget chunk, ``acc + 0 > budget`` is false, so the zero-cost
+    token joins it).
+
+    ``overlap_tokens`` adds boundary context in WHITESPACE-token units
+    (cost-unit overlap is ill-defined — budget units don't subdivide a
+    token): every chunk after the first is extended BACKWARD by up to
+    ``overlap_tokens`` ws tokens of the preceding chunk, clamped at that
+    chunk's own start so context never spans two boundaries. The budget
+    still governs the NEW tokens only (boundaries are computed before the
+    extension), so ``budget_cost`` may exceed ``budget`` by the overlap
+    prefix's cost — the same accounting as fixed-size chunking with
+    overlap. The NEW portions (each chunk's last ``n_new_tokens``
+    tokens) concatenate back to the exact token stream, asserted in
+    tests; with overlap 0 the chunks themselves do.
 
     Scale shape: the greedy fold is ONE scan-stage Catalyst ``aggregate``
     over the token array (no shuffle, no Python); the explode emits rows
@@ -150,6 +163,8 @@ def chunk_documents_by_budget(
     them per consuming expression)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if overlap_tokens < 0:
+        raise ValueError("overlap_tokens must be >= 0")
     if cost_fn is None:
         from movie_recommendation_etl_spark.functions.text import (
             re_token_count,
@@ -194,16 +209,11 @@ def chunk_documents_by_budget(
         )
 
     starts = F.aggregate(indexed, init, _merge, lambda s: s["starts"])
-    # chunk length = next start (1-based lookup; try_element_at -> NULL
-    # past the last chunk, coalesced to n) - start
-    chunk_len = (
-        F.coalesce(
-            F.try_element_at(
-                F.col("__starts_all"), F.col("chunk_idx") + 2
-            ),
-            F.col("__n"),
-        )
-        - F.col("__start")
+    # chunk END (exclusive) = next greedy start (1-based lookup;
+    # try_element_at -> NULL past the last chunk, coalesced to n)
+    chunk_end = F.coalesce(
+        F.try_element_at(F.col("__starts_all"), F.col("chunk_idx") + 2),
+        F.col("__n"),
     )
     base = staged.select(
         F.col(id_col),
@@ -213,13 +223,48 @@ def chunk_documents_by_budget(
         starts.alias("__starts_all"),
         F.posexplode(starts).alias("chunk_idx", "__start"),
     )
-    chunk_toks = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_len)
-    chunk_costs = F.slice(F.col("__costs"), F.col("__start") + 1, chunk_len)
+    # effective start: extended backward by the overlap, clamped at the
+    # previous chunk's own start (1-based position chunk_idx is the
+    # PREVIOUS element; the when() guards chunk 0, and CaseWhen branches
+    # evaluate lazily, so the lookup never sees position 0)
+    if overlap_tokens > 0:
+        eff_start = F.when(F.col("chunk_idx") == 0, F.col("__start")).otherwise(
+            F.greatest(
+                F.col("__start") - F.lit(overlap_tokens),
+                F.coalesce(
+                    F.try_element_at(
+                        F.col("__starts_all"),
+                        F.greatest(F.col("chunk_idx"), F.lit(1)),
+                    ),
+                    F.lit(0),
+                ),
+            )
+        )
+    else:
+        eff_start = F.col("__start")
+    # materialize the (start, end) pair once: both feed the token slice,
+    # the cost slice, and two count columns (HOF consumers re-evaluate
+    # per reference within one projection)
+    base = base.select(
+        id_col,
+        "chunk_idx",
+        "__toks",
+        "__costs",
+        "__start",
+        eff_start.alias("__estart"),
+        chunk_end.alias("__end"),
+    )
+    chunk_len = F.col("__end") - F.col("__estart")
+    chunk_toks = F.slice(F.col("__toks"), F.col("__estart") + 1, chunk_len)
+    chunk_costs = F.slice(F.col("__costs"), F.col("__estart") + 1, chunk_len)
     return base.select(
         id_col,
         "chunk_idx",
         F.concat_ws(" ", chunk_toks).alias("chunk_text"),
         F.size(chunk_toks).alias("n_tokens"),
+        (F.col("__end") - F.col("__start")).cast("int").alias(
+            "n_new_tokens"
+        ),
         F.aggregate(
             chunk_costs, F.lit(0).cast("long"), lambda a, c: a + c
         ).alias("budget_cost"),

@@ -153,70 +153,51 @@ def q50_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_neardup_pairs(_with_twins(docs))
 
 
-@query(
-    "q51_simhash_hamming",
-    oracle=f"""
-    WITH {_SQL_UNIONED},
-    s AS (
-        -- mirrors simhash16: md5 once per token, then fold 16 vote counters
-        -- over the hashed list (list_reduce first-element init == fold-from-
-        -- zero here: zeros + first vote array = first vote array)
-        SELECT doc_id,
-               list_reduce(
+# mirrors simhash16: md5 once per token, then fold 16 vote counters over
+# the hashed list (list_reduce first-element init == fold-from-zero here:
+# zeros + first vote array = first vote array)
+def _sql_simhash16(toks: str) -> str:
+    return f"""list_reduce(
                    list_transform(
                        list_reduce(
-                           list_transform(list_transform(toks, t -> md5(t)),
+                           list_transform(list_transform({toks}, t -> md5(t)),
                                h -> list_transform(range(1, 17), b ->
                                       CASE WHEN substring(h, b, 1) IN
                                            ('8','9','a','b','c','d','e','f')
                                            THEN 1 ELSE -1 END)),
                            (a, v) -> list_transform(range(1, 17), i -> a[i] + v[i])),
                        v -> CASE WHEN v > 0 THEN 1 ELSE 0 END),
-                   (a, x) -> a * 2 + x) AS simhash
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM unioned)
-    )
-    SELECT o.doc_id,
-           o.simhash AS simhash_orig,
-           t.simhash AS simhash_twin,
-           CAST(bit_count(xor(o.simhash, t.simhash)) AS INTEGER) AS hamming
-    FROM s o JOIN s t ON t.doc_id = o.doc_id + 1000000
-    WHERE o.doc_id < 1000000
-    """,
-)
-def q51_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per doc + Hamming distance to the planted twin.
-    Signature computation is pure scan-stage codegen; the near-dup criterion
-    at scale is a self-join on rotated simhash prefixes (constant fanout)."""
-    docs = load_table(spark, sf_dir, "documents")
-    unioned = _with_twins(docs)
-    s = unioned.select(
-        "doc_id", simhash16(F.split("text", " ")).alias("simhash")
-    )
-    o = s.filter(F.col("doc_id") < 1000000).alias("o")
-    t = s.alias("t")
-    return o.join(
-        t, F.col("t.doc_id") == F.col("o.doc_id") + 1000000
-    ).select(
-        F.col("o.doc_id").alias("doc_id"),
-        F.col("o.simhash").alias("simhash_orig"),
-        F.col("t.simhash").alias("simhash_twin"),
-        hamming16(F.col("o.simhash"), F.col("t.simhash")).alias("hamming"),
-    )
+                   (a, x) -> a * 2 + x)"""
 
 
 @query(
-    "q52_ngram_jaccard_twins",
-    oracle="""
+    "q51_twin_similarity_suite",
+    oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh AS (
+    tw AS (
+        -- the twin's SimHash tokens replay the q50-family round-trip
+        -- (truncate -> concat_ws(' ') -> split(' ')), so both engines see
+        -- the identical token stream even at the empty-slice edge
+        SELECT doc_id, toks,
+               string_split(array_to_string(toks[1:len(toks)-3], ' '), ' ')
+                   AS twin_toks
+        FROM t
+    ),
+    s AS (
         SELECT doc_id,
+               {_sql_simhash16("toks")} AS simhash_orig,
+               {_sql_simhash16("twin_toks")} AS simhash_twin,
                list_distinct(list_transform(range(1, len(toks) - 1),
                    i -> array_to_string(toks[i:i+2], ' '))) AS sh_o,
                list_distinct(list_transform(range(1, len(toks) - 4),
                    i -> array_to_string(toks[i:i+2], ' '))) AS sh_t
-        FROM t
+        FROM tw
     )
     SELECT doc_id,
+           simhash_orig,
+           simhash_twin,
+           CAST(bit_count(xor(simhash_orig, simhash_twin)) AS INTEGER)
+               AS hamming,
            CAST(len(list_filter(sh_o, s -> list_contains(sh_t, s))) AS DOUBLE)
            / CAST(len(sh_o) + len(sh_t)
                   - len(list_filter(sh_o, s -> list_contains(sh_t, s)))
@@ -225,21 +206,44 @@ def q51_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
            / CAST(len(sh_o) + len(sh_t)
                   - len(list_filter(sh_o, s -> list_contains(sh_t, s)))
                   AS DOUBLE) >= 0.8 AS is_neardup
-    FROM sh
+    FROM s
     """,
 )
-def q52_ngram_jaccard_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard between each doc and its truncated twin — the
-    ground-truth metric the MinHash pipeline approximates."""
+def q51_twin_similarity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc similarity metrics against the planted truncated twin, in
+    ONE scan (r10 merge of the former q51_simhash_hamming +
+    q52_ngram_jaccard_twins — both were narrow single-scan projections
+    over the same corpus): 16-bit SimHash of original and twin + Hamming
+    distance (locality: near-identical docs land within a few bits), and
+    the exact 3-gram Jaccard + near-dup verdict (the ground-truth metric
+    the MinHash pipeline approximates). Signature computation is pure
+    scan-stage codegen with zero joins or shuffles — at 100 TB this runs
+    at scan speed; the near-dup criterion at scale is a self-join on
+    rotated simhash prefixes (constant fanout)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # SimHash twin tokens: round-trip through text like the q50 family
+    # (_with_twins) so the empty-slice edge tokenizes identically everywhere
+    twin_toks = F.split(
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 3)), " "
+    )
     sh_o = word_shingles(toks)
     sh_t = word_shingles(F.slice(toks, 1, F.size(toks) - 3))
-    j = jaccard(sh_o, sh_t)
-    return docs.select(
+    s = docs.select(
         "doc_id",
-        j.alias("jaccard"),
-        (j >= 0.8).alias("is_neardup"),
+        simhash16(toks).alias("simhash_orig"),
+        simhash16(twin_toks).alias("simhash_twin"),
+        jaccard(sh_o, sh_t).alias("jaccard"),
+    )
+    return s.select(
+        "doc_id",
+        "simhash_orig",
+        "simhash_twin",
+        hamming16(F.col("simhash_orig"), F.col("simhash_twin")).alias(
+            "hamming"
+        ),
+        "jaccard",
+        (F.col("jaccard") >= 0.8).alias("is_neardup"),
     )
 
 

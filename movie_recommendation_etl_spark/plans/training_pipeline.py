@@ -28,6 +28,7 @@ from movie_recommendation_etl_spark.operators.curate import (
 )
 from movie_recommendation_etl_spark.operators.training_prep import (
     chunk_documents,
+    chunk_documents_by_budget,
 )
 from movie_recommendation_etl_spark.plans.curation import _sql_hex8_to_bigint
 from movie_recommendation_etl_spark.plans.dedup_similarity import (
@@ -289,6 +290,124 @@ def q73_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("chunk_md5"),
         "n_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# q81: budget-greedy chunking (plain + overlap arms), list_reduce oracle
+# ---------------------------------------------------------------------------
+
+# Cost model for the gate: ceil(len/4) — the classic chars-per-BPE-token
+# estimate. Chosen over the default re_token_count because this corpus is
+# lowercase alnum, where every ws token costs exactly 1 regex token and
+# the greedy fold would degenerate to fixed-size chunking; length-based
+# costs vary per token, so the budget boundaries (and the overlap
+# clamping) genuinely depend on the fold. /4.0 is a power-of-two divide —
+# exact in IEEE doubles, so ceil is engine-portable.
+_Q81_BUDGET = 16
+_Q81_OVERLAP = 4
+
+
+def _q81_cost(t):
+    return F.ceil(F.length(t) / F.lit(4.0))
+
+
+@query(
+    "q81_budget_chunks",
+    oracle=f"""
+    WITH b1 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    b2 AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               list_transform(toks,
+                   t -> CAST(ceil(length(t) / 4.0) AS BIGINT)) AS costs
+        FROM b1 WHERE len(toks) > 0
+    ),
+    b3 AS (
+        -- the greedy fold: list_reduce's fold-from-first-element IS the
+        -- greedy semantics (the first token opens chunk 0 at index 0),
+        -- so no init-value workaround is needed. State is the FLAT list
+        -- [acc, start0, start1, ...] and each element enters as the
+        -- single-token state [cost_i, i]: DuckDB v1.0.0's list_reduce
+        -- silently drops all but the last element of a LIST field nested
+        -- in a STRUCT accumulator (measured: {{'v',…,'l': s.l || x.l}}
+        -- folds l to [3] over [[1],[2],[3]]), while a plain LIST
+        -- accumulator folds correctly.
+        SELECT doc_id, toks, n, costs,
+               list_reduce(
+                   list_transform(range(1, len(costs) + 1),
+                       i -> [costs[i], CAST(i - 1 AS BIGINT)]),
+                   (s, x) -> CASE WHEN s[1] + x[1] > {_Q81_BUDGET}
+                       THEN [x[1]] || s[2:] || [x[2]]
+                       ELSE [s[1] + x[1]] || s[2:] END)[2:] AS gs
+        FROM b2
+    ),
+    arms AS (
+        SELECT 'plain' AS arm, 0 AS ov, * FROM b3
+        UNION ALL
+        SELECT 'overlap' AS arm, {_Q81_OVERLAP} AS ov, * FROM b3
+    ),
+    ex AS (
+        SELECT arm, doc_id, toks, costs,
+               unnest(list_transform(range(1, len(gs) + 1),
+                   j -> {{'ci': j - 1,
+                         's0': gs[j],
+                         'e0': CASE WHEN j < len(gs) THEN gs[j + 1]
+                                    ELSE n END,
+                         'es': CASE WHEN j = 1 THEN gs[j]
+                                    ELSE greatest(gs[j] - ov, gs[j - 1])
+                               END}})) AS c
+        FROM arms
+    )
+    SELECT arm, doc_id,
+           CAST(c.ci AS INTEGER) AS chunk_idx,
+           md5(array_to_string(toks[c.es + 1 : c.e0], ' ')) AS chunk_md5,
+           CAST(c.e0 - c.es AS INTEGER) AS n_tokens,
+           CAST(c.e0 - c.s0 AS INTEGER) AS n_new_tokens,
+           CAST(list_aggregate(costs[c.es + 1 : c.e0], 'sum') AS BIGINT)
+               AS budget_cost
+    FROM ex
+    """,
+)
+def q81_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-greedy chunking (operators/training_prep.py:
+    chunk_documents_by_budget) under the hash gate, BOTH arms: plain
+    (non-overlapping) and ws-token-overlap (each chunk after the first
+    extended backward by up to {OV} tokens of its predecessor, clamped at
+    the predecessor's start; the budget governs new tokens only). The
+    oracle replays the greedy fold with DuckDB's ``list_reduce`` — its
+    fold-from-first-element initialization coincides exactly with the
+    greedy rule that the first token opens chunk 0 — so chunk boundaries,
+    texts (via md5), token/new-token counts, and per-chunk cost sums are
+    all bit-compared.
+
+    Scale shape: identical to the plain budget chunker — the fold and the
+    overlap adjustment both ride the scan stage (no Exchange, asserted in
+    tests/test_training_prep.py); the two arms are two scans of the same
+    table, no shuffle either way."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def arm(name: str, ov: int) -> DataFrame:
+        ch = chunk_documents_by_budget(
+            docs,
+            budget=_Q81_BUDGET,
+            overlap_tokens=ov,
+            cost_fn=_q81_cost,
+        )
+        return ch.select(
+            F.lit(name).alias("arm"),
+            "doc_id",
+            "chunk_idx",
+            F.md5("chunk_text").alias("chunk_md5"),
+            "n_tokens",
+            "n_new_tokens",
+            "budget_cost",
+        )
+
+    return arm("plain", 0).unionByName(arm("overlap", _Q81_OVERLAP))
 
 
 # ---------------------------------------------------------------------------

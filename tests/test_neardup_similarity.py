@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from movie_recommendation_etl_spark.plans.dedup_similarity import (
     _with_twins,
-    q51_simhash_hamming,
+    q51_twin_similarity_suite,
     q60_knn_bruteforce,
 )
 from movie_recommendation_etl_spark.operators.neardup import (
@@ -29,11 +29,15 @@ def test_minhash_lsh_recovers_planted_twins(spark, sf_dir):
 
 
 def test_simhash_twins_are_close(spark, sf_dir):
-    rows = q51_simhash_hamming(spark, sf_dir).collect()
+    rows = q51_twin_similarity_suite(spark, sf_dir).collect()
     assert rows
     close = sum(1 for r in rows if r["hamming"] <= 4)
     assert close >= 0.9 * len(rows)
     assert all(0 <= r["simhash_orig"] < 2**16 for r in rows)
+    # the merged jaccard arm: truncated twins are near-dups by construction
+    neardup = sum(1 for r in rows if r["is_neardup"])
+    assert neardup >= 0.9 * len(rows)
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
 
 
 def test_srp_blocking_prunes_and_recalls(spark, sf_dir):

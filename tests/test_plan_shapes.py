@@ -88,7 +88,7 @@ def test_simhash_hashes_each_token_once(spark, sf_dir):
     and fold votes over the hashed list. The per-bit-outer form evaluates
     md5 inside a lambda nested under the 16-bit transform — Catalyst does
     not CSE across nested lambdas, so it costs 16x (r2 VERDICT #5)."""
-    df = QUERIES["q51_simhash_hamming"](spark, sf_dir)
+    df = QUERIES["q51_twin_similarity_suite"](spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     # the hashing transform over the raw token array exists...
     assert re.search(r"transform\(split\([^\n]*?lambdafunction\(md5\(", analyzed)

@@ -642,6 +642,147 @@ def test_budget_chunking_matches_python_greedy(spark):
     assert "Mixed-CASE" in d1 and "Hello," in d1
 
 
+def _py_budget_greedy(text, budget, pycost, overlap=0):
+    """By-definition Python reference for chunk_documents_by_budget:
+    greedy starts on cost budget, then each chunk j>0 extends backward by
+    up to ``overlap`` ws tokens, clamped at chunk j-1's own start."""
+    toks = text.split()
+    starts, acc = [], 0
+    for i, t in enumerate(toks):
+        c = pycost(t)
+        if not starts or acc + c > budget:
+            starts.append(i)
+            acc = c
+        else:
+            acc += c
+    out = []
+    for j, s in enumerate(starts):
+        end = starts[j + 1] if j + 1 < len(starts) else len(toks)
+        eff = s if j == 0 else max(s - overlap, starts[j - 1])
+        out.append(
+            {
+                "chunk_idx": j,
+                "chunk_text": " ".join(toks[eff:end]),
+                "n_tokens": end - eff,
+                "n_new_tokens": end - s,
+                "budget_cost": sum(pycost(t) for t in toks[eff:end]),
+            }
+        )
+    return out
+
+
+def test_budget_chunking_with_overlap_matches_python(spark):
+    """The ws-token overlap variant: every chunk after the first carries
+    up to overlap_tokens of context from its predecessor (clamped at the
+    predecessor's start), the budget still governs NEW tokens, and the
+    new portions conserve the stream."""
+    import re as _re
+
+    from movie_recommendation_etl_spark.functions.text import TOKEN_RE
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents_by_budget,
+    )
+
+    def pycost(t):
+        return len(_re.findall(TOKEN_RE, t.lower()))
+
+    rows = [
+        (1, "Hello, World! This is Mixed-CASE text with URLs http://x.y/z"),
+        (2, ""),
+        (3, "one"),
+        (4, " ".join(f"w{i}-X{i}" for i in range(60))),  # cost 2 each
+        (5, "a " * 40),  # 40 cost-1 tokens
+        (6, "!!! --- " * 5 + "word " * 10),  # zero-cost prefix
+    ]
+    budget, ov = 7, 3
+    docs = spark.createDataFrame(rows, SCHEMA)
+    out = (
+        chunk_documents_by_budget(docs, budget=budget, overlap_tokens=ov)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    for doc_id, text in rows:
+        got = [r for r in out if r["doc_id"] == doc_id]
+        want = _py_budget_greedy(text, budget, pycost, overlap=ov)
+        assert [
+            {k: r[k] for k in want[0]} for r in got
+        ] == want if want else got == [], doc_id
+        # NEW portions conserve the stream; chunk 0 has no overlap prefix
+        stream = [
+            t
+            for r in got
+            for t in r["chunk_text"].split()[
+                r["n_tokens"] - r["n_new_tokens"]:
+            ]
+        ]
+        assert stream == text.split()
+        for r in got:
+            assert 0 <= r["n_tokens"] - r["n_new_tokens"] <= ov
+            if r["chunk_idx"] == 0:
+                assert r["n_tokens"] == r["n_new_tokens"]
+
+
+def test_budget_chunking_overlap_property(spark):
+    """Property: for any token stream / budget / overlap, the Catalyst
+    plan replays the Python reference exactly."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from movie_recommendation_etl_spark.functions.text import TOKEN_RE
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents_by_budget,
+    )
+
+    vocab = ["!!!", "ab", "Xy9", "a-b", "C,d",
+             "-".join(f"r{k}" for k in range(12))]
+    tok = st.sampled_from(vocab)
+
+    def pycost(t):
+        return len(_re.findall(TOKEN_RE, t.lower()))
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        toks=st.lists(tok, min_size=0, max_size=40),
+        budget=st.integers(min_value=1, max_value=9),
+        ov=st.integers(min_value=0, max_value=6),
+    )
+    def _check(toks, budget, ov):
+        text = " ".join(toks)
+        docs = spark.createDataFrame([(1, text)], SCHEMA)
+        got = sorted(
+            chunk_documents_by_budget(
+                docs, budget=budget, overlap_tokens=ov
+            ).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        want = _py_budget_greedy(text, budget, pycost, overlap=ov)
+        assert [
+            {
+                k: r[k]
+                for k in (
+                    "chunk_idx", "chunk_text", "n_tokens",
+                    "n_new_tokens", "budget_cost",
+                )
+            }
+            for r in got
+        ] == want
+
+    _check()
+
+
+def test_budget_chunking_rejects_bad_overlap(spark):
+    import pytest
+
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents_by_budget,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], SCHEMA)
+    with pytest.raises(ValueError):
+        chunk_documents_by_budget(docs, budget=3, overlap_tokens=-1)
+
+
 def test_budget_chunking_plan_is_scan_stage(spark):
     """The greedy fold must ride the scan: no Exchange, no Python UDF —
     one Catalyst aggregate over the token array plus the explode."""
