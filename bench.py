@@ -60,6 +60,7 @@ CALIBRATION_RATIO_FENCE = 5.0
 SCOPE_TAGS: dict[str, str] = {
     "q30_window_agg_suite": "r9-stream-arm",
     "q33_lookup_expr_suite": "r9-csv-arm",
+    "q40_text_profile_suite": "r10-lemma-arm",
     "q80_trainprep_composed": "r9-full-lifecycle",
 }
 
@@ -211,7 +212,7 @@ def previous_round_bench(repo_dir: str) -> dict | None:
         allowed = re.compile(r"^q\d+(_|$)")
         extras = {
             "catalog_warm", "incremental_admit", "ann_warm_query",
-            "ref_scale_fit_sec", "ref_scale_warm_ann_sec",
+            "batch_ann", "ref_scale_fit_sec", "ref_scale_warm_ann_sec",
         }
         queries = {
             k: float(v)
@@ -450,6 +451,29 @@ def main() -> int:
         warm.append(time.monotonic() - t0)
     warm.sort()
     timings["ann_warm_query"] = round(warm[len(warm) // 2], 3)
+
+    # Many-query ANN as ONE similarity join (ml/ann.py:batch_ann — the
+    # 100 TB shape: the per-query approxNearestNeighbors loop above costs
+    # a driver round-trip per query; batch mode answers ~3% of the corpus
+    # in one distributed job). Recorded so the scale path has a number,
+    # not just a recall test: compare batch_ann / n_queries against
+    # ann_warm_query.
+    from movie_recommendation_etl_spark.ml.ann import batch_ann
+
+    q_batch = vecs.filter("doc_id % 37 = 0")
+    batch_samples: list[float] = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        batch_ann(lsh, q_batch, index, "doc_id", "doc_id", top_k=5).count()
+        batch_samples.append(time.monotonic() - t0)
+        if batch_samples[0] > 60.0:
+            break
+    timings["batch_ann"] = round(min(batch_samples), 3)
+    if len(batch_samples) > 1:
+        spread["batch_ann"] = round(
+            (max(batch_samples) - min(batch_samples)) / min(batch_samples),
+            3,
+        )
     index.unpersist()
     vecs.unpersist()
 

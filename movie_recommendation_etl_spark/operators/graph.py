@@ -33,6 +33,7 @@ def connected_components(
     *,
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) edge list -> (node, cluster_id) with cluster_id = min node
     id in the connected component. Undirected: edges are symmetrized.
@@ -52,6 +53,14 @@ def connected_components(
 
     Raises after ``max_iter`` rounds without convergence (a near-dup graph
     that deep means the banding threshold is catastrophically loose).
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — the number of
+    propagation rounds actually executed (0 when the seed labeling is
+    already final or the edge list is empty). Tests pin the expected
+    round count on known graphs so a seeding/convergence change that
+    silently adds rounds fails a test instead of drifting the bench
+    (pointer doubling: rounds = O(log diameter), 1-2 on clique-ish
+    near-dup graphs).
     """
     from movie_recommendation_etl_spark.operators._checkpoint import (
         reliable_checkpoint_scope,
@@ -92,6 +101,8 @@ def connected_components(
             # and an EMPTY edge list short-circuits here instead of
             # summing NULL forever and raising after max_iter rounds —
             # zero near-dup pairs is a perfectly normal corpus.
+            if stats is not None:
+                stats["rounds"] = 0
             prev_sum = labels.agg(
                 F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
             ).first()["s"]
@@ -99,7 +110,7 @@ def connected_components(
                 return labels.select(
                     "node", F.col("lbl").alias("cluster_id")
                 ).localCheckpoint(eager=True)
-            for _ in range(max_iter):
+            for _round in range(max_iter):
                 # min(own label, neighbors' labels) as ONE shuffle: union
                 # the neighbor-candidate stream with the labels themselves
                 # and take the per-node min — replaces the former
@@ -140,6 +151,8 @@ def connected_components(
                     F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
                 ).first()["s"]
                 labels = updated
+                if stats is not None:
+                    stats["rounds"] = _round + 1
                 if cur_sum is not None and cur_sum == prev_sum:
                     # detach the result from the (about-to-be-deleted)
                     # reliable files; a no-op cost in local mode

@@ -23,12 +23,50 @@ from movie_recommendation_etl_spark.functions.text import (
     stopword_ratio,
     ws_tokens,
 )
+from movie_recommendation_etl_spark.ml.lemmas import expand_inflections
+from movie_recommendation_etl_spark.ml.tfidf import (
+    lemmatize,
+    load_default_lemmas,
+)
 from movie_recommendation_etl_spark.operators.dedup import (
     dedup_keep_first,
     fingerprint,
 )
 from movie_recommendation_etl_spark.plans.registry import query
 from movie_recommendation_etl_spark.sources.catalog import load_table
+
+# --- q40 lemma arm (M4 under the hash gate) --------------------------------
+# The dictionary the arm applies: regular morphology expanded over a fixed
+# lexicon (ml/lemmas.py:expand_inflections — the same generator the
+# corpus-induction path uses forward) unioned with the shipped irregular
+# fixture, which wins on key conflicts (irregulars are a dictionary's job).
+# ~140 entries, well under ml/tfidf._LEMMA_LITERAL_MAX, so the REAL
+# map-literal Catalyst path (lemmatize()) is what executes — the same code
+# the TF-IDF pipeline's _lemma_stage bakes into its plan. The corpus is
+# all base forms, so the arm PLANTS hits: 8 inflected keys per doc chosen
+# by (doc_id*7 + j*13) % |keys| are appended to the token stream before
+# mapping — a corrupted lemma map (wrong value, missing key, broken
+# morphology expansion) changes lemma_fp/n_lemmatized and hash-fails.
+_LEMMA_LEXICON = (
+    "batch", "buzz", "carry", "column", "copy", "filter", "fix", "free",
+    "hash", "hope", "index", "join", "key", "make", "merge", "move",
+    "plan", "play", "push", "query", "row", "run", "sort", "stop",
+    "stream", "study", "tie", "value", "walk", "watch",
+)
+_LEMMA_MAP: dict[str, str] = dict(
+    sorted(
+        {
+            **expand_inflections(_LEMMA_LEXICON),
+            **load_default_lemmas(),
+        }.items()
+    )
+)
+_LEMMA_KEYS = list(_LEMMA_MAP)
+_NK = len(_LEMMA_KEYS)
+_SQL_LEMMA_KEYS = "[" + ", ".join(f"'{k}'" for k in _LEMMA_KEYS) + "]"
+_SQL_LEMMA_VALS = (
+    "[" + ", ".join(f"'{_LEMMA_MAP[k]}'" for k in _LEMMA_KEYS) + "]"
+)
 
 
 @query(
@@ -37,6 +75,32 @@ from movie_recommendation_etl_spark.sources.catalog import load_table
     WITH t AS (
         SELECT doc_id, lang, text, string_split(text, ' ') AS toks
         FROM documents
+    ),
+    lem AS (
+        -- the lemma arm's token stream: doc tokens plus 8 planted
+        -- inflected keys, mapped through the embedded dictionary
+        -- (parallel key/value lists; list_position returns 0 on miss and
+        -- list[0] is NULL, so coalesce keeps the original token)
+        SELECT doc_id,
+               toks || list_transform(range(0, 8),
+                   j -> ({_SQL_LEMMA_KEYS})[
+                       1 + CAST((doc_id * 7 + j * 13) % {_NK} AS INTEGER)])
+                   AS tt
+        FROM t
+    ),
+    lem2 AS (
+        SELECT doc_id, tt,
+               list_transform(tt, tok ->
+                   coalesce(({_SQL_LEMMA_VALS})[
+                       list_position({_SQL_LEMMA_KEYS}, tok)], tok)) AS lt
+        FROM lem
+    ),
+    lem3 AS (
+        SELECT doc_id,
+               md5(array_to_string(lt, ' ')) AS lemma_fp,
+               CAST(len(list_filter(range(1, len(tt) + 1),
+                        i -> tt[i] <> lt[i])) AS INTEGER) AS n_lemmatized
+        FROM lem2
     ),
     m AS (
         SELECT doc_id, lang, text, toks,
@@ -47,7 +111,7 @@ from movie_recommendation_etl_spark.sources.catalog import load_table
                CAST(len(toks) AS DOUBLE) AS n
         FROM t
     )
-    SELECT doc_id, lang,
+    SELECT m.doc_id, lang,
            len(toks) AS n_ws_tokens,
            len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_re_tokens,
            len(list_distinct(toks)) AS n_uniq_tokens,
@@ -62,8 +126,10 @@ from movie_recommendation_etl_spark.sources.catalog import load_table
              + 0.3 * (least(mean_tok_len, 10.0) / 10.0) AS quality,
            CAST(len(list_distinct(toks)) AS DOUBLE)
              / CAST(greatest(len(toks), 1) AS DOUBLE) AS type_token_ratio,
-           round(ln(CAST(len(toks) AS DOUBLE) + 1.0), 9) AS log_n_tokens_q9
-    FROM m
+           round(ln(CAST(len(toks) AS DOUBLE) + 1.0), 9) AS log_n_tokens_q9,
+           lemma_fp,
+           n_lemmatized
+    FROM m JOIN lem3 ON m.doc_id = lem3.doc_id
     """,
 )
 def q40_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +152,15 @@ def q40_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     every testdata SF, and the exact input n_ws_tokens is hashed
     alongside). The sigmoid itself is deliberately NOT oracled — libm exp
     is not cross-engine reproducible; MLlib-vs-Catalyst agreement at 1e-12
-    lives in tests/test_quality_model.py."""
+    lives in tests/test_quality_model.py.
+
+    r10: the M4 lemmatizer joins as the ``lemma_fp``/``n_lemmatized`` arm
+    — the REAL ≤1024-entry map-literal path (ml/tfidf.py:lemmatize, the
+    same construction _lemma_stage bakes into the TF-IDF pipeline)
+    applied to the doc tokens plus 8 planted inflected keys per doc, so
+    the dictionary provably fires and a corrupted lemma map or broken
+    morphology expansion (ml/lemmas.py) hash-fails instead of silently
+    reshaping the rows-only q70 flagship."""
     docs = load_table(spark, sf_dir, "documents")
     # Two-step select so the tokenization and the O(tokens) distinct-count
     # evaluate ONCE each: CollapseProject keeps multi-referenced non-cheap
@@ -94,6 +168,16 @@ def q40_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline as minhash_signature_cols' explicit md5 column) — without
     # it, n_uniq_tokens and type_token_ratio would each build their own
     # array_distinct hash set per row.
+    keys_arr = F.array(*[F.lit(k) for k in _LEMMA_KEYS])
+    planted = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.element_at(
+            keys_arr,
+            (
+                F.pmod(F.col("doc_id") * 7 + j * 13, F.lit(_NK)) + 1
+            ).cast("int"),
+        ),
+    )
     mid = docs.select(
         "doc_id",
         "lang",
@@ -106,6 +190,19 @@ def q40_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__t",
         F.size("__t").alias("__n"),
         F.size(F.array_distinct("__t")).alias("__u"),
+        F.concat(F.col("__t"), planted).alias("__tt"),
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        "__t",
+        "__n",
+        "__u",
+        "__tt",
+        # materialize the mapped stream once: the fp and the changed-count
+        # both consume it (map-literal HOFs re-evaluate per reference
+        # within a single projection)
+        lemmatize(F.col("__tt"), _LEMMA_MAP).alias("__lt"),
     )
     toks = F.col("__t")
     safe_n = F.greatest(F.col("__n"), F.lit(1)).cast("double")
@@ -125,6 +222,15 @@ def q40_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log1p(F.col("__n").cast("double")), 9).alias(
             "log_n_tokens_q9"
         ),
+        F.md5(F.concat_ws(" ", F.col("__lt"))).alias("lemma_fp"),
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("__tt"), F.col("__lt"), lambda a, b: a != b
+                ),
+                lambda x: x,
+            )
+        ).alias("n_lemmatized"),
     )
 
 

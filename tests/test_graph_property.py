@@ -110,3 +110,44 @@ def test_reliable_checkpoint_path_identical(spark, tmp_path):
     # the run's reliable checkpoint files are CLEANED UP after the result
     # is detached (operators/_checkpoint.py) — no per-invocation leak
     assert not glob.glob(str(tmp_path / "ckpt" / "*"))
+
+
+def test_round_count_guard(spark, sf_dir):
+    """Round-count regression guard (r9 VERDICT #7): pointer doubling +
+    min(node, min-neighbor) seeding must converge in O(log diameter)
+    rounds, and a seeding/convergence change that silently adds rounds
+    should fail HERE instead of drifting the bench.
+
+    - The q54 planted-twin graph (mostly pair components, plus occasional
+      band-collision stars): at most one real propagation round before
+      the detection round — ≤2 total (measured: 2 at the test SF; a
+      seeding regression pushes this to 3+).
+    - An 8-edge path graph (diameter 8): doubling halves label distance
+      per round — must finish within 4 rounds, where plain propagation
+      needs 8.
+    """
+    from movie_recommendation_etl_spark.operators.neardup import (
+        minhash_neardup_pairs,
+    )
+    from movie_recommendation_etl_spark.plans.dedup_similarity import (
+        _with_twins,
+    )
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(_with_twins(docs)).select("doc_a", "doc_b")
+    stats: dict = {}
+    out = connected_components(pairs, "doc_a", "doc_b", stats=stats)
+    assert out.count() > 0
+    assert 1 <= stats["rounds"] <= 2, stats
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src: long, dst: long"
+    )
+    stats2: dict = {}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(chain, stats=stats2).collect()
+    }
+    assert got == {i: 0 for i in range(9)}
+    assert 1 <= stats2["rounds"] <= 4, stats2

@@ -264,3 +264,29 @@ def test_min_df_prunes_rare_terms(spark):
     cv = model.stages[2]
     assert "rareterm" not in cv.vocabulary
     assert "common" in cv.vocabulary
+
+
+def test_q40_lemma_arm_map_is_safe_and_fires(spark, sf_dir):
+    """The q40 lemma arm's embedded dictionary must stay on the
+    map-literal path (<= _LEMMA_LITERAL_MAX entries), be SQL-literal-safe
+    (lowercase alpha only — it is pasted into the DuckDB oracle), never
+    map a key to itself, and provably FIRE: every doc gets 8 planted
+    inflected keys, so n_lemmatized >= 8 everywhere."""
+    from movie_recommendation_etl_spark.ml.tfidf import _LEMMA_LITERAL_MAX
+    from movie_recommendation_etl_spark.plans.registry import QUERIES
+    from movie_recommendation_etl_spark.plans.text_analysis import (
+        _LEMMA_MAP,
+    )
+
+    assert 0 < len(_LEMMA_MAP) <= _LEMMA_LITERAL_MAX
+    for k, v in _LEMMA_MAP.items():
+        assert k != v
+        assert k.isalpha() and k.islower(), k
+        assert v.isalpha() and v.islower(), v
+    rows = QUERIES["q40_text_profile_suite"](spark, sf_dir).select(
+        "doc_id", "n_lemmatized", "lemma_fp"
+    ).collect()
+    assert rows
+    assert all(r["n_lemmatized"] >= 8 for r in rows)
+    # the fp actually depends on the mapping: distinct docs, distinct fps
+    assert len({r["lemma_fp"] for r in rows}) > 1
