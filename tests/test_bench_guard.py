@@ -274,3 +274,42 @@ def test_reconstruction_recovers_scope_tags_and_nonq_flags(tmp_path):
         "q54_neardup_clusters", "incremental_admit"
     }
     assert blob["scope_tags"] == {"q30_window_agg_suite": "r9-stream-arm"}
+
+
+def test_needs_resample_variance_escalation():
+    """Exactly-two samples with relative spread over the bound escalate;
+    already-escalated (3), single-shot (1), low-spread, and slow-min
+    (> RESAMPLE_MIN_CAP_SEC — an extra sample would cost too much under
+    the very load that caused the spread) sample sets do not."""
+    from bench import needs_resample
+
+    assert needs_resample([1.0, 1.5])          # spread 0.5 > 0.35
+    assert not needs_resample([1.0, 1.3])      # spread 0.3 within bound
+    assert not needs_resample([1.0])           # single-shot (>60s first)
+    assert not needs_resample([1.0, 1.5, 1.1])  # already min-of-3
+    assert not needs_resample([11.0, 30.0])    # min over the 10s cap
+    assert needs_resample([9.9, 30.0])         # just under the cap
+
+
+def test_compute_regressions_subunity_ratio_never_amplifies():
+    """The r10 phantom storm: a quiet host makes the pure-CPU calibration
+    job run 30% faster than the loaded previous round's, but real queries
+    (fixed driver/scheduling overheads) barely move — dividing by the
+    sub-unity ratio inflated +10-17% raw deltas into +60-84% flags. The
+    check is one-sided, so sub-unity ratios clamp to 1.0 (raw compare);
+    slow-host ratios > 1 still divide timings down, and the same clamp
+    applies to the replay-side ref_scale ratio."""
+    prev = {"q01": 1.0, "ref_scale_fit_sec": 10.0}
+    now = {"q01": 1.15, "ref_scale_fit_sec": 11.0}
+    assert (
+        compute_regressions(
+            prev, now, calibration_ratio=0.7, ref_scale_ratio=0.7
+        )
+        == {}
+    )
+    # a genuine regression still flags at its RAW size on the fast host
+    real = {"q01": 1.5, "ref_scale_fit_sec": 10.0}
+    regs = compute_regressions(prev, real, calibration_ratio=0.7)
+    assert set(regs) == {"q01"}
+    assert regs["q01"]["now_normalized"] == 1.5
+    assert regs["q01"]["pct"] == 50.0
