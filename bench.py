@@ -125,6 +125,38 @@ def needs_resample(samples: list[float]) -> bool:
     return (max(samples) - lo) / lo > SPREAD_RESAMPLE_BOUND
 
 
+def sample_min(
+    run_timed,
+    *,
+    n: int = 2,
+    first_cap_sec: float = 60.0,
+    later_cap_sec: float = 10.0,
+) -> list[float]:
+    """The bench's ONE sampling policy, shared by the query loop and the
+    incremental_admit / batch_ann extras (r10 review: three drifting
+    copies). Takes up to ``n`` planned samples of ``run_timed()`` — a
+    callable returning ONE sample's elapsed seconds, with any untimed
+    per-sample setup (fresh stores, etc.) inside it — stopping early when
+    a sample blows its cap: ``first_cap_sec`` for the first (a 60 s query
+    is not worth a retry), ``later_cap_sec`` after (a slow confirmation
+    sample already served its purpose). One variance-triggered extra
+    sample when exactly two planned samples disagree (needs_resample).
+    Returns the raw sample list; callers derive min / spread / "did an
+    extra sample actually run" (len >= 3) from it."""
+    samples: list[float] = []
+    for i in range(n):
+        samples.append(run_timed())
+        if samples[-1] > (first_cap_sec if i == 0 else later_cap_sec):
+            break
+    if needs_resample(samples):
+        samples.append(run_timed())
+    return samples
+
+
+def _rel_spread(samples: list[float]) -> float:
+    return round((max(samples) - min(samples)) / min(samples), 3)
+
+
 BENCH_QUERIES: tuple[str, ...] = (
     "q01_pricing_summary",
     "q02_top_revenue_orders",
@@ -251,7 +283,7 @@ def previous_round_bench(repo_dir: str) -> dict | None:
                 reg_seg = tail.split('"regressions"', 1)[1]
                 flagged = re.findall(
                     r'"(q\d+[a-z_0-9]*|incremental_admit|catalog_warm'
-                    r'|ann_warm_query|ref_scale_[a-z_]+)":\s*\{',
+                    r'|ann_warm_query|batch_ann|ref_scale_[a-z_]+)":\s*\{',
                     reg_seg,
                 )
                 out["regressions"] = {k: {} for k in flagged}
@@ -419,33 +451,28 @@ def main() -> int:
     # reported so a noisy host is visible IN the artifact, not inferred
     # afterwards.
     extra_sampled: list[str] = []
-    for name in BENCH_QUERIES:
-        n_runs = 3 if name in prev_flagged else 2
-        samples: list[float] = []
-        for i in range(n_runs):
-            t0 = time.monotonic()
-            _run_noop(QUERIES[name](spark, SF_DIR))
-            samples.append(time.monotonic() - t0)
-            if i == 2:
-                # the third sample actually ran (the break below can stop
-                # a flagged query at two — r9 ADVICE: deriving this set
-                # from prev_flagged claimed min-of-3 estimates that were
-                # never taken)
-                extra_sampled.append(name)
-            if samples[-1] > (60.0 if i == 0 else 10.0):
-                break
-        if needs_resample(samples):
-            # min-of-2 with high spread is noise, not signal — one
-            # variance-triggered extra sample (see needs_resample)
-            t0 = time.monotonic()
-            _run_noop(QUERIES[name](spark, SF_DIR))
-            samples.append(time.monotonic() - t0)
-            extra_sampled.append(name)
+
+    def _record(name: str, samples: list[float]) -> None:
         timings[name] = round(min(samples), 3)
         if len(samples) > 1:
-            spread[name] = round(
-                (max(samples) - min(samples)) / min(samples), 3
-            )
+            spread[name] = _rel_spread(samples)
+        if len(samples) >= 3:
+            # an extra sample actually RAN (planned min-of-3 can stop at
+            # two on a >10 s sample; the variance trigger can add one) —
+            # r9 ADVICE: this set must reflect samples taken, not planned
+            extra_sampled.append(name)
+
+    for name in BENCH_QUERIES:
+
+        def _query_timed(q: str = name) -> float:
+            t0 = time.monotonic()
+            _run_noop(QUERIES[q](spark, SF_DIR))
+            return time.monotonic() - t0
+
+        _record(
+            name,
+            sample_min(_query_timed, n=3 if name in prev_flagged else 2),
+        )
 
     # Incremental near-dup admission: probe a full sf batch against a
     # same-size signature store (the ingestion-gate cost a 100 TB corpus
@@ -457,11 +484,11 @@ def main() -> int:
         admit_new_documents,
     )
 
-    # min-of-2 like the query loop: each sample gets a FRESH store (the
-    # probe mutates it — re-admitting the same batch would measure the
-    # dedup-everything path instead).
-    admit_samples: list[float] = []
-    for _ in range(2):
+    # Same sampling policy as the query loop; each sample gets a FRESH
+    # store (the probe mutates it — re-admitting the same batch would
+    # measure the dedup-everything path instead). The store build is
+    # per-sample setup INSIDE the callable but outside the timed region.
+    def _admit_timed() -> float:
         store_dir = tempfile.mkdtemp(prefix="bench_sig_store_")
         try:
             docs_inc = load_table(spark, SF_DIR, "documents")
@@ -471,13 +498,11 @@ def main() -> int:
             admit_new_documents(
                 spark, docs_inc.filter("doc_id % 2 = 1"), f"{store_dir}/store"
             )
-            admit_samples.append(time.monotonic() - t0)
+            return time.monotonic() - t0
         finally:
             shutil.rmtree(store_dir, ignore_errors=True)
-    timings["incremental_admit"] = round(min(admit_samples), 3)
-    spread["incremental_admit"] = round(
-        (max(admit_samples) - min(admit_samples)) / min(admit_samples), 3
-    )
+
+    _record("incremental_admit", sample_min(_admit_timed))
 
     # Warm ANN latency: fit once, cache, then repeated point queries
     # (the reference's interactive get_recommendations loop).
@@ -505,19 +530,18 @@ def main() -> int:
     from movie_recommendation_etl_spark.ml.ann import batch_ann
 
     q_batch = vecs.filter("doc_id % 37 = 0")
-    batch_samples: list[float] = []
-    for _ in range(2):
+
+    def _batch_timed() -> float:
         t0 = time.monotonic()
         batch_ann(lsh, q_batch, index, "doc_id", "doc_id", top_k=5).count()
-        batch_samples.append(time.monotonic() - t0)
-        if batch_samples[0] > 60.0:
-            break
-    timings["batch_ann"] = round(min(batch_samples), 3)
-    if len(batch_samples) > 1:
-        spread["batch_ann"] = round(
-            (max(batch_samples) - min(batch_samples)) / min(batch_samples),
-            3,
-        )
+        return time.monotonic() - t0
+
+    # batch_ann runs ~15 s steady-state at sf0.1, over sample_min's 10 s
+    # confirmation cap — raise the caps so it keeps its second sample
+    _record(
+        "batch_ann",
+        sample_min(_batch_timed, first_cap_sec=60.0, later_cap_sec=60.0),
+    )
     index.unpersist()
     vecs.unpersist()
 
