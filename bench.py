@@ -40,8 +40,22 @@ BENCH_METHOD = "min2"
 # un-normalized comparison produced a phantom +544% ref_scale_fit_sec
 # flag (re-measured 7.2 s vs the recorded 140.3 s). The method bump
 # fences the un-calibrated r9 entries for one round; comparison resumes
-# calibrated in r11.
-REF_SCALE_METHOD = "min2_fit_cal"
+# calibrated in r11. r11 ("min2_fit_cal_staged"): the replay adds a
+# cached per-stage attribution pass (tokenize/CV-fit/IDF-fit/transform
+# reported as ref_scale_stage_* entries) — the fit headline itself is
+# still the min of plain un-cached fit samples, but the new stage
+# entries must not compare against rounds that never recorded them.
+REF_SCALE_METHOD = "min2_fit_cal_staged"
+
+# Headline-composition version (r10 ADVICE: bench_total_sec had no scope
+# fence, so adding line items — q81+batch_ann in r10, the q30
+# batch/stream split in r11 — reads as a slowdown in cross-round headline
+# comparisons). Bumped whenever the SET of entries summed into
+# bench_total_sec changes; when the previous round recorded a different
+# value (or none), the blob carries a regressions_note saying the
+# headline totals are not comparable this round. Per-query comparisons
+# are unaffected (they fence via SCOPE_TAGS / name matching).
+HEADLINE_SCOPE = "r11-q30-split"
 
 # A calibration ratio this far from 1.0 means the host was in a
 # different regime when the two samples ran (or one sample is junk) —
@@ -58,9 +72,8 @@ CALIBRATION_RATIO_FENCE = 5.0
 # previous round recorded the SAME tag (or both rounds have none). The
 # next round's blob carries the tag, so comparison resumes automatically.
 SCOPE_TAGS: dict[str, str] = {
-    "q30_window_agg_suite": "r9-stream-arm",
     "q33_lookup_expr_suite": "r9-csv-arm",
-    "q40_text_profile_suite": "r10-lemma-arm",
+    "q40_text_profile_suite": "r11-bc-lemma-arm",
     "q80_trainprep_composed": "r9-full-lifecycle",
 }
 
@@ -140,7 +153,13 @@ def sample_min(
     a sample blows its cap: ``first_cap_sec`` for the first (a 60 s query
     is not worth a retry), ``later_cap_sec`` after (a slow confirmation
     sample already served its purpose). One variance-triggered extra
-    sample when exactly two planned samples disagree (needs_resample).
+    sample when exactly two planned samples disagree (needs_resample) —
+    DELIBERATELY including after a later_cap break, whenever the min of
+    the pair sits at or under RESAMPLE_MIN_CAP_SEC: a [fast, capped-slow]
+    pair is exactly the no-signal shape the resample exists for, and its
+    expected cost is bounded by the fast sample plus noise, not by the
+    capped one (r10 ADVICE: the cap comment read as if a slow
+    confirmation always ended sampling).
     Returns the raw sample list; callers derive min / spread / "did an
     extra sample actually run" (len >= 3) from it."""
     samples: list[float] = []
@@ -157,12 +176,67 @@ def _rel_spread(samples: list[float]) -> float:
     return round((max(samples) - min(samples)) / min(samples), 3)
 
 
+def cap_spread(spread: dict[str, float]) -> dict[str, float]:
+    """Bound the query_spread meta block (r10 VERDICT #5 — r10's 29-entry
+    full spread dict helped push the timings out of the driver's
+    last-2000-bytes stdout window): report only entries whose relative
+    spread exceeds the resample bound (a sub-bound spread says "clean
+    sample", the default assumption — no signal lost by omitting it),
+    rounded to 2 decimals."""
+    return {
+        k: round(v, 2)
+        for k, v in spread.items()
+        if v > SPREAD_RESAMPLE_BOUND
+    }
+
+
+def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
+    """The tail-survivable SECOND stdout line (r10 VERDICT #1). The driver
+    records only the last ~2000 bytes of stdout; r10 printed the timings
+    FIRST inside one big blob and its grown meta blocks pushed the entire
+    queries object out of the window — previous_round_bench returned None
+    and r11 would have compared against nothing. This line prints LAST,
+    minified, and carries exactly what the next round's comparison
+    machinery consumes: per-query timings, the methodology + scope +
+    headline fences, both calibration scalars, flagged-query NAMES
+    (min-of-3 targeting — full regression values live in the main blob),
+    and the ANN recall numbers. previous_round_bench prefers the last
+    parseable queries-bearing line, so this one wins whenever it
+    survives; the main blob and the pair-scraping fallback remain as
+    degraded recovery paths. test_bench_guard pins the worst-case size
+    under the window."""
+    slim = {
+        "queries": out["queries"],
+        "sf": out.get("sf"),
+        "bench_method": out["bench_method"],
+        "ref_scale_method": out["ref_scale_method"],
+        "headline_scope": out["headline_scope"],
+        "calibration_sec": out["calibration_sec"],
+        **(
+            {"ref_scale_calibration_sec": out["ref_scale_calibration_sec"]}
+            if "ref_scale_calibration_sec" in out
+            else {}
+        ),
+        "recall_at5": recall_at5,
+        "scope_tags": out["scope_tags"],
+        "regressions": {k: {} for k in out["regressions"]},
+    }
+    return json.dumps(slim, separators=(",", ":"))
+
+
 BENCH_QUERIES: tuple[str, ...] = (
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q07_top3_orders_per_customer",
     "q21_doc_scalar_suite",
-    "q30_window_agg_suite",
+    # q30's oracled suite is timed as its two halves (r10 VERDICT #4):
+    # the streaming arms' micro-batch scaffolding (two real Structured
+    # Streaming drains, 12-20 s/sample) drowned the batch window suite's
+    # sub-second signal inside one number. The registry/oracle slot is
+    # still the single unioned q30_window_agg_suite; only the bench
+    # timing is split (resolved via _BENCH_ONLY_QUERIES in main).
+    "q30_batch_arms",
+    "q30_stream_arms",
     "q32_asof_click_to_error",
     "q38_rank_suite",
     "q40_text_profile_suite",
@@ -233,10 +307,19 @@ def previous_round_bench(repo_dir: str) -> dict | None:
         if isinstance(blob.get("queries"), dict):
             return blob
         tail = str(blob.get("tail", ""))
-        for line in tail.splitlines():
+        # Prefer the LAST parseable line holding a queries object: bench
+        # prints the full blob first and a compact timings-only line LAST
+        # (r10 VERDICT #1 — the driver keeps the last ~2000 bytes of
+        # stdout, so last-printed survives head-clipping best). A clipped
+        # fragment that happens to start with "{" must not abort the
+        # scan, so parse failures skip to the next candidate line.
+        for line in reversed(tail.splitlines()):
             line = line.strip()
             if line.startswith("{") and '"queries"' in line:
-                inner = json.loads(line)
+                try:
+                    inner = json.loads(line)
+                except ValueError:
+                    continue
                 if isinstance(inner.get("queries"), dict):
                     return inner
         # The driver keeps only the LAST bytes of stdout, so the JSON line
@@ -264,10 +347,12 @@ def previous_round_bench(repo_dir: str) -> dict | None:
         # q-numbered queries plus the fixed non-q entries — enter the
         # reconstructed dict; a future numeric meta field in the JSON can
         # never masquerade as a previous-round timing.
-        allowed = re.compile(r"^q\d+(_|$)")
+        # ref_scale_* TIMINGS only — ref_scale_calibration_sec / _ratio
+        # are meta scalars recovered separately below, not query entries
+        allowed = re.compile(r"^(q\d+(_|$)|ref_scale_(?!calibration)[a-z_]+)")
         extras = {
             "catalog_warm", "incremental_admit", "ann_warm_query",
-            "batch_ann", "ref_scale_fit_sec", "ref_scale_warm_ann_sec",
+            "batch_ann",
         }
         queries = {
             k: float(v)
@@ -395,6 +480,10 @@ def main() -> int:
         recommend,
     )
     from movie_recommendation_etl_spark.ml.tfidf import fit_document_vectors
+    from movie_recommendation_etl_spark.plans.events_stream import (
+        q30_batch_arms,
+        q30_stream_arms,
+    )
     from movie_recommendation_etl_spark.plans.registry import QUERIES
     from movie_recommendation_etl_spark.session import get_spark
     from movie_recommendation_etl_spark.sources.catalog import (
@@ -462,16 +551,54 @@ def main() -> int:
             # r9 ADVICE: this set must reflect samples taken, not planned
             extra_sampled.append(name)
 
+    # Bench-only timing splits of oracled suites (the registry slot stays
+    # the full union; see BENCH_QUERIES comment on the q30 split).
+    runnable = {
+        **QUERIES,
+        "q30_batch_arms": q30_batch_arms,
+        "q30_stream_arms": q30_stream_arms,
+    }
+
     for name in BENCH_QUERIES:
 
         def _query_timed(q: str = name) -> float:
             t0 = time.monotonic()
-            _run_noop(QUERIES[q](spark, SF_DIR))
+            _run_noop(runnable[q](spark, SF_DIR))
             return time.monotonic() - t0
 
         _record(
             name,
             sample_min(_query_timed, n=3 if name in prev_flagged else 2),
+        )
+
+    # ANN recall@5 AT THIS SF, in the artifact (r10 VERDICT #7): q61/q62
+    # are rows-only in the driver's correctness gate and their recall is
+    # pytest-pinned only at sf0.01 — a recall regression at bench scale
+    # was invisible outside a local run. One extra execution each (the
+    # result is 20 queries x 5 rows — a bounded collect), scored against
+    # q60's exact brute-force top-5 from the SAME run.
+    def _topk_sets(qname: str) -> dict:
+        out: dict = {}
+        for r in (
+            QUERIES[qname](spark, SF_DIR)
+            .select("query_id", "neighbor_id")
+            .collect()
+        ):
+            out.setdefault(r[0], set()).add(r[1])
+        return out
+
+    recall_at5: dict[str, float] = {}
+    exact_topk = _topk_sets("q60_knn_bruteforce")
+    for _ann_name in ("q61_knn_lsh_embeddings", "q62_knn_ivf_embeddings"):
+        approx = _topk_sets(_ann_name)
+        recall_at5[_ann_name] = round(
+            sum(
+                len(exact_topk[q] & approx.get(q, set()))
+                / len(exact_topk[q])
+                for q in exact_topk
+            )
+            / max(len(exact_topk), 1),
+            3,
         )
 
     # Incremental near-dup admission: probe a full sf batch against a
@@ -569,7 +696,9 @@ def main() -> int:
                 ],
                 capture_output=True,
                 text=True,
-                timeout=900,
+                # staged attribution pass (r11) adds up to one more
+                # fit-shaped job to the replay — budget for it
+                timeout=1200,
             )
             for line in reversed(proc.stdout.splitlines()):
                 line = line.strip()
@@ -586,6 +715,13 @@ def main() -> int:
                     # ref_scale_* comparisons normalize by
                     if "calibration_sec" in ref:
                         ref_scale_calibration = float(ref["calibration_sec"])
+                    # per-stage attribution (r10 VERDICT #2: fit swung
+                    # 17 s -> 140-227 s across rounds on identical code;
+                    # the breakdown names the swinging stage). Entered as
+                    # ref_scale_stage_* timings so they normalize and
+                    # compare like the fit headline from r12 on.
+                    for sk, sv in (ref.get("stages") or {}).items():
+                        timings[f"ref_scale_stage_{sk}"] = float(sv)
                     break
         except (subprocess.SubprocessError, OSError, ValueError, KeyError):
             pass
@@ -635,9 +771,14 @@ def main() -> int:
         if comparable
         else None
     )
+    # Explicit None-check, not truthiness (r10 ADVICE): a legitimate 0.0
+    # calibration reading (round(min, 3) can floor a fast sample) must
+    # flow INTO the ratio — 0.0 / prev = 0.0, which ref_ratio_in_regime
+    # rejects below with the visible fencing note — rather than silently
+    # disabling replay normalization as if no sample was taken.
     ref_cal_ratio = (
         ref_scale_calibration / prev_ref_cal
-        if ref_scale_calibration
+        if ref_scale_calibration is not None
         and isinstance(prev_ref_cal, (int, float))
         and prev_ref_cal > 0
         else None
@@ -678,10 +819,20 @@ def main() -> int:
             if ref_cal_ratio is not None
             else {}
         ),
-        "query_spread": spread,
-        # names that ACTUALLY got a third sample this round (tracked in
-        # the loop — the >10 s break can stop a flagged query at two)
-        "extra_sampled": sorted(extra_sampled),
+        "headline_scope": HEADLINE_SCOPE,
+        "recall_at5": recall_at5,
+        # only spreads above the resample bound, 2 decimals (cap_spread —
+        # meta growth is bounded so timings survive the tail window)
+        "query_spread": cap_spread(spread),
+        # count of queries that ACTUALLY got a third sample this round
+        # (tracked in the loop — the >10 s break can stop a flagged query
+        # at two), plus only the names NOT already visible in query_spread
+        "extra_sampled_n": len(extra_sampled),
+        "extra_sampled": sorted(
+            n
+            for n in extra_sampled
+            if spread.get(n, 0.0) <= SPREAD_RESAMPLE_BOUND
+        ),
         "scope_tags": SCOPE_TAGS,
         "regressions": compute_regressions(
             prev,
@@ -706,6 +857,17 @@ def main() -> int:
             f"measured work deliberately changed): {scope_dropped}; they "
             "compare normally next round"
         )
+    if (
+        prev_blob is not None
+        and comparable
+        and (prev_blob or {}).get("headline_scope") != HEADLINE_SCOPE
+    ):
+        notes.append(
+            "headline bench_total_sec composition changed "
+            f"({(prev_blob or {}).get('headline_scope') or 'untagged'} -> "
+            f"{HEADLINE_SCOPE}); cross-round headline totals are not "
+            "comparable this round (per-query entries compare normally)"
+        )
     if ref_fenced:
         notes.append(
             "ref_scale_* entries excluded from the comparison: the replay "
@@ -723,6 +885,9 @@ def main() -> int:
     if notes:
         out["regressions_note"] = "; ".join(notes)
     print(json.dumps(out))
+    # The tail-survivable compact duplicate, LAST so the driver's
+    # last-2000-bytes stdout window keeps it whole (see compact_line).
+    print(compact_line(out, recall_at5))
     return 0
 
 

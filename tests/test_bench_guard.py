@@ -213,10 +213,10 @@ def test_fence_scope_tags_drops_changed_and_resumes_on_match():
     import bench
     from bench import fence_scope_tags
 
-    prev = {"q30_window_agg_suite": 1.6, "q01": 1.0}
-    # previous round had no tags (r8): the newly tagged q30 is fenced
+    prev = {"q40_text_profile_suite": 1.6, "q01": 1.0}
+    # previous round carried no tag for it: the newly tagged q40 is fenced
     fenced, dropped = fence_scope_tags(prev, {})
-    assert dropped == ["q30_window_agg_suite"]
+    assert dropped == ["q40_text_profile_suite"]
     assert fenced == {"q01": 1.0}
     # previous round recorded the SAME tags (r10 vs r9): nothing fenced
     fenced2, dropped2 = fence_scope_tags(prev, dict(bench.SCOPE_TAGS))
@@ -313,3 +313,150 @@ def test_compute_regressions_subunity_ratio_never_amplifies():
     assert set(regs) == {"q01"}
     assert regs["q01"]["now_normalized"] == 1.5
     assert regs["q01"]["pct"] == 50.0
+
+
+def _realistic_r11_stdout(flagged=("q53_embedding_neardup_pairs",)):
+    """Both stdout lines exactly as bench.main prints them, with the REAL
+    r11 query list (BENCH_QUERIES + every non-loop entry) — the shape the
+    driver truncates to its last 2000 bytes."""
+    import bench
+
+    names = list(bench.BENCH_QUERIES) + [
+        "catalog_warm", "incremental_admit", "ann_warm_query", "batch_ann",
+        "ref_scale_fit_sec", "ref_scale_warm_ann_sec",
+        "ref_scale_stage_gen", "ref_scale_stage_tokenize",
+        "ref_scale_stage_cv_fit", "ref_scale_stage_idf_fit",
+        "ref_scale_stage_transform",
+    ]
+    timings = {n: round(12.234 + i * 0.111, 3) for i, n in enumerate(names)}
+    recall = {
+        "q61_knn_lsh_embeddings": 0.93,
+        "q62_knn_ivf_embeddings": 0.86,
+    }
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "bench_method": bench.BENCH_METHOD,
+        "ref_scale_method": bench.REF_SCALE_METHOD,
+        "calibration_sec": 0.223,
+        "calibration_ratio_vs_prev": 0.791,
+        "ref_scale_calibration_sec": 0.196,
+        "headline_scope": bench.HEADLINE_SCOPE,
+        "recall_at5": recall,
+        "query_spread": bench.cap_spread(
+            {n: 0.04 + (i % 20) * 0.1 for i, n in enumerate(names)}
+        ),
+        "extra_sampled_n": 18,
+        "extra_sampled": ["q01_pricing_summary", "q21_doc_scalar_suite"],
+        "scope_tags": bench.SCOPE_TAGS,
+        "regressions": {
+            k: {"prev": 1.0, "now": 2.0, "now_normalized": 2.0, "pct": 100.0}
+            for k in flagged
+        },
+        "regressions_note": "headline bench_total_sec composition changed",
+    }
+    return (
+        json.dumps(out) + "\n" + bench.compact_line(out, recall),
+        timings,
+    )
+
+
+def test_compact_line_survives_2000_byte_tail(tmp_path):
+    """r10 VERDICT #1 done-criterion: truncate the REAL r11-shaped stdout
+    to its last 2000 bytes (what the driver records) and assert EVERY
+    per-query timing — plus the calibrations, method markers, scope tags,
+    headline scope, recall, and flagged names — survives reconstruction."""
+    stdout, timings = _realistic_r11_stdout()
+    tail = stdout[-2000:]
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"n": 11, "rc": 0, "tail": tail})
+    )
+    blob = previous_round_bench(str(tmp_path))
+    assert blob is not None
+    assert blob["queries"] == timings            # all ~38, bit-identical
+    assert blob["calibration_sec"] == 0.223
+    assert blob["ref_scale_calibration_sec"] == 0.196
+    import bench
+
+    assert blob["bench_method"] == bench.BENCH_METHOD
+    assert blob["ref_scale_method"] == bench.REF_SCALE_METHOD
+    assert blob["headline_scope"] == bench.HEADLINE_SCOPE
+    assert blob["scope_tags"] == bench.SCOPE_TAGS
+    assert set(blob["regressions"]) == {"q53_embedding_neardup_pairs"}
+
+
+def test_compact_line_fits_tail_window_with_margin():
+    """The compact line only helps if it fits the driver's window WHOLE.
+    Worst-case realistic shape (38+ timings, both calibrations, recall,
+    scope tags, a flagged query) must stay comfortably under 2000 bytes."""
+    stdout, _ = _realistic_r11_stdout()
+    compact = stdout.rsplit("\n", 1)[1]
+    assert len(compact.encode()) <= 1900
+
+
+def test_clipped_leading_brace_does_not_abort_recovery(tmp_path):
+    """A head-clip landing right before a '{' inside the main blob used to
+    feed an unparseable fragment to json.loads and abort the WHOLE
+    recovery via the outer ValueError catch — the per-line parse must
+    skip it and still find the compact line below."""
+    stdout, timings = _realistic_r11_stdout()
+    compact = stdout.rsplit("\n", 1)[1]
+    fragment = '{"prev": 1.0, "now": 2.0}, "queries" oops not json'
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"n": 11, "rc": 0, "tail": fragment + "\n" + compact})
+    )
+    blob = previous_round_bench(str(tmp_path))
+    assert blob is not None and blob["queries"] == timings
+
+
+def test_last_queries_line_wins(tmp_path):
+    """When both the full blob and the compact line survive whole, the
+    LAST one (compact — printed last, most complete under truncation)
+    must be the one returned."""
+    import bench
+
+    full = json.dumps(
+        {"metric": "bench_total_sec", "value": 1.0, "unit": "sec",
+         "queries": {"q01": 9.9}, "bench_method": "stale"}
+    )
+    out = {
+        "queries": {"q01": 1.5},
+        "sf": 0.1,
+        "bench_method": bench.BENCH_METHOD,
+        "ref_scale_method": bench.REF_SCALE_METHOD,
+        "headline_scope": bench.HEADLINE_SCOPE,
+        "calibration_sec": 0.5,
+        "scope_tags": {},
+        "regressions": {},
+    }
+    compact = bench.compact_line(out, {})
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"n": 11, "rc": 0, "tail": full + "\n" + compact})
+    )
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["queries"] == {"q01": 1.5}
+    assert blob["bench_method"] == bench.BENCH_METHOD
+
+
+def test_cap_spread_reports_only_noisy_entries():
+    """Meta-growth bound (r10 VERDICT #5): sub-bound spreads say 'clean
+    sample' and are omitted; noisy ones survive rounded to 2 decimals."""
+    from bench import cap_spread
+
+    spread = {"q01": 0.04, "q02": 0.349, "q03": 0.351, "q04": 1.5678}
+    assert cap_spread(spread) == {"q03": 0.35, "q04": 1.57}
+
+
+def test_stage_entries_reconstruct_but_not_calibration():
+    """The pair-scraping fallback must accept the new ref_scale_stage_*
+    TIMINGS but never let ref_scale_calibration_sec masquerade as one."""
+    import bench
+    import re
+
+    pat = re.compile(r"^(q\d+(_|$)|ref_scale_(?!calibration)[a-z_]+)")
+    assert pat.match("ref_scale_stage_cv_fit")
+    assert pat.match("ref_scale_fit_sec")
+    assert not pat.match("ref_scale_calibration_sec")
