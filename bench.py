@@ -234,7 +234,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     # Streaming drains, 12-20 s/sample) drowned the batch window suite's
     # sub-second signal inside one number. The registry/oracle slot is
     # still the single unioned q30_window_agg_suite; only the bench
-    # timing is split (resolved via _BENCH_ONLY_QUERIES in main).
+    # timing is split (resolved via the `runnable` map in main).
     "q30_batch_arms",
     "q30_stream_arms",
     "q32_asof_click_to_error",

@@ -106,6 +106,49 @@ def main() -> int:
             break
     fit_sec = min(fit_samples)
 
+    # Per-stage attribution pass (r10 VERDICT #2): the plain fit above
+    # swung 17 s (r8) -> 140-227 s (r9-r10 re-measurements) across rounds
+    # on byte-identical code, and one min-of-2 total cannot say WHICH
+    # stage moved. This pass times tokenize+stop / CV-fit / IDF-fit /
+    # transform+materialize separately, with the tokenized frame
+    # persisted so each stage is charged its own work rather than its
+    # lineage's. Because of that cache the staged total is NOT comparable
+    # to fit_sec (the plain fit re-tokenizes inside each of its three
+    # actions) — the headline stays the un-cached min-of-2 above, and the
+    # stage entries carry their own ref_scale_method fence
+    # ("min2_fit_cal_staged") so they only ever compare against rounds
+    # that also recorded them. Skipped when the plain fit already ran
+    # long: a >300 s fit puts the replay near the parent's subprocess
+    # timeout, and the breakdown of a healthy regime is the useful one.
+    stages: dict[str, float] = {}
+    if fit_sec <= 300.0:
+        from movie_recommendation_etl_spark.ml.tfidf import (
+            build_tfidf_pipeline,
+        )
+
+        tok_st, stop_st, cv_st, idf_st, l2_st = build_tfidf_pipeline(
+            vocab_size=1 << 18
+        ).getStages()
+        t0 = time.monotonic()
+        tokenized = stop_st.transform(tok_st.transform(corpus)).select(
+            "doc_id", "__clean_tokens"
+        ).persist()
+        tokenized.count()
+        stages["tokenize"] = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        cv_model = cv_st.fit(tokenized)
+        stages["cv_fit"] = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        counted = cv_model.transform(tokenized)
+        idf_model = idf_st.fit(counted)
+        stages["idf_fit"] = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        l2_st.transform(idf_model.transform(counted)).select(
+            "doc_id", l2_st.getOutputCol()
+        ).count()
+        stages["transform"] = round(time.monotonic() - t0, 1)
+        tokenized.unpersist()
+
     t0 = time.monotonic()
     lsh = fit_lsh(vecs)
     lsh_fit_sec = time.monotonic() - t0
@@ -132,6 +175,7 @@ def main() -> int:
                 "calibration_sec": calibration,
                 "corpus_gen_sec": round(gen_sec, 1),
                 "tfidf_fit_transform_sec": round(fit_sec, 1),
+                **({"stages": stages} if stages else {}),
                 "lsh_fit_sec": round(lsh_fit_sec, 1),
                 "ann_cold_sec": round(cold_sec, 1),
                 "ann_warm_median_sec": round(warm[1], 2),
