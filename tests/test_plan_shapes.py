@@ -59,10 +59,21 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
 
 
 def test_no_python_row_udfs_in_relational_plans(spark, sf_dir):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned everywhere.
+    The Arrow-batched hop (ArrowEvalPython) is sanctioned in EXACTLY one
+    oracled plan: q40's broadcast-lemma arm, whose entire point is to
+    hash-gate the BroadcastLemmatizer pandas_udf path (r11) — any other
+    query growing an Arrow node means a built-in expression silently
+    degraded to Python."""
+    arrow_allowed = {"q40_text_profile_suite"}
     for name in sorted(ORACLE):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+        if name not in arrow_allowed:
+            assert "ArrowEvalPython" not in plan, name
+        else:
+            assert "ArrowEvalPython" in plan, name
 
 
 def test_minhash_signature_stays_hash_aggregate(spark, sf_dir):

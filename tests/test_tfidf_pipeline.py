@@ -290,3 +290,41 @@ def test_q40_lemma_arm_map_is_safe_and_fires(spark, sf_dir):
     assert all(r["n_lemmatized"] >= 8 for r in rows)
     # the fp actually depends on the mapping: distinct docs, distinct fps
     assert len({r["lemma_fp"] for r in rows}) > 1
+
+
+def test_q40_bc_lemma_arm_takes_broadcast_path_and_fires(spark, sf_dir):
+    """The r11 broadcast arm's generated dictionary must (a) exceed the
+    literal cutoff so build_tfidf_pipeline would select BroadcastLemmatizer
+    for it — the arm and the pipeline provably share the selection
+    boundary — (b) keep the filler family disjoint from the real map, and
+    (c) FIRE on entries only the big dictionary holds: each doc plants 8
+    real + 4 filler keys, so n_bc_lemmatized >= n_lemmatized + 4."""
+    from movie_recommendation_etl_spark.ml.tfidf import (
+        _LEMMA_LITERAL_MAX,
+        BroadcastLemmatizer,
+        build_tfidf_pipeline,
+    )
+    from movie_recommendation_etl_spark.plans.registry import QUERIES
+    from movie_recommendation_etl_spark.plans.text_analysis import (
+        _BC_LEMMA_MAP,
+        _LEMMA_MAP,
+    )
+
+    assert len(_BC_LEMMA_MAP) > _LEMMA_LITERAL_MAX
+    # the real entries survive the union unchanged; fillers are disjoint
+    assert all(_BC_LEMMA_MAP[k] == v for k, v in _LEMMA_MAP.items())
+    fillers = set(_BC_LEMMA_MAP) - set(_LEMMA_MAP)
+    assert fillers and all(
+        k.startswith("wug") and k.endswith("ing") for k in fillers
+    )
+    # the pipeline's auto-selection puts THIS dict on the broadcast stage
+    stages = build_tfidf_pipeline(lemma_map=_BC_LEMMA_MAP).getStages()
+    assert any(isinstance(s, BroadcastLemmatizer) for s in stages)
+    rows = QUERIES["q40_text_profile_suite"](spark, sf_dir).select(
+        "n_lemmatized", "n_bc_lemmatized", "lemma_fp", "bc_lemma_fp"
+    ).collect()
+    assert rows
+    assert all(
+        r["n_bc_lemmatized"] >= r["n_lemmatized"] + 4 for r in rows
+    )
+    assert len({r["bc_lemma_fp"] for r in rows}) > 1
