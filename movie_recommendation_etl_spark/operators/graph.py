@@ -55,8 +55,11 @@ def connected_components(
     that deep means the banding threshold is catastrophically loose).
 
     ``stats`` (optional dict) receives ``{"rounds": n}`` — the number of
-    propagation rounds actually executed (0 when the seed labeling is
-    already final or the edge list is empty). Tests pin the expected
+    propagation rounds actually executed. 0 only on the empty-edge
+    short-circuit; a seed labeling that is already final still reports 1,
+    because detecting convergence takes one propagation+comparison round
+    (the loop has no oracle for "already converged" short of running it).
+    Tests pin the expected
     round count on known graphs so a seeding/convergence change that
     silently adds rounds fails a test instead of drifting the bench
     (pointer doubling: rounds = O(log diameter), 1-2 on clique-ish
