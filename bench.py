@@ -74,6 +74,7 @@ CALIBRATION_RATIO_FENCE = 5.0
 SCOPE_TAGS: dict[str, str] = {
     "q33_lookup_expr_suite": "r9-csv-arm",
     "q40_text_profile_suite": "r11-bc-lemma-arm",
+    "q62_knn_ivf_embeddings": "r11-probe6",
     "q80_trainprep_composed": "r9-full-lifecycle",
 }
 

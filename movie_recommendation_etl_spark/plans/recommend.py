@@ -50,7 +50,17 @@ def q61_knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (rows-only): KMeans coarse cells + probe-limited equi-join
     search — the alternative scale path to LSH when the corpus clusters.
-    Recall vs q60 is asserted in tests/test_ivf_skew.py."""
+    Recall vs q60 is asserted in tests/test_ivf_skew.py and recorded at
+    bench scale in BENCH_r{N}.json (recall_at5, r11).
+
+    n_probe=6 of 8 cells (r11; was 4): the synthetic embeddings table is
+    near-uniform in the unit ball, so cells barely separate neighbors and
+    recall scales with the PROBED FRACTION almost linearly (measured at
+    sf0.1: 4/8 -> 0.77-0.82, 6/8 -> 0.94; finer cells make it worse —
+    8/64 -> 0.60). On real clustered corpora the same operator earns its
+    keep at n_probe << n_centroids; this query pins the honest setting
+    for THIS data rather than advertising a probe ratio the data cannot
+    support."""
     from movie_recommendation_etl_spark.ml.ivf import fit_ivf_centroids, ivf_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -58,7 +68,7 @@ def q62_knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_knn(model, emb, queries, top_k=TOP_K, n_probe=4).select(
+    return ivf_knn(model, emb, queries, top_k=TOP_K, n_probe=6).select(
         "query_id", "neighbor_id", "rnk", "cosine_sim"
     )
 

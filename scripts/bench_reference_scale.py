@@ -143,10 +143,19 @@ def main() -> int:
         idf_model = idf_st.fit(counted)
         stages["idf_fit"] = round(time.monotonic() - t0, 1)
         t0 = time.monotonic()
-        l2_st.transform(idf_model.transform(counted)).select(
-            "doc_id", l2_st.getOutputCol()
-        ).count()
+        # persist + count, NOT a bare count: count() on a projection lets
+        # Catalyst prune the vector columns entirely (nothing would be
+        # measured); the persist forces the CV->IDF->L2 transform to
+        # actually materialize, exactly like the headline fit's
+        # vecs.cache(); vecs.count() does.
+        final = (
+            l2_st.transform(idf_model.transform(counted))
+            .select("doc_id", l2_st.getOutputCol())
+            .persist()
+        )
+        final.count()
         stages["transform"] = round(time.monotonic() - t0, 1)
+        final.unpersist()
         tokenized.unpersist()
 
     t0 = time.monotonic()
