@@ -723,6 +723,13 @@ def main() -> int:
                     # compare like the fit headline from r12 on.
                     for sk, sv in (ref.get("stages") or {}).items():
                         timings[f"ref_scale_stage_{sk}"] = float(sv)
+                    # plain-fit sample spread, through the same capped
+                    # spread channel as the query loop's — visible
+                    # exactly when the replay regime was inconsistent
+                    if "tfidf_fit_spread" in ref:
+                        spread["ref_scale_fit_sec"] = float(
+                            ref["tfidf_fit_spread"]
+                        )
                     break
         except (subprocess.SubprocessError, OSError, ValueError, KeyError):
             pass

@@ -184,6 +184,20 @@ def main() -> int:
                 "calibration_sec": calibration,
                 "corpus_gen_sec": round(gen_sec, 1),
                 "tfidf_fit_transform_sec": round(fit_sec, 1),
+                # relative spread of the plain fit samples — with stages
+                # summing well under the headline on noisy hosts, the
+                # spread says whether the headline itself was measured in
+                # a consistent regime (surfaced into the parent bench's
+                # query_spread block, same capping rules)
+                **(
+                    {
+                        "tfidf_fit_spread": round(
+                            (max(fit_samples) - fit_sec) / fit_sec, 3
+                        )
+                    }
+                    if len(fit_samples) > 1
+                    else {}
+                ),
                 **({"stages": stages} if stages else {}),
                 "lsh_fit_sec": round(lsh_fit_sec, 1),
                 "ann_cold_sec": round(cold_sec, 1),
