@@ -40,10 +40,11 @@ BENCH_METHOD = "min2"
 # un-normalized comparison produced a phantom +544% ref_scale_fit_sec
 # flag (re-measured 7.2 s vs the recorded 140.3 s). The method bump
 # fences the un-calibrated r9 entries for one round; comparison resumes
-# calibrated in r11. r11 ("min2_fit_cal_staged"): the replay adds a
-# cached per-stage attribution pass (tokenize/CV-fit/IDF-fit/transform
-# reported as ref_scale_stage_* entries) — the fit headline itself is
-# still the min of plain un-cached fit samples, but the new stage
+# calibrated in r11. r11 ("min2_fit_cal_staged"): the replay's second
+# fit sample is now the per-stage DECOMPOSITION of the fit's own three
+# actions (CV fit / IDF fit / transform+materialize over the uncached
+# tokenize lineage, reported as ref_scale_stage_* entries; their sum is
+# the sample) — identical total work to a plain fit, but the new stage
 # entries must not compare against rounds that never recorded them.
 REF_SCALE_METHOD = "min2_fit_cal_staged"
 
