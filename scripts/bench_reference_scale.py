@@ -52,9 +52,10 @@ def main() -> int:
     # sample: the parent normalizes ref_scale_* cross-round deltas by
     # (this calibration / previous round's) — r9's un-normalized replay
     # produced a phantom +544% regression flag under neighbor load.
-    from bench import host_calibration
+    from bench import host_calibration, host_mem_calibration
 
     calibration = host_calibration(spark)
+    calibration_mem = host_mem_calibration(spark)
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     n_src = docs.count()
@@ -173,6 +174,7 @@ def main() -> int:
                 "n_docs": n_docs,
                 "n_vectors": n_vec,
                 "calibration_sec": calibration,
+                "calibration_mem_sec": calibration_mem,
                 "corpus_gen_sec": round(gen_sec, 1),
                 "tfidf_fit_transform_sec": round(fit_sec, 1),
                 # relative spread of the plain fit samples — with stages

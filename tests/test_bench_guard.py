@@ -460,3 +460,22 @@ def test_stage_entries_reconstruct_but_not_calibration():
     assert pat.match("ref_scale_stage_cv_fit")
     assert pat.match("ref_scale_fit_sec")
     assert not pat.match("ref_scale_calibration_sec")
+
+
+def test_compact_line_degrades_under_flag_storm():
+    """An r5-shape storm (25 flagged queries) must not push the compact
+    line past the tail window: the guard trims flagged names to 10, then
+    drops them entirely — but NEVER the timings, which must survive
+    bit-identical at every degradation level."""
+    import bench
+
+    stdout, timings = _realistic_r11_stdout(
+        flagged=tuple(sorted(timings_key for timings_key in [
+            f"q{i:02d}_some_rather_long_query_name" for i in range(25)
+        ]))
+    )
+    compact = stdout.rsplit("\n", 1)[1]
+    assert len(compact.encode()) <= bench.COMPACT_LINE_BUDGET
+    blob = json.loads(compact)
+    assert blob["queries"] == timings
+    assert len(blob.get("regressions", {})) <= 10
