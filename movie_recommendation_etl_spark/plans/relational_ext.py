@@ -164,15 +164,47 @@ def q43_term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q44_approx_count_distinct")
+@query(
+    "q44_approx_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_3rsd,
+           TRUE AS parts_within_3rsd
+    FROM lineitem
+    """,
+)
 def q44_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimation (rows-only: the sketch is
-    engine-specific, so no SQL oracle can hash-match; the accuracy bound is
-    asserted by tests/test_extensibility.py). At 100 TB this replaces exact
-    COUNT(DISTINCT) — one pass, bounded memory, no giant shuffle."""
+    """HyperLogLog++ distinct estimation, hash-gated on its CONTRACT
+    (r11 upgrade from rows-only): the sketch VALUE is engine-specific —
+    no SQL oracle can replicate Spark's HLL++ registers bit-for-bit — but
+    the estimator's accuracy contract is checkable cross-engine. The
+    oracle computes the exact distinct counts and asserts the
+    within-bound booleans TRUE; the Spark side computes the booleans from
+    its REAL approx_count_distinct output (|approx − exact| ≤ 3·rsd·exact,
+    rsd 0.02 → 6%, a ≥3σ band for HLL++). A broken sketch flips a boolean
+    and hash-fails the driver gate instead of hiding behind a rows-only
+    check. Spark's HLL++ is deterministic for fixed data and rsd, so the
+    gate is stable. At 100 TB this operator replaces exact
+    COUNT(DISTINCT) — one pass, bounded memory, no giant shuffle; the
+    exact twins computed here for the gate are the expensive thing the
+    sketch exists to avoid."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    agg = li.agg(
         F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__approx_o"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__approx_p"),
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("__approx_o") - F.col("exact_orders"))
+            <= F.col("exact_orders") * F.lit(0.06)
+        ).alias("orders_within_3rsd"),
+        (
+            F.abs(F.col("__approx_p") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.06)
+        ).alias("parts_within_3rsd"),
     )
