@@ -169,8 +169,8 @@ def q43_term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(DISTINCT l_orderkey) AS exact_orders,
            count(DISTINCT l_partkey) AS exact_parts,
-           TRUE AS orders_within_3rsd,
-           TRUE AS parts_within_3rsd
+           1 AS orders_within_3rsd,
+           1 AS parts_within_3rsd
     FROM lineitem
     """,
 )
@@ -196,15 +196,18 @@ def q44_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.02).alias("__approx_o"),
         F.approx_count_distinct("l_partkey", 0.02).alias("__approx_p"),
     )
+    # INT 0/1, not BOOLEAN: the driver's comparator has hashed every
+    # other registry column type for ten rounds, but never a boolean —
+    # integers take the battle-tested path on both engines.
     return agg.select(
         "exact_orders",
         "exact_parts",
         (
             F.abs(F.col("__approx_o") - F.col("exact_orders"))
             <= F.col("exact_orders") * F.lit(0.06)
-        ).alias("orders_within_3rsd"),
+        ).cast("int").alias("orders_within_3rsd"),
         (
             F.abs(F.col("__approx_p") - F.col("exact_parts"))
             <= F.col("exact_parts") * F.lit(0.06)
-        ).alias("parts_within_3rsd"),
+        ).cast("int").alias("parts_within_3rsd"),
     )
