@@ -146,8 +146,16 @@ _BC_WUG_RE = "^wug(0|[1-9][0-9]*)ing$"
                list_transform(bt, tok ->
                    coalesce(({_SQL_LEMMA_VALS})[
                        list_position({_SQL_LEMMA_KEYS}, tok)],
+                       -- TRY_CAST, not CAST: regexp_extract returns ''
+                       -- on non-matching tokens and DuckDB does not
+                       -- guarantee AND short-circuit inside lambdas —
+                       -- a plain CAST('' AS BIGINT) aborts the whole
+                       -- query on corpora where the engine evaluates
+                       -- the right operand first (hit at sf0.1, r11).
+                       -- TRY_CAST yields NULL there; NULL < n is NULL,
+                       -- the WHEN is not taken, the token passes through
                        CASE WHEN regexp_matches(tok, '{_BC_WUG_RE}')
-                                 AND CAST(regexp_extract(tok,
+                                 AND TRY_CAST(regexp_extract(tok,
                                      '{_BC_WUG_RE}', 1) AS BIGINT)
                                      < {_BC_FILLER_N}
                             THEN 'wug' || regexp_extract(tok,
