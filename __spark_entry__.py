@@ -27,8 +27,16 @@ def entry(spark: SparkSession) -> DataFrame:
     get_recommendations (transform/execute.ipynb:1645-1670) re-expressed
     Spark-first. No fallback: if the ML path is broken, the smoke check
     must fail loudly rather than green-light a relational stand-in.
+
+    r11: q70's registry slot became the contract hash gate; the smoke
+    check keeps returning the neighbor-level frame that slot wraps (same
+    (doc_id, rank, dist) schema as every prior round).
     """
-    return QUERIES["q70_recommend_similar_docs"](spark, SF_SMOKE)
+    from movie_recommendation_etl_spark.plans.recommend import (
+        flagship_neighbors,
+    )
+
+    return flagship_neighbors(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

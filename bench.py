@@ -536,6 +536,11 @@ def main() -> int:
         q30_batch_arms,
         q30_stream_arms,
     )
+    from movie_recommendation_etl_spark.plans.recommend import (
+        flagship_neighbors,
+        ivf_knn_neighbors,
+        lsh_knn_neighbors,
+    )
     from movie_recommendation_etl_spark.plans.registry import QUERIES
     from movie_recommendation_etl_spark.session import get_spark
     from movie_recommendation_etl_spark.sources.catalog import (
@@ -611,6 +616,15 @@ def main() -> int:
         **QUERIES,
         "q30_batch_arms": q30_batch_arms,
         "q30_stream_arms": q30_stream_arms,
+        # q61/q62's registry slots became contract gates in r11 (ANN +
+        # exact top-5 + recall flags under one hash); the bench keeps
+        # timing the NEIGHBOR-level ANN frames those gates wrap, so the
+        # named lines measure the same work as every prior round.
+        "q61_knn_lsh_embeddings": lsh_knn_neighbors,
+        "q62_knn_ivf_embeddings": ivf_knn_neighbors,
+        # Same r11 move for q70: its slot is now the contract gate; the
+        # bench line keeps timing the flagship fit+LSH+ANN itself.
+        "q70_recommend_similar_docs": flagship_neighbors,
     }
 
     for name in BENCH_QUERIES:
@@ -625,26 +639,28 @@ def main() -> int:
             sample_min(_query_timed, n=3 if name in prev_flagged else 2),
         )
 
-    # ANN recall@5 AT THIS SF, in the artifact (r10 VERDICT #7): q61/q62
-    # are rows-only in the driver's correctness gate and their recall is
-    # pytest-pinned only at sf0.01 — a recall regression at bench scale
-    # was invisible outside a local run. One extra execution each (the
-    # result is 20 queries x 5 rows — a bounded collect), scored against
-    # q60's exact brute-force top-5 from the SAME run.
-    def _topk_sets(qname: str) -> dict:
+    # ANN recall@5 AT THIS SF, in the artifact (r10 VERDICT #7): the
+    # q61/q62 contract gates assert only the recall FLOOR (0.8 / 0.5) at
+    # the driver's sf0.01 — the artifact records the measured value at
+    # bench scale so a slow recall slide above the floor is still
+    # visible. One extra execution of each neighbor frame (the result is
+    # 20 queries x 5 rows — a bounded collect), scored against q60's
+    # exact brute-force top-5 from the SAME run.
+    def _topk_sets(fn) -> dict:
         out: dict = {}
         for r in (
-            QUERIES[qname](spark, SF_DIR)
-            .select("query_id", "neighbor_id")
-            .collect()
+            fn(spark, SF_DIR).select("query_id", "neighbor_id").collect()
         ):
             out.setdefault(r[0], set()).add(r[1])
         return out
 
     recall_at5: dict[str, float] = {}
-    exact_topk = _topk_sets("q60_knn_bruteforce")
-    for _ann_name in ("q61_knn_lsh_embeddings", "q62_knn_ivf_embeddings"):
-        approx = _topk_sets(_ann_name)
+    exact_topk = _topk_sets(QUERIES["q60_knn_bruteforce"])
+    for _ann_name, _ann_fn in (
+        ("q61_knn_lsh_embeddings", lsh_knn_neighbors),
+        ("q62_knn_ivf_embeddings", ivf_knn_neighbors),
+    ):
+        approx = _topk_sets(_ann_fn)
         recall_at5[_ann_name] = round(
             sum(
                 len(exact_topk[q] & approx.get(q, set()))
