@@ -226,6 +226,42 @@ def test_lsh_model_roundtrip(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_ann_index_roundtrip(spark, sf_dir, tmp_path):
+    """Cold-start serving path: save_ann_index + load_ann_index must
+    reconstruct the warm index — hashes column intact (so MLlib skips the
+    per-query corpus re-transform), cached, and recommend() over the loaded
+    index + loaded model returns exactly the fresh answer."""
+    from movie_recommendation_etl_spark.ml.ann import (
+        prepare_index,
+        recommend,
+    )
+    from movie_recommendation_etl_spark.sources.writers import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vecs = fit_document_vectors(docs)
+    vecs = vecs.cache()
+    model = fit_lsh(vecs)
+    index = prepare_index(model, vecs)
+    fresh = recommend(model, index, "doc_id", 42, top_k=5).collect()
+
+    mpath, ipath = str(tmp_path / "lsh_model"), str(tmp_path / "ann_index")
+    save_model(model, mpath)
+    save_ann_index(index, ipath)
+    model2, index2 = load_lsh_model(mpath), load_ann_index(spark, ipath)
+    try:
+        assert "hashes" in index2.columns
+        assert index2.storageLevel.useMemory
+        served = recommend(model2, index2, "doc_id", 42, top_k=5).collect()
+        assert [tuple(r) for r in served] == [tuple(r) for r in fresh]
+    finally:
+        index2.unpersist()
+        vecs.unpersist()
+        index.unpersist()
+
+
 def test_batch_ann_fills_underreturned_queries(spark, sf_dir):
     """A radius far too small for any neighborhood must still yield exactly
     top_k neighbors per query: the widening rounds find nothing new (LSH
