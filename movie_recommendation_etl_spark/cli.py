@@ -111,15 +111,46 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
-def _cmd_recommend(args: argparse.Namespace) -> int:
-    from movie_recommendation_etl_spark.ml.ann import prepare_index, recommend
+def _cmd_index_build(args: argparse.Namespace) -> int:
+    """One-time index materialization for serving: LSH-hash the vector
+    corpus and persist it (save_ann_index), so every later `recommend`
+    invocation reads the index instead of re-transforming the corpus —
+    at the reference's 604k docs that re-transform is ~the fit cost per
+    cold start."""
+    from movie_recommendation_etl_spark.ml.ann import prepare_index
     from movie_recommendation_etl_spark.session import get_spark
-    from movie_recommendation_etl_spark.sources.writers import load_lsh_model
+    from movie_recommendation_etl_spark.sources.writers import (
+        load_lsh_model,
+        save_ann_index,
+    )
 
-    spark = get_spark(app_name="mre-recommend")
+    spark = get_spark(app_name="mre-index-build")
     vecs = spark.read.parquet(f"{args.out_dir}/vector")
     model = load_lsh_model(f"{args.out_dir}/lsh_model")
-    index = prepare_index(model, vecs)
+    save_ann_index(prepare_index(model, vecs), f"{args.out_dir}/ann_index")
+    print(f"index written: {args.out_dir}/ann_index")
+    return 0
+
+
+def _cmd_recommend(args: argparse.Namespace) -> int:
+    from pathlib import Path
+
+    from movie_recommendation_etl_spark.ml.ann import prepare_index, recommend
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.writers import (
+        load_ann_index,
+        load_lsh_model,
+    )
+
+    spark = get_spark(app_name="mre-recommend")
+    model = load_lsh_model(f"{args.out_dir}/lsh_model")
+    if Path(f"{args.out_dir}/ann_index").exists():
+        # Persisted index (see index-build): cold start skips the
+        # whole-corpus LSH re-transform.
+        index = load_ann_index(spark, f"{args.out_dir}/ann_index")
+    else:
+        vecs = spark.read.parquet(f"{args.out_dir}/vector")
+        index = prepare_index(model, vecs)
     rows = recommend(
         model, index, "id", args.movie_id, top_k=args.top_k
     ).collect()
@@ -478,6 +509,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     vs.add_argument("path")
     vs.set_defaults(fn=_cmd_verify_shards)
+
+    ib = sub.add_parser(
+        "index-build",
+        help="materialize the LSH-hashed ANN index for cold-start serving",
+    )
+    ib.add_argument("out_dir")
+    ib.set_defaults(fn=_cmd_index_build)
 
     rc = sub.add_parser("recommend", help="ANN top-k for a movie id")
     rc.add_argument("out_dir")

@@ -52,6 +52,19 @@ def test_cli_transform_then_recommend(capsys, movies_csv, tmp_path):
     assert "CREATE TABLE IF NOT EXISTS movie_metadata" in ddl
     assert "CREATE TABLE IF NOT EXISTS master_table" in ddl
 
+    # index-build then recommend: serving from the persisted index must
+    # give exactly the same answer as the re-transform path above.
+    assert main(["index-build", out_dir]) == 0
+    assert "index written" in capsys.readouterr().out
+    assert (tmp_path / "staged" / "ann_index").exists()
+    assert main(["recommend", out_dir, "100", "--top-k", "4"]) == 0
+    lines2 = [
+        ln
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln and ln[0].isdigit()
+    ]
+    assert [int(ln.split("\t")[1]) for ln in lines2] == ids
+
 
 def test_cli_extract_roundtrip(capsys, tmp_path):
     src = tmp_path / "payload.csv"
