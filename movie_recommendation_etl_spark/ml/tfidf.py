@@ -196,11 +196,20 @@ def fit_document_vectors(
     the caller before multi-query fan-out (the reference's .py pipeline
     recomputed its lineage 4x by skipping this — SURVEY §3.1 step 6)."""
     model = build_tfidf_pipeline(text_col, output_col, **kwargs).fit(docs)
-    out = model.transform(docs).drop(
+    return model, transform_document_vectors(model, docs)
+
+
+def transform_document_vectors(
+    model: PipelineModel, docs: DataFrame
+) -> DataFrame:
+    """Apply an already-fitted pipeline to NEW documents (vocabulary and
+    idf stay frozen — the incremental-ingest semantics: terms unseen at fit
+    time vectorize to nothing rather than shifting every existing vector).
+    Same column contract as fit_document_vectors' second return."""
+    return model.transform(docs).drop(
         "__tokens", "__lemmas", "__clean_tokens", "__raw_features",
         "__tfidf_features",
     )
-    return model, out
 
 
 def lemmatize(tokens: Column, lemma_map: dict[str, str]) -> Column:

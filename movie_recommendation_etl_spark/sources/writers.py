@@ -352,6 +352,18 @@ def save_ann_index(index: DataFrame, path: str) -> None:
     index.write.mode("overwrite").parquet(path)
 
 
+def append_ann_index(lsh_model, new_vectors: DataFrame, path: str) -> None:
+    """Incremental index maintenance: LSH-hash ONLY the new batch through
+    the frozen model and append its files to the persisted index — the
+    production ingest loop at scale (O(batch) work per admission; nothing
+    existing is rewritten, and no model is refit, so existing vectors and
+    neighbors are byte-stable). Pair with
+    ml.tfidf.transform_document_vectors to vectorize the raw new docs with
+    the frozen vocabulary first. Parquet append only adds files; the next
+    load_ann_index sees the union."""
+    lsh_model.transform(new_vectors).write.mode("append").parquet(path)
+
+
 def load_ann_index(spark, path: str) -> DataFrame:
     """Load a save_ann_index() parquet and cache it. The `hashes` column is
     already present, so MLlib's approxNearestNeighbors skips its per-query

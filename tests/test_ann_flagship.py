@@ -262,6 +262,48 @@ def test_ann_index_roundtrip(spark, sf_dir, tmp_path):
         index.unpersist()
 
 
+def test_ann_index_incremental_append(spark, sf_dir, tmp_path):
+    """Incremental ingest: vectorize ONLY a new batch through the frozen
+    pipeline + LSH models and append to the persisted index. The merged
+    index must equal transforming the full corpus with the same frozen
+    models — O(batch) admission with byte-stable existing vectors."""
+    from movie_recommendation_etl_spark.ml.ann import (
+        prepare_index,
+        recommend,
+    )
+    from movie_recommendation_etl_spark.ml.tfidf import (
+        transform_document_vectors,
+    )
+    from movie_recommendation_etl_spark.sources.writers import (
+        append_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    model, vecs_old = fit_document_vectors(old)
+    vecs_old = vecs_old.cache()
+    lsh = fit_lsh(vecs_old)
+    index = prepare_index(lsh, vecs_old)
+    ipath = str(tmp_path / "ann_index")
+    save_ann_index(index, ipath)
+    append_ann_index(lsh, transform_document_vectors(model, new), ipath)
+    loaded = load_ann_index(spark, ipath)
+    try:
+        assert loaded.count() == docs.count()
+        full = lsh.transform(transform_document_vectors(model, docs))
+        a = recommend(lsh, loaded, "doc_id", 42, top_k=5).collect()
+        b = recommend(lsh, full, "doc_id", 42, top_k=5).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) == 5
+    finally:
+        loaded.unpersist()
+        vecs_old.unpersist()
+        index.unpersist()
+
+
 def test_batch_ann_fills_underreturned_queries(spark, sf_dir):
     """A radius far too small for any neighborhood must still yield exactly
     top_k neighbors per query: the widening rounds find nothing new (LSH
