@@ -120,8 +120,63 @@ def ivf_knn(
     """Probe-limited cosine top-k: (1) pick each query's n_probe nearest
     cells against the broadcast centroid table, (2) equi-join queries to
     dataset rows in those cells, (3) window top-k by cosine."""
-    spark = dataset.sparkSession
-    centroids = F.broadcast(_centroids_df(model, spark))
+    return ivf_knn_from_index(
+        _centroids_df(model, dataset.sparkSession),
+        assign_cells(model, dataset, array_col),
+        queries,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        array_col=array_col,
+        top_k=top_k,
+        n_probe=n_probe,
+    )
+
+
+def save_ivf_index(
+    model: KMeansModel,
+    dataset: DataFrame,
+    path: str,
+    *,
+    array_col: str = "embedding",
+) -> None:
+    """Persist the IVF index for serving: the tiny centroid table plus the
+    cell-assigned corpus written ``partitionBy("cell")`` — so a probe-limited
+    query's equi-join on cell becomes directory-level partition pruning at
+    the parquet scan (n_probe of n_centroids directories read, the rest
+    never touched). One columnar write of the corpus; no KMeans refit or
+    re-assignment on restart (the LSH twin: save_ann_index)."""
+    _centroids_df(model, dataset.sparkSession).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    assign_cells(model, dataset, array_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a save_ivf_index() directory → (centroids, cell-assigned
+    corpus). The corpus frame keeps its cell partitioning column, so
+    ivf_knn_from_index's cell equi-join prunes partitions."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/cells"),
+    )
+
+
+def ivf_knn_from_index(
+    centroids_df: DataFrame,
+    ds_cells: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    array_col: str = "embedding",
+    top_k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """The IVF search core over materialized index frames (either freshly
+    assigned via the fitted model, or loaded from a persisted index)."""
+    centroids = F.broadcast(centroids_df)
 
     q_cells = (
         queries.crossJoin(centroids)
@@ -140,7 +195,6 @@ def ivf_knn(
         .select(query_id_col, F.col(array_col).alias("__q_emb"), "cell")
     )
 
-    ds_cells = assign_cells(model, dataset, array_col)
     pairs = q_cells.join(ds_cells, "cell").select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),

@@ -40,6 +40,46 @@ def test_ivf_knn_recall(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_ivf_index_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted IVF serving: save_ivf_index writes centroids + the
+    cell-PARTITIONED corpus; a fresh load must answer ivf_knn_from_index
+    bit-identically to the in-memory model path, and the on-disk layout
+    must actually be hive-partitioned by cell (that directory pruning is
+    the point of the persistence)."""
+    from movie_recommendation_etl_spark.ml.ivf import (
+        ivf_knn_from_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_ivf_centroids(emb, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fresh = sorted(
+        tuple(r)
+        for r in ivf_knn(model, emb, queries, top_k=5, n_probe=4)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect()
+    )
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(model, emb, path)
+    assert any(
+        p.name.startswith("cell=") for p in (tmp_path / "ivf_index" / "cells").iterdir()
+    )
+    centroids, cells = load_ivf_index(spark, path)
+    served = sorted(
+        tuple(r)
+        for r in ivf_knn_from_index(
+            centroids, cells, queries, top_k=5, n_probe=4
+        )
+        .select("query_id", "neighbor_id", "rnk")
+        .collect()
+    )
+    assert served == fresh and len(fresh) == 100
+
+
 def test_ivf_fit_has_no_count_prepass(spark, sf_dir, monkeypatch):
     """The r3 fit paid a full corpus count() (plus a vector→string cast)
     before sampling; the fit must now bound its input with a fixed-modulus
