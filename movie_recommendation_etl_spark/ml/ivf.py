@@ -163,6 +163,56 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def ivf_recommend(
+    centroids_df: DataFrame,
+    cells: DataFrame,
+    query_emb: list[float],
+    *,
+    id_col: str = "vec_id",
+    array_col: str = "embedding",
+    top_k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Single-query serving over a persisted index: pick the n_probe
+    nearest cells DRIVER-SIDE (the centroid table is n_centroids rows —
+    bounded metadata, same class of collect as recommend()'s key lookup)
+    and filter the cell-partitioned corpus with a LITERAL IN-list, so the
+    parquet scan carries static PartitionFilters — only n_probe of
+    n_centroids directories are opened, plan-assertable, no join at all.
+    The batch path (ivf_knn_from_index) keeps the join formulation for
+    many queries at once."""
+    centroid_rows = centroids_df.collect()
+
+    def _cos(c: list[float]) -> float:
+        d = sum(float(x) * float(y) for x, y in zip(query_emb, c))
+        nq = sum(float(x) * float(x) for x in query_emb) ** 0.5
+        nc = sum(float(y) * float(y) for y in c) ** 0.5
+        return d / (nq * nc) if nq and nc else 0.0
+
+    probe = [
+        r["cell"]
+        for r in sorted(
+            centroid_rows, key=lambda r: (-_cos(r["centroid"]), r["cell"])
+        )[:n_probe]
+    ]
+    q_lit = F.array(*[F.lit(float(x)) for x in query_emb])
+    return (
+        cells.filter(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine(q_lit, F.col(array_col)).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        .limit(top_k)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+            ),
+        )
+    )
+
+
 def ivf_knn_from_index(
     centroids_df: DataFrame,
     ds_cells: DataFrame,

@@ -80,6 +80,51 @@ def test_ivf_index_roundtrip(spark, sf_dir, tmp_path):
     assert served == fresh and len(fresh) == 100
 
 
+def test_ivf_recommend_prunes_partitions(spark, sf_dir, tmp_path):
+    """Single-query serving (ivf_recommend): probed cells are chosen
+    driver-side from the tiny centroid table and become a LITERAL IN-list,
+    so the persisted index's parquet scan carries static PartitionFilters —
+    only n_probe of n_centroids cell directories are read. Results must
+    equal exact cosine top-k over the probed cells."""
+    from movie_recommendation_etl_spark.ml.ivf import (
+        ivf_recommend,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_ivf_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(model, emb, path)
+    centroids, cells = load_ivf_index(spark, path)
+
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    out = ivf_recommend(centroids, cells, list(q), top_k=5, n_probe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", plan)
+    assert m and len(m.group(1).split(",")) == 3
+
+    got = [(r["neighbor_id"], r["rnk"]) for r in out.collect()]
+    # exact re-rank over the probed cells, python-side
+    probed = {int(x) for x in m.group(1).split(",")}
+    rows = [
+        (r["vec_id"], r["embedding"])
+        for r in cells.filter(F.col("cell").isin(*probed)).collect()
+    ]
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) ** 2 for x in a) ** 0.5
+        nb = sum(float(y) ** 2 for y in b) ** 0.5
+        return d / (na * nb)
+
+    want = sorted(((cos(q, e), -i) for i, e in rows), reverse=True)[:5]
+    assert got == [(-i, rnk + 1) for rnk, (_, i) in enumerate(want)]
+
+
 def test_ivf_fit_has_no_count_prepass(spark, sf_dir, monkeypatch):
     """The r3 fit paid a full corpus count() (plus a vector→string cast)
     before sampling; the fit must now bound its input with a fixed-modulus
