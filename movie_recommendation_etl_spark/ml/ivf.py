@@ -138,19 +138,31 @@ def save_ivf_index(
     path: str,
     *,
     array_col: str = "embedding",
+    quantize: bool = False,
 ) -> None:
     """Persist the IVF index for serving: the tiny centroid table plus the
     cell-assigned corpus written ``partitionBy("cell")`` — so a probe-limited
     query's equi-join on cell becomes directory-level partition pruning at
     the parquet scan (n_probe of n_centroids directories read, the rest
     never touched). One columnar write of the corpus; no KMeans refit or
-    re-assignment on restart (the LSH twin: save_ann_index)."""
+    re-assignment on restart (the LSH twin: save_ann_index).
+
+    ``quantize=True`` additionally stores an int8 copy of each vector
+    (functions.vectors.quantize_int8, the FAISS-SQ8 shape): the candidate
+    scan then reads the 1-byte lanes only — ~4x less IO on the column that
+    dominates similarity search at 100 TB — and ivf_recommend re-ranks the
+    surviving handful of candidates against the full-precision column."""
+    from movie_recommendation_etl_spark.functions.vectors import quantize_int8
+
     _centroids_df(model, dataset.sparkSession).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/centroids")
-    assign_cells(model, dataset, array_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/cells")
+    cells = assign_cells(model, dataset, array_col)
+    if quantize:
+        cells = cells.withColumn("qvec", quantize_int8(F.col(array_col)))
+    cells.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -163,6 +175,56 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def _quantize_query(query_emb: list[float]):
+    """Driver-side mirror of quantize_int8 for the literal query struct:
+    scale = max|x|/127, q_i = half-up round(x_i/scale) (Spark F.round is
+    HALF_UP; python round() is banker's — copysign/floor matches Spark)."""
+    import math
+
+    absmax = max(abs(float(x)) for x in query_emb)
+    if absmax == 0.0:
+        return 0.0, [0] * len(query_emb)
+    scale = absmax / 127.0
+    q = [
+        int(math.copysign(math.floor(abs(float(x)) / scale + 0.5), x))
+        for x in query_emb
+    ]
+    return scale, q
+
+
+def _quantized_candidates(
+    cells: DataFrame,
+    probe: list[int],
+    query_emb: list[float],
+    *,
+    id_col: str,
+    n_candidates: int,
+) -> DataFrame:
+    """Stage-1 candidate scan of the quantized serving path: reads ONLY
+    (id, qvec) from the probed cell directories — parquet column pruning
+    keeps the full-precision float column unread (the ~4x IO saving), and
+    the literal cell IN-list keeps the static partition pruning. Integer
+    dot products in the hot loop (cosine_quantized)."""
+    from movie_recommendation_etl_spark.functions.vectors import (
+        cosine_quantized,
+    )
+
+    scale, q = _quantize_query(query_emb)
+    q_lit = F.struct(
+        F.lit(float(scale)).cast("double").alias("scale"),
+        F.array(*[F.lit(int(x)).cast("tinyint") for x in q]).alias("q"),
+    )
+    return (
+        cells.filter(F.col("cell").isin(probe))
+        .select(
+            id_col,
+            cosine_quantized(q_lit, F.col("qvec")).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc_nulls_last(), F.col(id_col))
+        .limit(n_candidates)
+    )
+
+
 def ivf_recommend(
     centroids_df: DataFrame,
     cells: DataFrame,
@@ -172,6 +234,8 @@ def ivf_recommend(
     array_col: str = "embedding",
     top_k: int = 5,
     n_probe: int = 4,
+    use_quantized: bool = False,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Single-query serving over a persisted index: pick the n_probe
     nearest cells DRIVER-SIDE (the centroid table is n_centroids rows —
@@ -180,7 +244,17 @@ def ivf_recommend(
     parquet scan carries static PartitionFilters — only n_probe of
     n_centroids directories are opened, plan-assertable, no join at all.
     The batch path (ivf_knn_from_index) keeps the join formulation for
-    many queries at once."""
+    many queries at once.
+
+    With ``use_quantized=True`` against an index saved with
+    ``quantize=True``: stage 1 scores candidates over the int8 column only
+    (column pruning leaves the float vectors unread — ~4x less scan IO),
+    stage 2 exactly re-ranks the top ``top_k*rerank_factor`` survivors
+    against the full-precision column. SQ8 cosine is within ~1% of exact
+    (bound tested in tests/test_neardup_similarity.py), so with the
+    default rerank_factor the final top_k matches the full-precision
+    answer unless true similarities are packed tighter than the
+    quantization error."""
     centroid_rows = centroids_df.collect()
 
     def _cos(c: list[float]) -> float:
@@ -196,9 +270,22 @@ def ivf_recommend(
         )[:n_probe]
     ]
     q_lit = F.array(*[F.lit(float(x)) for x in query_emb])
+    scoped = cells.filter(F.col("cell").isin(probe))
+    if use_quantized and "qvec" in cells.columns:
+        # Two-stage SQ8 serving: the wide scan touches only the int8 lanes;
+        # the exact re-rank re-reads the probed directories with an id
+        # IN-list (row-group min/max pruning) for top_k*rerank_factor rows.
+        cand = _quantized_candidates(
+            cells,
+            probe,
+            query_emb,
+            id_col=id_col,
+            n_candidates=top_k * rerank_factor,
+        )
+        cand_ids = [r[id_col] for r in cand.collect()]  # bounded: k*factor
+        scoped = scoped.filter(F.col(id_col).isin(cand_ids))
     return (
-        cells.filter(F.col("cell").isin(probe))
-        .select(
+        scoped.select(
             F.col(id_col).alias("neighbor_id"),
             cosine(q_lit, F.col(array_col)).alias("cosine_sim"),
         )

@@ -125,6 +125,50 @@ def test_ivf_recommend_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == [(-i, rnk + 1) for rnk, (_, i) in enumerate(want)]
 
 
+def test_ivf_recommend_quantized_rerank(spark, sf_dir, tmp_path):
+    """SQ8 serving: the stage-1 candidate scan must read ONLY the int8
+    column (ReadSchema free of the float embedding — the 4x IO saving)
+    while keeping the static cell pruning, and the re-ranked final top-5
+    must match the full-precision ivf_recommend answer on this data."""
+    from movie_recommendation_etl_spark.ml.ivf import (
+        _quantized_candidates,
+        ivf_recommend,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_ivf_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_q_index")
+    save_ivf_index(model, emb, path, quantize=True)
+    centroids, cells = load_ivf_index(spark, path)
+    q = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+
+    cand = _quantized_candidates(
+        cells, [0, 1, 2], q, id_col="vec_id", n_candidates=20
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert schemas and all("qvec" in s and "embedding" not in s for s in schemas)
+
+    full = [
+        (r["neighbor_id"], r["rnk"])
+        for r in ivf_recommend(
+            centroids, cells, q, top_k=5, n_probe=3
+        ).collect()
+    ]
+    sq8 = [
+        (r["neighbor_id"], r["rnk"])
+        for r in ivf_recommend(
+            centroids, cells, q, top_k=5, n_probe=3, use_quantized=True
+        ).collect()
+    ]
+    assert sq8 == full
+
+
 def test_ivf_fit_has_no_count_prepass(spark, sf_dir, monkeypatch):
     """The r3 fit paid a full corpus count() (plus a vector→string cast)
     before sampling; the fit must now bound its input with a fixed-modulus
