@@ -169,6 +169,36 @@ def test_ivf_recommend_quantized_rerank(spark, sf_dir, tmp_path):
     assert sq8 == full
 
 
+def test_quantize_query_mirrors_spark(spark):
+    """_quantize_query (the driver-side literal for SQ8 serving) must be
+    bit-identical to functions.vectors.quantize_int8 — a rounding-mode
+    drift (python round is banker's, Spark F.round is half-up) would
+    silently skew every quantized candidate score."""
+    from movie_recommendation_etl_spark.functions.vectors import quantize_int8
+    from movie_recommendation_etl_spark.ml.ivf import _quantize_query
+
+    vecs = [
+        [0.5, -0.5, 1.5, -1.5, 0.0315, -0.0315],
+        [1.0, 0.0, -1.0, 0.25, -0.75, 0.125],
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [3.7e-3, -9.1e-4, 2.2e-2, -5.5e-5, 7.7e-1, -1.3e-1],
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "i int, v array<float>",
+    )
+    rows = {
+        r["i"]: r["qs"]
+        for r in df.select("i", quantize_int8("v").alias("qs")).collect()
+    }
+    for i, v in enumerate(vecs):
+        # mirror quantizes the same float32-widened values Spark reads
+        v32 = [r for r in df.filter(F.col("i") == i).first()["v"]]
+        scale, q = _quantize_query(v32)
+        assert abs(rows[i]["scale"] - scale) < 1e-15, i
+        assert list(rows[i]["q"]) == q, i
+
+
 def test_ivf_fit_has_no_count_prepass(spark, sf_dir, monkeypatch):
     """The r3 fit paid a full corpus count() (plus a vector→string cast)
     before sampling; the fit must now bound its input with a fixed-modulus
