@@ -1,17 +1,20 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 with Arrow-batched feature extraction via mapInPandas — and REAL pure-stdlib
-decoders for the uncompressed raster formats (BMP 24-bit, PPM/P6, PGM/P5).
+decoders for the raster formats stdlib can honestly handle: BMP 24-bit,
+PPM/P6, PGM/P5, and 8-bit PNG (zlib inflate + the five scanline unfilters,
+crc-verified — r11).
 
 North-star requirement: a 100 TB training-data pipeline carries image/audio/
 video as ``binary`` columns next to a metadata struct, and runs decode /
 feature-extract / resize / frame-sample as Pandas-batched UDFs. The Spark
 plumbing here — schema, partition sizing, batch shape, deterministic
 fingerprinting — is real and tested, and so is the decode step for the
-formats a ``struct``-only parser can honestly handle: BMP and binary netpbm
+formats stdlib can honestly handle: BMP, binary netpbm, and 8-bit PNG
 images decode to (height, width, channels) uint8 pixel arrays with no
-external codec library. Compressed formats (PNG/JPEG/audio/video) still
-raise NotImplementedError at the same boundary — swapping in PIL/ffmpeg
-later means registering one decoder, not changing the pipeline.
+external codec library (PNG needs only stdlib zlib). Formats that need a
+real codec library (JPEG/audio/video) still raise NotImplementedError at
+the same boundary — swapping in PIL/ffmpeg later means registering one
+decoder, not changing the pipeline.
 
 Scale notes: binary payloads make rows big — size
 ``spark.sql.files.maxPartitionBytes`` so a partition of blobs fits executor
@@ -149,6 +152,167 @@ def encode_pgm(gray) -> bytes:
     return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
 
 
+PNG_MEDIA_TYPE = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type byte per channel count we support (8-bit, non-interlaced)
+_PNG_COLOR_TYPE = {1: 0, 3: 2, 4: 6}
+_PNG_CHANNELS = {v: k for k, v in _PNG_COLOR_TYPE.items()}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels, *, cycle_filters: bool = True) -> bytes:
+    """(h, w) or (h, w, c) uint8 (c in 1/3/4) -> 8-bit non-interlaced PNG,
+    pure stdlib (zlib deflate + crc32). ``cycle_filters`` applies scanline
+    filter ``row % 5`` so a round-trip exercises every PNG filter type
+    (None/Sub/Up/Average/Paeth) against the decoder's unfilters; False
+    emits filter 0 everywhere (fastest)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    if c not in _PNG_COLOR_TYPE:
+        raise ValueError(f"PNG encoder takes 1/3/4 channels, got {c}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 0)
+    raw = px.astype(np.int16)
+    zero = np.zeros(c, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        f = (y % 5) if cycle_filters else 0
+        cur = raw[y].reshape(-1)  # w*c int16 lane view
+        prev = raw[y - 1].reshape(-1) if y else np.zeros(w * c, np.int16)
+        left = np.concatenate([zero, cur[:-c]])
+        upleft = np.concatenate([zero, prev[:-c]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - (left + prev) // 2
+        else:
+            pred = np.fromiter(
+                (
+                    _paeth(int(a), int(b), int(cc))
+                    for a, b, cc in zip(left, prev, upleft)
+                ),
+                np.int16,
+                len(cur),
+            )
+            enc = cur - pred
+        out.append(f)
+        out += (enc % 256).astype(np.uint8).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(blob: bytes) -> dict:
+    """8-bit non-interlaced PNG (gray / RGB / RGBA), pure stdlib: chunk
+    walk with crc32 verification, zlib inflate, then the five scanline
+    unfilters. Palette, 16-bit, and interlaced files raise — those are the
+    honest boundary for a stdlib decoder, not silently-wrong output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file (bad signature)")
+    i, ihdr, idat = 8, None, bytearray()
+    while i + 8 <= len(blob):
+        (ln,), ctype = struct.unpack_from(">I", blob, i), blob[i + 4 : i + 8]
+        data = blob[i + 8 : i + 8 + ln]
+        if len(data) != ln or i + 12 + ln > len(blob):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", blob, i + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} crc mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA PNG supported (depth={depth}, "
+            f"color type={color})"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError("interlaced/nonstandard PNG not supported")
+    if w < 1 or h < 1:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    c = _PNG_CHANNELS[color]
+    stride = w * c
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG raster size mismatch")
+    px = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(c, dtype=np.int16)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int16)
+        prev = px[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prev) % 256
+        elif f == 1:
+            # Sub inverts to a per-lane cumulative sum mod 256
+            cur = np.cumsum(line.reshape(w, c), axis=0).reshape(-1) % 256
+        elif f in (3, 4):
+            cur = np.zeros(stride, np.int16)
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                pred = (a + b) // 2 if f == 3 else _paeth(a, b, cc)
+                cur[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f} on row {y}")
+        px[y] = cur.astype(np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "channels": c,
+        "pixels": px.reshape(h, w, c),
+    }
+
+
 def _decode_bmp(blob: bytes) -> dict:
     import struct
 
@@ -244,14 +408,16 @@ _DECODERS = {
     BMP_MEDIA_TYPE: _decode_bmp,
     PPM_MEDIA_TYPE: _decode_pnm,
     PGM_MEDIA_TYPE: _decode_pnm,
+    PNG_MEDIA_TYPE: _decode_png,
 }
 
 
 def decode_media(blob: bytes, media_type: str) -> dict:
     """The codec boundary: blob + declared media type -> dict with width /
-    height / channels / pixels ((h, w, c) uint8 numpy array). BMP and binary
-    netpbm decode in pure stdlib ``struct`` parsing; anything else (PNG,
-    JPEG, audio, video — formats that need a real codec library) raises
+    height / channels / pixels ((h, w, c) uint8 numpy array). BMP, binary
+    netpbm, and 8-bit PNG decode in pure stdlib (struct parsing; zlib
+    inflate + the five scanline unfilters for PNG); anything else (JPEG,
+    audio, video — formats that need a real codec library) raises
     NotImplementedError so a pipeline never silently fakes a decode."""
     decoder = _DECODERS.get(media_type)
     if decoder is None:
@@ -281,7 +447,9 @@ def fake_image_pixels(doc_id: int):
 
 def attach_fake_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Plant a REAL encoded image per row — BMP / PPM / PGM rotating by id,
-    deterministic content from fake_image_pixels — as (media_data binary,
+    with every id ≡ 3 (mod 4) encoded as PNG instead (compressed-format
+    rows in the same corpus, r11; PNG takes gray and RGB alike) —
+    deterministic content from fake_image_pixels, as (media_data binary,
     media_meta struct). Unlike attach_fake_media's opaque blobs, these
     payloads round-trip through decode_media, so decode=True pipelines run
     end-to-end with no codec library."""
@@ -298,7 +466,9 @@ def attach_fake_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for i in ids:
             px = fake_image_pixels(i)
             kind = int(i) % 3
-            if kind == 0:
+            if int(i) % 4 == 3:
+                data, mt = encode_png(px), PNG_MEDIA_TYPE
+            elif kind == 0:
                 data, mt = encode_bmp(px), BMP_MEDIA_TYPE
             elif kind == 1:
                 data, mt = encode_ppm(px), PPM_MEDIA_TYPE

@@ -50,10 +50,10 @@ def test_media_meta_schema(spark, sf_dir):
 
 
 def test_decode_unknown_type_raises():
-    """Formats that need a real codec library (PNG/JPEG/audio/video) still
+    """Formats that need a real codec library (JPEG/audio/video) still
     fail loudly — never a silent fake decode."""
     with pytest.raises(NotImplementedError):
-        decode_media(b"xx", "image/png")
+        decode_media(b"xx", "image/jpeg")
 
 
 def test_byte_features_skip_decode_columns(spark, sf_dir):
@@ -87,6 +87,60 @@ def test_codec_roundtrips():
     d = decode_media(encode_pgm(gray), "image/x-portable-graymap")
     assert d["channels"] == 1
     assert np.array_equal(d["pixels"][:, :, 0], gray)
+
+
+def test_png_roundtrip_all_filters():
+    """PNG (r11, pure stdlib zlib): encode with the scanline filter cycling
+    0..4 so the decode path proves every unfilter (None/Sub/Up/Average/
+    Paeth) — for gray, RGB, and RGBA, on widths that stress the left-pixel
+    lane offsets."""
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in ((6, 8, 3), (7, 9, 4), (11, 5), (1, 1, 3), (5, 1)):
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        d = decode_media(encode_png(px), "image/png")
+        want = px if px.ndim == 3 else px[:, :, None]
+        assert d["channels"] == want.shape[2]
+        assert np.array_equal(d["pixels"], want), shape
+        # filter-0-only encoding must agree too
+        d0 = decode_media(encode_png(px, cycle_filters=False), "image/png")
+        assert np.array_equal(d0["pixels"], want), shape
+
+
+def test_png_rejects_corruption_and_exotics():
+    """crc tamper -> ValueError; palette/16-bit stay at the honest
+    NotImplementedError boundary."""
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    blob = bytearray(encode_png(fake_image_pixels(0)))
+    blob[40] ^= 0xFF  # inside IDAT or IHDR payload -> crc mismatch
+    with pytest.raises(ValueError, match="crc|signature|trunc"):
+        decode_media(bytes(blob), "image/png")
+
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    palette_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    fake = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", palette_ihdr)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_media(fake, "image/png")
 
 
 def test_pnm_header_comments_and_whitespace():
