@@ -11,8 +11,9 @@ plumbing here — schema, partition sizing, batch shape, deterministic
 fingerprinting — is real and tested, and so is the decode step for the
 formats stdlib can honestly handle: BMP, binary netpbm, and 8-bit PNG
 images decode to (height, width, channels) uint8 pixel arrays with no
-external codec library (PNG needs only stdlib zlib). Formats that need a
-real codec library (JPEG/audio/video) still raise NotImplementedError at
+external codec library (PNG needs only stdlib zlib), and PCM WAV audio
+decodes via stdlib ``wave`` (r11). Formats that need a real codec library
+(JPEG, MP3/AAC, real video containers) still raise NotImplementedError at
 the same boundary — swapping in PIL/ffmpeg later means registering one
 decoder, not changing the pipeline.
 
@@ -811,3 +812,229 @@ def attach_fake_videos(
         F.col("__media.media_data").alias("media_data"),
         F.col("__media.media_meta").alias("media_meta"),
     )
+
+
+# --- audio: WAV/PCM via stdlib `wave` (r11) ---------------------------------
+# The second real modality: RIFF/WAVE PCM needs no codec library — stdlib
+# `wave` parses the container, numpy views the interleaved frames. Anything
+# compressed (MP3/AAC/Opus) raises at the same boundary as JPEG does for
+# images.
+
+WAV_MEDIA_TYPE = "audio/wav"
+
+
+def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
+    """(n,) or (n, c) int16 PCM -> RIFF/WAVE (PCM16), pure stdlib."""
+    import io
+    import wave
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(s.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(np.ascontiguousarray(s).tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(blob: bytes) -> dict:
+    """RIFF/WAVE PCM16 -> dict(sample_rate, channels, n_samples, samples
+    ((n, c) int16 numpy array)). Compressed or non-16-bit WAV raises —
+    the honest stdlib boundary, mirroring the image decoders."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+            channels = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            n = w.getnframes()
+            if width != 2:
+                raise NotImplementedError(
+                    f"only PCM16 WAV supported (sample width {width})"
+                )
+            data = w.readframes(n)
+    except wave.Error as e:
+        raise ValueError(f"not a PCM WAV file: {e}") from e
+    if channels < 1 or len(data) != n * channels * 2:
+        raise ValueError("truncated or malformed WAV frames")
+    samples = np.frombuffer(data, np.int16).reshape(n, channels)
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": n,
+        "samples": samples,
+    }
+
+
+_AUDIO_DECODERS = {WAV_MEDIA_TYPE: _decode_wav}
+
+
+def decode_audio(blob: bytes, media_type: str) -> dict:
+    """The audio codec boundary (the decode_media twin): WAV/PCM decodes in
+    pure stdlib; compressed codecs (MP3/AAC/Opus/...) raise
+    NotImplementedError so a pipeline never silently fakes a decode."""
+    decoder = _AUDIO_DECODERS.get(media_type)
+    if decoder is None:
+        raise NotImplementedError(
+            f"no audio codec available for {media_type!r}: register a "
+            "decoder (e.g. ffmpeg-backed) in operators.multimodal."
+            "_AUDIO_DECODERS"
+        )
+    return decoder(bytes(blob))
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_md5", T.StringType()),
+        # decode=True only; NULL for byte-level-only runs
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def fake_audio_samples(doc_id: int):
+    """Deterministic PCM16 test tone: id-derived frequency/length/stereo,
+    recomputable by tests. Returns ((n, c) int16 array, sample_rate)."""
+    import numpy as np
+
+    i = int(doc_id)
+    rate = 8_000
+    n = 400 + (i % 7) * 100
+    freq = 100.0 + (i % 13) * 55.0
+    t = np.arange(n, dtype=np.float64) / rate
+    mono = np.round(
+        np.sin(2.0 * np.pi * freq * t) * 12_000.0
+    ).astype(np.int16)
+    if i % 2:
+        # stereo rows: right channel phase-shifted a quarter period
+        right = np.round(
+            np.sin(2.0 * np.pi * freq * t + np.pi / 2.0) * 9_000.0
+        ).astype(np.int16)
+        return np.stack([mono, right], axis=1), rate
+    return mono[:, None], rate
+
+
+def attach_fake_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Plant a REAL PCM WAV per row (mono/stereo alternating by id) as
+    (media_data binary, media_meta struct) — width carries the channel
+    count, height the sample count (the meta struct is shared across
+    modalities)."""
+    out_type = T.StructType(
+        [
+            T.StructField("media_data", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _mk(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            s, rate = fake_audio_samples(int(i))
+            data = encode_wav(s, rate)
+            rows.append(
+                {
+                    "media_data": data,
+                    "media_meta": {
+                        "media_type": WAV_MEDIA_TYPE,
+                        "n_bytes": len(data),
+                        "width": s.shape[1],
+                        "height": s.shape[0],
+                    },
+                }
+            )
+        return pd.DataFrame(rows)
+
+    packed = docs.withColumn("__media", _mk(F.col(id_col)))
+    return packed.select(
+        *docs.columns,
+        F.col("__media.media_data").alias("media_data"),
+        F.col("__media.media_meta").alias("media_meta"),
+    )
+
+
+def extract_audio_features(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    data_col: str = "media_data",
+    meta_col: str = "media_meta",
+    decode: bool = False,
+) -> DataFrame:
+    """Arrow-batched audio feature extraction (the extract_media_features
+    twin): byte-level features always (md5, size); with ``decode=True``
+    each blob runs through decode_audio and the signal statistics are real
+    — duration, RMS, peak, zero-crossing rate over the mono mixdown. Same
+    null-payload and id-column contracts as the image path."""
+    out_schema = _spliced_schema(
+        media, id_col, list(AUDIO_FEATURES_SCHEMA.fields[1:])
+    )
+    decoded_keys = (
+        "sample_rate", "channels", "duration_sec", "rms", "peak",
+        "zero_crossing_rate",
+    )
+
+    def _batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for doc_id, blob, meta in zip(
+                pdf[id_col], pdf[data_col], pdf[meta_col]
+            ):
+                out[id_col].append(doc_id)
+                if blob is None or meta is None:
+                    out["media_type"].append(
+                        None if meta is None else meta["media_type"]
+                    )
+                    for k in ("n_bytes", "content_md5", *decoded_keys):
+                        out[k].append(None)
+                    continue
+                b = bytes(blob)
+                out["media_type"].append(meta["media_type"])
+                out["n_bytes"].append(len(b))
+                out["content_md5"].append(hashlib.md5(b).hexdigest())
+                if not decode:
+                    for k in decoded_keys:
+                        out[k].append(None)
+                    continue
+                d = decode_audio(b, meta["media_type"])
+                s = d["samples"].astype(np.float64)
+                mono = s.mean(axis=1)
+                out["sample_rate"].append(d["sample_rate"])
+                out["channels"].append(d["channels"])
+                out["duration_sec"].append(
+                    d["n_samples"] / float(d["sample_rate"])
+                )
+                out["rms"].append(float(np.sqrt((mono * mono).mean())))
+                out["peak"].append(int(np.abs(d["samples"]).max()))
+                signs = np.signbit(mono)
+                out["zero_crossing_rate"].append(
+                    float((signs[1:] != signs[:-1]).mean())
+                    if len(mono) > 1
+                    else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    cols = media.select(id_col, data_col, meta_col)
+    return cols.mapInPandas(_batches, schema=out_schema)

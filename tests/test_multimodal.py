@@ -1,7 +1,8 @@
 """Multimodal tests: schema, Arrow batch shapes, deterministic byte-level
-features, REAL BMP/PPM/PGM decode (pure-stdlib codecs, end-to-end through
-mapInPandas), and the explicit NotImplementedError boundary for formats
-that genuinely need a codec library."""
+features, REAL BMP/PPM/PGM/PNG image decode and PCM-WAV audio decode
+(pure-stdlib codecs, end-to-end through mapInPandas), and the explicit
+NotImplementedError boundary for formats that genuinely need a codec
+library."""
 
 from __future__ import annotations
 
@@ -403,3 +404,83 @@ def test_id_collision_rejected(spark):
     media = attach_fake_media(docs)
     with _pytest.raises(ValueError, match="collides"):
         extract_media_features(media, id_col="width")
+
+
+def test_wav_codec_roundtrip():
+    """WAV (r11, stdlib wave): encode -> decode_audio restores the exact
+    int16 frames, rate, and channel layout for mono and stereo; compressed
+    audio types stay at the honest NotImplementedError boundary; a
+    non-RIFF blob raises ValueError."""
+    import numpy as np
+
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+        fake_audio_samples,
+    )
+
+    for doc_id in (0, 1, 6, 7):
+        s, rate = fake_audio_samples(doc_id)
+        d = decode_audio(encode_wav(s, rate), "audio/wav")
+        assert d["sample_rate"] == rate
+        assert d["channels"] == s.shape[1]
+        assert d["n_samples"] == s.shape[0]
+        assert np.array_equal(d["samples"], s)
+
+    with pytest.raises(NotImplementedError, match="no audio codec"):
+        decode_audio(b"xx", "audio/mpeg")
+    with pytest.raises(ValueError, match="not a PCM WAV"):
+        decode_audio(b"definitely not riff", "audio/wav")
+
+
+def test_audio_features_end_to_end(spark, sf_dir):
+    """Plant real PCM WAVs, extract features through mapInPandas with
+    decode=True, and check every signal statistic against a local numpy
+    recomputation — the audio twin of test_decode_true_end_to_end."""
+    import numpy as np
+
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        attach_fake_audio,
+        extract_audio_features,
+        fake_audio_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(14)
+    feats = {
+        r["doc_id"]: r
+        for r in extract_audio_features(
+            attach_fake_audio(docs), decode=True
+        ).collect()
+    }
+    assert len(feats) == 14
+    for doc_id, r in feats.items():
+        s, rate = fake_audio_samples(doc_id)
+        mono = s.astype(np.float64).mean(axis=1)
+        assert r["media_type"] == "audio/wav"
+        assert r["sample_rate"] == rate
+        assert r["channels"] == s.shape[1] == (2 if doc_id % 2 else 1)
+        assert r["duration_sec"] == pytest.approx(s.shape[0] / rate)
+        assert r["rms"] == pytest.approx(float(np.sqrt((mono**2).mean())))
+        assert r["peak"] == int(np.abs(s).max())
+        signs = np.signbit(mono)
+        assert r["zero_crossing_rate"] == pytest.approx(
+            float((signs[1:] != signs[:-1]).mean())
+        )
+        assert r["content_md5"] is not None and r["n_bytes"] > 44
+
+
+def test_audio_features_byte_level_only(spark, sf_dir):
+    """decode=False: byte features real, every signal column NULL — the
+    same honest no-decode signal as the image path."""
+    from movie_recommendation_etl_spark.operators.multimodal import (
+        attach_fake_audio,
+        extract_audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(4)
+    rows = extract_audio_features(attach_fake_audio(docs)).collect()
+    assert len(rows) == 4
+    assert all(
+        r["rms"] is None and r["sample_rate"] is None and r["n_bytes"] > 0
+        for r in rows
+    )
