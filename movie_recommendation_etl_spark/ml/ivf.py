@@ -139,6 +139,7 @@ def save_ivf_index(
     *,
     array_col: str = "embedding",
     quantize: bool = False,
+    pq=None,
 ) -> None:
     """Persist the IVF index for serving: the tiny centroid table plus the
     cell-assigned corpus written ``partitionBy("cell")`` — so a probe-limited
@@ -151,8 +152,19 @@ def save_ivf_index(
     (functions.vectors.quantize_int8, the FAISS-SQ8 shape): the candidate
     scan then reads the 1-byte lanes only — ~4x less IO on the column that
     dominates similarity search at 100 TB — and ivf_recommend re-ranks the
-    surviving handful of candidates against the full-precision column."""
-    from movie_recommendation_etl_spark.functions.vectors import quantize_int8
+    surviving handful of candidates against the full-precision column.
+
+    ``pq`` (a fitted ml/pq.py:PQModel) additionally stores the m-code PQ
+    column plus each vector's true L2 norm (the IVF-PQ tier: the candidate
+    scan reads ~m smallints + one double per row instead of d floats — the
+    codes-in-memory shape billion-vector systems serve from), and persists
+    the codebooks under ``{path}/pq`` so a fresh process can rebuild query
+    LUTs without refitting. Composable with ``quantize`` (both candidate
+    representations stored; serving picks one)."""
+    from movie_recommendation_etl_spark.functions.vectors import (
+        norm2,
+        quantize_int8,
+    )
 
     _centroids_df(model, dataset.sparkSession).coalesce(1).write.mode(
         "overwrite"
@@ -160,6 +172,16 @@ def save_ivf_index(
     cells = assign_cells(model, dataset, array_col)
     if quantize:
         cells = cells.withColumn("qvec", quantize_int8(F.col(array_col)))
+    if pq is not None:
+        from movie_recommendation_etl_spark.ml.pq import (
+            encode_pq,
+            save_pq_model,
+        )
+
+        cells = encode_pq(pq, cells, array_col).withColumn(
+            "vnorm", norm2(F.col(array_col))
+        )
+        save_pq_model(dataset.sparkSession, pq, f"{path}/pq")
     cells.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/cells"
     )
@@ -225,6 +247,39 @@ def _quantized_candidates(
     )
 
 
+def _pq_candidates(
+    cells: DataFrame,
+    probe: list[int],
+    query_emb: list[float],
+    pq_model,
+    *,
+    id_col: str,
+    n_candidates: int,
+) -> DataFrame:
+    """Stage-1 candidate scan of the IVF-PQ serving path: reads ONLY
+    (id, pq_code, vnorm) from the probed cell directories — the float
+    vector column stays unread entirely (vs SQ8's 1-byte lanes, PQ reads
+    m smallints; at d=64/m=8 that is ~16x less candidate-scan IO than the
+    float column). The ADC score is a pure-Catalyst LUT fold (ml/pq.py:
+    adc_dot); cosine divides by the stored true norm. Zero-norm rows score
+    NULL and sink below every candidate."""
+    from movie_recommendation_etl_spark.ml.pq import adc_dot, adc_lut
+
+    lut = adc_lut(pq_model, query_emb)
+    nq = sum(float(x) * float(x) for x in query_emb) ** 0.5
+    sim = F.when(
+        F.col("vnorm") * F.lit(nq) == 0.0, F.lit(None).cast("double")
+    ).otherwise(
+        adc_dot(F.col("pq_code"), lut) / (F.col("vnorm") * F.lit(nq))
+    )
+    return (
+        cells.filter(F.col("cell").isin(probe))
+        .select(id_col, sim.alias("qsim"))
+        .orderBy(F.col("qsim").desc_nulls_last(), F.col(id_col))
+        .limit(n_candidates)
+    )
+
+
 def ivf_recommend(
     centroids_df: DataFrame,
     cells: DataFrame,
@@ -235,6 +290,7 @@ def ivf_recommend(
     top_k: int = 5,
     n_probe: int = 4,
     use_quantized: bool = False,
+    pq_model=None,
     rerank_factor: int = 4,
 ) -> DataFrame:
     """Single-query serving over a persisted index: pick the n_probe
@@ -254,7 +310,13 @@ def ivf_recommend(
     (bound tested in tests/test_neardup_similarity.py), so with the
     default rerank_factor the final top_k matches the full-precision
     answer unless true similarities are packed tighter than the
-    quantization error."""
+    quantization error.
+
+    With ``pq_model`` (a PQModel matching an index saved with ``pq=``):
+    same two-stage shape, but stage 1 is the ADC scan over the m-smallint
+    code column + stored norm (see _pq_candidates) — the most compressed
+    candidate representation this engine serves from. When both are
+    requested, PQ wins (it reads less)."""
     centroid_rows = centroids_df.collect()
 
     def _cos(c: list[float]) -> float:
@@ -271,7 +333,18 @@ def ivf_recommend(
     ]
     q_lit = F.array(*[F.lit(float(x)) for x in query_emb])
     scoped = cells.filter(F.col("cell").isin(probe))
-    if use_quantized and "qvec" in cells.columns:
+    if pq_model is not None and "pq_code" in cells.columns:
+        cand = _pq_candidates(
+            cells,
+            probe,
+            query_emb,
+            pq_model,
+            id_col=id_col,
+            n_candidates=top_k * rerank_factor,
+        )
+        cand_ids = [r[id_col] for r in cand.collect()]  # bounded: k*factor
+        scoped = scoped.filter(F.col(id_col).isin(cand_ids))
+    elif use_quantized and "qvec" in cells.columns:
         # Two-stage SQ8 serving: the wide scan touches only the int8 lanes;
         # the exact re-rank re-reads the probed directories with an id
         # IN-list (row-group min/max pruning) for top_k*rerank_factor rows.
