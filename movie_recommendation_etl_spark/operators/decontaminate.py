@@ -19,6 +19,16 @@ Scale shape (the reason this is Spark-first):
   partial-aggregable count per doc — exactly one Exchange, on the doc id.
 - For eval sets too large to broadcast (unusual), drop the broadcast hint:
   the same plan degrades to a shuffled join without any code change.
+- For eval sets large enough that even the degraded shuffled join hurts
+  (shuffling every training gram at 100 TB is the single biggest exchange
+  a decontamination pass can emit), ``ngram_contamination_bloom`` replaces
+  the broadcast gram SET with a broadcast Bloom BITMAP (10 bits/gram
+  instead of the gram strings: a 100M-gram eval side becomes a ~128 MB
+  exact set vs a ~12 MB filter) and shuffles only the candidate grams that
+  pass it — the true overlaps plus the bounded false-positive trickle. An
+  exact confirm join scrubs the false positives, so results are
+  IDENTICAL to ``ngram_contamination`` (asserted row-for-row in
+  tests/test_curate_pipeline.py), never probabilistic.
 
 The reference pipeline has no decontamination stage (its corpus IS the
 serving corpus — transform/execute.py stops at dedup); this is a
@@ -56,12 +66,8 @@ def ngram_contamination(
     division — the DuckDB oracle (plans/text_analysis.py:q76) hash-matches
     bit-for-bit.
     """
-    ev_grams = (
-        eval_set.select(
-            F.explode(word_shingles(F.split(text_col, " "), n)).alias("gram")
-        )
-        .distinct()
-        .withColumn("hit", F.lit(1))
+    ev_grams = _eval_grams(eval_set, text_col, n).withColumn(
+        "hit", F.lit(1)
     )
     if broadcast_eval:
         ev_grams = F.broadcast(ev_grams)
@@ -81,6 +87,16 @@ def ngram_contamination(
         F.count("gram").cast("int").alias("n_grams"),
         F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
     )
+    return _finish(agg, id_col, ratio_threshold)
+
+
+def _eval_grams(eval_set: DataFrame, text_col: str, n: int) -> DataFrame:
+    return eval_set.select(
+        F.explode(word_shingles(F.split(text_col, " "), n)).alias("gram")
+    ).distinct()
+
+
+def _finish(agg: DataFrame, id_col: str, ratio_threshold: float) -> DataFrame:
     ratio = F.when(
         F.col("n_grams") > 0,
         F.col("n_overlap").cast("double") / F.col("n_grams").cast("double"),
@@ -92,3 +108,163 @@ def ngram_contamination(
         ratio.alias("overlap_ratio"),
         (ratio >= F.lit(ratio_threshold)).alias("is_contaminated"),
     )
+
+
+def _bit_masks() -> Column:
+    """The 64 single-bit long masks as one literal array (element_at is
+    1-indexed). Shift-by-a-COLUMN doesn't exist in the Column API (only
+    literal shift amounts), and 1<<63 overflows a Java long as a positive
+    literal — so bit 63 is written as the negative two's-complement value."""
+    return F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+
+
+def _bloom_positions(gram: Column, seed: Column | int, num_bits: int) -> Column:
+    s = F.lit(seed) if isinstance(seed, int) else seed
+    return F.pmod(F.xxhash64(gram, s), F.lit(num_bits))
+
+
+def bloom_might_contain(
+    gram: Column, bitmap: Column, *, num_bits: int, num_hashes: int
+) -> Column:
+    """Pure-Catalyst Bloom probe: all ``num_hashes`` bits set. Word index is
+    a literal shift (pos >> 6), bit mask a literal-array lookup — no Python,
+    no shift-by-column. NULL grams probe NULL (and every consumer here
+    treats NULL as not-a-candidate)."""
+    cond = None
+    for s in range(num_hashes):
+        pos = _bloom_positions(gram, s, num_bits)
+        word = F.element_at(bitmap, F.shiftright(pos, 6).cast("int") + 1)
+        mask = F.element_at(
+            _bit_masks(), pos.bitwiseAND(F.lit(63)).cast("int") + 1
+        )
+        hit = word.bitwiseAND(mask) != F.lit(0).cast("long")
+        cond = hit if cond is None else cond & hit
+    return cond
+
+
+def build_gram_bloom(
+    eval_set: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 5,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> list[int]:
+    """Distributed Bloom build over the eval set's distinct n-grams.
+
+    Fan each gram out to its ``num_hashes`` bit positions
+    (``pmod(xxhash64(gram, seed), num_bits)``), OR the bits per 64-bit word
+    with ``bit_or`` (partial-aggregable — the map side combines before the
+    single exchange on word index), and collect the dense word array. The
+    bitmap is bounded METADATA by construction — ``num_bits/8`` bytes
+    regardless of eval size (the default 2^23 bits = 1 MB holds ~800k grams
+    at ~1% false-positive rate with 5 hashes; size up bits/gram ~10 for
+    bigger eval sets) — the same collect class as the IVF centroid table.
+    """
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = _bloom_positions(F.col("gram"), F.col("seed"), num_bits)
+    words = (
+        _eval_grams(eval_set, text_col, n)
+        .select(
+            "gram",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(num_hashes)])
+            ).alias("seed"),
+        )
+        .select(
+            F.shiftright(pos, 6).cast("int").alias("w"),
+            F.element_at(
+                _bit_masks(), pos.bitwiseAND(F.lit(63)).cast("int") + 1
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (num_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def ngram_contamination_bloom(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    ratio_threshold: float = 0.05,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """``ngram_contamination`` for eval sets too large to broadcast as an
+    exact gram set: broadcast a Bloom bitmap instead, shuffle only the
+    grams that pass it.
+
+    Same output schema and IDENTICAL values as the exact operator — the
+    Bloom filter has no false negatives (every eval gram's bits are set),
+    and the confirm join against the real eval grams removes the false
+    positives, so the filter only ever changes WHICH rows reach the
+    shuffle, never the answer.
+
+    Plan shape, in execution order:
+    1. ONE training scan: shingle → explode → per-doc aggregate (a single
+       Exchange on the doc id) producing ``n_grams`` plus the per-doc
+       Bloom-candidate gram list (``collect_list`` of probe survivors —
+       bounded by true overlaps + the FP rate, not by the doc's gram
+       count). The bitmap rides in via a broadcast single-row cross join
+       (one ~``num_bits/8``-byte row, the plans/lookup.py pattern), so the
+       probe is scan-stage JVM codegen.
+    2. The candidate grams re-explode (eval-overlap-sized, tiny) and
+       confirm against the true eval gram set in a SHUFFLED equi-join —
+       the exchange the broadcast variant avoids, but here it moves only
+       candidates, never the corpus' gram stream.
+    3. A left join folds confirmed counts back onto the per-doc frame
+       (both sides already doc-keyed aggregates).
+    """
+    spark = train.sparkSession
+    bitmap = build_gram_bloom(
+        eval_set,
+        text_col=text_col,
+        n=n,
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+    )
+    bm_df = spark.createDataFrame([(bitmap,)], "bm: array<long>")
+
+    grams = word_shingles(F.split(text_col, " "), n)
+    exploded = train.select(
+        F.col(id_col), F.explode_outer(grams).alias("gram")
+    ).crossJoin(F.broadcast(bm_df))
+    probe = bloom_might_contain(
+        F.col("gram"), F.col("bm"), num_bits=num_bits, num_hashes=num_hashes
+    )
+    per_doc = exploded.groupBy(id_col).agg(
+        F.count("gram").cast("int").alias("n_grams"),
+        F.collect_list(F.when(probe, F.col("gram"))).alias("__cand"),
+    )
+    confirmed = (
+        per_doc.select(F.col(id_col), F.explode("__cand").alias("gram"))
+        .join(_eval_grams(eval_set, text_col, n), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("__n_confirmed"))
+    )
+    agg = (
+        per_doc.drop("__cand")
+        .join(confirmed, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("__n_confirmed"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+    )
+    return _finish(agg, id_col, ratio_threshold)

@@ -203,3 +203,112 @@ def test_decontamination_shuffled_join_matches_broadcast(spark):
         ).collect()
     }
     assert rows(True) == rows(False)
+
+
+def test_bloom_decontamination_matches_exact_on_corpus(spark, sf_dir):
+    """The Bloom tier's contract: IDENTICAL output to the broadcast-exact
+    operator on the real documents table (which carries planted q76
+    contamination), because the bitmap has no false negatives and the
+    confirm join scrubs the false positives."""
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter("doc_id % 17 = 0").select("text")
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    exact = key(ngram_contamination(docs, ev, n=5, ratio_threshold=0.05))
+    bloom = key(
+        ngram_contamination_bloom(docs, ev, n=5, ratio_threshold=0.05)
+    )
+    assert bloom == exact and len(exact) == docs.count()
+
+
+def test_bloom_decontamination_survives_saturated_bitmap(spark):
+    """Deliberately undersized bitmap (256 bits for ~hundreds of grams →
+    false positives everywhere): the confirm join must still scrub every
+    one of them — correctness may never depend on the FP rate."""
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon zeta eta theta"),
+            (2, " ".join(f"tok{i} word{i}" for i in range(60))),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    exact = key(ngram_contamination(train, ev, n=5, ratio_threshold=0.3))
+    tiny = key(
+        ngram_contamination_bloom(
+            train, ev, n=5, ratio_threshold=0.3, num_bits=256
+        )
+    )
+    assert tiny == exact
+
+
+def test_bloom_probe_fp_rate_and_python_free_plan(spark):
+    """Probe quality + plan shape: (a) every eval gram passes its own
+    bloom (zero false negatives, the structural guarantee the equality
+    tests lean on); (b) on a DISJOINT vocabulary the candidate fraction
+    stays near the design FP rate (sized ~1%, asserted < 5%); (c) the
+    candidate-scan stage carries no Python."""
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        bloom_might_contain,
+        build_gram_bloom,
+    )
+    from movie_recommendation_etl_spark.operators.neardup import (
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, " ".join(f"ev{i}w{j}" for j in range(30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    other = spark.createDataFrame(
+        [(i, " ".join(f"tr{i}w{j}" for j in range(30))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    num_bits, k = 1 << 13, 5
+    bitmap = build_gram_bloom(ev, n=5, num_bits=num_bits, num_hashes=k)
+    bm_df = spark.createDataFrame([(bitmap,)], "bm: array<long>")
+
+    def probe_frac(src):
+        grams = src.select(
+            F.explode(
+                word_shingles(F.split("text", " "), 5)
+            ).alias("gram")
+        ).crossJoin(F.broadcast(bm_df))
+        flagged = grams.select(
+            bloom_might_contain(
+                F.col("gram"), F.col("bm"), num_bits=num_bits, num_hashes=k
+            )
+            .cast("int")
+            .alias("hit")
+        )
+        plan = flagged._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+        row = flagged.agg(
+            F.sum("hit").alias("h"), F.count("*").alias("n")
+        ).first()
+        return row["h"] / row["n"]
+
+    assert probe_frac(ev) == 1.0  # no false negatives, ever
+    assert probe_frac(other) < 0.05  # FP trickle near the ~1% design point
