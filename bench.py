@@ -50,8 +50,8 @@ REF_SCALE_METHOD = "min2_fit_cal_staged"
 
 # Headline-composition version (r10 ADVICE: bench_total_sec had no scope
 # fence, so adding line items — q81+batch_ann in r10, the q30
-# batch/stream split in r11 — reads as a slowdown in cross-round headline
-# comparisons). Bumped whenever the SET of entries summed into
+# batch/stream split and the ivf_pq_serve line in r11 — reads as a
+# slowdown in cross-round headline comparisons). Bumped whenever the SET of entries summed into
 # bench_total_sec changes; when the previous round recorded a different
 # value (or none), the blob carries a regressions_note saying the
 # headline totals are not comparable this round. Per-query comparisons
@@ -404,7 +404,7 @@ def previous_round_bench(repo_dir: str) -> dict | None:
         allowed = re.compile(r"^(q\d+(_|$)|ref_scale_(?!calibration)[a-z_]+)")
         extras = {
             "catalog_warm", "incremental_admit", "ann_warm_query",
-            "batch_ann",
+            "batch_ann", "ivf_pq_serve",
         }
         queries = {
             k: float(v)
@@ -420,7 +420,8 @@ def previous_round_bench(repo_dir: str) -> dict | None:
                 reg_seg = tail.split('"regressions"', 1)[1]
                 flagged = re.findall(
                     r'"(q\d+[a-z_0-9]*|incremental_admit|catalog_warm'
-                    r'|ann_warm_query|batch_ann|ref_scale_[a-z_]+)":\s*\{',
+                    r'|ann_warm_query|batch_ann|ivf_pq_serve'
+                    r'|ref_scale_[a-z_]+)":\s*\{',
                     reg_seg,
                 )
                 out["regressions"] = {k: {} for k in flagged}
@@ -741,6 +742,51 @@ def main() -> int:
     )
     index.unpersist()
     vecs.unpersist()
+
+    # IVF-PQ single-query serving (ml/pq.py, r11): the codes-tier ANN —
+    # ADC candidate scan over m smallints + stored norm, exact re-rank.
+    # Median of 4 warm queries against a freshly persisted index, the
+    # number comparable to ann_warm_query (LSH tier) and the SQ8 path.
+    # Index build (KMeans + PQ fit + encode + partitioned write) is
+    # one-time cost, deliberately untimed — serving latency is the
+    # metric; the build is bounded by the corpus write it replaces.
+    from movie_recommendation_etl_spark.ml.ivf import (
+        fit_ivf_centroids,
+        ivf_recommend,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from movie_recommendation_etl_spark.ml.pq import fit_pq, load_pq_model
+
+    pq_dir = tempfile.mkdtemp(prefix="bench_ivf_pq_")
+    try:
+        emb_pq = load_table(spark, SF_DIR, "embeddings")
+        kmodel = fit_ivf_centroids(emb_pq, n_centroids=16)
+        pq = fit_pq(emb_pq, m=8, ksub=256, iters=8)
+        save_ivf_index(kmodel, emb_pq, f"{pq_dir}/idx", pq=pq)
+        centroids_pq, cells_pq = load_ivf_index(spark, f"{pq_dir}/idx")
+        pqm = load_pq_model(spark, f"{pq_dir}/idx/pq")
+        q_rows = [
+            list(r["embedding"])
+            for r in emb_pq.select("embedding").limit(4).collect()
+        ]
+        pq_warm: list[float] = []
+        for q_emb in q_rows:
+            t0 = time.monotonic()
+            ivf_recommend(
+                centroids_pq,
+                cells_pq,
+                q_emb,
+                top_k=5,
+                n_probe=4,
+                pq_model=pqm,
+                rerank_factor=8,
+            ).collect()
+            pq_warm.append(time.monotonic() - t0)
+        pq_warm.sort()
+        timings["ivf_pq_serve"] = round(pq_warm[len(pq_warm) // 2], 3)
+    finally:
+        shutil.rmtree(pq_dir, ignore_errors=True)
 
     # Nothing below needs this session (the replay is a subprocess and
     # the output assembly is pure Python), so stop it BEFORE the replay:
