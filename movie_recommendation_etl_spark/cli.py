@@ -11,6 +11,8 @@ query. This CLI exposes the same lifecycle as subcommands of one module::
     python -m movie_recommendation_etl_spark recommend <out_dir> <movie_id>
     python -m movie_recommendation_etl_spark compact   <table_path> [--dry-run]
     python -m movie_recommendation_etl_spark trainprep <in_parquet> <out_dir>
+    python -m movie_recommendation_etl_spark vector-index  <emb_parquet> <index_dir>
+    python -m movie_recommendation_etl_spark vector-search <index_dir> --query-id N
 
 Spark sizing is deliberately NOT argv (the reference threads master_ip +
 four memory/core numbers through every stage, transform/execute.py:305-318):
@@ -156,6 +158,113 @@ def _cmd_recommend(args: argparse.Namespace) -> int:
     ).collect()
     for r in rows:
         print(f"{r['rank']}\t{r['id']}\t{r['dist']:.6f}")
+    return 0
+
+
+def _cmd_vector_index(args: argparse.Namespace) -> int:
+    """Build a persisted IVF ANN index over an (id, embedding) parquet
+    table — the embedding-corpus twin of index-build (which serves the
+    TF-IDF/LSH flagship). Optional candidate tiers: --sq8 stores the int8
+    copy, --pq-m/--pq-ksub store product-quantization codes + codebooks
+    (ml/pq.py). The cells land hive-partitioned by IVF cell, so
+    vector-search's probes become static partition pruning."""
+    from movie_recommendation_etl_spark.ml.ivf import (
+        fit_ivf_centroids,
+        save_ivf_index,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-vector-index")
+    emb = spark.read.parquet(args.emb_path)
+    model = fit_ivf_centroids(
+        emb,
+        args.vec_col,
+        id_col=args.id_col,
+        n_centroids=args.n_centroids,
+    )
+    pq = None
+    if args.pq_m:
+        from movie_recommendation_etl_spark.ml.pq import fit_pq
+
+        pq = fit_pq(
+            emb,
+            args.vec_col,
+            id_col=args.id_col,
+            m=args.pq_m,
+            ksub=args.pq_ksub,
+        )
+    save_ivf_index(
+        model,
+        emb,
+        args.index_dir,
+        array_col=args.vec_col,
+        quantize=args.sq8,
+        pq=pq,
+    )
+    tiers = ["exact"]
+    if args.sq8:
+        tiers.append("sq8")
+    if pq is not None:
+        tiers.append(f"pq(m={args.pq_m},ksub={args.pq_ksub})")
+    print(
+        f"ivf index written: {args.index_dir} "
+        f"(cells={args.n_centroids}, tiers: {', '.join(tiers)})"
+    )
+    return 0
+
+
+def _cmd_vector_search(args: argparse.Namespace) -> int:
+    """Serve one ANN query from a vector-index directory. The query is an
+    indexed row (--query-id; includes itself in the results, rank 1 at
+    cosine 1.0) or an explicit JSON vector (--query-vec). --tier picks the
+    candidate representation: exact (float scan), sq8 (int8 scan + exact
+    re-rank), pq (ADC code scan + exact re-rank)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.ml.ivf import (
+        ivf_recommend,
+        load_ivf_index,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-vector-search")
+    centroids, cells = load_ivf_index(spark, args.index_dir)
+    if args.query_vec is not None:
+        q = [float(x) for x in _json.loads(args.query_vec)]
+    elif args.query_id is not None:
+        row = (
+            cells.filter(F.col(args.id_col) == args.query_id)
+            .select(args.vec_col)
+            .first()
+        )
+        if row is None:
+            print(f"id {args.query_id} not in index", file=sys.stderr)
+            return 1
+        q = list(row[0])
+    else:
+        print("need --query-id or --query-vec", file=sys.stderr)
+        return 2
+    pq_model = None
+    if args.tier == "pq":
+        from movie_recommendation_etl_spark.ml.pq import load_pq_model
+
+        pq_model = load_pq_model(spark, f"{args.index_dir}/pq")
+    rows = ivf_recommend(
+        centroids,
+        cells,
+        q,
+        id_col=args.id_col,
+        array_col=args.vec_col,
+        top_k=args.top_k,
+        n_probe=args.n_probe,
+        use_quantized=args.tier == "sq8",
+        pq_model=pq_model,
+        rerank_factor=args.rerank_factor,
+    ).collect()
+    for r in rows:
+        print(f"{r['rnk']}\t{r['neighbor_id']}\t{r['cosine_sim']:.6f}")
     return 0
 
 
@@ -522,6 +631,44 @@ def build_parser() -> argparse.ArgumentParser:
     rc.add_argument("movie_id", type=int)
     rc.add_argument("--top-k", type=int, default=5)
     rc.set_defaults(fn=_cmd_recommend)
+
+    vi = sub.add_parser(
+        "vector-index",
+        help="build a persisted IVF(-SQ8/-PQ) ANN index over an "
+        "embedding parquet table",
+    )
+    vi.add_argument("emb_path")
+    vi.add_argument("index_dir")
+    vi.add_argument("--id-col", default="vec_id")
+    vi.add_argument("--vec-col", default="embedding")
+    vi.add_argument("--n-centroids", type=int, default=16)
+    vi.add_argument(
+        "--sq8", action="store_true", help="store the int8 candidate tier"
+    )
+    vi.add_argument(
+        "--pq-m", type=int, default=0,
+        help="PQ subspaces; 0 (default) disables the PQ tier",
+    )
+    vi.add_argument("--pq-ksub", type=int, default=256)
+    vi.set_defaults(fn=_cmd_vector_index)
+
+    vq = sub.add_parser(
+        "vector-search", help="ANN top-k from a vector-index directory"
+    )
+    vq.add_argument("index_dir")
+    vq.add_argument("--query-id", type=int, default=None)
+    vq.add_argument(
+        "--query-vec", default=None, help="JSON array of floats"
+    )
+    vq.add_argument(
+        "--tier", choices=["exact", "sq8", "pq"], default="exact"
+    )
+    vq.add_argument("--top-k", type=int, default=5)
+    vq.add_argument("--n-probe", type=int, default=4)
+    vq.add_argument("--rerank-factor", type=int, default=8)
+    vq.add_argument("--id-col", default="vec_id")
+    vq.add_argument("--vec-col", default="embedding")
+    vq.set_defaults(fn=_cmd_vector_search)
     return p
 
 

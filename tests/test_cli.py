@@ -460,3 +460,53 @@ def test_cli_trainprep_re_budget_tokenizer(capsys, spark, tmp_path):
     assert all(
         r["budget_cost"] <= 16 or r["n_tokens"] == 1 for r in shards
     )
+
+
+def test_cli_vector_index_and_search(capsys, sf_dir, tmp_path):
+    """The embedding-ANN lifecycle from the command line: build an IVF
+    index with all three candidate tiers over the real embeddings table,
+    then serve the same query through each tier. Every tier must return
+    the query row itself at rank 1 / cosine 1.0 (it is in the index, and
+    the sq8/pq stages re-rank exactly), top_k rows total."""
+    idx = str(tmp_path / "vec_idx")
+    assert (
+        main(
+            [
+                "vector-index",
+                f"{sf_dir}/embeddings.parquet",
+                idx,
+                "--n-centroids", "8",
+                "--sq8",
+                "--pq-m", "8",
+                "--pq-ksub", "16",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "ivf index written" in out and "pq(m=8,ksub=16)" in out
+
+    for tier in ("exact", "sq8", "pq"):
+        assert (
+            main(
+                [
+                    "vector-search", idx,
+                    "--query-id", "3",
+                    "--tier", tier,
+                    "--n-probe", "8",
+                ]
+            )
+            == 0
+        )
+        lines = [
+            ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln
+        ]
+        assert len(lines) == 5, tier
+        rnk, nid, sim = lines[0].split("\t")
+        assert (rnk, nid) == ("1", "3") and float(sim) == pytest.approx(
+            1.0, abs=1e-9
+        ), tier
+
+    # unknown id and missing query are user errors, not tracebacks
+    assert main(["vector-search", idx, "--query-id", "999999"]) == 1
+    assert main(["vector-search", idx]) == 2
