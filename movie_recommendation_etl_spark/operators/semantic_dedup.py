@@ -1,0 +1,167 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+The public recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication", arXiv:2303.09540, applied to
+LAION/C4): k-means the corpus embeddings, compare pairs ONLY within each
+cluster, and keep one representative from every group whose pairwise
+cosine clears an epsilon. It removes *semantic* duplicates — re-encodes,
+paraphrases, re-crops — that lexical MinHash (operators/neardup.py) and
+sign-pattern SRP blocking (plans/dedup_similarity.py q53) can miss, and it
+is the third, complementary recall profile in this engine's near-dup
+stack: exact fingerprint < lexical shingle < embedding band < semantic
+cell.
+
+Scale shape:
+- The coarse quantizer is the SAME bounded-sample KMeans the IVF tier
+  uses (ml/ivf.py:fit_ivf_centroids) — one bounded scan to fit, one
+  scan-stage transform to assign cells. ``n_centroids`` is THE knob:
+  pick k ~ corpus/target_cell_size so the within-cell pair join stays
+  bounded (the paper runs k=50k over 5 B LAION rows for ~100k-row
+  cells). Pair enumeration is an EQUI-join on the cell id — shuffle-
+  friendly, AQE-splittable, never all-pairs across cells.
+- Vectors are L2-normalized ONCE in the scan before the join, so each
+  candidate pair evaluates a single dot-product fold, not three.
+- Transitive closure of the epsilon graph reuses the distributed
+  connected-components operator (operators/graph.py — O(log diameter)
+  rounds, pointer doubling), so a chain a~b~c collapses to ONE group
+  even when cos(a, c) < eps, and the survivor choice is deterministic
+  (min id per group — the engine-wide deterministic-survivor policy,
+  operators/dedup.py; the paper keeps a random/centroid-far member,
+  which is not rerun-stable).
+
+Deliberate semantics, documented for parity readers: duplicates split
+across two cells are NOT compared (the paper's known blocking trade-off);
+raising n_probe-style multi-assignment would trade shuffle volume for
+recall and is intentionally out of scope. Zero-norm embeddings have no
+defined cosine and are never flagged as duplicates.
+
+The reference has no embedding operators at all (its only dedup is
+``dropDuplicates(["id"])`` — transform/execute.py:80); this is a
+north-star training-data extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.functions.vectors import dot, norm2
+
+
+def _with_unit(df: DataFrame, vec_col: str) -> DataFrame:
+    """Attach the L2-normalized vector (NULL for zero-norm rows, which
+    therefore never join as duplicates)."""
+    nrm = norm2(F.col(vec_col))
+    return df.withColumn(
+        "__unit",
+        F.when(
+            nrm > 0.0,
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / nrm
+            ),
+        ),
+    )
+
+
+def semantic_dup_groups(
+    cells: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    eps: float = 0.95,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Within-cell epsilon-cosine grouping over a cell-assigned corpus
+    (ml/ivf.py:assign_cells output — or any blocking column you like in
+    ``cell_col``).
+
+    Returns one row per input row: (id_col, cell_col, group_id, is_kept)
+    where ``group_id`` is the min id of the row's epsilon-connected
+    within-cell group (its own id when unique) and ``is_kept`` marks the
+    deterministic survivor. Input ids must be unique (run exact dedup
+    first — the engine's curation order already does).
+    """
+    base = _with_unit(cells, vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(cell_col).alias("__cell"),
+        "__unit",
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(
+            dot(F.col("a.__unit"), F.col("b.__unit")) >= F.lit(float(eps))
+        )
+        .select(
+            F.col("a.__id").alias("src"), F.col("b.__id").alias("dst")
+        )
+    )
+    from movie_recommendation_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        edges, checkpoint_dir=checkpoint_dir, stats=stats
+    )
+    out = (
+        base.join(comp, base["__id"] == comp["node"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").alias(cell_col),
+            F.coalesce(F.col("cluster_id"), F.col("__id")).alias(
+                "group_id"
+            ),
+        )
+        .withColumn("is_kept", F.col("group_id") == F.col(id_col))
+    )
+    return out
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.95,
+    n_centroids: int = 16,
+    model=None,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """One-call SemDeDup: fit (or reuse) the coarse quantizer, assign
+    cells, group within-cell epsilon-duplicates, and return the input
+    rows filtered to the deterministic survivors (original columns
+    preserved; the cell/group metadata stays internal — use
+    ``semantic_dup_groups`` directly for audit output).
+
+    Pass a prefitted ``model`` (ml/ivf.py KMeansModel) to share the
+    quantizer with an IVF ANN index — dedup and serving then agree on the
+    cell geometry for free.
+    """
+    from movie_recommendation_etl_spark.ml.ivf import (
+        assign_cells,
+        fit_ivf_centroids,
+    )
+
+    if model is None:
+        model = fit_ivf_centroids(
+            emb, vec_col, id_col=id_col, n_centroids=n_centroids
+        )
+    cells = assign_cells(model, emb, vec_col)
+    groups = semantic_dup_groups(
+        cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        eps=eps,
+        checkpoint_dir=checkpoint_dir,
+        stats=stats,
+    )
+    keep = groups.filter("is_kept").select(id_col)
+    return emb.join(keep, id_col, "left_semi")

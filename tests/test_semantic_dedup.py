@@ -1,0 +1,132 @@
+"""SemDeDup semantic dedup: planted paraphrase groups, transitivity,
+deterministic survivors, plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.operators.semantic_dedup import (
+    semantic_dedup,
+    semantic_dup_groups,
+)
+
+
+def _corpus(spark):
+    """60 well-separated random base vectors plus planted semantic dups:
+    ids 100/101/102 are tiny perturbations of base 0 (a 3-clique at
+    eps=0.95), ids 200/201 perturb base 1, and 300->301->302 is a CHAIN
+    (301 between 300 and 302; cos(300,302) still > eps here but the CC
+    closure is what groups them regardless). Perturbations are small
+    enough that k-means cannot split them across cells."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(int(i), base[i].tolist()) for i in range(60)]
+
+    def near(b, scale, rid):
+        v = b + rng.normal(size=32) * scale
+        return (rid, (v / np.linalg.norm(v)).tolist())
+
+    rows += [near(base[0], 1e-4, r) for r in (100, 101, 102)]
+    rows += [near(base[1], 1e-4, r) for r in (200, 201)]
+    rows += [near(base[2], 5e-3 * k, 300 + k) for k in (0, 1, 2)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_planted_groups_resolve_to_min_id_survivors(spark):
+    emb = _corpus(spark)
+    stats: dict = {}
+    groups = semantic_dup_groups(
+        _cells(spark, emb), eps=0.95, stats=stats
+    ).cache()
+    got = {
+        r["vec_id"]: (r["group_id"], r["is_kept"])
+        for r in groups.collect()
+    }
+    assert len(got) == emb.count()
+    # clique around base 0: survivor is base row 0 itself
+    for rid in (100, 101, 102):
+        assert got[rid] == (0, False)
+    assert got[0] == (0, True)
+    # pair around base 1
+    assert got[200] == (1, False) and got[201] == (1, False)
+    assert got[1] == (1, True)
+    # chain around base 2 collapses transitively to one group
+    assert {got[r][0] for r in (2, 300, 301, 302)} == {2}
+    assert [got[r][1] for r in (300, 301, 302)] == [False] * 3
+    # every other base row is its own group and kept
+    for i in range(3, 60):
+        assert got[i] == (i, True)
+    assert stats["rounds"] >= 1  # the CC pass really ran
+    groups.unpersist()
+
+
+def _cells(spark, emb):
+    from movie_recommendation_etl_spark.ml.ivf import (
+        assign_cells,
+        fit_ivf_centroids,
+    )
+
+    model = fit_ivf_centroids(emb, n_centroids=4)
+    return assign_cells(model, emb, "embedding")
+
+
+def test_semantic_dedup_wrapper_keeps_survivors_only(spark):
+    emb = _corpus(spark)
+    out = semantic_dedup(emb, eps=0.95, n_centroids=4)
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert kept == set(range(60))  # all 8 planted dups dropped
+    assert out.columns == emb.columns  # original schema preserved
+
+
+def test_zero_norm_vectors_never_flagged(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0] * 8),
+            (2, [0.0] * 8),
+            (3, [1.0] + [0.0] * 7),
+            (4, [1.0] + [0.0] * 7),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    groups = semantic_dup_groups(
+        emb.withColumn("cell", F.lit(0)), eps=0.9
+    )
+    got = {r["vec_id"]: (r["group_id"], r["is_kept"]) for r in groups.collect()}
+    assert got[1] == (1, True) and got[2] == (2, True)  # undefined cosine
+    assert got[3] == (3, True) and got[4] == (3, False)  # real dup pair
+
+
+def test_pair_join_is_equi_on_cell_not_cartesian(spark):
+    emb = _corpus(spark)
+    cells = _cells(spark, emb)
+    groups = semantic_dup_groups(cells, eps=0.95)
+    plan = groups._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_eps_monotonicity(spark):
+    """Lower eps can only merge more: the kept set at eps=0.99 is a
+    superset of the kept set at eps=0.8."""
+    emb = _corpus(spark)
+    cells = _cells(spark, emb).cache()
+    kept_hi = {
+        r["vec_id"]
+        for r in semantic_dup_groups(cells, eps=0.99)
+        .filter("is_kept")
+        .collect()
+    }
+    kept_lo = {
+        r["vec_id"]
+        for r in semantic_dup_groups(cells, eps=0.8)
+        .filter("is_kept")
+        .collect()
+    }
+    cells.unpersist()
+    assert kept_lo <= kept_hi
+    assert 0 in kept_lo and 1 in kept_lo  # min-id survivors stable
