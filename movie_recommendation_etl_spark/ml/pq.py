@@ -245,6 +245,151 @@ def adc_dot(code_col: Column | str, lut: list[list[float]]) -> Column:
     )
 
 
+def adc_lut_col(model: PQModel, q: Column | str) -> Column:
+    """Per-ROW ADC lookup table for the batch path: lut[j][c] =
+    dot(q_sub_j, codebook[j][c]) computed entirely in Catalyst against the
+    codebook LITERAL (m x ksub x dsub doubles — a constant-folded plan
+    node; 16k literals at the m=8/ksub=256 default, analyzed once per
+    plan, ~m*ksub*dsub multiplies per query row at runtime). Keeps the
+    many-query path Python-free end to end; the single-query path uses
+    the cheaper driver-side adc_lut instead."""
+    qc = F.col(q) if isinstance(q, str) else q
+    dsub = model.dsub
+    cb = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in cent])
+                    for cent in model.codebooks[j]
+                ]
+            )
+            for j in range(model.m)
+        ]
+    )
+    return F.transform(
+        cb,
+        lambda row, j: F.transform(
+            row,
+            lambda cent: F.aggregate(
+                F.zip_with(
+                    F.slice(qc, j * F.lit(dsub) + 1, dsub),
+                    cent,
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+
+
+def pq_knn_from_index(
+    centroids_df,
+    cells: DataFrame,
+    queries: DataFrame,
+    pq_model: PQModel,
+    *,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    array_col: str = "embedding",
+    top_k: int = 5,
+    n_probe: int = 4,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Many-query IVF-PQ search over a persisted index (the batch twin of
+    ivf_recommend's PQ path, shaped like ml/ivf.py:ivf_knn_from_index).
+
+    1. Each query picks its n_probe cells against the broadcast centroid
+       table and computes its ADC LUT in the same projection (adc_lut_col
+       — Catalyst, no Python).
+    2. The cell equi-join enumerates candidates reading ONLY
+       (id, pq_code, vnorm) from the corpus side; the ADC fold scores
+       each pair from m table lookups. A per-query window keeps the top
+       ``top_k * rerank_factor``.
+    3. Survivors re-rank exactly: the bounded candidate set BROADCASTS
+       back onto the corpus (the float column is read once, for
+       candidate rows' files only), so the big side never shuffles.
+
+    Returns (query_id, neighbor_id, cosine_sim, rnk) with rnk <= top_k,
+    self-matches excluded — directly comparable to ivf_knn_from_index.
+    """
+    from pyspark.sql import Window as W
+
+    from movie_recommendation_etl_spark.functions.vectors import (
+        cosine,
+        norm2,
+    )
+
+    centroids = F.broadcast(centroids_df)
+    q_cells = (
+        queries.crossJoin(centroids)
+        .withColumn("__cdist", cosine(F.col(array_col), F.col("centroid")))
+        .withColumn(
+            "__crank",
+            F.row_number().over(
+                W.partitionBy(query_id_col).orderBy(
+                    F.col("__cdist").desc(), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("__crank") <= n_probe)
+        .select(
+            query_id_col,
+            F.col(array_col).alias("__q_emb"),
+            adc_lut_col(pq_model, array_col).alias("__lut"),
+            norm2(array_col).alias("__q_norm"),
+            "cell",
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            F.col("__lut"),
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qsim = F.when(
+        F.col("vnorm") * F.col("__q_norm") == 0.0,
+        F.lit(None).cast("double"),
+    ).otherwise(adc / (F.col("vnorm") * F.col("__q_norm")))
+    cand_w = W.partitionBy(query_id_col).orderBy(
+        F.col("__qsim").desc_nulls_last(), F.col("neighbor_id")
+    )
+    candidates = (
+        q_cells.join(
+            cells.select("cell", id_col, "pq_code", "vnorm"), "cell"
+        )
+        .select(
+            query_id_col,
+            "__q_emb",
+            F.col(id_col).alias("neighbor_id"),
+            qsim.alias("__qsim"),
+        )
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("__crnk", F.row_number().over(cand_w))
+        .filter(F.col("__crnk") <= top_k * rerank_factor)
+        .select(query_id_col, "__q_emb", "neighbor_id")
+    )
+    rerank = F.broadcast(candidates).join(
+        cells.select(F.col(id_col).alias("neighbor_id"), array_col),
+        "neighbor_id",
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rerank.select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("__q_emb"), F.col(array_col)).alias("cosine_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
 def save_pq_model(spark, model: PQModel, path: str) -> None:
     """Persist codebooks as one small parquet table (m x ksub rows of
     (sub, code, centroid)) — readable by any engine, no pickle."""

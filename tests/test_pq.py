@@ -195,3 +195,55 @@ def test_ivf_pq_serving_plan_and_results(spark, sf_dir, pq_model, tmp_path):
         hits += len(got & set(exact_top))
         total += 5
     assert hits / total >= 0.8
+
+
+def test_pq_batch_knn_recall_and_plan(spark, sf_dir, pq_model, tmp_path):
+    """The many-query IVF-PQ path (pq_knn_from_index): 20 queries in ONE
+    distributed job over a persisted index. Recall >= 0.8 vs the exact
+    brute-force top-5 (all cells probed + 16x re-rank pool isolates PQ
+    quality from cell-probe recall), plan Python-free, and the ADC
+    candidate join must not read the float embedding column (only the
+    re-rank branch may)."""
+    from movie_recommendation_etl_spark.ml.ivf import (
+        fit_ivf_centroids,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from movie_recommendation_etl_spark.ml.pq import pq_knn_from_index
+    from movie_recommendation_etl_spark.plans.registry import QUERIES
+    import movie_recommendation_etl_spark.plans.all  # noqa: F401
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kmodel = fit_ivf_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_pq_batch")
+    save_ivf_index(kmodel, emb, path, pq=pq_model)
+    centroids, cells = load_ivf_index(spark, path)
+
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_knn_from_index(
+        centroids, cells, queries, pq_model,
+        top_k=5, n_probe=8, rerank_factor=16,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    # two corpus scans by design: the ADC candidate branch reads the code
+    # columns WITHOUT the float vectors; only the re-rank branch reads them
+    import re
+
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert not [s for s in schemas if "pq_code" in s and "embedding" in s]
+
+    approx: dict[int, set] = {}
+    for r in out.collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact: dict[int, set] = {}
+    for r in QUERIES["q60_knn_bruteforce"](spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
+    assert all(len(v) == 5 for v in approx.values())
