@@ -347,18 +347,31 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
     if args.eval_path:
         # benchmark decontamination before chunking: drop every curated doc
         # whose n-gram overlap with the held-out eval set clears the
-        # threshold (operators/decontaminate.py; broadcast eval grams)
+        # threshold (operators/decontaminate.py; broadcast eval grams —
+        # or, with --decontam-bloom-bits, a broadcast Bloom bitmap +
+        # exact confirm join for eval sets too big to broadcast whole;
+        # results are identical by construction)
         from movie_recommendation_etl_spark.operators.decontaminate import (
             ngram_contamination,
+            ngram_contamination_bloom,
         )
 
         ev = spark.read.parquet(args.eval_path)
-        verdicts = ngram_contamination(
-            curated,
-            ev,
-            n=args.decontam_ngram,
-            ratio_threshold=args.decontam_threshold,
-        )
+        if args.decontam_bloom_bits:
+            verdicts = ngram_contamination_bloom(
+                curated,
+                ev,
+                n=args.decontam_ngram,
+                ratio_threshold=args.decontam_threshold,
+                num_bits=args.decontam_bloom_bits,
+            )
+        else:
+            verdicts = ngram_contamination(
+                curated,
+                ev,
+                n=args.decontam_ngram,
+                ratio_threshold=args.decontam_threshold,
+            )
         curated = curated.join(
             verdicts.filter("NOT is_contaminated").select("doc_id"),
             "doc_id",
@@ -551,6 +564,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tp.add_argument("--decontam-ngram", type=int, default=5)
     tp.add_argument("--decontam-threshold", type=float, default=0.05)
+    tp.add_argument(
+        "--decontam-bloom-bits",
+        type=int,
+        default=0,
+        help="use the Bloom decontamination tier with this many bitmap "
+        "bits (multiple of 64; 0 = broadcast the exact gram set). Same "
+        "verdicts either way; bloom shuffles only candidate grams",
+    )
     tp.add_argument(
         "--substring-dedup",
         action="store_true",

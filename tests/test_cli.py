@@ -510,3 +510,51 @@ def test_cli_vector_index_and_search(capsys, sf_dir, tmp_path):
     # unknown id and missing query are user errors, not tracebacks
     assert main(["vector-search", idx, "--query-id", "999999"]) == 1
     assert main(["vector-search", idx]) == 2
+
+
+def test_cli_trainprep_bloom_decontamination_parity(capsys, spark, tmp_path):
+    """--decontam-bloom-bits routes decontamination through the Bloom
+    tier; the surviving shard set must be IDENTICAL to the exact
+    broadcast path on the same leak-planted corpus."""
+    import json
+
+    def doc(i):
+        return " ".join(
+            f"the bloomtok{i}x{j} other{i}y{j}" for j in range(60)
+        )
+
+    rows = [(i, doc(i)) for i in range(20)]
+    src = str(tmp_path / "docs_src_bloom")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    ev = str(tmp_path / "eval_src_bloom")
+    spark.createDataFrame(
+        [(1000 + i, doc(i)) for i in range(5)], "doc_id long, text string"
+    ).write.parquet(ev)
+
+    def run(out, extra):
+        assert (
+            main(
+                [
+                    "trainprep", src, out,
+                    "--eval-path", ev,
+                    "--chunk-tokens", "64", "--overlap-tokens", "0",
+                    "--seq-len", "64", "--num-shards", "2",
+                ]
+                + extra
+            )
+            == 0
+        )
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/shards")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+
+    exact = run(str(tmp_path / "prep_exact"), [])
+    bloom = run(
+        str(tmp_path / "prep_bloom"), ["--decontam-bloom-bits", "65536"]
+    )
+    assert bloom == exact == set(range(5, 20))
