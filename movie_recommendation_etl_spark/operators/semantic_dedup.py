@@ -132,24 +132,37 @@ def semantic_dedup(
     eps: float = 0.95,
     n_centroids: int = 16,
     model=None,
+    keep: str = "min_id",
     checkpoint_dir: str | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """One-call SemDeDup: fit (or reuse) the coarse quantizer, assign
     cells, group within-cell epsilon-duplicates, and return the input
-    rows filtered to the deterministic survivors (original columns
-    preserved; the cell/group metadata stays internal — use
-    ``semantic_dup_groups`` directly for audit output).
+    rows filtered to the survivors (original columns preserved; the
+    cell/group metadata stays internal — use ``semantic_dup_groups``
+    directly for audit output).
+
+    ``keep`` picks the retention policy, deterministic either way:
+    - ``"min_id"`` (default): the engine-wide deterministic-survivor rule.
+    - ``"centroid_far"``: the paper's policy — keep the group member with
+      the LOWEST cosine to its cell centroid (ties broken by min id),
+      retaining the most atypical example of each duplicate family. One
+      extra broadcast join against the tiny centroid table plus one
+      group-keyed window; the paper's random choice is not rerun-stable,
+      so it is deliberately not offered.
 
     Pass a prefitted ``model`` (ml/ivf.py KMeansModel) to share the
     quantizer with an IVF ANN index — dedup and serving then agree on the
     cell geometry for free.
     """
     from movie_recommendation_etl_spark.ml.ivf import (
+        _centroids_df,
         assign_cells,
         fit_ivf_centroids,
     )
 
+    if keep not in ("min_id", "centroid_far"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
     if model is None:
         model = fit_ivf_centroids(
             emb, vec_col, id_col=id_col, n_centroids=n_centroids
@@ -163,5 +176,28 @@ def semantic_dedup(
         checkpoint_dir=checkpoint_dir,
         stats=stats,
     )
-    keep = groups.filter("is_kept").select(id_col)
-    return emb.join(keep, id_col, "left_semi")
+    if keep == "min_id":
+        kept = groups.filter("is_kept").select(id_col)
+    else:
+        from pyspark.sql import Window as W
+
+        from movie_recommendation_etl_spark.functions.vectors import cosine
+
+        cent = F.broadcast(_centroids_df(model, emb.sparkSession))
+        scored = (
+            cells.join(cent, "cell")
+            .select(
+                id_col,
+                cosine(F.col(vec_col), F.col("centroid")).alias("__csim"),
+            )
+        )
+        w = W.partitionBy("group_id").orderBy(
+            F.col("__csim").asc_nulls_last(), F.col(id_col)
+        )
+        kept = (
+            groups.join(scored, id_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col)
+        )
+    return emb.join(kept, id_col, "left_semi")

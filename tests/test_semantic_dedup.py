@@ -130,3 +130,54 @@ def test_eps_monotonicity(spark):
     cells.unpersist()
     assert kept_lo <= kept_hi
     assert 0 in kept_lo and 1 in kept_lo  # min-id survivors stable
+
+
+def test_centroid_far_retention_policy(spark):
+    """keep='centroid_far' keeps the group member with the LOWEST cosine
+    to its cell centroid (the paper's diversity-retaining policy). The
+    expected survivor is computed independently in numpy from the fitted
+    centroid, so the test follows the geometry instead of hardcoding
+    ids."""
+    import numpy as np
+
+    from movie_recommendation_etl_spark.ml.ivf import fit_ivf_centroids
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(13, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # rows 0-11 use base[1:]; the planted pair rides base[0], a direction
+    # no base row shares, so the epsilon group is exactly {100, 101}
+    v100 = base[0]
+    v101 = base[0] + rng.normal(size=16) * 0.02
+    v101 /= np.linalg.norm(v101)
+    assert float(v100 @ v101) > 0.95
+    rows = [(int(i), base[i + 1].tolist()) for i in range(12)]
+    rows += [(100, v100.tolist()), (101, v101.tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = fit_ivf_centroids(emb, n_centroids=2)
+    cents = np.asarray(model.clusterCenters())
+
+    def cell_of(v):  # KMeans assigns by euclidean distance
+        return int(((cents - v) ** 2).sum(1).argmin())
+
+    assert cell_of(v100) == cell_of(v101)  # pair shares a block
+    c = cents[cell_of(v100)]
+
+    def csim(v):
+        return float(v @ c) / (np.linalg.norm(v) * np.linalg.norm(c))
+
+    expected = 100 if csim(v100) < csim(v101) else 101
+    if abs(csim(v100) - csim(v101)) < 1e-9:
+        expected = 100  # tie → min id
+
+    out = semantic_dedup(
+        emb, eps=0.95, model=model, keep="centroid_far"
+    )
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert expected in kept and {100, 101} - kept == {100, 101} - {expected}
+    # non-duplicate rows all survive under either policy
+    assert set(range(12)) <= kept
+
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, keep="random")
