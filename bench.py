@@ -785,6 +785,42 @@ def main() -> int:
             pq_warm.append(time.monotonic() - t0)
         pq_warm.sort()
         timings["ivf_pq_serve"] = round(pq_warm[len(pq_warm) // 2], 3)
+        # PQ recall@5 at THIS SF, next to q61/q62's (same artifact rule:
+        # pytest pins the floor at small SF, the artifact records the
+        # measured value at bench scale). Scored via the batch path over
+        # the same 20 queries q60's exact top-k used, all cells probed so
+        # the number isolates code quality from cell-probe recall.
+        from pyspark.sql import functions as F
+
+        from movie_recommendation_etl_spark.ml.pq import pq_knn_from_index
+
+        pq_queries = emb_pq.filter("vec_id < 20").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        pq_topk: dict = {}
+        for r in (
+            pq_knn_from_index(
+                centroids_pq,
+                cells_pq,
+                pq_queries,
+                pqm,
+                top_k=5,
+                n_probe=16,
+                rerank_factor=8,
+            )
+            .select("query_id", "neighbor_id")
+            .collect()
+        ):
+            pq_topk.setdefault(r[0], set()).add(r[1])
+        recall_at5["ivf_pq_batch"] = round(
+            sum(
+                len(exact_topk[q] & pq_topk.get(q, set()))
+                / len(exact_topk[q])
+                for q in exact_topk
+            )
+            / max(len(exact_topk), 1),
+            3,
+        )
     finally:
         shutil.rmtree(pq_dir, ignore_errors=True)
 

@@ -307,8 +307,11 @@ def pq_knn_from_index(
        each pair from m table lookups. A per-query window keeps the top
        ``top_k * rerank_factor``.
     3. Survivors re-rank exactly: the bounded candidate set BROADCASTS
-       back onto the corpus (the float column is read once, for
-       candidate rows' files only), so the big side never shuffles.
+       back onto the corpus, so the big side never shuffles — and the
+       join carries the candidate's CELL alongside its id, so on a
+       cell-partitioned persisted index dynamic partition pruning
+       confines the float-column scan to the probed directories
+       (plan-asserted in tests/test_pq.py).
 
     Returns (query_id, neighbor_id, cosine_sim, rnk) with rnk <= top_k,
     self-matches excluded — directly comparable to ivf_knn_from_index.
@@ -364,17 +367,20 @@ def pq_knn_from_index(
         .select(
             query_id_col,
             "__q_emb",
+            "cell",
             F.col(id_col).alias("neighbor_id"),
             qsim.alias("__qsim"),
         )
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("__crnk", F.row_number().over(cand_w))
         .filter(F.col("__crnk") <= top_k * rerank_factor)
-        .select(query_id_col, "__q_emb", "neighbor_id")
+        .select(query_id_col, "__q_emb", "cell", "neighbor_id")
     )
     rerank = F.broadcast(candidates).join(
-        cells.select(F.col(id_col).alias("neighbor_id"), array_col),
-        "neighbor_id",
+        cells.select(
+            "cell", F.col(id_col).alias("neighbor_id"), array_col
+        ),
+        ["cell", "neighbor_id"],
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

@@ -235,6 +235,9 @@ def test_pq_batch_knn_recall_and_plan(spark, sf_dir, pq_model, tmp_path):
 
     schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     assert not [s for s in schemas if "pq_code" in s and "embedding" in s]
+    # the exact re-rank join carries the candidate's cell, so the float
+    # column's scan is confined to probed directories at runtime
+    assert "dynamicpruningexpression" in plan
 
     approx: dict[int, set] = {}
     for r in out.collect():
