@@ -63,9 +63,13 @@ SEED = 42
 _SAMPLE_MOD = 1 << 20
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class PQModel:
-    """Per-subspace codebooks: shape (m, ksub, d // m), float64."""
+    """Per-subspace codebooks: shape (m, ksub, d // m), float64.
+
+    ``eq=False``: the generated __eq__ would `==` the numpy field and
+    raise on truth-testing the elementwise result; compare codebooks
+    explicitly (np.array_equal) where identity matters (tests do)."""
 
     dim: int
     m: int

@@ -19,8 +19,13 @@ Scale shape:
   bounded (the paper runs k=50k over 5 B LAION rows for ~100k-row
   cells). Pair enumeration is an EQUI-join on the cell id — shuffle-
   friendly, AQE-splittable, never all-pairs across cells.
-- Vectors are L2-normalized ONCE in the scan before the join, so each
-  candidate pair evaluates a single dot-product fold, not three.
+- Each row's L2 norm is precomputed as a SCALAR column before the
+  shuffle, and the epsilon test is ``dot(a,b) >= eps * na * nb``
+  (equivalent to cosine >= eps for positive norms) — one dot fold per
+  pair, one norm fold per row. Deliberately NOT an array-normalizing
+  ``transform``: a lambda body that embeds the norm fold re-evaluates
+  it per ELEMENT (HOFs don't CSE), turning the scan into O(d^2) per
+  row; a scalar column crosses the exchange materialized.
 - Transitive closure of the epsilon graph reuses the distributed
   connected-components operator (operators/graph.py — O(log diameter)
   rounds, pointer doubling), so a chain a~b~c collapses to ONE group
@@ -48,21 +53,6 @@ from pyspark.sql import functions as F
 from movie_recommendation_etl_spark.functions.vectors import dot, norm2
 
 
-def _with_unit(df: DataFrame, vec_col: str) -> DataFrame:
-    """Attach the L2-normalized vector (NULL for zero-norm rows, which
-    therefore never join as duplicates)."""
-    nrm = norm2(F.col(vec_col))
-    return df.withColumn(
-        "__unit",
-        F.when(
-            nrm > 0.0,
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / nrm
-            ),
-        ),
-    )
-
-
 def semantic_dup_groups(
     cells: DataFrame,
     *,
@@ -83,13 +73,16 @@ def semantic_dup_groups(
     deterministic survivor. Input ids must be unique (run exact dedup
     first — the engine's curation order already does).
     """
-    base = _with_unit(cells, vec_col).select(
+    base = cells.select(
         F.col(id_col).alias("__id"),
         F.col(cell_col).alias("__cell"),
-        "__unit",
+        F.col(vec_col).alias("__vec"),
+        norm2(F.col(vec_col)).alias("__nrm"),
     )
     a = base.alias("a")
     b = base.alias("b")
+    # zero-norm rows have no defined cosine: the > 0 guards keep them out
+    # (without them, dot = 0 >= eps * 0 would pair every zero vector)
     edges = (
         a.join(
             b,
@@ -97,7 +90,12 @@ def semantic_dup_groups(
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .filter(
-            dot(F.col("a.__unit"), F.col("b.__unit")) >= F.lit(float(eps))
+            (F.col("a.__nrm") > 0.0)
+            & (F.col("b.__nrm") > 0.0)
+            & (
+                dot(F.col("a.__vec"), F.col("b.__vec"))
+                >= F.lit(float(eps)) * F.col("a.__nrm") * F.col("b.__nrm")
+            )
         )
         .select(
             F.col("a.__id").alias("src"), F.col("b.__id").alias("dst")
