@@ -250,6 +250,16 @@ def ngram_contamination_bloom(
         F.count("gram").cast("int").alias("n_grams"),
         F.collect_list(F.when(probe, F.col("gram"))).alias("__cand"),
     )
+    # Both downstream branches (the n_grams carrier and the candidate
+    # re-explode) read per_doc, and their differing column pruning makes
+    # the two aggregate exchanges non-identical — exchange reuse does NOT
+    # fire (verified empirically), so without a barrier the training side
+    # is scanned and shingled TWICE. A lazy localCheckpoint materializes
+    # the doc-keyed aggregate once (far smaller than the gram stream) and
+    # both branches share it; executor-local blocks suffice for a batch
+    # operator (the graph ops' reliable-checkpoint escape hatch pattern
+    # applies if this ever runs inside a fault-critical pipeline).
+    per_doc = per_doc.localCheckpoint(eager=False)
     confirmed = (
         per_doc.select(F.col(id_col), F.explode("__cand").alias("gram"))
         .join(_eval_grams(eval_set, text_col, n), "gram")
