@@ -72,6 +72,14 @@ def semantic_dup_groups(
     within-cell group (its own id when unique) and ``is_kept`` marks the
     deterministic survivor. Input ids must be unique (run exact dedup
     first — the engine's curation order already does).
+
+    The input frame is consumed three times (both sides of the pair join
+    plus the final labeling join): at corpus scale persist it — or pass
+    the cell-partitioned frame of a persisted IVF index
+    (ml/ivf.py:load_ivf_index), whose parquet re-reads are cheap and
+    column-pruned. Laziness is preserved here on purpose; an internal
+    persist of a corpus-sized frame is the caller's memory call, not the
+    operator's.
     """
     base = cells.select(
         F.col(id_col).alias("__id"),
