@@ -161,6 +161,29 @@ def _cmd_recommend(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_bpe_train(args: argparse.Namespace) -> int:
+    """Train a BPE merge table on a bounded sample of a documents parquet
+    and persist it (ml/bpe.py) for trainprep --tokenizer bpe-budget."""
+    from movie_recommendation_etl_spark.ml.bpe import (
+        save_bpe_model,
+        train_bpe,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-bpe-train")
+    docs = spark.read.parquet(args.in_path)
+    model = train_bpe(
+        docs,
+        args.text_col,
+        num_merges=args.num_merges,
+        max_fit_rows=args.max_fit_rows,
+        sample_fraction=args.sample_fraction,
+    )
+    save_bpe_model(spark, model, args.model_dir)
+    print(f"bpe model written: {args.model_dir} ({len(model.merges)} merges)")
+    return 0
+
+
 def _cmd_vector_index(args: argparse.Namespace) -> int:
     """Build a persisted IVF ANN index over an (id, embedding) parquet
     table — the embedding-corpus twin of index-build (which serves the
@@ -390,22 +413,43 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
             "doc_id", F.col("clean_text").alias("text")
         )
         curated = curated.drop("text").join(cleaned, "doc_id")
-    if args.tokenizer == "re-budget":
-        # budget by BPE-ish regex token cost, ship the ORIGINAL text (the
-        # lossless alternative to 're'). --overlap-tokens here is ws-token
-        # boundary context (the budget governs NEW tokens only); default 0
-        # — overlap is opt-in on the budget path, unlike fixed-size
-        # chunking whose 64-token default mirrors chunk_documents.
+    if args.tokenizer in ("re-budget", "bpe-budget"):
+        # budget by token COST, ship the ORIGINAL text (the lossless
+        # alternative to 're'): 're-budget' prices each ws token by the
+        # BPE-ish regex count; 'bpe-budget' prices it by a REAL trained
+        # BPE model (--bpe-model, see the bpe-train subcommand) — the
+        # budget unit a trainer actually charges. --overlap-tokens here
+        # is ws-token boundary context (the budget governs NEW tokens
+        # only); default 0 — overlap is opt-in on the budget path, unlike
+        # fixed-size chunking whose 64-token default mirrors
+        # chunk_documents.
         from movie_recommendation_etl_spark.operators.training_prep import (
             chunk_documents_by_budget,
         )
 
+        costs_array_fn = None
+        if args.tokenizer == "bpe-budget":
+            if not args.bpe_model:
+                print(
+                    "--tokenizer bpe-budget requires --bpe-model",
+                    file=sys.stderr,
+                )
+                return 2
+            from movie_recommendation_etl_spark.ml.bpe import (
+                bpe_costs_array,
+                load_bpe_model,
+            )
+
+            costs_array_fn = bpe_costs_array(
+                load_bpe_model(spark, args.bpe_model)
+            )
         chunks = chunk_documents_by_budget(
             curated,
             budget=args.chunk_tokens,
             overlap_tokens=(
                 0 if args.overlap_tokens is None else args.overlap_tokens
             ),
+            costs_array_fn=costs_array_fn,
         )
     else:
         tokenizer = None
@@ -609,19 +653,26 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tp.add_argument(
         "--tokenizer",
-        choices=("ws", "re", "re-budget"),
+        choices=("ws", "re", "re-budget", "bpe-budget"),
         default="ws",
         help="token-budget unit for chunking: whitespace tokens (ws), "
-        "BPE-ish regex tokens (re, functions/text.py:re_tokens), or "
+        "BPE-ish regex tokens (re, functions/text.py:re_tokens), "
         "re-budget — budget chunks by the regex-token COST of each "
         "whitespace token while shipping the ORIGINAL text "
         "(--overlap-tokens adds ws-token boundary context, default 0; "
-        "the budget governs new tokens only). "
+        "the budget governs new tokens only) — or bpe-budget, the same "
+        "shape priced by a trained BPE model (requires --bpe-model; "
+        "train one with the bpe-train subcommand). "
         "CAUTION: chunk_text is rebuilt from the tokenizer's stream, so "
         "'re' REWRITES the shipped shard text (lowercased, every "
         "non-[a-z0-9] character stripped) — use it only when the training "
-        "target wants that normalization; 'ws' and 're-budget' preserve "
-        "the original text modulo whitespace collapsing",
+        "target wants that normalization; 'ws' and the *-budget modes "
+        "preserve the original text modulo whitespace collapsing",
+    )
+    tp.add_argument(
+        "--bpe-model",
+        default=None,
+        help="parquet merge table from bpe-train (bpe-budget only)",
     )
     tp.add_argument("--sample-fraction", type=float, default=None)
     tp.add_argument("--chunk-tokens", type=int, default=512)
@@ -632,6 +683,18 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--num-shards", type=int, default=16)
     tp.add_argument("--seed", type=int, default=0)
     tp.set_defaults(fn=_cmd_trainprep)
+
+    bt = sub.add_parser(
+        "bpe-train",
+        help="train a BPE merge table on a documents parquet sample",
+    )
+    bt.add_argument("in_path")
+    bt.add_argument("model_dir")
+    bt.add_argument("--text-col", default="text")
+    bt.add_argument("--num-merges", type=int, default=2000)
+    bt.add_argument("--max-fit-rows", type=int, default=100_000)
+    bt.add_argument("--sample-fraction", type=float, default=None)
+    bt.set_defaults(fn=_cmd_bpe_train)
 
     vs = sub.add_parser(
         "verify-shards",

@@ -116,6 +116,7 @@ def chunk_documents_by_budget(
     budget: int = 512,
     overlap_tokens: int = 0,
     cost_fn=None,
+    costs_array_fn=None,
 ) -> DataFrame:
     """Budget-based chunking that PRESERVES the original text (the r8
     ADVICE follow-through on ``--tokenizer re``): chunks are built from
@@ -165,6 +166,8 @@ def chunk_documents_by_budget(
         raise ValueError("budget must be positive")
     if overlap_tokens < 0:
         raise ValueError("overlap_tokens must be >= 0")
+    if cost_fn is not None and costs_array_fn is not None:
+        raise ValueError("pass cost_fn OR costs_array_fn, not both")
     if cost_fn is None:
         from movie_recommendation_etl_spark.functions.text import (
             re_token_count,
@@ -173,16 +176,24 @@ def chunk_documents_by_budget(
         cost_fn = re_token_count
     from movie_recommendation_etl_spark.functions.text import ws_token_array
 
-    # stage 1: tokenize once; stage 2: cost once per token
+    # stage 1: tokenize once; stage 2: cost once per token.
+    # ``costs_array_fn`` (e.g. ml/bpe.py:bpe_costs_array) prices the WHOLE
+    # token array in one call instead of per-token inside the transform
+    # HOF — the hook a pandas_udf-backed tokenizer needs, since Python
+    # UDFs cannot reference HOF lambda variables. The fold below is
+    # unchanged either way: still one scan stage, no shuffle.
+    costs_expr = (
+        costs_array_fn("__toks")
+        if costs_array_fn is not None
+        else F.transform("__toks", lambda t: cost_fn(t).cast("long"))
+    )
     staged = docs.select(
         F.col(id_col), ws_token_array(text_col).alias("__toks")
     ).select(
         id_col,
         "__toks",
         F.size("__toks").alias("__n"),
-        F.transform(
-            "__toks", lambda t: cost_fn(t).cast("long")
-        ).alias("__costs"),
+        costs_expr.alias("__costs"),
     )
     # (cost, index) pairs; the fold walks them in order
     indexed = F.transform(

@@ -558,3 +558,81 @@ def test_cli_trainprep_bloom_decontamination_parity(capsys, spark, tmp_path):
         str(tmp_path / "prep_bloom"), ["--decontam-bloom-bits", "65536"]
     )
     assert bloom == exact == set(range(5, 20))
+
+
+def test_cli_bpe_train_then_bpe_budget_trainprep(capsys, spark, tmp_path):
+    """bpe-train persists a merge table; trainprep --tokenizer bpe-budget
+    loads it and budgets chunks by real subword cost. Token conservation:
+    the shard text re-splits to the original ws-token stream."""
+    import json
+
+    from movie_recommendation_etl_spark.ml.bpe import (
+        encode_word,
+        load_bpe_model,
+    )
+
+    def doc(i):
+        # diverse enough to clear the curation dup-token gates, with the
+        # shared 'the'/'bpet'/'othr' stems the BPE merges learn from
+        return " ".join(
+            f"the bpetok{i}x{j} othrtok{i}y{j}" for j in range(60)
+        )
+
+    src = str(tmp_path / "docs_bpe")
+    spark.createDataFrame(
+        [(i, doc(i)) for i in range(12)], "doc_id long, text string"
+    ).write.parquet(src)
+
+    model_dir = str(tmp_path / "bpe_model")
+    assert (
+        main(["bpe-train", src, model_dir, "--num-merges", "40"]) == 0
+    )
+    assert "bpe model written" in capsys.readouterr().out
+
+    out = str(tmp_path / "prep_bpe")
+    assert (
+        main(
+            [
+                "trainprep", src, out,
+                "--langs", "",
+                "--min-quality", "0.0",
+                "--tokenizer", "bpe-budget",
+                "--bpe-model", model_dir,
+                "--chunk-tokens", "24",
+                "--seq-len", "32", "--num-shards", "2",
+            ]
+        )
+        == 0
+    )
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    shards = spark.read.parquet(f"{out}/shards")
+    rows = shards.select("doc_id", "chunk_idx", "chunk_text").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"])
+        )
+    model = load_bpe_model(spark, model_dir)
+    for i in range(12):
+        toks = doc(i).split()
+        joined = " ".join(t for _, t in sorted(by_doc[i]))
+        assert joined.split() == toks
+        # every chunk's BPE cost respects the budget (no chunk's first
+        # token is mid-doc forced over; budget 24 > any single word cost)
+        for _, text in by_doc[i]:
+            cost = sum(
+                len(encode_word(w, model.ranks)) for w in text.split()
+            )
+            assert cost <= 24
+
+    # bpe-budget without a model is a user error
+    assert (
+        main(
+            [
+                "trainprep", src, str(tmp_path / "prep_err"),
+                "--langs", "", "--min-quality", "0.0",
+                "--tokenizer", "bpe-budget",
+            ]
+        )
+        == 2
+    )
