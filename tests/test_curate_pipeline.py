@@ -312,3 +312,52 @@ def test_bloom_probe_fp_rate_and_python_free_plan(spark):
 
     assert probe_frac(ev) == 1.0  # no false negatives, ever
     assert probe_frac(other) < 0.05  # FP trickle near the ~1% design point
+
+
+def test_bloom_no_false_negatives_on_random_strings(spark):
+    """Structural guarantee under fuzzing: 300 random-junk eval docs
+    (unicode, punctuation, long tokens) — every one of their grams must
+    pass the bloom built from them. One batched Spark job, not one per
+    example."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        bloom_might_contain,
+        build_gram_bloom,
+    )
+    from movie_recommendation_etl_spark.operators.neardup import (
+        word_shingles,
+    )
+
+    rng = random.Random(13)
+    alphabet = string.ascii_letters + string.digits + "äöüßé€#@!?.,;:'-_/"
+
+    def junk_word():
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(1, 14))
+        )
+
+    docs = [
+        (i, " ".join(junk_word() for _ in range(rng.randint(5, 30))))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(docs, "doc_id long, text string")
+    num_bits, k = 1 << 16, 5
+    bitmap = build_gram_bloom(ev, n=3, num_bits=num_bits, num_hashes=k)
+    bm_df = spark.createDataFrame([(bitmap,)], "bm: array<long>")
+    missed = (
+        ev.select(
+            F.explode(word_shingles(F.split("text", " "), 3)).alias("gram")
+        )
+        .crossJoin(F.broadcast(bm_df))
+        .filter(
+            ~bloom_might_contain(
+                F.col("gram"), F.col("bm"), num_bits=num_bits, num_hashes=k
+            )
+        )
+        .count()
+    )
+    assert missed == 0
