@@ -269,11 +269,29 @@ def _cmd_vector_search(args: argparse.Namespace) -> int:
     else:
         print("need --query-id or --query-vec", file=sys.stderr)
         return 2
+    # tier availability is checked HERE, not silently downgraded:
+    # ivf_recommend's column probe would fall back to the exact scan and a
+    # user benchmarking a tier would measure the wrong path
     pq_model = None
     if args.tier == "pq":
+        from pathlib import Path
+
         from movie_recommendation_etl_spark.ml.pq import load_pq_model
 
+        if "pq_code" not in cells.columns or not Path(
+            f"{args.index_dir}/pq"
+        ).exists():
+            print(
+                "index has no PQ tier (rebuild with --pq-m)",
+                file=sys.stderr,
+            )
+            return 1
         pq_model = load_pq_model(spark, f"{args.index_dir}/pq")
+    elif args.tier == "sq8" and "qvec" not in cells.columns:
+        print(
+            "index has no SQ8 tier (rebuild with --sq8)", file=sys.stderr
+        )
+        return 1
     rows = ivf_recommend(
         centroids,
         cells,
@@ -287,7 +305,14 @@ def _cmd_vector_search(args: argparse.Namespace) -> int:
         rerank_factor=args.rerank_factor,
     ).collect()
     for r in rows:
-        print(f"{r['rnk']}\t{r['neighbor_id']}\t{r['cosine_sim']:.6f}")
+        # cosine is NULL for zero-norm vectors (no defined angle) — print
+        # 'null' instead of crashing the format call
+        sim = (
+            "null"
+            if r["cosine_sim"] is None
+            else f"{r['cosine_sim']:.6f}"
+        )
+        print(f"{r['rnk']}\t{r['neighbor_id']}\t{sim}")
     return 0
 
 

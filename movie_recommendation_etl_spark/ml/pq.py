@@ -90,8 +90,11 @@ def _lloyd(
     codes usable."""
     n = x.shape[0]
     cent = x[rng.choice(n, size=min(k, n), replace=False)].copy()
-    if cent.shape[0] < k:  # degenerate tiny sample: pad by repetition
-        cent = np.concatenate([cent, cent[: k - cent.shape[0]]])
+    if cent.shape[0] < k:
+        # degenerate tiny sample: cycle it to k rows (np.resize tiles —
+        # the old single concatenate under-filled whenever n < k/2 and
+        # the update loop then indexed past the array)
+        cent = np.resize(cent, (k, x.shape[1]))
     for _ in range(iters):
         # (n, k) squared distances via ||x||^2 - 2xC^T + ||C||^2
         d2 = (
@@ -100,12 +103,18 @@ def _lloyd(
             + (cent * cent).sum(1)
         )
         assign = d2.argmin(1)
+        # empty-cluster repair: DISTINCT farthest points, one per empty
+        # cluster (a single shared reseed left duplicate centroids whose
+        # argmin ties make all but the first code permanently dead)
+        far = np.argsort(-d2[np.arange(n), assign])
+        t = 0
         for j in range(k):
             mask = assign == j
             if mask.any():
                 cent[j] = x[mask].mean(0)
             else:
-                cent[j] = x[d2[np.arange(n), assign].argmax()]
+                cent[j] = x[far[t % n]]
+                t += 1
     return cent
 
 
@@ -141,6 +150,11 @@ def fit_pq(
             < int(_SAMPLE_MOD * sample_fraction)
         )
     rows = emb.select(array_col).limit(max_fit_rows).collect()
+    if not rows:
+        raise ValueError(
+            "PQ fit sample is empty — check sample_fraction / the input "
+            "table"
+        )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     dim = x.shape[1]
     if dim % m != 0:
@@ -227,21 +241,30 @@ def adc_lut(model: PQModel, query_emb: list[float]) -> list[list[float]]:
     ]
 
 
-def adc_dot(code_col: Column | str, lut: list[list[float]]) -> Column:
+def adc_dot(
+    code_col: Column | str, lut: "list[list[float]] | Column"
+) -> Column:
     """Approximate dot(query, vector) from the code column: m element_at
-    lookups into the literal LUT, folded in double. Pure Catalyst — this is
-    the serving path's hot expression and it carries no Python."""
+    lookups into the LUT, folded in double. ``lut`` is either the m x ksub
+    Python lists of a single driver-side query (embedded as a plan
+    literal) or a Column of ``array<array<double>>`` (the batch path's
+    per-row LUT, adc_lut_col). Pure Catalyst either way — this is the
+    serving path's hot expression and it carries no Python."""
     c = F.col(code_col) if isinstance(code_col, str) else code_col
-    lut_lit = F.array(
-        *[
-            F.array(*[F.lit(float(v)) for v in row])
-            for row in lut
-        ]
+    lut_col = (
+        lut
+        if isinstance(lut, Column)
+        else F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in row])
+                for row in lut
+            ]
+        )
     )
     return F.aggregate(
         F.zip_with(
             c,
-            lut_lit,
+            lut_col,
             lambda code, row: F.element_at(row, code.cast("int") + 1),
         ),
         F.lit(0.0),
@@ -340,6 +363,12 @@ def pq_knn_from_index(
             ),
         )
         .filter(F.col("__crank") <= n_probe)
+        # The LUT is projected on the n_probe surviving rows, so the fold
+        # evaluates n_probe times per query — deliberate: hoisting it to a
+        # once-per-query projection would either carry the ~m*ksub-double
+        # payload through the crossJoin x n_centroids window shuffle, or
+        # cost an extra query_id exchange to join it back; n_probe-1
+        # redundant scan-stage folds are cheaper than either.
         .select(
             query_id_col,
             F.col(array_col).alias("__q_emb"),
@@ -348,15 +377,7 @@ def pq_knn_from_index(
             "cell",
         )
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("pq_code"),
-            F.col("__lut"),
-            lambda c, row: F.element_at(row, c.cast("int") + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = adc_dot("pq_code", F.col("__lut"))
     qsim = F.when(
         F.col("vnorm") * F.col("__q_norm") == 0.0,
         F.lit(None).cast("double"),
