@@ -274,19 +274,27 @@ def _cmd_vector_search(args: argparse.Namespace) -> int:
     # user benchmarking a tier would measure the wrong path
     pq_model = None
     if args.tier == "pq":
-        from pathlib import Path
+        from pyspark.errors import AnalysisException
 
         from movie_recommendation_etl_spark.ml.pq import load_pq_model
 
-        if "pq_code" not in cells.columns or not Path(
-            f"{args.index_dir}/pq"
-        ).exists():
+        if "pq_code" not in cells.columns:
             print(
                 "index has no PQ tier (rebuild with --pq-m)",
                 file=sys.stderr,
             )
             return 1
-        pq_model = load_pq_model(spark, f"{args.index_dir}/pq")
+        # availability of the codebook parquet is probed by READING it,
+        # not a local Path.exists() — the index may live on HDFS/S3
+        try:
+            pq_model = load_pq_model(spark, f"{args.index_dir}/pq")
+        except AnalysisException:
+            print(
+                f"index has pq_code but no codebooks at "
+                f"{args.index_dir}/pq (rebuild with --pq-m)",
+                file=sys.stderr,
+            )
+            return 1
     elif args.tier == "sq8" and "qvec" not in cells.columns:
         print(
             "index has no SQ8 tier (rebuild with --sq8)", file=sys.stderr

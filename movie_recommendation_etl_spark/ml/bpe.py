@@ -87,10 +87,16 @@ def train_bpe(
 ) -> BPEModel:
     """Learn ``num_merges`` merge rules from a bounded corpus sample.
 
-    Deterministic end to end: the sampling slice is hash-mod (rerun-
-    stable), the collected frequency table is ordered (count desc, token
-    asc), and merge ties break lexicographically on the pair — two runs
-    over the same data produce byte-identical models.
+    Deterministic given a fixed input layout: the sampling slice is
+    hash-mod (rerun-stable), the collected frequency table is ordered
+    (count desc, token asc), and merge ties break lexicographically on
+    the pair. When the (sampled) corpus fits under ``max_fit_rows`` the
+    model is byte-identical across runs regardless of layout; above the
+    cap the unordered ``limit`` keeps whichever rows the scan reaches
+    first, so byte-identity additionally requires the same partition
+    layout (pick ``sample_fraction`` so the hash slice alone fits under
+    the cap when strict reproducibility matters — the same caveat as
+    ``fit_pq``/``fit_ivf_centroids``).
     """
     if sample_fraction is not None:
         key = F.col(id_col) if id_col else F.col(text_col)

@@ -197,11 +197,27 @@ def encode_pq(
     def _encode(batch):
         import pandas as pd
 
+        if batch.isna().any():
+            raise ValueError(
+                "encode_pq: NULL embedding in index-build input — filter "
+                f"null {array_col!r} rows before building the PQ tier"
+            )
         x = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in batch]
         )
         if x.size == 0:
             return pd.Series([], dtype=object)
+        # ragged lengths collapse np.asarray to a 1-d object array;
+        # fail with the offending shape instead of an opaque slice error
+        if x.ndim != 2 or x.shape[1] != m * dsub:
+            got = (
+                sorted({len(v) for v in batch})
+                if x.ndim != 2
+                else [x.shape[1]]
+            )
+            raise ValueError(
+                f"encode_pq: embedding dim(s) {got} != model dim {m * dsub}"
+            )
         codes = np.empty((x.shape[0], m), dtype=np.int16)
         for j in range(m):
             sub = x[:, j * dsub : (j + 1) * dsub]

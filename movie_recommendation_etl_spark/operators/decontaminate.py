@@ -133,8 +133,10 @@ def bloom_might_contain(
 ) -> Column:
     """Pure-Catalyst Bloom probe: all ``num_hashes`` bits set. Word index is
     a literal shift (pos >> 6), bit mask a literal-array lookup — no Python,
-    no shift-by-column. NULL grams probe NULL (and every consumer here
-    treats NULL as not-a-candidate)."""
+    no shift-by-column. NULL grams probe NULL: xxhash64 SKIPS null inputs
+    (hashing just the seed, a fixed non-null value), so without the guard a
+    NULL gram would alias whatever bits the bare seeds address — same
+    definite answer for every NULL."""
     cond = None
     for s in range(num_hashes):
         pos = _bloom_positions(gram, s, num_bits)
@@ -144,7 +146,7 @@ def bloom_might_contain(
         )
         hit = word.bitwiseAND(mask) != F.lit(0).cast("long")
         cond = hit if cond is None else cond & hit
-    return cond
+    return F.when(gram.isNotNull(), cond)
 
 
 def build_gram_bloom(

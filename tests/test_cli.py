@@ -636,3 +636,33 @@ def test_cli_bpe_train_then_bpe_budget_trainprep(capsys, spark, tmp_path):
         )
         == 2
     )
+
+
+def test_cli_vector_search_missing_tier_is_user_error(capsys, sf_dir, tmp_path):
+    """Requesting a quantized tier on an index built without it must be a
+    clear exit-1 message, not a silent downgrade to the exact path or a
+    traceback. Availability is probed via the index's own columns and a
+    Spark read of the codebook directory — never a local Path check (the
+    index may live on HDFS/S3)."""
+    idx = str(tmp_path / "bare_idx")
+    assert (
+        main(
+            [
+                "vector-index",
+                f"{sf_dir}/embeddings.parquet",
+                idx,
+                "--n-centroids", "4",
+            ]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    for tier, hint in (("pq", "--pq-m"), ("sq8", "--sq8")):
+        assert (
+            main(
+                ["vector-search", idx, "--query-id", "3", "--tier", tier]
+            )
+            == 1
+        ), tier
+        err = capsys.readouterr().err
+        assert hint in err, (tier, err)

@@ -361,3 +361,38 @@ def test_bloom_no_false_negatives_on_random_strings(spark):
         .count()
     )
     assert missed == 0
+
+
+def test_bloom_probe_null_propagates(spark):
+    """A NULL gram must probe NULL, not a definite boolean: xxhash64
+    SKIPS null inputs (hashing just the seed), so an unguarded probe
+    would give every NULL gram the same arbitrary answer. The operator's
+    consumer (``when(probe, gram)`` under ``collect_list``) then drops
+    NULLs as not-candidates."""
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        bloom_might_contain,
+        build_gram_bloom,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, "a b c d e f g")], "doc_id long, text string"
+    )
+    num_bits, k = 1 << 10, 3
+    bitmap = build_gram_bloom(ev, n=3, num_bits=num_bits, num_hashes=k)
+    bm_df = spark.createDataFrame([(bitmap,)], "bm: array<long>")
+    probe = bloom_might_contain(
+        F.col("gram"), F.col("bm"), num_bits=num_bits, num_hashes=k
+    )
+    rows = (
+        spark.createDataFrame(
+            [("a b c",), (None,)], "gram string"
+        )
+        .crossJoin(F.broadcast(bm_df))
+        .select(probe.alias("hit"), F.col("gram"))
+        .collect()
+    )
+    by_gram = {r["gram"]: r["hit"] for r in rows}
+    assert by_gram["a b c"] is True
+    assert by_gram[None] is None

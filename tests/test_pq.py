@@ -250,3 +250,24 @@ def test_pq_batch_knn_recall_and_plan(spark, sf_dir, pq_model, tmp_path):
     ]
     assert sum(recalls) / len(recalls) >= 0.8
     assert all(len(v) == 5 for v in approx.values())
+
+
+def test_encode_pq_rejects_null_and_ragged_vectors(spark, pq_model):
+    """Index-build input contract: a NULL embedding or a wrong-length
+    vector must fail with an actionable message, not an opaque numpy
+    shape error three frames deep in the Arrow task."""
+    dim = pq_model.dim
+    good = [float(i) for i in range(dim)]
+
+    with_null = spark.createDataFrame(
+        [(1, good), (2, None)], f"vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL embedding"):
+        encode_pq(pq_model, with_null).collect()
+
+    ragged = spark.createDataFrame(
+        [(1, good), (2, good[: dim // 2])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dim"):
+        encode_pq(pq_model, ragged).collect()
