@@ -56,7 +56,7 @@ REF_SCALE_METHOD = "min2_fit_cal_staged"
 # value (or none), the blob carries a regressions_note saying the
 # headline totals are not comparable this round. Per-query comparisons
 # are unaffected (they fence via SCOPE_TAGS / name matching).
-HEADLINE_SCOPE = "r11-q30-split"
+HEADLINE_SCOPE = "r12-q48-added"
 
 # A calibration ratio this far from 1.0 means the host was in a
 # different regime when the two samples ran (or one sample is junk) —
@@ -267,6 +267,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q32_asof_click_to_error",
     "q38_rank_suite",
     "q40_text_profile_suite",
+    "q48_heavy_hitters",
     "q50_minhash_lsh_neardup",
     "q56_pii_redaction",
     "q57_repetition_metrics",

@@ -96,51 +96,61 @@ def q02_top_revenue_orders(spark, sf_dir):
     )
 
 
-# --- q03: rollup over region/nation ---------------------------------------
-# Dims are tiny: both joins broadcast; the rollup is one exchange on the
-# grouping sets. Rollup nulls mark subtotal rows in both engines.
+# --- q03: rollup + cube in one suite ---------------------------------------
+# Merged from the former q03 (rollup over region/nation) and q04 (cube over
+# order status/priority) in r12 to free a driver registry slot for
+# q48_heavy_hitters without losing either operator: both ROLLUP and CUBE
+# grouping-set plans appear in this one union. Dims are tiny: both q03-arm
+# joins broadcast; each arm is one exchange on its grouping sets. Grouping
+# nulls mark subtotal rows identically in both engines; dsum's DOUBLE
+# result keeps the union's value column type-stable across arms.
 @query(
-    "q03_region_nation_rollup",
+    "q03_multidim_agg_suite",
     oracle=f"""
-    SELECT r_name, n_name,
-           COUNT(*) AS n_customers,
-           {sql_dsum('c_acctbal')} AS sum_acctbal
+    SELECT 'rollup' AS arm, r_name AS k1, n_name AS k2,
+           COUNT(*) AS n_rows,
+           {sql_dsum('c_acctbal')} AS sum_val
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
-    """,
-)
-def q03_region_nation_rollup(spark, sf_dir):
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    joined = cust.join(
-        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
-    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-    return joined.rollup("r_name", "n_name").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        dsum("c_acctbal").alias("sum_acctbal"),
-    )
-
-
-# --- q04: cube ------------------------------------------------------------
-@query(
-    "q04_status_priority_cube",
-    oracle=f"""
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders,
-           {sql_dsum('o_totalprice')} AS sum_price
+    UNION ALL
+    SELECT 'cube' AS arm, o_orderstatus AS k1, o_orderpriority AS k2,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS sum_val
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
-def q04_status_priority_cube(spark, sf_dir):
+def q03_multidim_agg_suite(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
     orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("sum_price"),
+    joined = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    rollup = joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("c_acctbal").alias("sum_val"),
+    ).select(
+        F.lit("rollup").alias("arm"),
+        F.col("r_name").alias("k1"),
+        F.col("n_name").alias("k2"),
+        "n_rows",
+        "sum_val",
     )
+    cube = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("sum_val"),
+    ).select(
+        F.lit("cube").alias("arm"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n_rows",
+        "sum_val",
+    )
+    return rollup.unionByName(cube)
 
 
 # --- q05: semi & anti joins in one suite (J3 + J4 + null-key guard) --------

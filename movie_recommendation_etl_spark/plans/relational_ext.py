@@ -5,7 +5,7 @@ aggregations (SURVEY.md §2.5 A4/A5), and approximate distinct counting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -103,24 +103,87 @@ def q38_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            quantile_cont(l_quantity, 0.50) AS median_qty,
            quantile_cont(l_quantity, 0.75) AS q75,
            min(l_quantity) AS min_qty,
-           max(l_quantity) AS max_qty
+           max(l_quantity) AS max_qty,
+           1 AS p50_within_eps,
+           1 AS p90_within_eps
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def q39_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact (interpolating) percentiles per group — Spark ``percentile``
-    and DuckDB ``quantile_cont`` share the continuous-interpolation
-    definition, so exact values hash-match. Beware percentile_approx: its
-    sketch is engine-specific (that operator is covered rows-only by q44)."""
+    """Exact (interpolating) percentiles per group, PLUS the
+    quantile-SKETCH accuracy contract (r12, the q44-HLL gate pattern).
+
+    Exact arm: Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    continuous-interpolation definition, so exact values hash-match.
+
+    Sketch arm: ``approx_percentile`` (Spark's Greenwald–Khanna summary —
+    partial-mergeable, bounded memory; at 100 TB it replaces the full sort
+    the exact arm needs) guarantees the returned element's RANK is within
+    eps·n of the target rank, eps = 1/accuracy. No SQL engine can
+    replicate the sketch's internals, so the gate checks the contract: a
+    second pass counts how many values fall below/at the sketch's answer,
+    and the boolean "the value's rank interval intersects
+    [target − eps·n − 1, target + eps·n + 1]" must be TRUE (the oracle
+    asserts the literal). A broken sketch flips the flag and hash-fails
+    the driver gate. The flags are stable even though GK merge order can
+    vary with scheduling — ANY merge order satisfies the bound."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    acc = 100  # eps = 1% of n — loose enough to be deterministic, tight
+    # enough that a broken sketch (wrong column, wrong quantile
+    # definition, off-by-10x rank) lands far outside the band
+    g1 = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("percentile(l_quantity, 0.25)").alias("q25"),
         F.expr("percentile(l_quantity, 0.50)").alias("median_qty"),
         F.expr("percentile(l_quantity, 0.75)").alias("q75"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
+        F.expr(f"approx_percentile(l_quantity, 0.5, {acc})").alias("__a50"),
+        F.expr(f"approx_percentile(l_quantity, 0.9, {acc})").alias("__a90"),
+    )
+    ranks = (
+        li.select("l_returnflag", "l_quantity")
+        .join(F.broadcast(g1), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("q25").alias("q25"),
+            F.first("median_qty").alias("median_qty"),
+            F.first("q75").alias("q75"),
+            F.first("min_qty").alias("min_qty"),
+            F.first("max_qty").alias("max_qty"),
+            F.sum((F.col("l_quantity") < F.col("__a50")).cast("long"))
+            .alias("__lt50"),
+            F.sum((F.col("l_quantity") <= F.col("__a50")).cast("long"))
+            .alias("__le50"),
+            F.sum((F.col("l_quantity") < F.col("__a90")).cast("long"))
+            .alias("__lt90"),
+            F.sum((F.col("l_quantity") <= F.col("__a90")).cast("long"))
+            .alias("__le90"),
+        )
+    )
+
+    def within(q: float, lt: str, le: str) -> Column:
+        # the value occupies ranks (lt, le]; the GK contract is that this
+        # interval intersects target ± eps·n (±1 absorbs ceil-vs-floor
+        # target conventions between the sketch and this check)
+        target = F.ceil(F.col("n") * F.lit(q))
+        band = F.col("n") * F.lit(1.0 / acc) + F.lit(1.0)
+        return (
+            (F.col(le) >= target - band) & (F.col(lt) + 1 <= target + band)
+        ).cast("int")
+
+    return ranks.select(
+        "l_returnflag",
+        "n",
+        "q25",
+        "median_qty",
+        "q75",
+        "min_qty",
+        "max_qty",
+        within(0.5, "__lt50", "__le50").alias("p50_within_eps"),
+        within(0.9, "__lt90", "__le90").alias("p90_within_eps"),
     )
 
 

@@ -475,3 +475,53 @@ def q76_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = clean.unionByName(planted)
     return ngram_contamination(train, ev, n=5, ratio_threshold=0.05)
+
+
+@query(
+    "q48_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT u.g
+        FROM toks,
+             UNNEST(list_transform(
+                 range(1, len(t)), i -> t[i] || ' ' || t[i + 1]
+             )) AS u(g)
+    ),
+    f AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM f)
+    SELECT g AS gram, cnt, n_total
+    FROM f, tot
+    WHERE cnt > n_total * 0.00105
+    """,
+)
+def q48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters over the corpus bigram stream — common-phrase
+    mining, the frequency-sketch sibling of the HLL gate (q44) and the
+    quantile-sketch gate (q45). The oracle is the NAIVE formulation
+    (explode → group-by → threshold); the Spark side answers through
+    Misra-Gries-bounded candidate generation + exact confirm
+    (operators/sketches.py), so the hash gate proves the sketch path is
+    bit-identical to the exhaustive group-by while shuffling only the
+    candidate set + one null bucket. Bigrams (not unigrams) keep the
+    keyspace meaningfully larger than the survivors at every SF."""
+    from movie_recommendation_etl_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # all bigrams WITH multiplicity (word_shingles dedups per doc — wrong
+    # ground set here): zip the token array with its own tail
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    grams = docs.select(F.explode(bigrams).alias("gram"))
+    return heavy_hitters(grams, "gram", phi=0.00105, key_name="gram")

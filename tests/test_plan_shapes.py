@@ -188,3 +188,26 @@ def test_substring_dedup_hash_aggregates_grams(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_map_in_pandas_confined_to_mg_candidates(spark, sf_dir):
+    """MapInPandas (the per-partition imperative hop) is sanctioned in
+    EXACTLY one oracled plan: q48's Misra-Gries candidate stage, whose
+    entire point is bounded-state summarization that Catalyst cannot
+    express. Any other query growing a MapInPandas node means a
+    declarative plan silently degraded to Python."""
+    for name in sorted(ORACLE):
+        plan = _plan(spark, sf_dir, name)
+        if name == "q48_heavy_hitters":
+            assert "MapInPandas" in plan, name
+        else:
+            assert "MapInPandas" not in plan, name
+
+
+def test_heavy_hitters_confirm_is_broadcast(spark, sf_dir):
+    """q48's exact-confirm pass must broadcast the candidate set and the
+    scalar total — the corpus-side stream is never shuffled by key, only
+    the (candidates + null-bucket) partial aggregates move."""
+    plan = _plan(spark, sf_dir, "q48_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total frame

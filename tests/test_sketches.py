@@ -1,0 +1,115 @@
+"""Misra–Gries heavy hitters: exactness under arbitrary layouts, the
+candidate superset guarantee, and the bounded-state contract.
+
+The operator's promise is strong — EXACT equality with the naive
+``groupBy(key).count().filter(cnt > phi*N)`` for every input and every
+partition layout, because the sketch only bounds where memory/shuffle go
+while an exact recount produces the answer. That promise is what the
+driver hash gate (q48) checks on real data; these tests attack it with
+skewed synthetic streams and adversarial repartitions.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_recommendation_etl_spark.operators.sketches import (
+    heavy_hitters,
+    mg_candidates,
+)
+
+
+def _exact(df, phi):
+    agg = df.filter(F.col("k").isNotNull()).groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = agg.agg(F.sum("cnt")).first()[0]
+    return {
+        (r["k"], r["cnt"])
+        for r in agg.filter(F.col("cnt") > n * phi).collect()
+    }, n
+
+
+def _zipf_stream(rng, n_rows, n_keys):
+    # Zipf-ish: key i drawn with weight 1/(i+1) — a heavy head plus a
+    # long tail, the regime Misra-Gries exists for
+    weights = [1.0 / (i + 1) for i in range(n_keys)]
+    keys = rng.choices(range(n_keys), weights=weights, k=n_rows)
+    return [(f"key_{k}",) for k in keys]
+
+
+@pytest.mark.parametrize("layout", [1, 7, 32])
+def test_heavy_hitters_exact_under_any_layout(spark, layout):
+    rng = random.Random(42)
+    rows = _zipf_stream(rng, 20_000, 500)
+    df = spark.createDataFrame(rows, "k string").repartition(layout)
+    phi = 0.01
+    expected, n = _exact(df, phi)
+    got = {
+        (r["k"], r["cnt"])
+        for r in heavy_hitters(df, "k", phi=phi, key_name="k").collect()
+    }
+    assert got == expected
+    assert all(cnt > phi * n for _, cnt in got)
+
+
+def test_heavy_hitters_exact_with_minimal_k_and_nulls(spark):
+    """k at its floor (ceil(1/phi)) — the tightest sketch the guarantee
+    allows — and NULL keys mixed in (ignored, never counted toward N)."""
+    rng = random.Random(7)
+    rows = _zipf_stream(rng, 10_000, 2_000) + [(None,)] * 500
+    df = spark.createDataFrame(rows, "k string").repartition(11)
+    phi = 0.004
+    expected, n = _exact(df, phi)
+    out = heavy_hitters(df, "k", phi=phi, key_name="k")
+    got = {(r["k"], r["cnt"]) for r in out.collect()}
+    assert got == expected
+    # NULLs excluded from the denominator too
+    assert out.first() is None or out.first()["n_total"] == n
+
+
+def test_mg_candidates_superset_and_bounded(spark):
+    """Per-partition state bound (≤ k candidate rows per partition) and
+    the theorem itself: every key with global frequency > N/(k+1) must
+    appear in the candidate union, for an adversarial layout that splits
+    each heavy key across partitions."""
+    n_keys, k = 400, 50
+    rows = []
+    for i in range(n_keys):
+        freq = 200 if i < 10 else 5  # 10 heavy keys, long tail
+        rows += [(f"k{i}",)] * freq
+    random.Random(3).shuffle(rows)
+    df = spark.createDataFrame(rows, "k string").repartition(13)
+    cands = mg_candidates(df, "k", k)
+    per_part = (
+        cands.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_part <= k
+    cand_set = {r["k"] for r in cands.collect()}
+    n = len(rows)
+    exact = (
+        df.groupBy("k").count().filter(F.col("count") > n / (k + 1)).collect()
+    )
+    assert {r["k"] for r in exact} <= cand_set
+
+
+def test_heavy_hitters_parameter_validation(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "k", phi=1.5)
+    with pytest.raises(ValueError, match="superset guarantee"):
+        heavy_hitters(df, "k", phi=0.01, k=10)
+
+
+def test_heavy_hitters_empty_and_all_null_input(spark):
+    empty = spark.createDataFrame([], "k string")
+    assert heavy_hitters(empty, "k", phi=0.1, key_name="k").count() == 0
+    nulls = spark.createDataFrame([(None,)] * 10, "k string")
+    assert heavy_hitters(nulls, "k", phi=0.1, key_name="k").count() == 0
