@@ -585,9 +585,64 @@ def _cmd_verify_shards(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc Spark SQL over the catalog tables — the query surface a
+    reference user reaches for first. Views register lazily (no scan until
+    the statement needs one), the print path LIMITs inside the plan (the
+    driver never collects more than max_rows+1), and full results go to
+    parquet via --out instead of stdout."""
+    from pyspark.errors import AnalysisException, ParseException
+
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.catalog import (
+        register_views,
+    )
+
+    spark = get_spark(app_name="mre-sql")
+    register_views(spark, args.sf_dir)
+    stmt = sys.stdin.read() if args.query == "-" else args.query
+    try:
+        df = spark.sql(stmt)
+    except (AnalysisException, ParseException) as exc:
+        print(f"sql error: {exc}", file=sys.stderr)
+        return 1
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"written: {args.out}")
+        return 0
+    rows = df.limit(args.max_rows + 1).collect()
+    print("\t".join(df.columns))
+    for r in rows[: args.max_rows]:
+        print(
+            "\t".join(
+                "null" if r[c] is None else str(r[c]) for c in df.columns
+            )
+        )
+    if len(rows) > args.max_rows:
+        print(
+            f"... truncated at {args.max_rows} rows "
+            "(use --out DIR for the full result)",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="movie_recommendation_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    sq = sub.add_parser(
+        "sql", help="ad-hoc Spark SQL over the catalog tables"
+    )
+    sq.add_argument("sf_dir", help="directory holding the catalog parquet")
+    sq.add_argument("query", help="SQL text, or '-' to read from stdin")
+    sq.add_argument("--max-rows", type=int, default=100)
+    sq.add_argument(
+        "--out",
+        default=None,
+        help="write the FULL result as parquet instead of printing",
+    )
+    sq.set_defaults(fn=_cmd_sql)
 
     ex = sub.add_parser("extract", help="download + unzip a source archive")
     ex.add_argument("url")

@@ -666,3 +666,50 @@ def test_cli_vector_search_missing_tier_is_user_error(capsys, sf_dir, tmp_path):
         ), tier
         err = capsys.readouterr().err
         assert hint in err, (tier, err)
+
+
+def test_cli_sql_adhoc_query(capsys, sf_dir, tmp_path):
+    """The ad-hoc SQL surface: catalog views register, a join+agg prints a
+    TSV header plus rows, LIMIT is enforced inside the plan, parse errors
+    are exit-1 messages (not tracebacks), and --out writes the full
+    result as parquet."""
+    assert (
+        main(
+            [
+                "sql", sf_dir,
+                "SELECT r_name, count(*) AS n FROM nation "
+                "JOIN region ON n_regionkey = r_regionkey "
+                "GROUP BY r_name ORDER BY r_name",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "r_name\tn" and len(out) == 6  # 5 regions + header
+
+    # truncation banner on stderr when the result exceeds --max-rows
+    assert (
+        main(["sql", sf_dir, "SELECT * FROM nation", "--max-rows", "3"])
+        == 0
+    )
+    cap = capsys.readouterr()
+    assert len(cap.out.splitlines()) == 4 and "truncated" in cap.err
+
+    # bad SQL is a user error
+    assert main(["sql", sf_dir, "SELEC nope"]) == 1
+    assert "sql error" in capsys.readouterr().err
+
+    # --out round-trips the full result
+    dest = str(tmp_path / "sql_out")
+    assert (
+        main(["sql", sf_dir, "SELECT n_name FROM nation", "--out", dest])
+        == 0
+    )
+    capsys.readouterr()
+    import duckdb
+
+    con = duckdb.connect()  # must outlive the relation it returns
+    assert (
+        con.sql(f"SELECT count(*) FROM '{dest}/*.parquet'").fetchone()[0]
+        == 25
+    )
