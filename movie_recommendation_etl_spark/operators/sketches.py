@@ -44,37 +44,75 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
-    """Per-partition Misra–Gries candidate keys (at most ``k`` per
-    partition), one column named ``key_col``. NULL keys are ignored — a
-    NULL never counts toward any key's frequency. The output is a
-    SUPERSET guarantee, not an estimate: every key with global frequency
-    > N/(k+1) appears; extra low-frequency keys may also appear and are
-    expected to be filtered by an exact recount."""
+def _mg_merge(counters, batch, k: int):
+    """One mergeable-summaries step: fold an exact batch count (or another
+    MG summary) into ``counters`` and truncate back to ≤ k entries.
+
+    The truncation MUST subtract the (k+1)-th largest count from every
+    survivor, not merely drop the tail: without the subtraction, survivors
+    coast on stale mass, inflate later cuts, and can evict a key whose
+    true frequency exceeds N/(k+1) — a constructed three-batch stream
+    where that happens is pinned in tests/test_sketches.py. With it, the
+    total decrement ever charged to any key is ≤ N/(k+1) (Agarwal et al.,
+    PODS'12), which is the superset guarantee heavy_hitters' exactness
+    rests on."""
+    merged = batch if counters is None else counters.add(batch, fill_value=0)
+    if len(merged) > k:
+        cut = merged.nlargest(k + 1).iloc[-1]
+        merged = merged[merged > cut] - cut
+    return merged
+
+
+def mg_candidates(
+    df: DataFrame, key_col: str, k: int, *, weight_col: str | None = None
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries (at most ``k`` rows per
+    partition): the key column plus its residual counter ``__mg_est``.
+    NULL keys are ignored — a NULL never counts toward any key's
+    frequency. The keys are a SUPERSET guarantee, not an estimate: every
+    key with global frequency > N/(k+1) appears in at least one
+    partition's summary; extra low-frequency keys may also appear and are
+    expected to be filtered by an exact recount.
+
+    ``weight_col`` switches the input from raw rows to pre-aggregated
+    (key, weight) pairs — i.e. other MG summaries. MG summaries are
+    mergeable under arbitrary trees with the SAME N/(k+1) error bound, so
+    a second pass over the per-partition summaries re-merged into one
+    partition tightens the candidate union from ≤ k·partitions keys to
+    ≤ k total without touching the guarantee."""
     field = df.schema[key_col]
-    out_schema = f"`{field.name}` {field.dataType.simpleString()}"
+    out_schema = (
+        f"`{field.name}` {field.dataType.simpleString()}, __mg_est double"
+    )
 
     def summarize(batches: Iterator) -> Iterator:
         import pandas as pd
 
         counters = None
         for pdf in batches:
-            bc = pdf[key_col].value_counts()  # exact, NULLs dropped
-            merged = bc if counters is None else counters.add(
-                bc, fill_value=0
-            )
-            if len(merged) > k:
-                # mergeable-summaries truncation: subtract the (k+1)-th
-                # largest count, keep strictly positive counters
-                cut = merged.nlargest(k + 1).iloc[-1]
-                merged = merged[merged > cut]
-            counters = merged
+            if weight_col is None:
+                bc = pdf[key_col].value_counts()  # exact, NULLs dropped
+            else:
+                bc = (
+                    pdf.dropna(subset=[key_col])
+                    .groupby(key_col, sort=False)[weight_col]
+                    .sum()
+                )
+            counters = _mg_merge(counters, bc, k)
         if counters is None or counters.empty:
-            yield pd.DataFrame({key_col: pd.Series([], dtype=object)})
+            yield pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=object),
+                    "__mg_est": pd.Series([], dtype="float64"),
+                }
+            )
         else:
-            yield pd.DataFrame({key_col: counters.index})
+            yield pd.DataFrame(
+                {key_col: counters.index, "__mg_est": counters.values}
+            )
 
-    return df.select(key_col).mapInPandas(summarize, out_schema)
+    cols = [key_col] if weight_col is None else [key_col, weight_col]
+    return df.select(*cols).mapInPandas(summarize, out_schema)
 
 
 def heavy_hitters(
@@ -84,6 +122,7 @@ def heavy_hitters(
     phi: float,
     k: int | None = None,
     key_name: str = "key",
+    remerge: bool = False,
 ) -> DataFrame:
     """Exact φ-heavy hitters: every key with ``count > phi * N`` plus its
     exact count and N, computed with Misra–Gries-bounded state (see the
@@ -93,11 +132,13 @@ def heavy_hitters(
     ``k`` defaults to ``ceil(1/phi)``, the smallest value with the
     no-false-negative guarantee. Larger ``k`` trades executor memory for a
     smaller false-positive trickle into the confirm shuffle. The candidate
-    union is one small broadcast (≤ k keys per partition before
-    dedup) — if a deployment's partition count makes that union large,
-    re-merging the per-partition summaries down to k total (the same
-    truncation, one reduce) restores a fixed bound without touching the
-    guarantee.
+    union is one small broadcast (≤ k keys per partition before dedup);
+    ``remerge=True`` adds one more MG pass over the per-partition
+    summaries re-shuffled into a single task, shrinking the broadcast to
+    ≤ k keys TOTAL however many partitions the scan had — MG summaries
+    merge under arbitrary trees with the same N/(k+1) error bound, so the
+    superset guarantee is untouched. Use it when partitions × k outgrows
+    a comfortable broadcast (the 100 TB default).
     """
     if not 0.0 < phi < 1.0:
         raise ValueError(f"phi must be in (0, 1), got {phi}")
@@ -110,8 +151,16 @@ def heavy_hitters(
     keyed = df.select(
         (F.col(key) if isinstance(key, str) else key).alias(key_name)
     ).filter(F.col(key_name).isNotNull())
+    summaries = mg_candidates(keyed, key_name, k)
+    if remerge:
+        # repartition (NOT coalesce: coalesce would collapse the parallel
+        # first pass into the single reducer) — the shuffle moves only
+        # ≤ k·partitions summary rows
+        summaries = mg_candidates(
+            summaries.repartition(1), key_name, k, weight_col="__mg_est"
+        )
     cands = (
-        mg_candidates(keyed, key_name, k)
+        summaries.select(key_name)
         .distinct()
         .withColumn("__cand", F.lit(1))
     )

@@ -113,3 +113,53 @@ def test_heavy_hitters_empty_and_all_null_input(spark):
     assert heavy_hitters(empty, "k", phi=0.1, key_name="k").count() == 0
     nulls = spark.createDataFrame([(None,)] * 10, "k string")
     assert heavy_hitters(nulls, "k", phi=0.1, key_name="k").count() == 0
+
+
+def test_mg_merge_subtracts_cut_from_survivors():
+    """The truncation must SUBTRACT the (k+1)-th largest count, not just
+    drop the tail: in this three-batch stream (k=2, N=311, N/(k+1)≈103.7)
+    key ``d`` has true frequency 110 and MUST survive. A drop-only
+    truncation leaves a/b coasting on stale mass (100 each, true
+    frequency 100 < N/(k+1)), inflates the cut to 60, and evicts d —
+    silently breaking heavy_hitters' exactness."""
+    import pandas as pd
+
+    from movie_recommendation_etl_spark.operators.sketches import _mg_merge
+
+    counters = None
+    for batch in (
+        pd.Series({"a": 100, "b": 100, "c": 1}),
+        pd.Series({"d": 50}),
+        pd.Series({"d": 60}),
+    ):
+        counters = _mg_merge(counters, batch, k=2)
+    assert "d" in counters.index
+    # residual counter is an undercount bounded by N/(k+1)
+    assert 110 - counters["d"] <= 311 / 3
+
+
+def test_heavy_hitters_remerge_exact_and_bounded(spark):
+    """remerge=True must not change the (exact) answer, and the merged
+    candidate summary is ≤ k rows TOTAL — the bounded-broadcast shape for
+    scans with many partitions."""
+    rng = random.Random(99)
+    rows = _zipf_stream(rng, 15_000, 800)
+    df = spark.createDataFrame(rows, "k string").repartition(24)
+    phi = 0.008
+    expected, _ = _exact(df, phi)
+    got = {
+        (r["k"], r["cnt"])
+        for r in heavy_hitters(
+            df, "k", phi=phi, key_name="k", remerge=True
+        ).collect()
+    }
+    assert got == expected
+
+    k = 125
+    merged = mg_candidates(
+        mg_candidates(df, "k", k).repartition(1),
+        "k",
+        k,
+        weight_col="__mg_est",
+    )
+    assert merged.count() <= k
