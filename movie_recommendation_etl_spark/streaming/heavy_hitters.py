@@ -1,0 +1,100 @@
+"""Streaming Misra–Gries heavy-hitter candidates: the ingestion-side twin
+of the batch sketch (operators/sketches.py), for spotting hot keys —
+trending n-grams, abusive senders, runaway URL hosts — WHILE a stream is
+being ingested, without unbounded per-key state.
+
+The built-in alternative (`stream.groupBy(key).count()` in update mode)
+keeps one state row per DISTINCT key forever — on a 100 TB/day n-gram or
+URL stream that state IS the job's memory footprint. Here the keyspace is
+hash-partitioned into ``n_buckets`` groups and each group's state is one
+bounded MG summary (≤ k counters), so total state is ≤ n_buckets·k rows
+however many distinct keys the stream carries.
+
+Guarantee (same theorem as the batch operator, applied per bucket): a key
+hashes to exactly one bucket, so its bucket-local frequency IS its global
+frequency; the bucket's MG(k) summary retains every key whose frequency
+exceeds (bucket stream length)/(k+1) ≤ N/(k+1). The union of the bucket
+summaries after ANY prefix of the stream is therefore a superset of every
+key with frequency > N/(k+1) in that prefix, for any arrival order —
+tested against the batch operator and the exact group-by in
+tests/test_streaming_stateful.py. As in the batch twin, candidates are a
+superset: exact counts come from a confirm pass over the stored corpus
+(operators/sketches.py:heavy_hitters or plain SQL on the sink table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from movie_recommendation_etl_spark.operators.sketches import _mg_merge
+
+OUTPUT_SCHEMA = "bucket int, gram string, est double, n_seen long"
+STATE_SCHEMA = "keys array<string>, counts array<double>, n_seen long"
+
+
+def _mk_update(k: int):
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        counters, n_seen = None, 0
+        if state.exists:
+            keys, counts, n_seen = state.get
+            if keys:
+                counters = pd.Series(counts, index=keys, dtype="float64")
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            counters = _mg_merge(counters, pdf["gram"].value_counts(), k)
+        state.update(
+            (
+                [str(i) for i in counters.index],
+                [float(v) for v in counters.values],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": bucket,
+                "gram": counters.index,
+                "est": counters.values,
+                "n_seen": n_seen,
+            }
+        )
+
+    return update
+
+
+def streaming_mg_candidates(
+    stream: DataFrame,
+    *,
+    k: int,
+    n_buckets: int = 16,
+    gram_col: str = "gram",
+) -> DataFrame:
+    """Per-bucket MG summaries over a streaming key column. Emits each
+    bucket's refreshed summary every trigger (output mode: update); the
+    FINAL summary per bucket is the emission with that bucket's max
+    ``n_seen``. ``k`` bounds state per bucket; pick ``k ≥ 1/phi`` exactly
+    as in the batch operator."""
+    bucketed = (
+        stream.select(F.col(gram_col).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _mk_update(k),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -125,3 +125,93 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
         got_n, got_total = final[uid]
         assert got_n == n
         assert math.isclose(got_total, total, rel_tol=1e-9)
+
+
+def test_streaming_mg_candidates_superset_and_exact_confirm(
+    spark, sf_dir, tmp_path
+):
+    """Streaming Misra-Gries twin: after draining a multi-trigger word
+    stream, (a) per-bucket state stayed bounded (≤ k rows), (b) the final
+    candidate union is a superset of every key with frequency > N/(k+1)
+    — the same theorem the batch operator rests on, now under streaming
+    arrival order — and (c) an exact confirm over the stored corpus
+    reproduces the batch heavy_hitters answer bit-for-bit."""
+    from movie_recommendation_etl_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from movie_recommendation_etl_spark.streaming.heavy_hitters import (
+        streaming_mg_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("gram")
+    )
+    src = str(tmp_path / "grams_src")
+    words.repartition(6).write.mode("overwrite").parquet(src)
+
+    k, n_buckets, phi = 40, 4, 1.0 / 40
+    stream = (
+        spark.readStream.schema("gram string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        streaming_mg_candidates(stream, k=k, n_buckets=n_buckets)
+        .writeStream.format("memory")
+        .queryName("mg_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.table("mg_stream").collect()
+    assert emitted, "stream emitted nothing"
+    # final summary per bucket = rows carrying that bucket's max n_seen
+    last_seen: dict[int, int] = {}
+    for r in emitted:
+        last_seen[r["bucket"]] = max(
+            last_seen.get(r["bucket"], 0), r["n_seen"]
+        )
+    cands = {
+        r["gram"]
+        for r in emitted
+        if r["n_seen"] == last_seen[r["bucket"]]
+    }
+    per_bucket_rows: dict[int, int] = {}
+    for r in emitted:
+        if r["n_seen"] == last_seen[r["bucket"]]:
+            per_bucket_rows[r["bucket"]] = (
+                per_bucket_rows.get(r["bucket"], 0) + 1
+            )
+    assert all(v <= k for v in per_bucket_rows.values())
+
+    n = words.count()
+    exact_heavy = {
+        r["gram"]
+        for r in words.groupBy("gram")
+        .count()
+        .filter(F.col("count") > n / (k + 1))
+        .collect()
+    }
+    assert exact_heavy <= cands  # superset under streaming order
+
+    # exact confirm over the stored corpus == the batch operator
+    batch_out = {
+        (r["gram"], r["cnt"])
+        for r in heavy_hitters(
+            words, "gram", phi=phi, key_name="gram"
+        ).collect()
+    }
+    confirm = {
+        (r["gram"], r["count"])
+        for r in words.filter(F.col("gram").isin(*cands))
+        .groupBy("gram")
+        .count()
+        .filter(F.col("count") > n * phi)
+        .collect()
+    }
+    assert confirm == batch_out
+    # state genuinely accumulated across multiple triggers
+    assert len(emitted) > len(per_bucket_rows)
