@@ -627,9 +627,92 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_heavy_hitters(args: argparse.Namespace) -> int:
+    """Exact φ-heavy hitters over a parquet column (optionally exploded
+    into word n-grams first), answered through the Misra-Gries-bounded
+    path (operators/sketches.py) — the CLI face of q48."""
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-heavy-hitters")
+    df = spark.read.parquet(args.in_path)
+    if args.col not in df.columns:
+        print(
+            f"column {args.col!r} not in {sorted(df.columns)}",
+            file=sys.stderr,
+        )
+        return 1
+    key = F.col(args.col)
+    if args.ngrams:
+        toks = F.split(key.cast("string"), " ")
+        grams = (
+            toks
+            if args.ngrams == 1
+            else F.filter(
+                _ngram_col(toks, args.ngrams), lambda x: x.isNotNull()
+            )
+        )
+        df = df.select(F.explode(grams).alias("gram"))
+        key = F.col("gram")
+    rows = (
+        heavy_hitters(
+            df,
+            key,
+            phi=args.phi,
+            key_name="key",
+            remerge=args.remerge,
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .collect()
+    )
+    for r in rows:
+        print(f"{r['key']}\t{r['cnt']}\t{r['n_total']}")
+    return 0
+
+
+def _ngram_col(toks, n: int):
+    """n-word grams (with multiplicity) of a token-array column for n ≥ 2:
+    repeated zip-with-tail, the operators/neardup.py word_shingles shape
+    minus its per-doc dedup."""
+    from pyspark.sql import functions as F
+
+    acc = F.slice(toks, n, F.size(toks))
+    for off in range(n - 2, -1, -1):
+        part = F.slice(toks, off + 1, F.size(toks)) if off else toks
+        acc = F.zip_with(part, acc, lambda a, b: F.concat(a, F.lit(" "), b))
+    return acc
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="movie_recommendation_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    hh = sub.add_parser(
+        "heavy-hitters",
+        help="exact phi-heavy hitters over a parquet column "
+        "(Misra-Gries-bounded)",
+    )
+    hh.add_argument("in_path")
+    hh.add_argument("--col", required=True)
+    hh.add_argument("--phi", type=float, default=0.001)
+    hh.add_argument(
+        "--ngrams",
+        type=int,
+        default=0,
+        help="explode the column into word n-grams first (0 = use values "
+        "as-is)",
+    )
+    hh.add_argument(
+        "--remerge",
+        action="store_true",
+        help="re-merge per-partition summaries to <= k candidates total "
+        "(bounded broadcast for wide scans)",
+    )
+    hh.set_defaults(fn=_cmd_heavy_hitters)
 
     sq = sub.add_parser(
         "sql", help="ad-hoc Spark SQL over the catalog tables"

@@ -713,3 +713,63 @@ def test_cli_sql_adhoc_query(capsys, sf_dir, tmp_path):
         con.sql(f"SELECT count(*) FROM '{dest}/*.parquet'").fetchone()[0]
         == 25
     )
+
+
+def test_cli_heavy_hitters(capsys, sf_dir):
+    """heavy-hitters over the documents text as bigrams must reproduce
+    the naive exact answer (DuckDB), sorted by count desc; a missing
+    column is a user error."""
+    assert (
+        main(
+            [
+                "heavy-hitters",
+                f"{sf_dir}/documents.parquet",
+                "--col", "text",
+                "--ngrams", "2",
+                "--phi", "0.00105",
+                "--remerge",
+            ]
+        )
+        == 0
+    )
+    out = [
+        ln.split("\t")
+        for ln in capsys.readouterr().out.splitlines()
+        if "\t" in ln
+    ]
+    import duckdb
+
+    con = duckdb.connect()
+    expected = con.sql(
+        f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t
+            FROM '{sf_dir}/documents.parquet'
+        ),
+        grams AS (
+            SELECT u.g FROM toks,
+            UNNEST(list_transform(
+                range(1, len(t)), i -> t[i] || ' ' || t[i + 1]
+            )) AS u(g)
+        ),
+        f AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM f)
+        SELECT g, cnt FROM f, tot WHERE cnt > n * 0.00105
+        ORDER BY cnt DESC, g
+        """
+    ).fetchall()
+    assert [(g, int(c)) for g, c, _ in out] == [
+        (g, c) for g, c in expected
+    ]
+
+    assert (
+        main(
+            [
+                "heavy-hitters",
+                f"{sf_dir}/documents.parquet",
+                "--col", "nope",
+            ]
+        )
+        == 1
+    )
+    assert "not in" in capsys.readouterr().err
