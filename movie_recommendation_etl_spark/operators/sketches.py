@@ -42,6 +42,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _mg_merge(counters, batch, k: int):
@@ -185,3 +186,97 @@ def heavy_hitters(
         )
         .select(key_name, "cnt", "n_total")
     )
+
+
+def update_heavy_hitter_store(
+    spark,
+    store_dir: str,
+    df: DataFrame,
+    key: Column | str,
+    *,
+    k: int,
+    key_name: str = "key",
+) -> dict:
+    """Admit a batch into a PERSISTED Misra–Gries summary — the
+    heavy-hitter sibling of the incremental admission stores
+    (operators/incremental_dedup.py): per-batch cost is O(batch), the
+    store is ≤ k rows however much data has ever been admitted, and the
+    candidate guarantee covers the WHOLE admitted history (every key with
+    lifetime frequency > N_total/(k+1) is in the store — MG summaries
+    merge under arbitrary trees, so batch-at-a-time folding loses
+    nothing).
+
+    Plan shape per batch: one scan for the per-partition summaries, one
+    ≤ k·partitions-row shuffle to re-merge them, then a DRIVER-side fold
+    of two ≤ k-entry summaries (bounded metadata, the repo's bounded-
+    collect policy) and an atomic overwrite of the ≤ k-row store. The
+    batch is scanned twice in total (summary + count).
+
+    Returns ``{"n_seen": lifetime rows, "n_candidates": store rows}``.
+    Exact counts for the candidates still come from a confirm pass over
+    the stored corpus — the store answers "who COULD be heavy", which is
+    the expensive part at 100 TB.
+    """
+    import pandas as pd
+
+    keyed = df.select(
+        (F.col(key) if isinstance(key, str) else key).alias(key_name)
+    ).filter(F.col(key_name).isNotNull())
+    n_batch = keyed.count()
+    merged = mg_candidates(
+        mg_candidates(keyed, key_name, k).repartition(1),
+        key_name,
+        k,
+        weight_col="__mg_est",
+    )
+    batch_rows = merged.collect()  # bounded: <= k rows
+    batch_counters = pd.Series(
+        {r[key_name]: float(r["__mg_est"]) for r in batch_rows},
+        dtype="float64",
+    )
+
+    # only the missing-path case maps to a fresh store; corruption/schema
+    # drift must raise (the incremental_dedup._read_store contract)
+    from pyspark.sql.utils import AnalysisException
+
+    stored_counters, n_prev = None, 0
+    try:
+        prev = spark.read.parquet(store_dir).collect()  # bounded: <= k
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        prev = []
+    if prev:
+        n_prev = int(prev[0]["n_seen"])
+        stored_counters = pd.Series(
+            {r[key_name]: float(r["__mg_est"]) for r in prev},
+            dtype="float64",
+        )
+    final = (
+        _mg_merge(stored_counters, batch_counters, k)
+        if len(batch_counters)
+        else (stored_counters if stored_counters is not None else pd.Series(dtype="float64"))
+    )
+    n_total = n_prev + n_batch
+
+    key_field = merged.schema[key_name]
+    out = spark.createDataFrame(
+        [(i, float(v), n_total) for i, v in final.items()],
+        T.StructType(
+            [
+                key_field,
+                T.StructField("__mg_est", T.DoubleType()),
+                T.StructField("n_seen", T.LongType()),
+            ]
+        ),
+    )
+    out.coalesce(1).write.mode("overwrite").parquet(store_dir)
+    return {"n_seen": n_total, "n_candidates": int(len(final))}
+
+
+def read_heavy_hitter_candidates(spark, store_dir: str) -> DataFrame:
+    """The store's current candidate summary: (key, __mg_est residual
+    counter, n_seen lifetime rows). Keys are the superset guarantee; the
+    residual counter is an undercount of the true lifetime frequency by
+    at most n_seen/(k+1)."""
+    return spark.read.parquet(store_dir)

@@ -524,4 +524,9 @@ def q48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: x.isNotNull(),
     )
     grams = docs.select(F.explode(bigrams).alias("gram"))
-    return heavy_hitters(grams, "gram", phi=0.00105, key_name="gram")
+    # remerge=True gates the 100 TB shape: the candidate broadcast is
+    # ≤ k keys TOTAL (one extra ≤ k·partitions-row shuffle), not
+    # k·partitions — the same exact answer either way (tested)
+    return heavy_hitters(
+        grams, "gram", phi=0.00105, key_name="gram", remerge=True
+    )

@@ -163,3 +163,61 @@ def test_heavy_hitters_remerge_exact_and_bounded(spark):
         weight_col="__mg_est",
     )
     assert merged.count() <= k
+
+
+def test_heavy_hitter_store_incremental_matches_one_shot(spark, tmp_path):
+    """Batch-at-a-time admission into the persisted MG store must give
+    the SAME guarantee as one-shot: after admitting three batches, every
+    key with lifetime frequency > N/(k+1) is in the store, the store
+    stays ≤ k rows, n_seen tracks lifetime rows, and an exact confirm
+    over the union reproduces heavy_hitters on the union."""
+    from movie_recommendation_etl_spark.operators.sketches import (
+        read_heavy_hitter_candidates,
+        update_heavy_hitter_store,
+    )
+
+    store = str(tmp_path / "hh_store")
+    rng = random.Random(11)
+    k = 100
+    batches = [
+        spark.createDataFrame(
+            _zipf_stream(rng, 6_000, 400), "k string"
+        ).repartition(5)
+        for _ in range(3)
+    ]
+    for i, b in enumerate(batches):
+        stats = update_heavy_hitter_store(
+            spark, store, b, "k", k=k, key_name="k"
+        )
+        assert stats["n_seen"] == 6_000 * (i + 1)
+        assert stats["n_candidates"] <= k
+
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    n = 18_000
+    exact_heavy = {
+        r["k"]
+        for r in union.groupBy("k")
+        .count()
+        .filter(F.col("count") > n / (k + 1))
+        .collect()
+    }
+    cand_rows = read_heavy_hitter_candidates(spark, store).collect()
+    cands = {r["k"] for r in cand_rows}
+    assert exact_heavy <= cands
+    assert all(r["n_seen"] == n for r in cand_rows)
+
+    # exact confirm over the union == the batch operator at phi = 1/k
+    phi = 1.0 / k
+    expected = {
+        (r["k"], r["cnt"])
+        for r in heavy_hitters(union, "k", phi=phi, key_name="k").collect()
+    }
+    confirm = {
+        (r["k"], r["count"])
+        for r in union.filter(F.col("k").isin(*cands))
+        .groupBy("k")
+        .count()
+        .filter(F.col("count") > n * phi)
+        .collect()
+    }
+    assert confirm == expected
