@@ -600,22 +600,33 @@ def _cmd_sql(args: argparse.Namespace) -> int:
 
     spark = get_spark(app_name="mre-sql")
     register_views(spark, args.sf_dir)
+    from pyspark.errors import PySparkException
+
     stmt = sys.stdin.read() if args.query == "-" else args.query
     try:
         df = spark.sql(stmt)
     except (AnalysisException, ParseException) as exc:
         print(f"sql error: {exc}", file=sys.stderr)
         return 1
-    if args.out:
-        df.write.mode("overwrite").parquet(args.out)
-        print(f"written: {args.out}")
-        return 0
-    rows = df.limit(args.max_rows + 1).collect()
+    # runtime failures (ANSI-mode division by zero, cast errors) surface
+    # at collect/write, not at spark.sql() — still user errors here
+    try:
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"written: {args.out}")
+            return 0
+        rows = df.limit(args.max_rows + 1).collect()
+    except PySparkException as exc:
+        print(f"sql error: {exc}", file=sys.stderr)
+        return 1
     print("\t".join(df.columns))
     for r in rows[: args.max_rows]:
+        # positional lookup: r[name] silently returns the FIRST field
+        # with a duplicated output name
         print(
             "\t".join(
-                "null" if r[c] is None else str(r[c]) for c in df.columns
+                "null" if r[i] is None else str(r[i])
+                for i in range(len(df.columns))
             )
         )
     if len(rows) > args.max_rows:
@@ -646,15 +657,23 @@ def _cmd_heavy_hitters(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 1
+    if args.ngrams < 0:
+        print(f"--ngrams must be >= 0, got {args.ngrams}", file=sys.stderr)
+        return 1
+    if not 0.0 < args.phi < 1.0:
+        print(f"--phi must be in (0, 1), got {args.phi}", file=sys.stderr)
+        return 1
     key = F.col(args.col)
     if args.ngrams:
+        from movie_recommendation_etl_spark.operators.neardup import (
+            word_ngrams,
+        )
+
         toks = F.split(key.cast("string"), " ")
         grams = (
             toks
             if args.ngrams == 1
-            else F.filter(
-                _ngram_col(toks, args.ngrams), lambda x: x.isNotNull()
-            )
+            else word_ngrams(toks, args.ngrams, distinct=False)
         )
         df = df.select(F.explode(grams).alias("gram"))
         key = F.col("gram")
@@ -672,19 +691,6 @@ def _cmd_heavy_hitters(args: argparse.Namespace) -> int:
     for r in rows:
         print(f"{r['key']}\t{r['cnt']}\t{r['n_total']}")
     return 0
-
-
-def _ngram_col(toks, n: int):
-    """n-word grams (with multiplicity) of a token-array column for n ≥ 2:
-    repeated zip-with-tail, the operators/neardup.py word_shingles shape
-    minus its per-doc dedup."""
-    from pyspark.sql import functions as F
-
-    acc = F.slice(toks, n, F.size(toks))
-    for off in range(n - 2, -1, -1):
-        part = F.slice(toks, off + 1, F.size(toks)) if off else toks
-        acc = F.zip_with(part, acc, lambda a, b: F.concat(a, F.lit(" "), b))
-    return acc
 
 
 def build_parser() -> argparse.ArgumentParser:

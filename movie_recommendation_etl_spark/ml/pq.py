@@ -202,22 +202,20 @@ def encode_pq(
                 "encode_pq: NULL embedding in index-build input — filter "
                 f"null {array_col!r} rows before building the PQ tier"
             )
+        # length check BEFORE np.asarray: on numpy >= 1.24 a ragged list
+        # of arrays raises an opaque "inhomogeneous shape" ValueError at
+        # construction, so the actionable message must come first
+        dims = {len(v) for v in batch}
+        if dims and dims != {m * dsub}:
+            raise ValueError(
+                f"encode_pq: embedding dim(s) {sorted(dims)} != "
+                f"model dim {m * dsub}"
+            )
         x = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in batch]
         )
         if x.size == 0:
             return pd.Series([], dtype=object)
-        # ragged lengths collapse np.asarray to a 1-d object array;
-        # fail with the offending shape instead of an opaque slice error
-        if x.ndim != 2 or x.shape[1] != m * dsub:
-            got = (
-                sorted({len(v) for v in batch})
-                if x.ndim != 2
-                else [x.shape[1]]
-            )
-            raise ValueError(
-                f"encode_pq: embedding dim(s) {got} != model dim {m * dsub}"
-            )
         codes = np.empty((x.shape[0], m), dtype=np.int16)
         for j in range(m):
             sub = x[:, j * dsub : (j + 1) * dsub]

@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
-def word_shingles(tokens: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a token array (the Jaccard ground set).
+def word_ngrams(tokens: Column, k: int = 3, *, distinct: bool = True) -> Column:
+    """k-word grams of a token array; ``distinct=True`` gives the Jaccard
+    ground set (shingles), ``distinct=False`` keeps multiplicity (the
+    frequency stream heavy-hitter/TF consumers need).
 
     Built by zipping the array with its own k-1 shifted tails (one slice per
     offset) instead of slicing per position — 3x faster than the naive
@@ -41,7 +43,14 @@ def word_shingles(tokens: Column, k: int = 3) -> Column:
     for off in range(k - 2, -1, -1):
         part = F.slice(tokens, off + 1, n) if off else tokens
         acc = F.zip_with(part, acc, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+    grams = F.filter(acc, lambda x: x.isNotNull())
+    return F.array_distinct(grams) if distinct else grams
+
+
+def word_shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token array (the Jaccard ground set);
+    see word_ngrams."""
+    return word_ngrams(tokens, k, distinct=True)
 
 
 CW_P = (1 << 31) - 1  # Mersenne prime 2^31-1: the Carter-Wegman modulus

@@ -236,27 +236,22 @@ def update_heavy_hitter_store(
     )
 
     # only the missing-path case maps to a fresh store; corruption/schema
-    # drift must raise (the incremental_dedup._read_store contract)
-    from pyspark.sql.utils import AnalysisException
+    # drift must raise — _read_store IS that contract, reuse it
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        _read_store,
+    )
 
     stored_counters, n_prev = None, 0
-    try:
-        prev = spark.read.parquet(store_dir).collect()  # bounded: <= k
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        prev = []
+    store = _read_store(spark, store_dir)
+    prev = store.collect() if store is not None else []  # bounded: <= k
     if prev:
         n_prev = int(prev[0]["n_seen"])
         stored_counters = pd.Series(
             {r[key_name]: float(r["__mg_est"]) for r in prev},
             dtype="float64",
         )
-    final = (
-        _mg_merge(stored_counters, batch_counters, k)
-        if len(batch_counters)
-        else (stored_counters if stored_counters is not None else pd.Series(dtype="float64"))
-    )
+    # _mg_merge handles the empty-batch and fresh-store cases itself
+    final = _mg_merge(stored_counters, batch_counters, k)
     n_total = n_prev + n_batch
 
     key_field = merged.schema[key_name]

@@ -511,19 +511,18 @@ def q48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_hitters,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # all bigrams WITH multiplicity (word_shingles dedups per doc — wrong
-    # ground set here): zip the token array with its own tail
-    bigrams = F.filter(
-        F.zip_with(
-            toks,
-            F.slice(toks, 2, F.size(toks)),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-        lambda x: x.isNotNull(),
+    from movie_recommendation_etl_spark.operators.neardup import (
+        word_ngrams,
     )
-    grams = docs.select(F.explode(bigrams).alias("gram"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    # all bigrams WITH multiplicity (distinct=False — the per-doc-deduped
+    # shingle set would be the wrong ground set for a frequency query)
+    grams = docs.select(
+        F.explode(
+            word_ngrams(F.split("text", " "), 2, distinct=False)
+        ).alias("gram")
+    )
     # remerge=True gates the 100 TB shape: the candidate broadcast is
     # ≤ k keys TOTAL (one extra ≤ k·partitions-row shuffle), not
     # k·partitions — the same exact answer either way (tested)

@@ -69,8 +69,9 @@ def q46_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q47_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (rollup/cube's general form — q03/q04 cover
-    those) through the SQL entry point, with grouping() disambiguators."""
+    """Explicit GROUPING SETS (rollup/cube's general form — the
+    q03_multidim_agg_suite arms cover those) through the SQL entry point,
+    with grouping() disambiguators."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """

@@ -773,3 +773,37 @@ def test_cli_heavy_hitters(capsys, sf_dir):
         == 1
     )
     assert "not in" in capsys.readouterr().err
+
+
+def test_cli_sql_runtime_error_and_duplicate_columns(capsys, sf_dir):
+    """Two review-found edges: ANSI-mode runtime failures (divide by
+    zero) surface at collect, not spark.sql — still a clean exit-1; and
+    duplicate output names print POSITIONALLY (Row[name] silently returns
+    the first matching field)."""
+    assert main(["sql", sf_dir, "SELECT 1/0 AS boom FROM region"]) == 1
+    assert "sql error" in capsys.readouterr().err
+
+    assert (
+        main(
+            [
+                "sql", sf_dir,
+                "SELECT n_name AS x, r_name AS x FROM nation "
+                "JOIN region ON n_regionkey = r_regionkey "
+                "WHERE n_name = 'NATION_1'",
+            ]
+        )
+        == 0
+    )
+    row = [
+        ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln
+    ][1]
+    a, b = row.split("\t")
+    assert a == "NATION_1" and b == "AMERICA"  # second x is the REGION
+
+
+def test_cli_heavy_hitters_parameter_validation(capsys, sf_dir):
+    base = ["heavy-hitters", f"{sf_dir}/documents.parquet", "--col", "text"]
+    assert main(base + ["--ngrams", "-1"]) == 1
+    assert "--ngrams" in capsys.readouterr().err
+    assert main(base + ["--phi", "1.5"]) == 1
+    assert "--phi" in capsys.readouterr().err

@@ -269,5 +269,8 @@ def test_encode_pq_rejects_null_and_ragged_vectors(spark, pq_model):
         [(1, good), (2, good[: dim // 2])],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(Exception, match="dim"):
+    # match the operator's own message, not numpy's "inhomogeneous
+    # shape" error — the check must fire BEFORE np.asarray sees the
+    # ragged list
+    with pytest.raises(Exception, match="model dim"):
         encode_pq(pq_model, ragged).collect()
