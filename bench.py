@@ -506,23 +506,51 @@ def compute_regressions(
         else ratio
     )
     ref_ratio = max(ref_ratio, 1.0)
-    out: dict[str, dict[str, float]] = {}
-    for name, t_now in now.items():
-        t_prev = prev.get(name)
-        t_norm = t_now / (
-            ref_ratio if name.startswith("ref_scale_") else ratio
-        )
-        if (
-            t_prev
-            and t_norm > t_prev * (1.0 + pct_threshold)
-            and t_norm - t_prev > min_abs_sec
-        ):
-            out[name] = {
-                "prev": t_prev,
-                "now": t_now,
-                "now_normalized": round(t_norm, 3),
-                "pct": round(100.0 * (t_norm / t_prev - 1.0), 1),
-            }
+
+    def _norm(name: str, t_now: float, extra: float = 1.0) -> float:
+        base = ref_ratio if name.startswith("ref_scale_") else ratio
+        return t_now / (base * extra)
+
+    def _flag(extra: float) -> dict[str, dict[str, float]]:
+        found: dict[str, dict[str, float]] = {}
+        for name, t_now in now.items():
+            t_prev = prev.get(name)
+            t_norm = _norm(name, t_now, extra)
+            if (
+                t_prev
+                and t_norm > t_prev * (1.0 + pct_threshold)
+                and t_norm - t_prev > min_abs_sec
+            ):
+                found[name] = {
+                    "prev": t_prev,
+                    "now": t_now,
+                    "now_normalized": round(t_norm, 3),
+                    "pct": round(100.0 * (t_norm / t_prev - 1.0), 1),
+                }
+                if extra != 1.0:
+                    found[name]["host_shift_median"] = round(extra, 3)
+        return found
+
+    out = _flag(1.0)
+    # Stage 2 (r12): the synthetic calibration job is pure CPU, but real
+    # queries also carry I/O, page-cache, and JVM-state effects it cannot
+    # see — two consecutive r12 runs flagged DISJOINT near-uniform
+    # +25-60% sets while the calibration ratio said "same regime"
+    # (~0.95). The median now/prev ratio over ALL compared queries is a
+    # robust regime estimator: ~1.0 on a stable host, immune to genuine
+    # regressions in up to half the queries (a real one stands out ABOVE
+    # the median shift; a deliberate engine-wide change is a
+    # HEADLINE_SCOPE bump, and the absolute ref-scale gates vs BASELINE
+    # still catch global slowdowns). One-sided like the calibration
+    # stage: only engages when the typical query got SLOWER, with >= 8
+    # samples so a thin comparison can't manufacture a shift.
+    ratios = sorted(
+        _norm(n, now[n]) / prev[n] for n in now if prev.get(n)
+    )
+    if len(ratios) >= 8:
+        med = ratios[len(ratios) // 2]
+        if med > 1.0 + pct_threshold / 2:
+            out = _flag(med)
     return out
 
 

@@ -479,3 +479,42 @@ def test_compact_line_degrades_under_flag_storm():
     blob = json.loads(compact)
     assert blob["queries"] == timings
     assert len(blob.get("regressions", {})) <= 10
+
+
+def test_compute_regressions_median_shift_absorbs_uniform_slowdown():
+    """r12: a host-regime shift the CPU calibration can't see (I/O,
+    page cache) slows EVERY query ~40% — the median-of-ratios stage must
+    absorb it instead of flagging the whole board, while a genuine 3x
+    regression riding on top still flags (with the shift recorded)."""
+    prev = {f"q{i:02d}_x": 1.0 for i in range(12)}
+    uniform = {k: 1.4 for k in prev}
+    assert compute_regressions(prev, uniform) == {}
+
+    real = dict(uniform)
+    real["q03_x"] = 3.0
+    regs = compute_regressions(prev, real)
+    assert set(regs) == {"q03_x"}
+    assert regs["q03_x"]["host_shift_median"] == 1.4
+    # normalized seconds are reported net of the shift (3-decimal field)
+    assert abs(regs["q03_x"]["now_normalized"] - 3.0 / 1.4) < 1e-3
+
+
+def test_compute_regressions_median_shift_needs_samples():
+    """With < 8 compared queries the median path must stay out — a thin
+    comparison cannot manufacture a regime shift, so a uniform slowdown
+    on 4 queries still flags (the pre-r12 behavior)."""
+    prev = {f"q{i:02d}_x": 1.0 for i in range(4)}
+    now = {k: 1.4 for k in prev}
+    regs = compute_regressions(prev, now)
+    assert set(regs) == set(prev)
+
+
+def test_compute_regressions_median_shift_one_sided():
+    """A FASTER typical query (median < 1) must not renormalize — the
+    one-sided policy: normalization may only relieve flag pressure."""
+    prev = {f"q{i:02d}_x": 1.0 for i in range(12)}
+    now = {k: 0.7 for k in prev}
+    now["q05_x"] = 1.3  # a real +30% regression on a fast host
+    regs = compute_regressions(prev, now)
+    assert set(regs) == {"q05_x"}
+    assert "host_shift_median" not in regs["q05_x"]
