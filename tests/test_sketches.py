@@ -221,3 +221,46 @@ def test_heavy_hitter_store_incremental_matches_one_shot(spark, tmp_path):
         .collect()
     }
     assert confirm == expected
+
+
+def test_mg_merge_superset_property_fuzzed():
+    """Theorem-level fuzz (hypothesis): for ANY stream, ANY split into
+    batches, and ANY k, chaining _mg_merge keeps every key whose true
+    frequency exceeds n/(k+1), and the kept residuals undercount by at
+    most n/(k+1). This is the property both heavy_hitters' exactness and
+    the streaming/incremental twins rest on."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from movie_recommendation_etl_spark.operators.sketches import _mg_merge
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        data=st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=400
+        ),
+        cuts=st.lists(
+            st.integers(min_value=0, max_value=399), max_size=6
+        ),
+        k=st.integers(min_value=1, max_value=20),
+    )
+    def check(data, cuts, k):
+        n = len(data)
+        bounds = sorted({c for c in cuts if c < n} | {0, n})
+        counters = None
+        for lo, hi in zip(bounds, bounds[1:]):
+            chunk = pd.Series([f"k{v}" for v in data[lo:hi]])
+            if len(chunk):
+                counters = _mg_merge(counters, chunk.value_counts(), k)
+        true = pd.Series([f"k{v}" for v in data]).value_counts()
+        bound = n / (k + 1)
+        kept = counters if counters is not None else pd.Series(dtype=float)
+        for key, freq in true.items():
+            if freq > bound:
+                assert key in kept.index, (key, freq, bound)
+            if key in kept.index:
+                assert kept[key] <= freq + 1e-9
+                assert freq - kept[key] <= bound + 1e-9
+
+    check()
