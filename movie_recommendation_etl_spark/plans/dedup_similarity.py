@@ -173,18 +173,19 @@ def _sql_simhash16(toks: str) -> str:
 @query(
     "q51_twin_similarity_suite",
     oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents),
     tw AS (
         -- the twin's SimHash tokens replay the q50-family round-trip
         -- (truncate -> concat_ws(' ') -> split(' ')), so both engines see
         -- the identical token stream even at the empty-slice edge
-        SELECT doc_id, toks,
+        SELECT doc_id, text, toks,
                string_split(array_to_string(toks[1:len(toks)-3], ' '), ' ')
                    AS twin_toks
         FROM t
     ),
     s AS (
-        SELECT doc_id,
+        SELECT doc_id, text, twin_toks,
                {_sql_simhash16("toks")} AS simhash_orig,
                {_sql_simhash16("twin_toks")} AS simhash_twin,
                list_distinct(list_transform(range(1, len(toks) - 1),
@@ -205,7 +206,10 @@ def _sql_simhash16(toks: str) -> str:
            CAST(len(list_filter(sh_o, s -> list_contains(sh_t, s))) AS DOUBLE)
            / CAST(len(sh_o) + len(sh_t)
                   - len(list_filter(sh_o, s -> list_contains(sh_t, s)))
-                  AS DOUBLE) >= 0.8 AS is_neardup
+                  AS DOUBLE) >= 0.8 AS is_neardup,
+           CAST(levenshtein(substring(text, 1, 80),
+                            substring(array_to_string(twin_toks, ' '), 1, 80))
+                AS INTEGER) AS lev_prefix
     FROM s
     """,
 )
@@ -216,10 +220,12 @@ def q51_twin_similarity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same corpus): 16-bit SimHash of original and twin + Hamming
     distance (locality: near-identical docs land within a few bits), and
     the exact 3-gram Jaccard + near-dup verdict (the ground-truth metric
-    the MinHash pipeline approximates). Signature computation is pure
-    scan-stage codegen with zero joins or shuffles — at 100 TB this runs
-    at scan speed; the near-dup criterion at scale is a self-join on
-    rotated simhash prefixes (constant fanout)."""
+    the MinHash pipeline approximates), plus (r12) the Levenshtein edit
+    distance over capped 80-char prefixes — the fuzzy-string-match
+    primitive, bounded because the DP is O(len^2) per row. Signature
+    computation is pure scan-stage codegen with zero joins or shuffles —
+    at 100 TB this runs at scan speed; the near-dup criterion at scale is
+    a self-join on rotated simhash prefixes (constant fanout)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     # SimHash twin tokens: round-trip through text like the q50 family
@@ -229,11 +235,20 @@ def q51_twin_similarity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh_o = word_shingles(toks)
     sh_t = word_shingles(F.slice(toks, 1, F.size(toks) - 3))
+    # Edit-distance arm (r12): Levenshtein over CAPPED 80-char prefixes —
+    # the DP is O(len^2) per row, so fuzzy matching at scale always runs
+    # on bounded keys (titles, prefixes), never whole documents. Spark's
+    # levenshtein and DuckDB's share the classic unit-cost definition.
+    lev = F.levenshtein(
+        F.substring("text", 1, 80),
+        F.substring(F.concat_ws(" ", twin_toks), 1, 80),
+    )
     s = docs.select(
         "doc_id",
         simhash16(toks).alias("simhash_orig"),
         simhash16(twin_toks).alias("simhash_twin"),
         jaccard(sh_o, sh_t).alias("jaccard"),
+        lev.cast("int").alias("lev_prefix"),
     )
     return s.select(
         "doc_id",
@@ -244,6 +259,7 @@ def q51_twin_similarity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "jaccard",
         (F.col("jaccard") >= 0.8).alias("is_neardup"),
+        "lev_prefix",
     )
 
 
