@@ -3,7 +3,8 @@
 The reference engine has no sketch tier at all (its whole core is a linear
 ETL — extract/transform/load, see SURVEY.md §2); this module is part of the
 100 TB extension surface next to the HLL gate (q44) and the quantile-sketch
-gate (q45). The problem it solves: "every key with frequency > φ·N, with its
+gate (q39's approx_percentile arm). The problem it solves: "every key with
+frequency > φ·N, with its
 exact count" over a keyspace far too large to group-by directly — n-gram
 vocabularies, URL hosts, user agents. A plain ``groupBy(key).count()``
 shuffles one partial row per distinct key per map task; at 100 TB with a

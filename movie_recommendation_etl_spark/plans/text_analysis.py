@@ -500,7 +500,8 @@ def q76_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """φ-heavy hitters over the corpus bigram stream — common-phrase
     mining, the frequency-sketch sibling of the HLL gate (q44) and the
-    quantile-sketch gate (q45). The oracle is the NAIVE formulation
+    quantile-sketch gate (q39's approx_percentile arm). The oracle is the
+    NAIVE formulation
     (explode → group-by → threshold); the Spark side answers through
     Misra-Gries-bounded candidate generation + exact confirm
     (operators/sketches.py), so the hash gate proves the sketch path is
