@@ -73,6 +73,7 @@ CALIBRATION_RATIO_FENCE = 5.0
 # previous round recorded the SAME tag (or both rounds have none). The
 # next round's blob carries the tag, so comparison resumes automatically.
 SCOPE_TAGS: dict[str, str] = {
+    "q30_batch_arms": "r12-gapfill-arm",
     "q33_lookup_expr_suite": "r9-csv-arm",
     "q40_text_profile_suite": "r11-bc-lemma-arm",
     "q62_knn_ivf_embeddings": "r11-probe6",

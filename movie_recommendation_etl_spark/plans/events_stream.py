@@ -47,6 +47,42 @@ def tumbling_window_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def gap_filled_hourly(events: DataFrame) -> DataFrame:
+    """Densified hourly series per event_type: every (hour, type) cell of
+    the [min, max] hour range appears, empty cells as 0 — the
+    resample/gap-fill step time-series consumers need before rolling
+    metrics, interpolation, or charting (a rolling average over a sparse
+    series silently skips the quiet hours).
+
+    Scale shape: the event stream is aggregated FIRST (the tumbling arm's
+    bucket-level rows); the fill grid is ``sequence(min, max, 1h) ×
+    distinct types`` — bounded by the densification definition itself,
+    never by the row count — built from a one-row bounds aggregate and a
+    broadcast type list. The left join runs on bucket-level rows, so at
+    100 TB the gap fill costs one extra pruned-column scan for the
+    bounds, not a re-shuffle of events."""
+    agg = tumbling_window_agg(events)
+    bounds = agg.agg(
+        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "window_start"
+        )
+    )
+    types = events.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return grid.join(agg, ["window_start", "event_type"], "left").select(
+        "window_start",
+        (F.col("window_start") + F.expr("INTERVAL 1 HOUR")).alias(
+            "window_end"
+        ),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
 def sliding_window_agg(events: DataFrame) -> DataFrame:
     """Sliding 1h windows every 30min (each event lands in 2 windows)."""
     return (
@@ -147,6 +183,24 @@ def session_window_agg(events: DataFrame) -> DataFrame:
     UNION ALL SELECT * FROM slid
     UNION ALL SELECT * FROM sess
     UNION ALL
+    SELECT 'gapfill' AS arm, g.window_start,
+           g.window_start + INTERVAL '1 hour' AS window_end,
+           g.event_type AS grp,
+           coalesce(tb.n_events, 0) AS n_events,
+           coalesce(tb.sum_value, 0.0) AS sum_value
+    FROM (
+        SELECT h.window_start, t.event_type
+        FROM (
+            SELECT unnest(generate_series(
+                (SELECT min(date_trunc('hour', ts)) FROM events),
+                (SELECT max(date_trunc('hour', ts)) FROM events),
+                INTERVAL '1 hour')) AS window_start
+        ) h
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ) g
+    LEFT JOIN tumb tb
+      ON tb.window_start = g.window_start AND tb.grp = g.event_type
+    UNION ALL
     SELECT 'tumbling_stream' AS arm, window_start, window_end, grp,
            n_events, sum_value
     FROM tumb
@@ -170,6 +224,12 @@ def q30_window_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``session``: F.session_window with a 4h inactivity gap; the oracle is
       the classic gaps-and-islands rewrite (lag → new-session marker →
       running sum → group). Spark's session end = last event + gap.
+    - ``gapfill`` (r12): the tumbling series DENSIFIED — every (hour,
+      type) cell of the [min, max] range, empty cells as 0 (see
+      gap_filled_hourly); the oracle replays it with generate_series ×
+      DISTINCT types left-joined onto the tumbling CTE. At the gate SFs
+      the grid genuinely has holes (sf0.001: 2732 of 3600 cells empty),
+      so the fill itself is what hashes.
 
     - ``tumbling_stream`` / ``session_stream`` (r9): the tumbling and
       session arms' IDENTICAL expressions executed through the STREAMING
@@ -223,7 +283,10 @@ def q30_batch_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return tumb.unionByName(slid).unionByName(sess)
+    gapf = _arm_common(
+        gap_filled_hourly(events), "gapfill", F.col("event_type")
+    )
+    return tumb.unionByName(slid).unionByName(sess).unionByName(gapf)
 
 
 def q30_stream_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
