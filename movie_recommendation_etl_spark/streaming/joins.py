@@ -91,3 +91,30 @@ def click_error_attribution(
         "error_id",
         F.col("r.value").alias("error_value"),
     )
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a live stream against a STATIC
+    dimension snapshot (user profiles, product catalog, model scores) —
+    the everyday lookup the stream-stream interval join above is overkill
+    for. No watermark and no join state: Spark re-plans the static side
+    per micro-batch, so the dimension may even be re-read from storage as
+    it changes between triggers (snapshot semantics per batch).
+
+    Scale shape: a small dimension broadcasts (hinted here) and the join
+    stays map-side in every micro-batch; a large one degrades to a
+    shuffled hash join of the BATCH against it, which is still bounded by
+    the micro-batch size, never by stream history. Only left/inner make
+    sense stream-side (right/full would need unbounded stream state) —
+    guarded below."""
+    if how not in ("left", "inner"):
+        raise ValueError(
+            f"stream-static join supports left/inner, got {how!r}"
+        )
+    return stream.join(F.broadcast(dim), key, how)

@@ -446,3 +446,59 @@ def test_q30_stream_arm_nanos_timestamp_fallback(spark, tmp_path):
         )
     )
     assert got == exp and len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join: events stream LEFT-joined per micro-batch onto
+    a static per-user profile must emit exactly the batch join's rows
+    (including stream rows whose key misses the dimension), and the
+    unsupported join sides fail fast."""
+    import pytest as _pytest
+
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+    from movie_recommendation_etl_spark.streaming.joins import (
+        enrich_with_static,
+    )
+    from movie_recommendation_etl_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    # static profile: per-user spend tier, MISSING half the users so the
+    # left join's null path is genuinely exercised
+    dim = (
+        events.groupBy("user_id")
+        .agg(F.sum("value").alias("lifetime_value"))
+        .filter(F.col("user_id") % 2 == 0)
+    )
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        enrich_with_static(
+            stream.select("event_id", "user_id"), dim, key="user_id"
+        )
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["event_id"], r["lifetime_value"])
+        for r in spark.table("enriched").collect()
+    }
+    expected = {
+        (r["event_id"], r["lifetime_value"])
+        for r in events.select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+        .collect()
+    }
+    assert got == expected
+    assert any(v is None for _, v in got)  # missing-dim rows survived
+
+    with _pytest.raises(ValueError, match="left/inner"):
+        enrich_with_static(stream, dim, how="full")
