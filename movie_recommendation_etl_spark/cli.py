@@ -693,9 +693,66 @@ def _cmd_heavy_hitters(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_zorder(args: argparse.Namespace) -> int:
+    """Rewrite a parquet table clustered on the Morton interleave of >= 2
+    int columns (functions/zorder.py) — the OPTIMIZE ... ZORDER BY shape:
+    afterwards min/max footer pruning works for predicates on ANY of the
+    interleaved columns, not just the leading sort key."""
+    from pyspark.errors import PySparkException
+
+    from movie_recommendation_etl_spark.functions.zorder import (
+        write_zordered_parquet,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+
+    cols = [c for c in args.by.split(",") if c]
+    if len(cols) < 2:
+        print("--by needs >= 2 comma-separated columns", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="mre-zorder")
+    df = spark.read.parquet(args.in_path)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        print(
+            f"columns {missing} not in {sorted(df.columns)}",
+            file=sys.stderr,
+        )
+        return 1
+    try:
+        write_zordered_parquet(
+            df,
+            args.out_path,
+            cols,
+            num_files=args.num_files,
+            bits=args.bits,
+        )
+    except (ValueError, PySparkException) as exc:
+        # out-of-range values (morton_key raise_error) / bad bits budget
+        print(f"zorder error: {exc}", file=sys.stderr)
+        return 1
+    print(f"zordered table written: {args.out_path} (by {','.join(cols)})")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="movie_recommendation_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    zo = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet table z-ordered on >= 2 int columns",
+    )
+    zo.add_argument("in_path")
+    zo.add_argument("out_path")
+    zo.add_argument(
+        "--by", required=True, help="comma-separated int columns"
+    )
+    zo.add_argument("--num-files", type=int, default=None)
+    zo.add_argument(
+        "--bits", type=int, default=None,
+        help="per-column bit budget (default: auto, <= 21)",
+    )
+    zo.set_defaults(fn=_cmd_zorder)
 
     hh = sub.add_parser(
         "heavy-hitters",

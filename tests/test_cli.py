@@ -807,3 +807,34 @@ def test_cli_heavy_hitters_parameter_validation(capsys, sf_dir):
     assert "--ngrams" in capsys.readouterr().err
     assert main(base + ["--phi", "1.5"]) == 1
     assert "--phi" in capsys.readouterr().err
+
+
+def test_cli_zorder_rewrite(capsys, sf_dir, tmp_path):
+    """zorder rewrites a table clustered on the Morton key: round-trips
+    all rows with the input schema (no __zkey leak), and bad column lists
+    are exit-1 user errors."""
+    import duckdb
+
+    src = f"{sf_dir}/orders.parquet"
+    dest = str(tmp_path / "orders_z")
+    assert (
+        main(["zorder", src, dest, "--by", "o_custkey,o_orderkey"]) == 0
+    )
+    assert "zordered table written" in capsys.readouterr().out
+    con = duckdb.connect()
+    n_src = con.sql(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+    n_dst, cols = con.sql(
+        f"SELECT count(*), count(DISTINCT o_orderkey) FROM '{dest}/*.parquet'"
+    ).fetchone()
+    assert n_dst == n_src == cols
+    schema = {
+        r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{dest}/*.parquet'"
+        ).fetchall()
+    }
+    assert "__zkey" not in schema
+
+    assert main(["zorder", src, dest, "--by", "o_custkey"]) == 1
+    assert ">= 2" in capsys.readouterr().err
+    assert main(["zorder", src, dest, "--by", "nope,o_orderkey"]) == 1
+    assert "not in" in capsys.readouterr().err
