@@ -608,6 +608,12 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     except (AnalysisException, ParseException) as exc:
         print(f"sql error: {exc}", file=sys.stderr)
         return 1
+    if args.explain:
+        # formatted physical plan — the scale-shape inspection surface
+        # (PushedFilters / ReadSchema / broadcast vs shuffle) without
+        # executing the query
+        df.explain("formatted")
+        return 0
     # runtime failures (ANSI-mode division by zero, cast errors) surface
     # at collect/write, not at spark.sql() — still user errors here
     try:
@@ -787,6 +793,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--out",
         default=None,
         help="write the FULL result as parquet instead of printing",
+    )
+    sq.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of executing",
     )
     sq.set_defaults(fn=_cmd_sql)
 

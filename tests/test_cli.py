@@ -838,3 +838,21 @@ def test_cli_zorder_rewrite(capsys, sf_dir, tmp_path):
     assert ">= 2" in capsys.readouterr().err
     assert main(["zorder", src, dest, "--by", "nope,o_orderkey"]) == 1
     assert "not in" in capsys.readouterr().err
+
+
+def test_cli_sql_explain(capsys, sf_dir):
+    """--explain prints the formatted physical plan (pushdown visible)
+    without executing."""
+    assert (
+        main(
+            [
+                "sql", sf_dir,
+                "SELECT n_name FROM nation WHERE n_nationkey = 3",
+                "--explain",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out and "n_nationkey" in out
