@@ -549,7 +549,12 @@ def compute_regressions(
         _norm(n, now[n]) / prev[n] for n in now if prev.get(n)
     )
     if len(ratios) >= 8:
-        med = ratios[len(ratios) // 2]
+        # LOWER median: with an even count and genuine regressions in
+        # exactly half the queries, the upper median IS the regressed
+        # ratio and would absorb all of them — the lower median keeps the
+        # stated "immune to regressions in up to half the queries"
+        # invariant tight
+        med = ratios[(len(ratios) - 1) // 2]
         if med > 1.0 + pct_threshold / 2:
             out = _flag(med)
     return out

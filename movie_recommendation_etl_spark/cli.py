@@ -609,6 +609,11 @@ def _cmd_sql(args: argparse.Namespace) -> int:
         print(f"sql error: {exc}", file=sys.stderr)
         return 1
     if args.explain:
+        if args.out:
+            # refusing beats silently not writing: a script that checks
+            # only the exit code would believe --out exists
+            print("--explain and --out are mutually exclusive", file=sys.stderr)
+            return 2
         # formatted physical plan — the scale-shape inspection surface
         # (PushedFilters / ReadSchema / broadcast vs shuffle) without
         # executing the query

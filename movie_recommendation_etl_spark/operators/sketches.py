@@ -117,6 +117,20 @@ def mg_candidates(
     return df.select(*cols).mapInPandas(summarize, out_schema)
 
 
+def _remerged_summaries(keyed: DataFrame, key_name: str, k: int) -> DataFrame:
+    """Per-partition MG summaries re-merged into ONE ≤ k-row summary: the
+    guarantee-bearing two-pass shape shared by heavy_hitters(remerge=True)
+    and the persisted store. repartition, NOT coalesce — coalesce would
+    collapse the parallel first pass into the single reducer; the shuffle
+    moves only ≤ k·partitions summary rows."""
+    return mg_candidates(
+        mg_candidates(keyed, key_name, k).repartition(1),
+        key_name,
+        k,
+        weight_col="__mg_est",
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     key: Column | str,
@@ -153,14 +167,11 @@ def heavy_hitters(
     keyed = df.select(
         (F.col(key) if isinstance(key, str) else key).alias(key_name)
     ).filter(F.col(key_name).isNotNull())
-    summaries = mg_candidates(keyed, key_name, k)
-    if remerge:
-        # repartition (NOT coalesce: coalesce would collapse the parallel
-        # first pass into the single reducer) — the shuffle moves only
-        # ≤ k·partitions summary rows
-        summaries = mg_candidates(
-            summaries.repartition(1), key_name, k, weight_col="__mg_est"
-        )
+    summaries = (
+        _remerged_summaries(keyed, key_name, k)
+        if remerge
+        else mg_candidates(keyed, key_name, k)
+    )
     cands = (
         summaries.select(key_name)
         .distinct()
@@ -224,12 +235,7 @@ def update_heavy_hitter_store(
         (F.col(key) if isinstance(key, str) else key).alias(key_name)
     ).filter(F.col(key_name).isNotNull())
     n_batch = keyed.count()
-    merged = mg_candidates(
-        mg_candidates(keyed, key_name, k).repartition(1),
-        key_name,
-        k,
-        weight_col="__mg_est",
-    )
+    merged = _remerged_summaries(keyed, key_name, k)
     batch_rows = merged.collect()  # bounded: <= k rows
     batch_counters = pd.Series(
         {r[key_name]: float(r["__mg_est"]) for r in batch_rows},
@@ -244,23 +250,36 @@ def update_heavy_hitter_store(
 
     stored_counters, n_prev = None, 0
     store = _read_store(spark, store_dir)
-    prev = store.collect() if store is not None else []  # bounded: <= k
+    prev = store.collect() if store is not None else []  # bounded: <= k+1
     if prev:
+        # n_seen rides on EVERY row including the NULL-key meta row, so
+        # the lifetime count survives a summary that cancels to empty (a
+        # uniform batch with > k distinct keys zeroes every counter)
         n_prev = int(prev[0]["n_seen"])
         stored_counters = pd.Series(
-            {r[key_name]: float(r["__mg_est"]) for r in prev},
+            {
+                r[key_name]: float(r["__mg_est"])
+                for r in prev
+                if r[key_name] is not None
+            },
             dtype="float64",
         )
+        if stored_counters.empty:
+            stored_counters = None
     # _mg_merge handles the empty-batch and fresh-store cases itself
     final = _mg_merge(stored_counters, batch_counters, k)
     n_total = n_prev + n_batch
 
     key_field = merged.schema[key_name]
+    rows = [(None, 0.0, n_total)]  # meta row: keeps n_seen through empties
+    rows += [(i, float(v), n_total) for i, v in final.items()]
     out = spark.createDataFrame(
-        [(i, float(v), n_total) for i, v in final.items()],
+        rows,
         T.StructType(
             [
-                key_field,
+                T.StructField(
+                    key_field.name, key_field.dataType, nullable=True
+                ),
                 T.StructField("__mg_est", T.DoubleType()),
                 T.StructField("n_seen", T.LongType()),
             ]
@@ -274,5 +293,7 @@ def read_heavy_hitter_candidates(spark, store_dir: str) -> DataFrame:
     """The store's current candidate summary: (key, __mg_est residual
     counter, n_seen lifetime rows). Keys are the superset guarantee; the
     residual counter is an undercount of the true lifetime frequency by
-    at most n_seen/(k+1)."""
-    return spark.read.parquet(store_dir)
+    at most n_seen/(k+1). The persisted NULL-key metadata row (the
+    n_seen carrier) is filtered out here."""
+    df = spark.read.parquet(store_dir)
+    return df.filter(F.col(df.columns[0]).isNotNull())

@@ -56,22 +56,26 @@ def gap_filled_hourly(events: DataFrame) -> DataFrame:
 
     Scale shape: the event stream is aggregated FIRST (the tumbling arm's
     bucket-level rows); the fill grid is ``sequence(min, max, 1h) ×
-    distinct types`` — bounded by the densification definition itself,
-    never by the row count — built from a one-row bounds aggregate and a
-    broadcast type list. The left join runs on bucket-level rows, so at
-    100 TB the gap fill costs one extra pruned-column scan for the
-    bounds, not a re-shuffle of events."""
+    collect_set(types)`` — bounded by the densification definition
+    itself, never by the row count — and BOTH grid inputs come out of one
+    pruned-column scan (a single global aggregate over ts + event_type).
+    The left join runs on bucket-level rows, so at 100 TB the gap fill
+    costs that one extra scan, not a re-shuffle of events."""
     agg = tumbling_window_agg(events)
-    bounds = agg.agg(
-        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    # grid inputs (hour bounds + type list) come from ONE pruned scan of
+    # events — deriving them from `agg` would physically re-execute the
+    # tumbling shuffle twice more (bounds + the join's right side)
+    meta = events.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+        F.collect_set("event_type").alias("types"),
     )
-    hours = bounds.select(
+    grid = meta.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
             "window_start"
-        )
-    )
-    types = events.select("event_type").distinct()
-    grid = hours.crossJoin(F.broadcast(types))
+        ),
+        "types",
+    ).select("window_start", F.explode("types").alias("event_type"))
     return grid.join(agg, ["window_start", "event_type"], "left").select(
         "window_start",
         (F.col("window_start") + F.expr("INTERVAL 1 HOUR")).alias(

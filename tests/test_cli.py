@@ -856,3 +856,16 @@ def test_cli_sql_explain(capsys, sf_dir):
     out = capsys.readouterr().out
     assert "Physical Plan" in out
     assert "PushedFilters" in out and "n_nationkey" in out
+
+
+def test_cli_sql_explain_out_conflict(capsys, sf_dir):
+    assert (
+        main(
+            [
+                "sql", sf_dir, "SELECT 1 AS x FROM region",
+                "--explain", "--out", "/tmp/nope_sql_out",
+            ]
+        )
+        == 2
+    )
+    assert "mutually exclusive" in capsys.readouterr().err

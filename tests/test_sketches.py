@@ -264,3 +264,29 @@ def test_mg_merge_superset_property_fuzzed():
                 assert freq - kept[key] <= bound + 1e-9
 
     check()
+
+
+def test_heavy_hitter_store_n_seen_survives_empty_summary(spark, tmp_path):
+    """Review-found bug: a uniform batch with > k distinct keys cancels
+    every MG counter, and a store holding only candidate rows would lose
+    the lifetime n_seen with them. The NULL-key metadata row must carry
+    it through, and the reader must hide that row."""
+    from movie_recommendation_etl_spark.operators.sketches import (
+        read_heavy_hitter_candidates,
+        update_heavy_hitter_store,
+    )
+
+    store = str(tmp_path / "hh_store_empty")
+    uniform = spark.createDataFrame(
+        [(f"u{i}",) for i in range(10)], "k string"
+    ).coalesce(1)
+    s1 = update_heavy_hitter_store(spark, store, uniform, "k", k=3, key_name="k")
+    assert s1 == {"n_seen": 10, "n_candidates": 0}
+    assert read_heavy_hitter_candidates(spark, store).count() == 0
+
+    skewed = spark.createDataFrame([("hot",)] * 5, "k string")
+    s2 = update_heavy_hitter_store(spark, store, skewed, "k", k=3, key_name="k")
+    assert s2["n_seen"] == 15  # lifetime count survived the empty store
+    cands = read_heavy_hitter_candidates(spark, store).collect()
+    assert {r["k"] for r in cands} == {"hot"}
+    assert all(r["n_seen"] == 15 for r in cands)
