@@ -23,6 +23,7 @@ command line runs on a laptop and against a cluster.
 from __future__ import annotations
 
 import argparse
+import math
 import sys
 from collections.abc import Sequence
 
@@ -688,6 +689,30 @@ def _cmd_heavy_hitters(args: argparse.Namespace) -> int:
         )
         df = df.select(F.explode(grams).alias("gram"))
         key = F.col("gram")
+    if args.store:
+        # incremental mode: fold this input into the persisted MG summary
+        # (O(batch) per admission, lifetime superset guarantee) and print
+        # the store's current candidates instead of exact one-shot counts
+        from movie_recommendation_etl_spark.operators.sketches import (
+            read_heavy_hitter_candidates,
+            update_heavy_hitter_store,
+        )
+
+        k = math.ceil(1.0 / args.phi)
+        stats = update_heavy_hitter_store(
+            spark, args.store, df, key, k=k, key_name="key"
+        )
+        print(
+            f"admitted: n_seen={stats['n_seen']} "
+            f"candidates={stats['n_candidates']} (k={k})"
+        )
+        for r in (
+            read_heavy_hitter_candidates(spark, args.store)
+            .orderBy(F.col("__mg_est").desc(), "key")
+            .collect()
+        ):
+            print(f"{r['key']}\t{r['__mg_est']:.0f}\t{r['n_seen']}")
+        return 0
     rows = (
         heavy_hitters(
             df,
@@ -785,6 +810,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="re-merge per-partition summaries to <= k candidates total "
         "(bounded broadcast for wide scans)",
+    )
+    hh.add_argument(
+        "--store",
+        default=None,
+        help="incremental mode: fold this input into the persisted MG "
+        "summary at DIR and print its current candidates (no exact "
+        "counts; run without --store over the corpus to confirm)",
     )
     hh.set_defaults(fn=_cmd_heavy_hitters)
 

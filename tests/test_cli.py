@@ -869,3 +869,25 @@ def test_cli_sql_explain_out_conflict(capsys, sf_dir):
         == 2
     )
     assert "mutually exclusive" in capsys.readouterr().err
+
+
+def test_cli_heavy_hitters_incremental_store(capsys, sf_dir, tmp_path):
+    """--store admits the input into the persisted MG summary: two
+    admissions accumulate n_seen, the candidate list prints, and the
+    dominant word of the corpus survives both."""
+    store = str(tmp_path / "hh_cli_store")
+    base = [
+        "heavy-hitters", f"{sf_dir}/documents.parquet",
+        "--col", "text", "--ngrams", "1",
+        "--phi", "0.02", "--store", store,
+    ]
+    assert main(base) == 0
+    first = capsys.readouterr().out
+    assert "admitted: n_seen=" in first
+    n1 = int(first.split("n_seen=")[1].split(" ")[0])
+
+    assert main(base) == 0
+    second = capsys.readouterr().out
+    n2 = int(second.split("n_seen=")[1].split(" ")[0])
+    assert n2 == 2 * n1  # lifetime count accumulated across admissions
+    assert any("\t" in ln for ln in second.splitlines())  # candidates listed
