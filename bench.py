@@ -230,6 +230,13 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
             if "calibration_mem_sec" in out
             else {}
         ),
+        **(
+            # replay [start, end] 1-min loadavg — the regime witness for
+            # ref_scale swings; ~30 bytes, must survive the tail window
+            {"ref_scale_loadavg_1m": out["ref_scale_loadavg_1m"]}
+            if "ref_scale_loadavg_1m" in out
+            else {}
+        ),
         "recall_at5": recall_at5,
         "scope_tags": out["scope_tags"],
         "regressions": {k: {} for k in out["regressions"]},
@@ -878,6 +885,7 @@ def main() -> int:
     # a replay failure degrades the bench, it doesn't kill it.
     ref_scale_calibration: float | None = None
     ref_scale_calibration_mem: float | None = None
+    ref_scale_loadavg: list[float] | None = None
     if os.environ.get("SPARK_GRAFT_SKIP_REF_SCALE") != "1":
         import subprocess
 
@@ -916,6 +924,12 @@ def main() -> int:
                         ref_scale_calibration_mem = float(
                             ref["calibration_mem_sec"]
                         )
+                    if "loadavg_1m" in ref:
+                        # subprocess [start, end] 1-min loadavg — regime
+                        # attribution for ref_scale swings (meta only)
+                        ref_scale_loadavg = [
+                            float(x) for x in ref["loadavg_1m"]
+                        ]
                     # per-stage attribution (r10 VERDICT #2: fit swung
                     # 17 s -> 140-227 s across rounds on identical code;
                     # the breakdown names the swinging stage). Entered as
@@ -1031,6 +1045,11 @@ def main() -> int:
         **(
             {"ref_scale_calibration_ratio_vs_prev": round(ref_cal_ratio, 3)}
             if ref_cal_ratio is not None
+            else {}
+        ),
+        **(
+            {"ref_scale_loadavg_1m": ref_scale_loadavg}
+            if ref_scale_loadavg is not None
             else {}
         ),
         "headline_scope": HEADLINE_SCOPE,

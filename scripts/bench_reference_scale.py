@@ -28,6 +28,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> int:
+    load_start = os.getloadavg()[0]
+
     from pyspark.sql import functions as F
 
     from movie_recommendation_etl_spark.ml.ann import (
@@ -175,6 +177,16 @@ def main() -> int:
                 "n_vectors": n_vec,
                 "calibration_sec": calibration,
                 "calibration_mem_sec": calibration_mem,
+                # 1-min loadavg brackets: the CPU/mem probes sample a
+                # ~0.5 s window and have sat FLAT while the fit swung
+                # 6-15x (r8-r12, identical code) — loadavg integrates
+                # over the minute and catches the neighbor burst a short
+                # probe threads right through, settling host-contention
+                # vs code-regression attribution
+                "loadavg_1m": [
+                    round(load_start, 1),
+                    round(os.getloadavg()[0], 1),
+                ],
                 "corpus_gen_sec": round(gen_sec, 1),
                 "tfidf_fit_transform_sec": round(fit_sec, 1),
                 # relative spread of the plain fit samples — with stages

@@ -344,6 +344,8 @@ def _realistic_r11_stdout(flagged=("q53_embedding_neardup_pairs",)):
         "calibration_sec": 0.223,
         "calibration_ratio_vs_prev": 0.791,
         "ref_scale_calibration_sec": 0.196,
+        "calibration_mem_sec": 0.645,
+        "ref_scale_loadavg_1m": [31.8, 42.5],  # r12: regime witness
         "headline_scope": bench.HEADLINE_SCOPE,
         "recall_at5": recall,
         "query_spread": bench.cap_spread(
