@@ -770,9 +770,67 @@ def _cmd_zorder(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_profile(args: argparse.Namespace) -> int:
+    """One-pass table profile: per column its null count, HLL distinct
+    estimate, and min/max (orderable types). Everything lands in a SINGLE
+    aggregate over one scan — profiling a 100 TB table costs one pass,
+    never a per-column job loop. Distincts are approx_count_distinct
+    (rsd 2%) — the q44-gated sketch; exact distincts on a wide table
+    would be one giant shuffle per column."""
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-profile")
+    df = spark.read.parquet(args.in_path)
+    cols = args.columns.split(",") if args.columns else df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        print(
+            f"columns {missing} not in {sorted(df.columns)}",
+            file=sys.stderr,
+        )
+        return 1
+    orderable = {
+        c: not str(df.schema[c].dataType).startswith(("ArrayType", "MapType", "StructType"))
+        for c in cols
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+        )
+        aggs.append(F.approx_count_distinct(c, 0.02).alias(f"__dist_{c}"))
+        if orderable[c]:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+    row = df.agg(*aggs).first()
+    n = row["__n"]
+    print(f"rows\t{n}")
+    print("column\tnulls\tapprox_distinct\tmin\tmax")
+    for c in cols:
+        mn = row[f"__min_{c}"] if orderable[c] else ""
+        mx = row[f"__max_{c}"] if orderable[c] else ""
+        print(
+            f"{c}\t{row[f'__null_{c}']}\t{row[f'__dist_{c}']}"
+            f"\t{mn}\t{mx}"
+        )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="movie_recommendation_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser(
+        "profile",
+        help="one-pass column profile (nulls, approx distinct, min/max)",
+    )
+    pr.add_argument("in_path")
+    pr.add_argument(
+        "--columns", default=None, help="comma-separated subset (default all)"
+    )
+    pr.set_defaults(fn=_cmd_profile)
 
     zo = sub.add_parser(
         "zorder",

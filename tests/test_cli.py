@@ -891,3 +891,31 @@ def test_cli_heavy_hitters_incremental_store(capsys, sf_dir, tmp_path):
     n2 = int(second.split("n_seen=")[1].split(" ")[0])
     assert n2 == 2 * n1  # lifetime count accumulated across admissions
     assert any("\t" in ln for ln in second.splitlines())  # candidates listed
+
+
+def test_cli_profile(capsys, sf_dir):
+    """profile: one aggregate pass prints per-column nulls / approx
+    distinct / min-max; exact values cross-checked against DuckDB for
+    nation (tiny, so the HLL estimate must equal the exact count);
+    unknown columns are user errors."""
+    import duckdb
+
+    assert main(["profile", f"{sf_dir}/nation.parquet"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "rows\t25"
+    rows = {ln.split("\t")[0]: ln.split("\t") for ln in out[2:]}
+    con = duckdb.connect()
+    n_keys = con.sql(
+        f"SELECT count(DISTINCT n_nationkey), min(n_nationkey),"
+        f" max(n_nationkey) FROM '{sf_dir}/nation.parquet'"
+    ).fetchone()
+    assert rows["n_nationkey"][1] == "0"  # no nulls
+    assert int(rows["n_nationkey"][2]) == n_keys[0]
+    assert rows["n_nationkey"][3] == str(n_keys[1])
+    assert rows["n_nationkey"][4] == str(n_keys[2])
+
+    assert (
+        main(["profile", f"{sf_dir}/nation.parquet", "--columns", "zzz"])
+        == 1
+    )
+    assert "not in" in capsys.readouterr().err
