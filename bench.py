@@ -945,7 +945,13 @@ def main() -> int:
                             ref["tfidf_fit_spread"]
                         )
                     break
-        except (subprocess.SubprocessError, OSError, ValueError, KeyError):
+        except (
+            subprocess.SubprocessError,
+            OSError,
+            ValueError,
+            KeyError,
+            TypeError,  # malformed loadavg_1m / null numeric fields
+        ):
             pass
 
     # Headline total excludes the ref-scale replay entries: the replay is

@@ -791,15 +791,17 @@ def _cmd_profile(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 1
+    from pyspark.sql.types import MapType
+
+    # min/max are valid on arrays/structs too; only maps are unorderable
     orderable = {
-        c: not str(df.schema[c].dataType).startswith(("ArrayType", "MapType", "StructType"))
-        for c in cols
+        c: not isinstance(df.schema[c].dataType, MapType) for c in cols
     }
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
-        )
+        # nulls = rows - count(col): count already skips nulls, and this
+        # stays 0 (not NULL) on an empty table where sum() would
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
         aggs.append(F.approx_count_distinct(c, 0.02).alias(f"__dist_{c}"))
         if orderable[c]:
             aggs.append(F.min(c).alias(f"__min_{c}"))
@@ -808,11 +810,15 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     n = row["__n"]
     print(f"rows\t{n}")
     print("column\tnulls\tapprox_distinct\tmin\tmax")
+
+    def _fmt(v) -> str:
+        return "" if v is None else str(v)
+
     for c in cols:
-        mn = row[f"__min_{c}"] if orderable[c] else ""
-        mx = row[f"__max_{c}"] if orderable[c] else ""
+        mn = _fmt(row[f"__min_{c}"]) if orderable[c] else ""
+        mx = _fmt(row[f"__max_{c}"]) if orderable[c] else ""
         print(
-            f"{c}\t{row[f'__null_{c}']}\t{row[f'__dist_{c}']}"
+            f"{c}\t{n - row[f'__nn_{c}']}\t{row[f'__dist_{c}']}"
             f"\t{mn}\t{mx}"
         )
     return 0

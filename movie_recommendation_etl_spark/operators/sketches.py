@@ -252,9 +252,18 @@ def update_heavy_hitter_store(
     store = _read_store(spark, store_dir)
     prev = store.collect() if store is not None else []  # bounded: <= k+1
     if prev:
-        # n_seen rides on EVERY row including the NULL-key meta row, so
+        # n_seen/k ride on EVERY row including the NULL-key meta row, so
         # the lifetime count survives a summary that cancels to empty (a
         # uniform batch with > k distinct keys zeroes every counter)
+        stored_k = int(prev[0]["__mg_k"])
+        if stored_k != k:
+            raise ValueError(
+                f"heavy-hitter store at {store_dir} was built with "
+                f"k={stored_k}; admitting with k={k} would "
+                f"{'truncate it and evict lifetime-heavy keys' if k < stored_k else 'claim a tighter guarantee than the history supports'}"
+                " — use the store's k (phi <= "
+                f"{1.0 / stored_k:.6g})"
+            )
         n_prev = int(prev[0]["n_seen"])
         stored_counters = pd.Series(
             {
@@ -271,8 +280,12 @@ def update_heavy_hitter_store(
     n_total = n_prev + n_batch
 
     key_field = merged.schema[key_name]
-    rows = [(None, 0.0, n_total)]  # meta row: keeps n_seen through empties
-    rows += [(i, float(v), n_total) for i, v in final.items()]
+    # meta row keeps n_seen AND k through empty summaries; persisting k
+    # lets the next admission reject a mismatched sketch width instead of
+    # silently truncating lifetime-heavy keys (or claiming a tighter
+    # guarantee than the history supports)
+    rows = [(None, 0.0, n_total, k)]
+    rows += [(i, float(v), n_total, k) for i, v in final.items()]
     out = spark.createDataFrame(
         rows,
         T.StructType(
@@ -282,6 +295,7 @@ def update_heavy_hitter_store(
                 ),
                 T.StructField("__mg_est", T.DoubleType()),
                 T.StructField("n_seen", T.LongType()),
+                T.StructField("__mg_k", T.LongType()),
             ]
         ),
     )

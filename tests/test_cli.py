@@ -919,3 +919,14 @@ def test_cli_profile(capsys, sf_dir):
         == 1
     )
     assert "not in" in capsys.readouterr().err
+
+
+def test_cli_profile_empty_table(capsys, spark, tmp_path):
+    """Review-found edge: zero-row input must print 0 nulls and blank
+    min/max, never the string 'None'."""
+    src = str(tmp_path / "empty_tbl")
+    spark.createDataFrame([], "a long, b string").write.parquet(src)
+    assert main(["profile", src]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "rows\t0"
+    assert out[2] == "a\t0\t0\t\t" and "None" not in out[2]

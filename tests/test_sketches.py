@@ -290,3 +290,21 @@ def test_heavy_hitter_store_n_seen_survives_empty_summary(spark, tmp_path):
     cands = read_heavy_hitter_candidates(spark, store).collect()
     assert {r["k"] for r in cands} == {"hot"}
     assert all(r["n_seen"] == 15 for r in cands)
+
+
+def test_heavy_hitter_store_rejects_k_mismatch(spark, tmp_path):
+    """The store persists its sketch width: admitting with a different k
+    must fail loudly — a smaller k would truncate lifetime-heavy keys, a
+    larger one would claim a tighter guarantee than the history supports."""
+    from movie_recommendation_etl_spark.operators.sketches import (
+        update_heavy_hitter_store,
+    )
+
+    store = str(tmp_path / "hh_store_k")
+    batch = spark.createDataFrame([("a",)] * 5, "k string")
+    update_heavy_hitter_store(spark, store, batch, "k", k=100, key_name="k")
+    for bad_k in (10, 1000):
+        with pytest.raises(ValueError, match="k=100"):
+            update_heavy_hitter_store(
+                spark, store, batch, "k", k=bad_k, key_name="k"
+            )
