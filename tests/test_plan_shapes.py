@@ -211,3 +211,23 @@ def test_heavy_hitters_confirm_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q48_heavy_hitters")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total frame
+
+
+def test_gap_fill_two_scans_one_broadcast(spark, sf_dir):
+    """gap_filled_hourly's scale contract: exactly TWO event scans (the
+    tumbling aggregate + the one pruned bounds/types aggregate), the grid
+    joined broadcast, no cartesian product — deriving the grid from the
+    aggregate instead would re-execute the tumbling shuffle twice more
+    (the r12 review catch)."""
+    import re
+
+    from movie_recommendation_etl_spark.plans.events_stream import (
+        gap_filled_hourly,
+    )
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    df = gap_filled_hourly(load_table(spark, sf_dir, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
