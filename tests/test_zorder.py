@@ -169,3 +169,58 @@ def test_morton_key_null_raises_named_error(spark):
     df = spark.createDataFrame([(1, None)], "a long, b long")
     with pytest.raises(Exception, match="column b.*NULL"):
         df.select(morton_key("a", "b")).collect()
+
+
+def test_morton_key_matches_python_reference_fuzzed(spark):
+    """One batched Spark job over 300 random tuples (2 and 3 columns,
+    random per-column bit budgets): every computed key must equal the
+    classic Python bit-interleave. Catches off-by-one bit placement and
+    budget-edge values (0 and 2^bits - 1 included deliberately)."""
+    import random
+
+    rng = random.Random(17)
+
+    def py_morton(vals, bits):
+        n, out = len(vals), 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                out |= ((v >> i) & 1) << (i * n + j)
+        return out
+
+    cases2, cases3 = [], []
+    for _ in range(150):
+        bits = rng.randint(1, 21)
+        lim = (1 << bits) - 1
+        pick = lambda: rng.choice([0, lim, rng.randint(0, lim)])
+        cases2.append((pick(), pick(), bits))
+        bits3 = rng.randint(1, 21)
+        lim3 = (1 << bits3) - 1
+        pick3 = lambda: rng.choice([0, lim3, rng.randint(0, lim3)])
+        cases3.append((pick3(), pick3(), pick3(), bits3))
+
+    df2 = spark.createDataFrame(cases2, "a long, b long, bits int")
+    got2 = {
+        (r["a"], r["b"], r["bits"]): r["k"]
+        for bits in sorted({c[2] for c in cases2})
+        for r in df2.filter(F.col("bits") == bits)
+        .select("a", "b", "bits", morton_key("a", "b", bits=bits).alias("k"))
+        .collect()
+    }
+    for a, b, bits in cases2:
+        assert got2[(a, b, bits)] == py_morton([a, b], bits), (a, b, bits)
+
+    df3 = spark.createDataFrame(cases3, "a long, b long, c long, bits int")
+    got3 = {
+        (r["a"], r["b"], r["c"], r["bits"]): r["k"]
+        for bits in sorted({c[3] for c in cases3})
+        for r in df3.filter(F.col("bits") == bits)
+        .select(
+            "a", "b", "c", "bits",
+            morton_key("a", "b", "c", bits=bits).alias("k"),
+        )
+        .collect()
+    }
+    for a, b, c, bits in cases3:
+        assert got3[(a, b, c, bits)] == py_morton([a, b, c], bits), (
+            a, b, c, bits,
+        )
