@@ -153,10 +153,14 @@ def q03_multidim_agg_suite(spark, sf_dir):
     return rollup.unionByName(cube)
 
 
-# --- q05: semi & anti joins in one suite (J3 + J4 + null-key guard) --------
+# --- q05: semi, anti & full-outer joins in one suite ------------------------
 # Consolidated from the former q05/q06 so the registry fits the driver's
 # 50-query correctness cap (VERDICT.md r2 #1) without losing operator
-# coverage: both LeftSemi and LeftAnti appear in this one plan.
+# coverage: LeftSemi, LeftAnti, AND FullOuter appear in this one plan.
+# The full-outer arm (r12) reconciles customer vs supplier presence per
+# nation — the canonical full-outer use — with customers filtered to even
+# nation keys so BOTH unmatched directions genuinely occur (sf0.001 also
+# lacks suppliers in 15 of 25 nations).
 @query(
     "q05_semi_anti_join_suite",
     oracle="""
@@ -168,11 +172,22 @@ def q03_multidim_agg_suite(spark, sf_dir):
     SELECT 'without_orders' AS op, 'all' AS k, COUNT(*) AS n
     FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    UNION ALL
+    SELECT 'full_outer' AS op,
+           CAST(coalesce(c.nk, s.nk) AS VARCHAR) AS k,
+           CAST(coalesce(c.n_c, 0) + coalesce(s.n_s, 0) AS BIGINT) AS n
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_c FROM customer
+          WHERE c_nationkey % 2 = 0 GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_s FROM supplier
+          GROUP BY s_nationkey) s
+      ON c.nk = s.nk
     """,
 )
 def q05_semi_anti_join_suite(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
     semi = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
@@ -188,7 +203,31 @@ def q05_semi_anti_join_suite(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("without_orders").alias("op"), F.lit("all").alias("k"), "n")
     )
-    return semi.unionByName(anti)
+    c_by_nation = (
+        cust.filter(F.col("c_nationkey") % 2 == 0)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    s_by_nation = supp.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    full = (
+        c_by_nation.join(
+            s_by_nation,
+            c_by_nation.c_nationkey == s_by_nation.s_nationkey,
+            "full_outer",
+        )
+        .select(
+            F.lit("full_outer").alias("op"),
+            F.coalesce("c_nationkey", "s_nationkey")
+            .cast("string")
+            .alias("k"),
+            (
+                F.coalesce("n_c", F.lit(0)) + F.coalesce("n_s", F.lit(0))
+            ).cast("long").alias("n"),
+        )
+    )
+    return semi.unionByName(anti).unionByName(full)
 
 
 # --- q07: grouped top-k via window ----------------------------------------
