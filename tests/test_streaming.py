@@ -502,3 +502,66 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="left/inner"):
         enrich_with_static(stream, dim, how="full")
+
+
+def test_gap_fill_matches_python_replay_on_random_sparse_events(spark):
+    """Property check on synthetic sparse data (the oracle gates real
+    tables; this attacks edges the testdata may not have): random events
+    over a 3-day range with most hours empty — the densified series must
+    equal a pure-Python replay cell-for-cell, including all-zero hours,
+    single-type hours, and the exact [min,max] range bounds."""
+    import random
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from movie_recommendation_etl_spark.plans.events_stream import (
+        gap_filled_hourly,
+    )
+
+    rng = random.Random(23)
+    base = datetime(2024, 3, 1)
+    types = ["a", "b", "c"]
+    rows = []
+    for _ in range(120):
+        ts = base + timedelta(
+            hours=rng.randint(0, 71), minutes=rng.randint(0, 59)
+        )
+        rows.append((ts, rng.choice(types), float(rng.randint(1, 9))))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    ).repartition(7)
+
+    got = {
+        (r["window_start"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in gap_filled_hourly(df).collect()
+    }
+
+    counts, sums = Counter(), Counter()
+    for ts, et, v in rows:
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        counts[(h, et)] += 1
+        sums[(h, et)] += v
+    hours = sorted({h for h, _ in counts})
+    lo, hi = hours[0], hours[-1]
+    expected = {}
+    seen_types = sorted({et for _, et in counts})
+    h = lo
+    while h <= hi:
+        for et in seen_types:
+            expected[(h, et)] = (
+                counts.get((h, et), 0),
+                float(sums.get((h, et), 0.0)),
+            )
+        h += timedelta(hours=1)
+
+    assert set(got) == set(expected)
+    for cell, (n, s) in expected.items():
+        gn, gs = got[cell]
+        assert gn == n, cell
+        assert abs(gs - s) < 1e-9, cell
+    # sparsity really happened: most cells are gap-filled zeros
+    zero_cells = sum(1 for n, _ in got.values() if n == 0)
+    assert zero_cells > len(got) / 3
