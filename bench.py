@@ -73,6 +73,8 @@ CALIBRATION_RATIO_FENCE = 5.0
 # previous round recorded the SAME tag (or both rounds have none). The
 # next round's blob carries the tag, so comparison resumes automatically.
 SCOPE_TAGS: dict[str, str] = {
+    # r13: the slot gained the streaming-MG drain + second confirm pass
+    "q48_heavy_hitters": "r13-stream-arm",
     "q30_batch_arms": "r12-gapfill-arm",
     "q33_lookup_expr_suite": "r9-csv-arm",
     "q40_text_profile_suite": "r11-bc-lemma-arm",
@@ -237,24 +239,51 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
             if "ref_scale_loadavg_1m" in out
             else {}
         ),
+        **(
+            # main-sweep [start, max] 1-min loadavg (r12 VERDICT #7)
+            {"bench_loadavg_1m": out["bench_loadavg_1m"]}
+            if "bench_loadavg_1m" in out
+            else {}
+        ),
         "recall_at5": recall_at5,
         "scope_tags": out["scope_tags"],
-        "regressions": {k: {} for k in out["regressions"]},
+        **(
+            # the END-of-run displaced samples for this round's flagged
+            # queries (see the re-sample pass in main) — the adjudication
+            # witness must survive the tail window with the flags
+            {"end_resampled": out["end_resampled"]}
+            if out.get("end_resampled")
+            else {}
+        ),
+        # name -> pct so the tail names the MAGNITUDE, not just the
+        # membership (r12 VERDICT #6; prev/now detail stays in the blob)
+        "regressions": {
+            k: v.get("pct") for k, v in out["regressions"].items()
+        },
     }
     line = json.dumps(slim, separators=(",", ":"))
     # Size guard: a flag-storm round (r5 shape: ~20 phantom regressions)
-    # adds ~30 bytes per flagged name and can push the line past the
-    # driver's ~2000-byte window — which would clip the queries object,
-    # the exact failure this line exists to prevent. Degrade
-    # deterministically: keep only the first 10 flagged names (min-of-3
-    # targeting loses its tail, timings survive), then none.
+    # adds ~60 bytes per flagged name (pct + its end_resampled twin) and
+    # can push the line past the driver's ~2000-byte window — which would
+    # clip the queries object, the exact failure this line exists to
+    # prevent. Degrade deterministically: keep only the first 10 flagged
+    # names and THEIR displaced samples (min-of-3 targeting loses its
+    # tail, timings survive), then drop both blocks entirely.
     if len(line.encode()) > COMPACT_LINE_BUDGET:
+        keep = sorted(out["regressions"])[:10]
         slim["regressions"] = {
-            k: {} for k in sorted(out["regressions"])[:10]
+            k: out["regressions"][k].get("pct") for k in keep
         }
+        if "end_resampled" in slim:
+            slim["end_resampled"] = {
+                k: v
+                for k, v in out["end_resampled"].items()
+                if k in set(keep)
+            }
         line = json.dumps(slim, separators=(",", ":"))
     if len(line.encode()) > COMPACT_LINE_BUDGET:
         slim.pop("regressions")
+        slim.pop("end_resampled", None)
         line = json.dumps(slim, separators=(",", ":"))
     return line
 
@@ -398,6 +427,7 @@ def previous_round_bench(repo_dir: str) -> dict | None:
             '"query_spread"',
             '"extra_sampled"',
             '"scope_tags"',
+            '"end_resampled"',  # holds "qNN": seconds pairs (r13)
             '"regressions"',
         ):
             seg = seg.split(marker)[0]
@@ -427,10 +457,12 @@ def previous_round_bench(repo_dir: str) -> dict | None:
             # even when the driver clipped the head of the JSON line
             if '"regressions"' in tail:
                 reg_seg = tail.split('"regressions"', 1)[1]
+                # value is a detail dict in the full blob and a bare pct
+                # number (possibly negative/null) in the compact line (r13)
                 flagged = re.findall(
                     r'"(q\d+[a-z_0-9]*|incremental_admit|catalog_warm'
                     r'|ann_warm_query|batch_ann|ivf_pq_serve'
-                    r'|ref_scale_[a-z_]+)":\s*\{',
+                    r'|ref_scale_[a-z_]+)":\s*[{\-0-9n]',
                     reg_seg,
                 )
                 out["regressions"] = {k: {} for k in flagged}
@@ -609,6 +641,18 @@ def main() -> int:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
 
+    # Main-sweep [start, max] 1-min loadavg (r12 VERDICT #7): the replay
+    # records its bracket and r12's adjudication leaned on it — the main
+    # sweep deserves the same regime witness. Max is sampled at every
+    # _record plus the end-of-run stages, so a mid-sweep neighbor spike
+    # lands in the artifact even if it has passed by the end.
+    bench_loadavg = [round(os.getloadavg()[0], 1)] * 2
+
+    def _touch_loadavg() -> None:
+        bench_loadavg[1] = max(
+            bench_loadavg[1], round(os.getloadavg()[0], 1)
+        )
+
     # Queries the PREVIOUS round flagged as regressions get one extra
     # sample this round (min-of-3): a flag is either real (all three
     # samples stay high) or neighbor noise (one clean sample clears it) —
@@ -644,6 +688,7 @@ def main() -> int:
     extra_sampled: list[str] = []
 
     def _record(name: str, samples: list[float]) -> None:
+        _touch_loadavg()
         timings[name] = round(min(samples), 3)
         if len(samples) > 1:
             spread[name] = _rel_spread(samples)
@@ -866,6 +911,49 @@ def main() -> int:
     finally:
         shutil.rmtree(pq_dir, ignore_errors=True)
 
+    # END-of-run re-sample pass (r12 VERDICT #1): host noise is
+    # time-correlated (r12 judge session: q21 measured 34 s then 0.19 s
+    # minutes apart), so a sample displaced to the END of the sweep
+    # adjudicates a flag better than a third adjacent one. Compute a
+    # PRELIMINARY flag set over the main-sweep timings with the same
+    # machinery the final report uses (ref_scale_* entries can't flag
+    # yet — the replay subprocess runs after spark.stop) and give every
+    # flagged registry query one displaced sample. The displaced sample
+    # is recorded in end_resampled even when it doesn't become the min,
+    # so a flag that survives the final report visibly survived its OWN
+    # displaced re-sample — exactly the adjudication the r12 q57 flag
+    # lacked. Custom-harness lines (incremental_admit, batch_ann, ...)
+    # keep min-of-3-when-flagged as their only extra-sample channel:
+    # their fixtures (stores, cached indexes) are torn down by now.
+    end_resampled: dict[str, float] = {}
+    if prev_blob_early and prev_blob_early.get("bench_method") == BENCH_METHOD:
+        pre_prev = fence_ref_scale(
+            prev_blob_early.get("queries"),
+            prev_blob_early.get("ref_scale_method"),
+        )
+        pre_prev, _pre_dropped = fence_scope_tags(
+            pre_prev, prev_blob_early.get("scope_tags") or {}
+        )
+        pre_cal = prev_blob_early.get("calibration_sec")
+        pre_ratio = (
+            calibration / pre_cal
+            if isinstance(pre_cal, (int, float)) and pre_cal > 0
+            else 1.0
+        )
+        pre_flags = compute_regressions(
+            pre_prev, timings, calibration_ratio=pre_ratio
+        )
+        for name in sorted(pre_flags):
+            if name not in runnable:
+                continue
+            _touch_loadavg()
+            t0 = time.monotonic()
+            _run_noop(runnable[name](spark, SF_DIR))
+            s = round(time.monotonic() - t0, 3)
+            end_resampled[name] = s
+            if s < timings[name]:
+                timings[name] = s
+
     # Nothing below needs this session (the replay is a subprocess and
     # the output assembly is pure Python), so stop it BEFORE the replay:
     # the parent local[32] JVM otherwise sits on its heap, cached tables,
@@ -1058,6 +1146,9 @@ def main() -> int:
             if ref_scale_loadavg is not None
             else {}
         ),
+        # main-sweep [start, max] 1-min loadavg — the regime witness for
+        # per-query swings, same role as the replay's bracket
+        "bench_loadavg_1m": bench_loadavg,
         "headline_scope": HEADLINE_SCOPE,
         "recall_at5": recall_at5,
         # only spreads above the resample bound, 2 decimals (cap_spread —
@@ -1073,6 +1164,10 @@ def main() -> int:
             if spread.get(n, 0.0) <= SPREAD_RESAMPLE_BOUND
         ),
         "scope_tags": SCOPE_TAGS,
+        # displaced end-of-run samples for this round's flagged queries
+        # (prints AFTER queries and is a cut marker for the tail
+        # reconstruction — its values are "qNN": seconds pairs)
+        **({"end_resampled": end_resampled} if end_resampled else {}),
         "regressions": compute_regressions(
             prev,
             timings,

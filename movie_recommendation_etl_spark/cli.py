@@ -745,6 +745,25 @@ def _cmd_zorder(args: argparse.Namespace) -> int:
     if len(cols) < 2:
         print("--by needs >= 2 comma-separated columns", file=sys.stderr)
         return 1
+    bucket: dict[str, str] = {}
+    for spec in args.bucket or []:
+        if ":" not in spec:
+            print(
+                f"--bucket {spec!r}: expected col:days|hours|div:N|mod:N",
+                file=sys.stderr,
+            )
+            return 1
+        col, transform = spec.split(":", 1)
+        bucket[col] = transform
+        if transform.startswith("mod:"):
+            # mod is not monotone: the raw column's per-file footer range
+            # stays wide, so pruning on that column is sacrificed (see
+            # functions/zorder.bucketize) — legal, but say so
+            print(
+                f"note: mod bucketing on {col} sacrifices footer pruning "
+                "on the raw column (use div:N for a prunable layout)",
+                file=sys.stderr,
+            )
     spark = get_spark(app_name="mre-zorder")
     df = spark.read.parquet(args.in_path)
     missing = [c for c in cols if c not in df.columns]
@@ -761,22 +780,40 @@ def _cmd_zorder(args: argparse.Namespace) -> int:
             cols,
             num_files=args.num_files,
             bits=args.bits,
+            bucket=bucket,
         )
     except (ValueError, PySparkException) as exc:
-        # out-of-range values (morton_key raise_error) / bad bits budget
+        # out-of-range values (morton_key raise_error) / bad bits budget /
+        # bad bucket spec
         print(f"zorder error: {exc}", file=sys.stderr)
         return 1
     print(f"zordered table written: {args.out_path} (by {','.join(cols)})")
     return 0
 
 
+def _profile_orderable(dt) -> bool:
+    """Whether min/max is legal on this type: MapType anywhere in the
+    type tree (top-level, array element, struct field, map value) makes
+    the whole column unorderable for Spark's ordering."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _profile_orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_profile_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def _cmd_profile(args: argparse.Namespace) -> int:
     """One-pass table profile: per column its null count, HLL distinct
-    estimate, and min/max (orderable types). Everything lands in a SINGLE
-    aggregate over one scan — profiling a 100 TB table costs one pass,
-    never a per-column job loop. Distincts are approx_count_distinct
-    (rsd 2%) — the q44-gated sketch; exact distincts on a wide table
-    would be one giant shuffle per column."""
+    estimate, min/max (orderable types), and p50/p90 (numeric types).
+    Everything lands in a SINGLE aggregate over one scan — profiling a
+    100 TB table costs one pass, never a per-column job loop. Distincts
+    are approx_count_distinct (rsd 2%) — the q44-gated sketch; quantiles
+    are percentile_approx — the q39-gated GK sketch; exact versions of
+    either on a wide table would be one giant shuffle per column."""
     from pyspark.sql import functions as F
 
     from movie_recommendation_etl_spark.session import get_spark
@@ -791,11 +828,13 @@ def _cmd_profile(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 1
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import NumericType
 
-    # min/max are valid on arrays/structs too; only maps are unorderable
-    orderable = {
-        c: not isinstance(df.schema[c].dataType, MapType) for c in cols
+    # min/max are valid on arrays/structs too — unless a map hides
+    # ANYWHERE in the type tree (array<map<..>>, struct with a map field)
+    orderable = {c: _profile_orderable(df.schema[c].dataType) for c in cols}
+    numeric = {
+        c: isinstance(df.schema[c].dataType, NumericType) for c in cols
     }
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
@@ -806,10 +845,16 @@ def _cmd_profile(args: argparse.Namespace) -> int:
         if orderable[c]:
             aggs.append(F.min(c).alias(f"__min_{c}"))
             aggs.append(F.max(c).alias(f"__max_{c}"))
+        if numeric[c]:
+            aggs.append(
+                F.percentile_approx(
+                    c, F.array(F.lit(0.5), F.lit(0.9))
+                ).alias(f"__pct_{c}")
+            )
     row = df.agg(*aggs).first()
     n = row["__n"]
     print(f"rows\t{n}")
-    print("column\tnulls\tapprox_distinct\tmin\tmax")
+    print("column\tnulls\tapprox_distinct\tmin\tmax\tp50\tp90")
 
     def _fmt(v) -> str:
         return "" if v is None else str(v)
@@ -817,9 +862,12 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     for c in cols:
         mn = _fmt(row[f"__min_{c}"]) if orderable[c] else ""
         mx = _fmt(row[f"__max_{c}"]) if orderable[c] else ""
+        pct = row[f"__pct_{c}"] if numeric[c] else None
+        p50 = _fmt(pct[0]) if pct else ""
+        p90 = _fmt(pct[1]) if pct else ""
         print(
             f"{c}\t{n - row[f'__nn_{c}']}\t{row[f'__dist_{c}']}"
-            f"\t{mn}\t{mx}"
+            f"\t{mn}\t{mx}\t{p50}\t{p90}"
         )
     return 0
 
@@ -830,7 +878,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     pr = sub.add_parser(
         "profile",
-        help="one-pass column profile (nulls, approx distinct, min/max)",
+        help="one-pass column profile (nulls, approx distinct, min/max, "
+        "p50/p90)",
     )
     pr.add_argument("in_path")
     pr.add_argument(
@@ -851,6 +900,12 @@ def build_parser() -> argparse.ArgumentParser:
     zo.add_argument(
         "--bits", type=int, default=None,
         help="per-column bit budget (default: auto, <= 21)",
+    )
+    zo.add_argument(
+        "--bucket", action="append", default=None, metavar="COL:SPEC",
+        help="bucket a raw column for the key only (repeatable): "
+        "col:days, col:hours, col:div:N (monotone — keeps footer "
+        "pruning), col:mod:N (balance only — sacrifices pruning on col)",
     )
     zo.set_defaults(fn=_cmd_zorder)
 

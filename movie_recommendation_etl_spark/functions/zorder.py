@@ -86,6 +86,51 @@ def morton_key(
     return key
 
 
+def bucketize(col: str, spec: str) -> Column:
+    """Static bucketing transform for a morton_key input — makes RAW
+    timestamp / negative / wide columns interleavable without a
+    hand-written pre-projection (r12 VERDICT #4). Specs:
+
+    - ``days`` / ``hours``: timestamp/date → days/hours since the epoch.
+      MONOTONE, so per-file footer ranges stay tight on the raw column
+      and pruning works on ordinary timestamp predicates. Pre-1970
+      values go negative and still raise in morton_key — intentional
+      (out-of-range stays loud, never silently corrupts the interleave).
+    - ``div:N``: integer floor-division by N — the monotone way to
+      shrink a wide int domain (ids, amounts) into a bits budget.
+    - ``mod:N``: pmod into [0, N). NOT monotone — a file then holds rows
+      congruent mod N, so its raw-column footer range is nearly the full
+      domain and footer pruning on THAT column is sacrificed. Only
+      useful when the dimension is queried through the same bucketed
+      value (e.g. a reader that also computes id % N) or purely for
+      cluster balance; prefer ``div:N`` for prunable layouts. The CLI
+      warns when it sees one.
+    """
+    c = F.col(col)
+    if spec == "days":
+        return F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+    if spec == "hours":
+        return F.floor(F.unix_timestamp(c) / F.lit(3600)).cast("long")
+    if spec.startswith("div:") or spec.startswith("mod:"):
+        try:
+            n = int(spec[4:])
+        except ValueError:
+            n = 0
+        if n <= 0:
+            raise ValueError(
+                f"bucket spec {spec!r} for {col}: N must be a positive int"
+            )
+        if spec.startswith("div:"):
+            # floor division keeps order; negatives stay negative and
+            # keep raising in morton_key (documented above)
+            return F.floor(c.cast("long") / F.lit(n)).cast("long")
+        return F.pmod(c.cast("long"), F.lit(n)).cast("long")
+    raise ValueError(
+        f"unknown bucket spec {spec!r} for {col} "
+        "(expected days | hours | div:N | mod:N)"
+    )
+
+
 def write_zordered_parquet(
     df: DataFrame,
     path: str,
@@ -93,12 +138,18 @@ def write_zordered_parquet(
     *,
     num_files: int | None = None,
     bits: int | None = None,
+    bucket: dict[str, str] | None = None,
 ) -> None:
     """Range-sorted parquet on the Morton key of n pre-bucketed int
     columns: each output file covers a compact hyper-rectangle of the key
     space, so min/max footer pruning works for predicates on ANY
     interleaved column (asserted from the footers in tests/test_zorder.py
-    for both 2 and 3 columns)."""
+    for both 2 and 3 columns).
+
+    ``bucket`` maps a zorder column to a bucketize() spec applied ONLY
+    inside the key derivation — the stored column is untouched, so a
+    monotone spec (days/hours/div:N) keeps raw-column footer pruning
+    intact while making timestamps and wide ints interleavable."""
     from movie_recommendation_etl_spark.sources.writers import (
         write_sorted_parquet,
     )
@@ -107,7 +158,17 @@ def write_zordered_parquet(
         raise ValueError(
             "z-order needs >= 2 columns; use write_sorted_parquet for one"
         )
-    keyed = df.withColumn("__zkey", morton_key(*zorder_cols, bits=bits))
+    bucket = bucket or {}
+    unknown = sorted(set(bucket) - set(zorder_cols))
+    if unknown:
+        raise ValueError(
+            f"bucket specs for non-zorder columns: {unknown} "
+            f"(zorder cols: {list(zorder_cols)})"
+        )
+    key_inputs: list[Column | str] = [
+        bucketize(c, bucket[c]) if c in bucket else c for c in zorder_cols
+    ]
+    keyed = df.withColumn("__zkey", morton_key(*key_inputs, bits=bits))
     # the Morton key is derivable layout metadata, not data — drop it after
     # the sort so readers see exactly the input schema
     write_sorted_parquet(

@@ -172,16 +172,42 @@ def heavy_hitters(
         if remerge
         else mg_candidates(keyed, key_name, k)
     )
+    return confirm_heavy_hitters(
+        df, key, summaries, phi=phi, key_name=key_name
+    )
+
+
+def confirm_heavy_hitters(
+    df: DataFrame,
+    key: Column | str,
+    candidates: DataFrame,
+    *,
+    phi: float,
+    key_name: str = "key",
+) -> DataFrame:
+    """The exact-confirm half of ``heavy_hitters``, reusable with an
+    EXTERNALLY-produced candidate set — the streaming twin's drained
+    per-bucket summaries (streaming/heavy_hitters.py), a persisted store's
+    candidates, or any other superset source. Output is bit-identical to
+    the naive group-by + threshold as long as ``candidates`` is a superset
+    of the true φ-heavy keys (extra candidates only cost broadcast bytes;
+    the exact recount filters them).
+
+    Plan shape: ``candidates`` broadcasts onto one scan of ``df``;
+    non-candidates fold into ONE null-keyed row per map task during
+    partial aggregation — the exchange moves |candidates|+1 rows per task
+    however large the keyspace is. N comes out of the same pass as the
+    bucket sum, so the confirm costs exactly one scan of ``df``."""
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    keyed = df.select(
+        (F.col(key) if isinstance(key, str) else key).alias(key_name)
+    ).filter(F.col(key_name).isNotNull())
     cands = (
-        summaries.select(key_name)
+        candidates.select(key_name)
         .distinct()
         .withColumn("__cand", F.lit(1))
     )
-    # Non-candidates fold into ONE null-keyed row per map task during
-    # partial aggregation — the exchange moves |candidates|+1 rows per
-    # task however large the keyspace is. N comes out of the same pass as
-    # the bucket sum, so the input is scanned exactly twice in total
-    # (once for candidates, once here).
     buckets = (
         keyed.join(F.broadcast(cands), key_name, "left")
         .groupBy(
@@ -198,6 +224,65 @@ def heavy_hitters(
         )
         .select(key_name, "cnt", "n_total")
     )
+
+
+def _latest_store_version(spark, store_dir: str) -> tuple[str | None, int]:
+    """(path, n) of the highest COMMITTED ``v_<n>`` subdirectory under the
+    heavy-hitter store, or (None, 0) when none exists. "Committed" = Spark's
+    own ``_SUCCESS`` marker is present, so a version half-written when the
+    driver died is invisible to readers — that marker is the store's commit
+    pointer (requires the default marksuccessfuljobs=true, which the repo
+    never disables). Hadoop FileSystem API throughout, so the layout works
+    unchanged on file:/, hdfs:/ and s3a:/ (same pattern as
+    incremental_dedup._store_bytes)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return None, 0
+    best_path, best_n = None, 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v_")):
+            continue
+        try:
+            n = int(name[2:])
+        except ValueError:
+            continue
+        committed = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        )
+        if committed and n > best_n:
+            best_path, best_n = st.getPath().toString(), n
+    return best_path, best_n
+
+
+def _prune_store_versions(spark, store_dir: str, keep_n: int) -> None:
+    """Best-effort cleanup AFTER a new version committed: drop older
+    ``v_<n>`` dirs and any legacy flat-layout files sitting directly in the
+    store root. A crash here only leaves extra bytes — readers always pick
+    the highest committed version first."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v_"):
+            try:
+                if int(name[2:]) >= keep_n:
+                    continue
+            except ValueError:
+                pass
+        elif not (
+            name.startswith("part-")
+            or name in ("_SUCCESS",)
+            or name.endswith(".crc")
+        ):
+            continue  # unknown file: leave it alone
+        try:
+            fs.delete(st.getPath(), True)
+        except Exception:
+            pass  # cleanup only; next admission retries
 
 
 def update_heavy_hitter_store(
@@ -221,8 +306,13 @@ def update_heavy_hitter_store(
     Plan shape per batch: one scan for the per-partition summaries, one
     ≤ k·partitions-row shuffle to re-merge them, then a DRIVER-side fold
     of two ≤ k-entry summaries (bounded metadata, the repo's bounded-
-    collect policy) and an atomic overwrite of the ≤ k-row store. The
-    batch is scanned twice in total (summary + count).
+    collect policy) and a CRASH-SAFE commit of the ≤ k-row store: each
+    admission writes a fresh ``v_<n>`` subdirectory and readers take the
+    highest one carrying Spark's ``_SUCCESS`` marker, so a crash mid-write
+    leaves the previous version intact (an uncommitted dir is invisible)
+    rather than a deleted-then-half-rewritten store; older versions are
+    pruned best-effort after the commit. The batch is scanned twice in
+    total (summary + count).
 
     Returns ``{"n_seen": lifetime rows, "n_candidates": store rows}``.
     Exact counts for the candidates still come from a confirm pass over
@@ -249,7 +339,10 @@ def update_heavy_hitter_store(
     )
 
     stored_counters, n_prev = None, 0
-    store = _read_store(spark, store_dir)
+    vpath, vn = _latest_store_version(spark, store_dir)
+    # vpath=None + existing flat files = a legacy (pre-versioning) store:
+    # _read_store on the root reads it; missing path still maps to fresh
+    store = _read_store(spark, vpath if vpath is not None else store_dir)
     prev = store.collect() if store is not None else []  # bounded: <= k+1
     if prev:
         # n_seen/k ride on EVERY row including the NULL-key meta row, so
@@ -299,7 +392,12 @@ def update_heavy_hitter_store(
             ]
         ),
     )
-    out.coalesce(1).write.mode("overwrite").parquet(store_dir)
+    # commit protocol: new version dir first (crash => uncommitted, old
+    # version still wins), prune superseded versions only after _SUCCESS
+    out.coalesce(1).write.mode("errorifexists").parquet(
+        f"{store_dir}/v_{vn + 1}"
+    )
+    _prune_store_versions(spark, store_dir, keep_n=vn + 1)
     return {"n_seen": n_total, "n_candidates": int(len(final))}
 
 
@@ -308,6 +406,9 @@ def read_heavy_hitter_candidates(spark, store_dir: str) -> DataFrame:
     counter, n_seen lifetime rows). Keys are the superset guarantee; the
     residual counter is an undercount of the true lifetime frequency by
     at most n_seen/(k+1). The persisted NULL-key metadata row (the
-    n_seen carrier) is filtered out here."""
-    df = spark.read.parquet(store_dir)
+    n_seen carrier) is filtered out here. Reads the highest committed
+    ``v_<n>`` version (see update_heavy_hitter_store's commit protocol);
+    legacy flat-layout stores read as-is."""
+    vpath, _ = _latest_store_version(spark, store_dir)
+    df = spark.read.parquet(vpath if vpath is not None else store_dir)
     return df.filter(F.col(df.columns[0]).isNotNull())

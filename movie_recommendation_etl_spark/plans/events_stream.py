@@ -60,7 +60,14 @@ def gap_filled_hourly(events: DataFrame) -> DataFrame:
     itself, never by the row count — and BOTH grid inputs come out of one
     pruned-column scan (a single global aggregate over ts + event_type).
     The left join runs on bucket-level rows, so at 100 TB the gap fill
-    costs that one extra scan, not a re-shuffle of events."""
+    costs that one extra scan, not a re-shuffle of events.
+
+    NULL event_type is EXCLUDED from densification (filtered explicitly
+    here, `WHERE event_type IS NOT NULL` in the oracle grid): collect_set
+    drops NULLs, and a NULL series can't be joined back by an equi join
+    anyway — a NULL "type" isn't a series, it's missing data. Consumers
+    who want the NULL bucket get it from tumbling_window_agg, which does
+    emit it."""
     agg = tumbling_window_agg(events)
     # grid inputs (hour bounds + type list) come from ONE pruned scan of
     # events — deriving them from `agg` would physically re-execute the
@@ -68,7 +75,7 @@ def gap_filled_hourly(events: DataFrame) -> DataFrame:
     meta = events.agg(
         F.min(F.date_trunc("hour", "ts")).alias("lo"),
         F.max(F.date_trunc("hour", "ts")).alias("hi"),
-        F.collect_set("event_type").alias("types"),
+        F.collect_set("event_type").alias("types"),  # drops NULL, by design
     )
     grid = meta.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
@@ -200,7 +207,8 @@ def session_window_agg(events: DataFrame) -> DataFrame:
                 (SELECT max(date_trunc('hour', ts)) FROM events),
                 INTERVAL '1 hour')) AS window_start
         ) h
-        CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT DISTINCT event_type FROM events
+                    WHERE event_type IS NOT NULL) t
     ) g
     LEFT JOIN tumb tb
       ON tb.window_start = g.window_start AND tb.grp = g.event_type

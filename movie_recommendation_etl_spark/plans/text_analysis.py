@@ -7,6 +7,8 @@ value-hash gate proves the Spark and SQL formulations agree bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -477,6 +479,59 @@ def q76_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, ev, n=5, ratio_threshold=0.05)
 
 
+_Q48_PHI = 0.00105
+
+
+def _q48_grams(docs: DataFrame) -> DataFrame:
+    """All corpus bigrams WITH multiplicity (distinct=False — the
+    per-doc-deduped shingle set would be the wrong ground set for a
+    frequency query). Applied unchanged to batch and streaming frames
+    (Spark's unified model)."""
+    from movie_recommendation_etl_spark.operators.neardup import (
+        word_ngrams,
+    )
+
+    return docs.select(
+        F.explode(
+            word_ngrams(F.split("text", " "), 2, distinct=False)
+        ).alias("gram")
+    )
+
+
+def _q48_stream_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream arm's candidate half: the documents table rewritten into
+    3 files fed one per trigger (so the per-bucket MG state genuinely
+    merges ACROSS micro-batches — a single-batch drain would never
+    execute that path while the gate claimed it did; same rationale as
+    q30's session stream arm), bigram-exploded INSIDE the streaming
+    query, summarized by streaming_mg_candidates, drained availableNow.
+    Returns the bounded (≤ n_buckets·k rows) final summary frame."""
+    import shutil
+    import tempfile
+
+    from movie_recommendation_etl_spark.streaming.heavy_hitters import (
+        drain_mg_candidates,
+    )
+
+    k = math.ceil(1.0 / _Q48_PHI)
+    stream_dir = tempfile.mkdtemp(prefix="spark_graft_q48_stream_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        docs.repartition(3).write.mode("overwrite").parquet(stream_dir)
+        doc_stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        return drain_mg_candidates(
+            spark, _q48_grams(doc_stream), k=k, n_buckets=8
+        )
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
+
 @query(
     "q48_heavy_hitters",
     oracle="""
@@ -491,42 +546,60 @@ def q76_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              )) AS u(g)
     ),
     f AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
-    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM f)
-    SELECT g AS gram, cnt, n_total
-    FROM f, tot
-    WHERE cnt > n_total * 0.00105
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM f),
+    hh AS (
+        SELECT g AS gram, cnt, n_total
+        FROM f, tot
+        WHERE cnt > n_total * 0.00105
+    )
+    SELECT 'batch' AS arm, gram, cnt, n_total FROM hh
+    UNION ALL
+    SELECT 'stream' AS arm, gram, cnt, n_total FROM hh
     """,
 )
 def q48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """φ-heavy hitters over the corpus bigram stream — common-phrase
     mining, the frequency-sketch sibling of the HLL gate (q44) and the
     quantile-sketch gate (q39's approx_percentile arm). The oracle is the
-    NAIVE formulation
-    (explode → group-by → threshold); the Spark side answers through
-    Misra-Gries-bounded candidate generation + exact confirm
-    (operators/sketches.py), so the hash gate proves the sketch path is
-    bit-identical to the exhaustive group-by while shuffling only the
-    candidate set + one null bucket. Bigrams (not unigrams) keep the
-    keyspace meaningfully larger than the survivors at every SF."""
+    NAIVE formulation (explode → group-by → threshold), emitted once per
+    arm — BOTH engine paths must reproduce the exhaustive group-by
+    bit-for-bit:
+
+    - ``batch``: Misra-Gries-bounded candidate generation + exact confirm
+      (operators/sketches.py); remerge=True gates the 100 TB shape — the
+      candidate broadcast is ≤ k keys TOTAL (one extra ≤ k·partitions-row
+      shuffle), not k·partitions.
+    - ``stream`` (r13): the candidates come from the STREAMING
+      Misra-Gries twin instead (streaming/heavy_hitters.py — bucketed
+      applyInPandasWithState, state ≤ n_buckets·k rows, drained over 3
+      micro-batches so cross-batch state merges genuinely execute), then
+      the SAME exact-confirm plan over the stored corpus. The superset
+      theorem holds under any arrival order, so the confirm output — and
+      therefore the hash — matches the batch arm exactly.
+
+    Bigrams (not unigrams) keep the keyspace meaningfully larger than the
+    survivors at every SF."""
     from movie_recommendation_etl_spark.operators.sketches import (
+        confirm_heavy_hitters,
         heavy_hitters,
     )
 
-    from movie_recommendation_etl_spark.operators.neardup import (
-        word_ngrams,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
-    # all bigrams WITH multiplicity (distinct=False — the per-doc-deduped
-    # shingle set would be the wrong ground set for a frequency query)
-    grams = docs.select(
-        F.explode(
-            word_ngrams(F.split("text", " "), 2, distinct=False)
-        ).alias("gram")
+    grams = _q48_grams(docs)
+    batch = heavy_hitters(
+        grams, "gram", phi=_Q48_PHI, key_name="gram", remerge=True
     )
-    # remerge=True gates the 100 TB shape: the candidate broadcast is
-    # ≤ k keys TOTAL (one extra ≤ k·partitions-row shuffle), not
-    # k·partitions — the same exact answer either way (tested)
-    return heavy_hitters(
-        grams, "gram", phi=0.00105, key_name="gram", remerge=True
+    stream = confirm_heavy_hitters(
+        grams,
+        "gram",
+        _q48_stream_candidates(spark, sf_dir),
+        phi=_Q48_PHI,
+        key_name="gram",
+    )
+    return batch.select(
+        F.lit("batch").alias("arm"), "gram", "cnt", "n_total"
+    ).unionByName(
+        stream.select(
+            F.lit("stream").alias("arm"), "gram", "cnt", "n_total"
+        )
     )

@@ -52,6 +52,10 @@ def _mk_update(k: int):
         for pdf in pdfs:
             n_seen += len(pdf)
             counters = _mg_merge(counters, pdf["gram"].value_counts(), k)
+        if counters is None:
+            # Zero/empty chunks with no prior state (possible if a timeout
+            # is ever configured): emit an empty summary instead of dying.
+            counters = pd.Series(dtype="float64")
         state.update(
             (
                 [str(i) for i in counters.index],
@@ -98,3 +102,53 @@ def streaming_mg_candidates(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def drain_mg_candidates(
+    spark,
+    gram_stream: DataFrame,
+    *,
+    k: int,
+    n_buckets: int = 16,
+    gram_col: str = "gram",
+) -> DataFrame:
+    """Run ``streaming_mg_candidates`` over a STREAMING gram frame to
+    exhaustion (availableNow trigger, memory sink, update mode) and return
+    the FINAL candidate summary as a bounded batch frame: each bucket's
+    emission with that bucket's max ``n_seen`` — ≤ n_buckets·k rows by the
+    state bound, localCheckpoint'ed so the memory sink can be dropped
+    before returning. This is the ingestion-side half of the q48 stream
+    arm; exact counts come from operators/sketches.confirm_heavy_hitters
+    over the stored corpus (the same plan the batch arm confirms with).
+    """
+    import uuid
+
+    from pyspark.sql import Window
+
+    name = f"mg_stream_{uuid.uuid4().hex}"
+    q = (
+        streaming_mg_candidates(
+            gram_stream, k=k, n_buckets=n_buckets, gram_col=gram_col
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        emitted = spark.table(name)
+        # n_seen strictly grows per bucket across triggers, so the rows
+        # carrying a bucket's max n_seen ARE its final summary; earlier
+        # emissions may hold since-evicted keys (legal as candidates, but
+        # keeping them would grow the confirm broadcast past n_buckets*k)
+        w = Window.partitionBy("bucket")
+        final = (
+            emitted.withColumn("__mx", F.max("n_seen").over(w))
+            .filter(F.col("n_seen") == F.col("__mx"))
+            .select("bucket", "gram", "est", "n_seen")
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)

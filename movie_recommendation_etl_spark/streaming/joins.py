@@ -99,6 +99,7 @@ def enrich_with_static(
     *,
     key: str = "user_id",
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment: join a live stream against a STATIC
     dimension snapshot (user profiles, product catalog, model scores) —
@@ -107,14 +108,18 @@ def enrich_with_static(
     per micro-batch, so the dimension may even be re-read from storage as
     it changes between triggers (snapshot semantics per batch).
 
-    Scale shape: a small dimension broadcasts (hinted here) and the join
-    stays map-side in every micro-batch; a large one degrades to a
-    shuffled hash join of the BATCH against it, which is still bounded by
-    the micro-batch size, never by stream history. Only left/inner make
+    Scale shape: with ``broadcast=True`` (the default, right for lookup
+    dims) the dimension is force-broadcast and the join stays map-side in
+    every micro-batch — note a hint OVERRIDES autoBroadcastJoinThreshold,
+    so a huge dim would be collected to the driver each trigger; pass
+    ``broadcast=False`` for large dimensions and the planner picks by
+    size (shuffled hash join of the BATCH against it, still bounded by
+    the micro-batch size, never by stream history). Only left/inner make
     sense stream-side (right/full would need unbounded stream state) —
     guarded below."""
     if how not in ("left", "inner"):
         raise ValueError(
             f"stream-static join supports left/inner, got {how!r}"
         )
-    return stream.join(F.broadcast(dim), key, how)
+    right = F.broadcast(dim) if broadcast else dim
+    return stream.join(right, key, how)

@@ -276,6 +276,28 @@ def test_reconstruction_recovers_scope_tags_and_nonq_flags(tmp_path):
     assert blob["scope_tags"] == {"q30_window_agg_suite": "r9-stream-arm"}
 
 
+def test_reconstruction_handles_r13_pct_flags_and_end_resample(tmp_path):
+    """r13 compact-line shape: regressions carry bare pct numbers (not
+    detail dicts) and end_resampled carries "qNN": seconds pairs — the
+    scraper must still recover the flagged NAMES and must cut before
+    end_resampled so its displaced samples never masquerade as timings."""
+    tail = (
+        '"q57_repetition_metrics": 0.791, "calibration_sec": 0.26, '
+        '"bench_method": "min2", '
+        '"end_resampled": {"q57_repetition_metrics": 0.546, '
+        '"q02_top_revenue_orders": 0.944}, '
+        '"regressions": {"q57_repetition_metrics": 45.2, '
+        '"ref_scale_fit_sec": -12.0}}'
+    )
+    (tmp_path / "BENCH_r13.json").write_text(json.dumps({"tail": tail}))
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["queries"] == {"q57_repetition_metrics": 0.791}
+    assert "q02_top_revenue_orders" not in blob["queries"]
+    assert set(blob["regressions"]) == {
+        "q57_repetition_metrics", "ref_scale_fit_sec"
+    }
+
+
 def test_needs_resample_variance_escalation():
     """Exactly-two samples with relative spread over the bound escalate;
     already-escalated (3), single-shot (1), low-spread, and slow-min
@@ -346,6 +368,7 @@ def _realistic_r11_stdout(flagged=("q53_embedding_neardup_pairs",)):
         "ref_scale_calibration_sec": 0.196,
         "calibration_mem_sec": 0.645,
         "ref_scale_loadavg_1m": [31.8, 42.5],  # r12: regime witness
+        "bench_loadavg_1m": [8.4, 15.9],  # r13: main-sweep bracket
         "headline_scope": bench.HEADLINE_SCOPE,
         "recall_at5": recall,
         "query_spread": bench.cap_spread(
@@ -354,6 +377,8 @@ def _realistic_r11_stdout(flagged=("q53_embedding_neardup_pairs",)):
         "extra_sampled_n": 18,
         "extra_sampled": ["q01_pricing_summary", "q21_doc_scalar_suite"],
         "scope_tags": bench.SCOPE_TAGS,
+        # r13: displaced end-of-run samples for the flagged set
+        "end_resampled": {k: 1.234 for k in flagged},
         "regressions": {
             k: {"prev": 1.0, "now": 2.0, "now_normalized": 2.0, "pct": 100.0}
             for k in flagged
@@ -388,6 +413,11 @@ def test_compact_line_survives_2000_byte_tail(tmp_path):
     assert blob["headline_scope"] == bench.HEADLINE_SCOPE
     assert blob["scope_tags"] == bench.SCOPE_TAGS
     assert set(blob["regressions"]) == {"q53_embedding_neardup_pairs"}
+    # r13: the compact line carries the flag MAGNITUDE and the displaced
+    # end-of-run sample, and both survive the window
+    assert blob["regressions"]["q53_embedding_neardup_pairs"] == 100.0
+    assert blob["end_resampled"] == {"q53_embedding_neardup_pairs": 1.234}
+    assert blob["bench_loadavg_1m"] == [8.4, 15.9]
 
 
 def test_compact_line_fits_tail_window_with_margin():

@@ -840,6 +840,56 @@ def test_cli_zorder_rewrite(capsys, sf_dir, tmp_path):
     assert "not in" in capsys.readouterr().err
 
 
+def test_cli_zorder_bucketed_timestamp(capsys, sf_dir, tmp_path):
+    """r12 VERDICT #4 done-criterion: the CLI zorders a table on a RAW
+    timestamp column via --bucket ts:days (no hand-written
+    pre-projection) and footer pruning holds on both dimensions; bad
+    bucket specs are exit-1 user errors."""
+    from tests.test_zorder import _file_ranges, _mean_coverage
+
+    src = f"{sf_dir}/events.parquet"
+    dest = str(tmp_path / "events_z")
+    assert (
+        main(
+            [
+                "zorder", src, dest,
+                "--by", "ts,user_id",
+                "--bucket", "ts:days",
+                "--num-files", "8",
+            ]
+        )
+        == 0
+    )
+    assert "zordered table written" in capsys.readouterr().out
+    ts_ranges = _file_ranges(dest, "ts")
+    uid_ranges = _file_ranges(dest, "user_id")
+    lo_t = min(a for a, _ in ts_ranges)
+    hi_t = max(b for _, b in ts_ranges)
+    lo_u = min(a for a, _ in uid_ranges)
+    hi_u = max(b for _, b in uid_ranges)
+    assert _mean_coverage(ts_ranges, lo_t, hi_t) < 0.7
+    assert _mean_coverage(uid_ranges, lo_u, hi_u) < 0.7
+
+    assert (
+        main(
+            ["zorder", src, dest, "--by", "ts,user_id", "--bucket", "ts"]
+        )
+        == 1
+    )
+    assert "expected col:" in capsys.readouterr().err
+    assert (
+        main(
+            [
+                "zorder", src, dest,
+                "--by", "ts,user_id",
+                "--bucket", "ts:weeks",
+            ]
+        )
+        == 1
+    )
+    assert "unknown bucket spec" in capsys.readouterr().err
+
+
 def test_cli_sql_explain(capsys, sf_dir):
     """--explain prints the formatted physical plan (pushdown visible)
     without executing."""
@@ -895,30 +945,60 @@ def test_cli_heavy_hitters_incremental_store(capsys, sf_dir, tmp_path):
 
 def test_cli_profile(capsys, sf_dir):
     """profile: one aggregate pass prints per-column nulls / approx
-    distinct / min-max; exact values cross-checked against DuckDB for
-    nation (tiny, so the HLL estimate must equal the exact count);
-    unknown columns are user errors."""
+    distinct / min-max / p50-p90; exact values cross-checked against
+    DuckDB for nation (tiny, so the HLL estimate must equal the exact
+    count and the GK quantile the exact discrete quantile); unknown
+    columns are user errors."""
     import duckdb
 
     assert main(["profile", f"{sf_dir}/nation.parquet"]) == 0
     out = capsys.readouterr().out.splitlines()
     assert out[0] == "rows\t25"
+    assert out[1].endswith("\tp50\tp90")
     rows = {ln.split("\t")[0]: ln.split("\t") for ln in out[2:]}
     con = duckdb.connect()
     n_keys = con.sql(
         f"SELECT count(DISTINCT n_nationkey), min(n_nationkey),"
-        f" max(n_nationkey) FROM '{sf_dir}/nation.parquet'"
+        f" max(n_nationkey), quantile_disc(n_nationkey, 0.5),"
+        f" quantile_disc(n_nationkey, 0.9)"
+        f" FROM '{sf_dir}/nation.parquet'"
     ).fetchone()
     assert rows["n_nationkey"][1] == "0"  # no nulls
     assert int(rows["n_nationkey"][2]) == n_keys[0]
     assert rows["n_nationkey"][3] == str(n_keys[1])
     assert rows["n_nationkey"][4] == str(n_keys[2])
+    # 25 rows < GK accuracy budget => the sketch is exact here
+    assert rows["n_nationkey"][5] == str(n_keys[3])
+    assert rows["n_nationkey"][6] == str(n_keys[4])
+    assert rows["n_name"][5] == "" and rows["n_name"][6] == ""  # non-numeric
 
     assert (
         main(["profile", f"{sf_dir}/nation.parquet", "--columns", "zzz"])
         == 1
     )
     assert "not in" in capsys.readouterr().err
+
+
+def test_cli_profile_nested_map(capsys, spark, tmp_path):
+    """ADVICE r12: min/max fails not only on top-level maps but on any
+    type EMBEDDING a map (array<map>, struct with a map field) — profile
+    must skip min/max for those columns instead of raising
+    AnalysisException, while still counting nulls/distincts."""
+    src = str(tmp_path / "nested_map_tbl")
+    spark.sql(
+        "SELECT id, array(map('k', id)) AS am,"
+        " named_struct('m', map('k', id), 'x', id) AS sm"
+        " FROM range(5)"
+    ).write.parquet(src)
+    assert main(["profile", src]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "rows\t5"
+    rows = {ln.split("\t")[0]: ln.split("\t") for ln in out[2:]}
+    assert rows["am"][3] == "" and rows["am"][4] == ""  # no min/max
+    assert rows["sm"][3] == "" and rows["sm"][4] == ""
+    assert rows["am"][1] == "0"  # nulls still profiled
+    assert int(rows["am"][2]) >= 1  # distinct still profiled
+    assert rows["id"][3] == "0" and rows["id"][4] == "4"  # untouched
 
 
 def test_cli_profile_empty_table(capsys, spark, tmp_path):
@@ -929,4 +1009,4 @@ def test_cli_profile_empty_table(capsys, spark, tmp_path):
     assert main(["profile", src]) == 0
     out = capsys.readouterr().out.splitlines()
     assert out[0] == "rows\t0"
-    assert out[2] == "a\t0\t0\t\t" and "None" not in out[2]
+    assert out[2] == "a\t0\t0\t\t\t\t" and "None" not in out[2]

@@ -69,10 +69,11 @@ def _has_protobuf() -> bool:
 
 @pytest.mark.skipif(
     not _has_protobuf(),
-    reason="transformWithStateInPandas state protocol needs protobuf, "
-    "not shipped in this container (verified r11: no wheel on disk and "
-    "no network for pip — environmentally blocked, not a code gap; the "
-    "test runs unmodified wherever google.protobuf is installed)",
+    reason="transformWithStateInPandas state protocol needs protobuf — "
+    "no wheel ships in this container and there is no network for pip. "
+    "conftest activates vendor/protobuf_compat (a path-forwarding shim "
+    "over the OS google-cloud-sdk's bundled pure-Python runtime) when "
+    "available, so this skip only fires where NO runtime exists at all",
 )
 def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
     """transformWithStateInPandas twin: same final per-user totals as the

@@ -100,6 +100,97 @@ def test_morton_key_three_columns_exact(spark):
     assert rows["a0"] == 1 and rows["b0"] == 2 and rows["c0"] == 4
 
 
+def test_bucketize_specs(spark):
+    """bucketize: days/hours are the epoch buckets, div:N floor-divides
+    (monotone), mod:N wraps into [0, N); bad specs are driver-side
+    ValueErrors."""
+    import datetime
+
+    import pytest
+
+    from movie_recommendation_etl_spark.functions.zorder import bucketize
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 1, 13, 30), 12345)], "ts timestamp, v long"
+    )
+    row = df.select(
+        bucketize("ts", "days").alias("d"),
+        bucketize("ts", "hours").alias("h"),
+        bucketize("v", "div:100").alias("dv"),
+        bucketize("v", "mod:100").alias("md"),
+    ).collect()[0]
+    epoch = datetime.datetime(1970, 1, 1)
+    assert row["d"] == (datetime.datetime(2024, 3, 1) - epoch).days
+    # hours bucket is tz-dependent only through the session tz; the test
+    # session runs UTC, so it's the exact epoch-hour count
+    assert row["h"] == int(
+        (datetime.datetime(2024, 3, 1, 13) - epoch).total_seconds() // 3600
+    )
+    assert row["dv"] == 123 and row["md"] == 45
+    for bad in ("weeks", "div:0", "div:-3", "mod:x", "div"):
+        with pytest.raises(ValueError):
+            bucketize("v", bad)
+
+
+def test_bucketize_div_is_monotone_fuzzed(spark):
+    """div:N must floor-divide exactly like Python (negatives round DOWN,
+    not toward zero) — the monotonicity footer pruning rests on. Fuzzed
+    over signed longs, keyed by value so arrival order can't mask a
+    mismatch."""
+    import random
+
+    from movie_recommendation_etl_spark.functions.zorder import bucketize
+
+    rng = random.Random(13)
+    vals = {rng.randrange(-(2**40), 2**40) for _ in range(500)}
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["b"]
+        for r in df.select("v", bucketize("v", "div:4096").alias("b")).collect()
+    }
+    assert got == {v: v // 4096 for v in vals}
+
+
+def test_zorder_bucketed_timestamp_prunes_both_dims(spark, tmp_path):
+    """write_zordered_parquet with bucket={'ts': 'days'}: a RAW timestamp
+    column interleaves without a pre-projection, the stored schema keeps
+    the raw timestamp, and footer pruning holds on BOTH dimensions —
+    days-bucketing is monotone, so per-file ts ranges stay tight."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.range(0, 40_000).select(
+        "id",
+        # 256 distinct days x 256 user buckets, independent uniform
+        F.timestamp_seconds(
+            F.lit(int(base.timestamp()))
+            + (F.abs(F.xxhash64("id", F.lit(1))) % 256) * 86400
+        ).alias("ts"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % 256).cast("int").alias("uid"),
+    )
+    zpath = str(tmp_path / "zb")
+    write_zordered_parquet(
+        df, zpath, ["ts", "uid"], num_files=16, bucket={"ts": "days"}
+    )
+    back = spark.read.parquet(zpath)
+    assert back.count() == 40_000
+    assert dict(back.dtypes)["ts"] == "timestamp"  # raw column untouched
+
+    lo = base
+    hi = base + datetime.timedelta(days=255)
+    zt = _mean_coverage(_file_ranges(zpath, "ts"), lo, hi)
+    zu = _mean_coverage(_file_ranges(zpath, "uid"), 0, 255)
+    assert zt < 0.6 and zu < 0.6
+
+    # bucket spec for a column outside the zorder list is a user error
+    import pytest
+
+    with pytest.raises(ValueError, match="non-zorder"):
+        write_zordered_parquet(
+            df, zpath, ["ts", "uid"], bucket={"id": "div:10"}
+        )
+
+
 def test_morton_key_rejects_out_of_range(spark):
     """r6 ADVICE: out-of-range inputs raise at execution instead of
     silently corrupting the interleave."""
