@@ -56,7 +56,7 @@ REF_SCALE_METHOD = "min2_fit_cal_staged"
 # value (or none), the blob carries a regressions_note saying the
 # headline totals are not comparable this round. Per-query comparisons
 # are unaffected (they fence via SCOPE_TAGS / name matching).
-HEADLINE_SCOPE = "r12-q48-added"
+HEADLINE_SCOPE = "r13-q48-split"
 
 # A calibration ratio this far from 1.0 means the host was in a
 # different regime when the two samples ran (or one sample is junk) —
@@ -73,8 +73,9 @@ CALIBRATION_RATIO_FENCE = 5.0
 # previous round recorded the SAME tag (or both rounds have none). The
 # next round's blob carries the tag, so comparison resumes automatically.
 SCOPE_TAGS: dict[str, str] = {
-    # r13: the slot gained the streaming-MG drain + second confirm pass
-    "q48_heavy_hitters": "r13-stream-arm",
+    # (q48 gained a streaming arm in r13, but its bench lines were
+    # simultaneously split into q48_batch / q48_stream — fresh names
+    # fence themselves, so no tag is needed)
     "q30_batch_arms": "r12-gapfill-arm",
     "q33_lookup_expr_suite": "r9-csv-arm",
     "q40_text_profile_suite": "r11-bc-lemma-arm",
@@ -304,7 +305,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q32_asof_click_to_error",
     "q38_rank_suite",
     "q40_text_profile_suite",
-    "q48_heavy_hitters",
+    # q48 timed as its two halves for the same reason as q30: the stream
+    # arm's availableNow drain is ~5 s of fixed trigger overhead that
+    # would drown the ~2 s batch sketch signal (r13; registry slot stays
+    # the single unioned q48_heavy_hitters).
+    "q48_batch",
+    "q48_stream",
     "q50_minhash_lsh_neardup",
     "q56_pii_redaction",
     "q57_repetition_metrics",
@@ -611,6 +617,10 @@ def main() -> int:
         q30_batch_arms,
         q30_stream_arms,
     )
+    from movie_recommendation_etl_spark.plans.text_analysis import (
+        q48_batch_arm,
+        q48_stream_arm,
+    )
     from movie_recommendation_etl_spark.plans.recommend import (
         flagship_neighbors,
         ivf_knn_neighbors,
@@ -704,6 +714,8 @@ def main() -> int:
         **QUERIES,
         "q30_batch_arms": q30_batch_arms,
         "q30_stream_arms": q30_stream_arms,
+        "q48_batch": q48_batch_arm,
+        "q48_stream": q48_stream_arm,
         # q61/q62's registry slots became contract gates in r11 (ANN +
         # exact top-5 + recall flags under one hash); the bench keeps
         # timing the NEIGHBOR-level ANN frames those gates wrap, so the

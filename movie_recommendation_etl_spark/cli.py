@@ -603,6 +603,25 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     register_views(spark, args.sf_dir)
     from pyspark.errors import PySparkException
 
+    # --table name=path mounts arbitrary parquet next to the catalog
+    # views — the inspection surface for trainprep shards, ANN indexes,
+    # admission stores and every other artifact the pipelines write
+    # (r12 VERDICT #8). Spark's native backtick syntax
+    # (``parquet.`/path` ``) also works inline; the flag just names it.
+    for mount in args.table or []:
+        if "=" not in mount:
+            print(
+                f"--table {mount!r}: expected name=/path/to/parquet",
+                file=sys.stderr,
+            )
+            return 2
+        name, path = mount.split("=", 1)
+        try:
+            spark.read.parquet(path).createOrReplaceTempView(name)
+        except (AnalysisException, ParseException) as exc:
+            print(f"--table {name}: {exc}", file=sys.stderr)
+            return 1
+
     stmt = sys.stdin.read() if args.query == "-" else args.query
     try:
         df = spark.sql(stmt)
@@ -729,6 +748,48 @@ def _cmd_heavy_hitters(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_distinct(args: argparse.Namespace) -> int:
+    """Incremental distinct counting over batches: fold a parquet
+    column into the persisted HLL sketch store
+    (operators/sketches.py:update_distinct_store — one scan per batch,
+    constant-size state, ~0.8% rsd at the default lg_k) and print the
+    lifetime estimate; with no input path, just read the store."""
+    from movie_recommendation_etl_spark.operators.sketches import (
+        read_distinct_estimate,
+        update_distinct_store,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-distinct")
+    if args.in_path is None:
+        try:
+            got = read_distinct_estimate(spark, args.store)
+        except Exception as exc:
+            print(f"distinct store read failed: {exc}", file=sys.stderr)
+            return 1
+        print(
+            f"estimate={got['estimate']:.0f} n_seen={got['n_seen']} "
+            f"lg_k={got['lg_k']}"
+        )
+        return 0
+    df = spark.read.parquet(args.in_path)
+    if args.col not in df.columns:
+        print(
+            f"column {args.col!r} not in {sorted(df.columns)}",
+            file=sys.stderr,
+        )
+        return 1
+    try:
+        stats = update_distinct_store(
+            spark, args.store, df, args.col, lg_k=args.lg_k
+        )
+    except ValueError as exc:  # lg_k drift against the stored sketch
+        print(f"distinct error: {exc}", file=sys.stderr)
+        return 1
+    print(f"admitted: estimate={stats['estimate']:.0f} n_seen={stats['n_seen']}")
+    return 0
+
+
 def _cmd_zorder(args: argparse.Namespace) -> int:
     """Rewrite a parquet table clustered on the Morton interleave of >= 2
     int columns (functions/zorder.py) — the OPTIMIZE ... ZORDER BY shape:
@@ -806,28 +867,14 @@ def _profile_orderable(dt) -> bool:
     return True
 
 
-def _cmd_profile(args: argparse.Namespace) -> int:
-    """One-pass table profile: per column its null count, HLL distinct
-    estimate, min/max (orderable types), and p50/p90 (numeric types).
-    Everything lands in a SINGLE aggregate over one scan — profiling a
-    100 TB table costs one pass, never a per-column job loop. Distincts
-    are approx_count_distinct (rsd 2%) — the q44-gated sketch; quantiles
-    are percentile_approx — the q39-gated GK sketch; exact versions of
-    either on a wide table would be one giant shuffle per column."""
+def profile_frame(df, cols: list[str]):
+    """The profile's ONE aggregate: per column its non-null count, HLL
+    distinct estimate (q44-gated sketch, rsd 2%), min/max (orderable
+    types), and p50/p90 (numeric types, the q39-gated GK sketch) — a
+    single 1-row frame over one scan, so profiling a 100 TB table costs
+    one pass, never a per-column job loop (one-scan plan shape asserted
+    in tests/test_cli.py). Returns (frame, orderable map, numeric map)."""
     from pyspark.sql import functions as F
-
-    from movie_recommendation_etl_spark.session import get_spark
-
-    spark = get_spark(app_name="mre-profile")
-    df = spark.read.parquet(args.in_path)
-    cols = args.columns.split(",") if args.columns else df.columns
-    missing = [c for c in cols if c not in df.columns]
-    if missing:
-        print(
-            f"columns {missing} not in {sorted(df.columns)}",
-            file=sys.stderr,
-        )
-        return 1
     from pyspark.sql.types import NumericType
 
     # min/max are valid on arrays/structs too — unless a map hides
@@ -851,7 +898,27 @@ def _cmd_profile(args: argparse.Namespace) -> int:
                     c, F.array(F.lit(0.5), F.lit(0.9))
                 ).alias(f"__pct_{c}")
             )
-    row = df.agg(*aggs).first()
+    return df.agg(*aggs), orderable, numeric
+
+
+def _cmd_profile(args: argparse.Namespace) -> int:
+    """One-pass table profile — see profile_frame for the aggregate and
+    the one-scan cost argument; this command only parses, prints, and
+    maps user errors to exit 1."""
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-profile")
+    df = spark.read.parquet(args.in_path)
+    cols = args.columns.split(",") if args.columns else df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        print(
+            f"columns {missing} not in {sorted(df.columns)}",
+            file=sys.stderr,
+        )
+        return 1
+    frame, orderable, numeric = profile_frame(df, cols)
+    row = frame.first()
     n = row["__n"]
     print(f"rows\t{n}")
     print("column\tnulls\tapprox_distinct\tmin\tmax\tp50\tp90")
@@ -939,6 +1006,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     hh.set_defaults(fn=_cmd_heavy_hitters)
 
+    di = sub.add_parser(
+        "distinct",
+        help="incremental distinct count via a persisted HLL sketch "
+        "store (constant-size state, ~0.8%% rsd)",
+    )
+    di.add_argument(
+        "in_path", nargs="?", default=None,
+        help="parquet batch to admit (omit to just read the store)",
+    )
+    di.add_argument("--store", required=True)
+    di.add_argument("--col", default="key")
+    di.add_argument(
+        "--lg-k", type=int, default=14, dest="lg_k",
+        help="sketch precision (registers = 2^lg_k); pinned at first "
+        "admission, drift rejected",
+    )
+    di.set_defaults(fn=_cmd_distinct)
+
     sq = sub.add_parser(
         "sql", help="ad-hoc Spark SQL over the catalog tables"
     )
@@ -954,6 +1039,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--explain",
         action="store_true",
         help="print the formatted physical plan instead of executing",
+    )
+    sq.add_argument(
+        "--table", action="append", default=None, metavar="NAME=PATH",
+        help="mount extra parquet as a view (repeatable) — e.g. shard or "
+        "index outputs; Spark's parquet.`/path` backtick syntax also "
+        "works inline",
     )
     sq.set_defaults(fn=_cmd_sql)
 

@@ -226,21 +226,25 @@ def confirm_heavy_hitters(
     )
 
 
-def _latest_store_version(spark, store_dir: str) -> tuple[str | None, int]:
-    """(path, n) of the highest COMMITTED ``v_<n>`` subdirectory under the
-    heavy-hitter store, or (None, 0) when none exists. "Committed" = Spark's
-    own ``_SUCCESS`` marker is present, so a version half-written when the
-    driver died is invisible to readers — that marker is the store's commit
-    pointer (requires the default marksuccessfuljobs=true, which the repo
-    never disables). Hadoop FileSystem API throughout, so the layout works
-    unchanged on file:/, hdfs:/ and s3a:/ (same pattern as
-    incremental_dedup._store_bytes)."""
+def _latest_store_version(
+    spark, store_dir: str
+) -> tuple[str | None, int, int]:
+    """(committed_path, committed_n, max_n_seen) for the ``v_<n>``
+    subdirectories under the heavy-hitter store; (None, 0, 0) when none
+    exist. "Committed" = Spark's own ``_SUCCESS`` marker is present, so a
+    version half-written when the driver died is invisible to readers —
+    that marker is the store's commit pointer (requires the default
+    marksuccessfuljobs=true, which the repo never disables). max_n_seen
+    counts UNCOMMITTED dirs too: the next write must number past crashed
+    leftovers or a later admission would collide with them. Hadoop
+    FileSystem API throughout, so the layout works unchanged on file:/,
+    hdfs:/ and s3a:/ (same pattern as incremental_dedup._store_bytes)."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(store_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
-        return None, 0
-    best_path, best_n = None, 0
+        return None, 0, 0
+    best_path, best_n, max_n = None, 0, 0
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith("v_")):
@@ -249,19 +253,23 @@ def _latest_store_version(spark, store_dir: str) -> tuple[str | None, int]:
             n = int(name[2:])
         except ValueError:
             continue
+        max_n = max(max_n, n)
         committed = fs.exists(
             jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
         )
         if committed and n > best_n:
             best_path, best_n = st.getPath().toString(), n
-    return best_path, best_n
+    return best_path, best_n, max_n
 
 
 def _prune_store_versions(spark, store_dir: str, keep_n: int) -> None:
-    """Best-effort cleanup AFTER a new version committed: drop older
-    ``v_<n>`` dirs and any legacy flat-layout files sitting directly in the
-    store root. A crash here only leaves extra bytes — readers always pick
-    the highest committed version first."""
+    """Best-effort cleanup AFTER a new version committed: drop every other
+    ``v_<n>`` dir — superseded committed versions AND uncommitted crash
+    leftovers (admissions are sequential by contract, so an uncommitted
+    dir that isn't the one just written is garbage, never a concurrent
+    writer) — plus any legacy flat-layout files sitting directly in the
+    store root. A crash here only leaves extra bytes — readers always
+    pick the highest committed version first."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(store_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -269,7 +277,7 @@ def _prune_store_versions(spark, store_dir: str, keep_n: int) -> None:
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("v_"):
             try:
-                if int(name[2:]) >= keep_n:
+                if int(name[2:]) == keep_n:
                     continue
             except ValueError:
                 pass
@@ -339,10 +347,18 @@ def update_heavy_hitter_store(
     )
 
     stored_counters, n_prev = None, 0
-    vpath, vn = _latest_store_version(spark, store_dir)
+    vpath, _vn, max_n = _latest_store_version(spark, store_dir)
     # vpath=None + existing flat files = a legacy (pre-versioning) store:
-    # _read_store on the root reads it; missing path still maps to fresh
-    store = _read_store(spark, vpath if vpath is not None else store_dir)
+    # _read_store on the root reads it; missing path still maps to fresh.
+    # vpath=None with version dirs present = a FIRST admission that
+    # crashed before committing: the retry bootstraps fresh (numbering
+    # continues past the wreckage) instead of misreading the root.
+    if vpath is None and max_n > 0:
+        store = None
+    else:
+        store = _read_store(
+            spark, vpath if vpath is not None else store_dir
+        )
     prev = store.collect() if store is not None else []  # bounded: <= k+1
     if prev:
         # n_seen/k ride on EVERY row including the NULL-key meta row, so
@@ -393,11 +409,13 @@ def update_heavy_hitter_store(
         ),
     )
     # commit protocol: new version dir first (crash => uncommitted, old
-    # version still wins), prune superseded versions only after _SUCCESS
+    # version still wins), numbered past ANY existing dir (committed or
+    # crashed — never a name collision), prune everything else only
+    # after _SUCCESS
     out.coalesce(1).write.mode("errorifexists").parquet(
-        f"{store_dir}/v_{vn + 1}"
+        f"{store_dir}/v_{max_n + 1}"
     )
-    _prune_store_versions(spark, store_dir, keep_n=vn + 1)
+    _prune_store_versions(spark, store_dir, keep_n=max_n + 1)
     return {"n_seen": n_total, "n_candidates": int(len(final))}
 
 
@@ -409,6 +427,123 @@ def read_heavy_hitter_candidates(spark, store_dir: str) -> DataFrame:
     n_seen carrier) is filtered out here. Reads the highest committed
     ``v_<n>`` version (see update_heavy_hitter_store's commit protocol);
     legacy flat-layout stores read as-is."""
-    vpath, _ = _latest_store_version(spark, store_dir)
-    df = spark.read.parquet(vpath if vpath is not None else store_dir)
+    df = spark.read.parquet(_store_read_path(spark, store_dir))
     return df.filter(F.col(df.columns[0]).isNotNull())
+
+
+def _store_read_path(spark, store_dir: str) -> str:
+    """Resolve which path a store READ should target: the highest
+    committed version, the root for legacy flat stores, or a clear error
+    when only uncommitted (crashed) version dirs exist — the root read
+    would otherwise fail with an unhelpful schema-inference message."""
+    vpath, _vn, max_n = _latest_store_version(spark, store_dir)
+    if vpath is not None:
+        return vpath
+    if max_n > 0:
+        raise ValueError(
+            f"store at {store_dir} has no committed version — only "
+            "uncommitted (crashed) writes; re-run the admission to "
+            "rebuild it"
+        )
+    return store_dir
+
+
+def update_distinct_store(
+    spark,
+    store_dir: str,
+    df: DataFrame,
+    key: Column | str,
+    *,
+    lg_k: int = 14,
+) -> dict:
+    """Admit a batch into a persisted DISTINCT-COUNT sketch — the
+    cardinality sibling of the incremental admission stores (docs,
+    embeddings, heavy hitters): per-batch cost is one scan + a 1-row
+    aggregate, the store is ONE Datasketches HLL_4 sketch (~0.5·2^lg_k
+    bytes, constant however much data has ever been admitted), and the
+    lifetime estimate carries the standard HLL relative-error bound
+    (~1.04/sqrt(2^lg_k) ≈ 0.8% at the default lg_k=14). Built entirely
+    on Spark's native sketch expressions (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate — JVM-side, whole-stage
+    codegen'd): HLL unions are register-wise max, so batch-at-a-time
+    folding yields the SAME estimate as one aggregate over the union,
+    for any batch split and order (pinned in tests/test_sketches.py).
+
+    ``lg_k`` is persisted and a mismatched admission is rejected — a
+    silent union across different lg_k would downgrade precision without
+    the caller ever asking for it (same contract as the MG store's k).
+    NULL keys are ignored (hll_sketch_agg skips them), matching
+    approx_count_distinct's convention. Uses the same crash-safe
+    versioned commit protocol as update_heavy_hitter_store.
+
+    Returns ``{"n_seen": lifetime rows, "estimate": current distinct
+    estimate (float)}``.
+    """
+    keyed = df.select(
+        (F.col(key) if isinstance(key, str) else key).alias("key")
+    ).filter(F.col("key").isNotNull())
+    batch = keyed.agg(
+        F.hll_sketch_agg("key", F.lit(lg_k)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_seen"),
+        F.lit(lg_k).cast("long").alias("lg_k"),
+    )
+
+    vpath, _vn, max_n = _latest_store_version(spark, store_dir)
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        _read_store,
+    )
+
+    # same crashed-first-admission bootstrap as the MG store above
+    if vpath is None and max_n > 0:
+        store = None
+    else:
+        store = _read_store(
+            spark, vpath if vpath is not None else store_dir
+        )
+    if store is not None:
+        prev = store.collect()  # bounded: exactly 1 row
+        stored_lg_k = int(prev[0]["lg_k"])
+        if stored_lg_k != lg_k:
+            raise ValueError(
+                f"distinct store at {store_dir} was built with "
+                f"lg_k={stored_lg_k}; admitting with lg_k={lg_k} would "
+                "silently change the precision the history was promised "
+                f"— use the store's lg_k"
+            )
+        # fold: register-wise max of the two sketches + lifetime row sum;
+        # a 2-row union into one 1-row aggregate, all JVM-side
+        merged = store.unionByName(batch).agg(
+            F.hll_union_agg("sketch").alias("sketch"),
+            F.sum("n_seen").cast("long").alias("n_seen"),
+            F.max("lg_k").cast("long").alias("lg_k"),
+        )
+    else:
+        merged = batch
+    out = merged.localCheckpoint(eager=True)  # bound re-execution: the
+    # estimate read below and the store write must see ONE fold result
+    out.coalesce(1).write.mode("errorifexists").parquet(
+        f"{store_dir}/v_{max_n + 1}"
+    )
+    _prune_store_versions(spark, store_dir, keep_n=max_n + 1)
+    row = out.select(
+        F.hll_sketch_estimate("sketch").alias("est"), "n_seen"
+    ).first()
+    # a fresh store admitted an all-NULL/empty batch: the sketch (and so
+    # the estimate) is NULL — that IS a distinct count of zero
+    est = 0.0 if row["est"] is None else float(row["est"])
+    return {"n_seen": int(row["n_seen"]), "estimate": est}
+
+
+def read_distinct_estimate(spark, store_dir: str) -> dict:
+    """The store's current lifetime estimate without admitting anything:
+    ``{"n_seen", "estimate", "lg_k"}``. Reads the highest committed
+    version (same protocol as the other stores)."""
+    df = spark.read.parquet(_store_read_path(spark, store_dir))
+    row = df.select(
+        F.hll_sketch_estimate("sketch").alias("est"), "n_seen", "lg_k"
+    ).first()
+    return {
+        "n_seen": int(row["n_seen"]),
+        "estimate": 0.0 if row["est"] is None else float(row["est"]),
+        "lg_k": int(row["lg_k"]),
+    }

@@ -278,6 +278,24 @@ def _sql_hex8_to_bigint(hex_expr: str) -> str:
         FROM documents
     ) m JOIN counts USING (lang)
     WHERE m.unif_mx < least(1.0, {MIXTURE_K} / sqrt(CAST(counts.n AS DOUBLE)))
+    UNION ALL
+    SELECT 'weighted' AS method, doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY es_key DESC, doc_id
+               ) AS rk
+        FROM (
+            SELECT doc_id, lang,
+                   POWER(
+                       CAST({_sql_hex8_to_bigint(
+                           "md5('ws:' || CAST(doc_id AS VARCHAR))")}
+                            AS DOUBLE) / 4294967296.0,
+                       1.0 / CAST(greatest(n_chars, 1) AS DOUBLE)
+                   ) AS es_key
+            FROM documents
+        )
+    )
+    WHERE rk <= {STRATUM_TARGET}
     """,
 )
 def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,6 +332,25 @@ def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     over lang domains — admission rate K/sqrt(n_domain), the standard LLM
     pre-training mix that upweights rare domains relative to proportional
     sampling. See the inline comment for why the rate is unnormalized.
+
+    Arm ``weighted`` (r13): WEIGHTED sampling without replacement —
+    Efraimidis–Spirakis one-pass reservoir (Inf. Proc. Letters 97(5),
+    2006): each row draws priority u^(1/w) (u = deterministic md5
+    uniform, fresh 'ws:' salt; w = n_chars, the narrow length column, so
+    the suite's no-text-scan plan pin holds) and the k largest
+    priorities per stratum ARE a size-k sample where selection
+    probability tilts ∝ weight — the quality/length-weighted corpus
+    sampler an LLM data pipeline uses when longer or higher-scoring docs
+    should be proportionally likelier, still rerun-stable and
+    engine-independent. One shuffle on the stratum key (grouped_top_k;
+    AQE absorbs stratum skew). The stratified arm's two-phase admission
+    trick applies here too, but its threshold is weight-distribution-
+    dependent (admit key > t needs t with Σ(1-t^{w_i}) ≈ oversample·k),
+    so the exact window form is kept as the reference semantics.
+    Determinism note: priorities cross engines via IEEE pow — not
+    correctly rounded in either libm, but a rank flip needs TWO
+    priorities within ~1 ulp, vanishing at any realistic stratum size
+    (and exact-key ties break by doc_id).
     """
     docs = load_table(spark, sf_dir, "documents")
     unif = md5_hex8_long("doc_id").cast("double") / F.lit(4294967296.0)
@@ -370,4 +407,29 @@ def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("rk"),
         )
     )
-    return stratified.unionByName(hash_mod).unionByName(mixture)
+    # weighted arm: Efraimidis-Spirakis priorities over the narrow
+    # n_chars column — see the docstring for the semantics and the
+    # cross-engine pow determinism note
+    from movie_recommendation_etl_spark.operators.topk import grouped_top_k
+
+    u_ws = md5_hex8_long("doc_id", salt="ws:").cast("double") / F.lit(
+        4294967296.0
+    )
+    es_key = F.pow(
+        u_ws, F.lit(1.0) / F.greatest("n_chars", F.lit(1)).cast("double")
+    )
+    weighted = (
+        grouped_top_k(
+            docs.select("doc_id", "lang", es_key.alias("es_key")),
+            ["lang"],
+            [F.col("es_key").desc(), F.col("doc_id")],
+            STRATUM_TARGET,
+            rank_col="rk",
+        )
+        .select(F.lit("weighted").alias("method"), "doc_id", "lang", "rk")
+    )
+    return (
+        stratified.unionByName(hash_mod)
+        .unionByName(mixture)
+        .unionByName(weighted)
+    )

@@ -579,16 +579,38 @@ def q48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bigrams (not unigrams) keep the keyspace meaningfully larger than the
     survivors at every SF."""
+    return q48_batch_arm(spark, sf_dir).unionByName(
+        q48_stream_arm(spark, sf_dir)
+    )
+
+
+def q48_batch_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q48 suite's BATCH half — not a registry slot; see
+    q48_heavy_hitters, whose oracle gates it. Benched separately
+    (q48_batch) so the sketch's sub-2 s signal isn't drowned in the
+    stream arm's fixed trigger overhead — same split rationale as
+    q30_batch_arms/q30_stream_arms (r11)."""
     from movie_recommendation_etl_spark.operators.sketches import (
-        confirm_heavy_hitters,
         heavy_hitters,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    grams = _q48_grams(docs)
+    grams = _q48_grams(load_table(spark, sf_dir, "documents"))
     batch = heavy_hitters(
         grams, "gram", phi=_Q48_PHI, key_name="gram", remerge=True
     )
+    return batch.select(
+        F.lit("batch").alias("arm"), "gram", "cnt", "n_total"
+    )
+
+
+def q48_stream_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q48 suite's STREAMING half (the real availableNow drain +
+    exact confirm) — not a registry slot; see q48_heavy_hitters."""
+    from movie_recommendation_etl_spark.operators.sketches import (
+        confirm_heavy_hitters,
+    )
+
+    grams = _q48_grams(load_table(spark, sf_dir, "documents"))
     stream = confirm_heavy_hitters(
         grams,
         "gram",
@@ -596,10 +618,6 @@ def q48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         phi=_Q48_PHI,
         key_name="gram",
     )
-    return batch.select(
-        F.lit("batch").alias("arm"), "gram", "cnt", "n_total"
-    ).unionByName(
-        stream.select(
-            F.lit("stream").alias("arm"), "gram", "cnt", "n_total"
-        )
+    return stream.select(
+        F.lit("stream").alias("arm"), "gram", "cnt", "n_total"
     )

@@ -66,6 +66,79 @@ def test_hash_mod_sample_deterministic(spark, sf_dir):
     assert a  # 2/16 of 500 docs ≈ 62: non-empty with huge margin
 
 
+def test_weighted_sample_tilts_toward_heavy_docs(spark, sf_dir):
+    """The q58 ``weighted`` arm (Efraimidis-Spirakis priorities): exactly
+    min(n, target) rows per stratum, rerun-stable, and the selection
+    genuinely tilts by weight — on a constructed stratum where 25 docs
+    carry ~all the mass, every heavy doc wins a slot; and a near-zero
+    weight sends a doc's priority toward 0 (u^(1/w) -> u^inf), so the
+    light tail is essentially never drawn over a heavy competitor."""
+    from movie_recommendation_etl_spark.plans.curation import (
+        STRATUM_TARGET,
+        q58_sampling_suite,
+    )
+
+    out = [
+        (r["lang"], r["doc_id"])
+        for r in q58_sampling_suite(spark, sf_dir)
+        .filter("method = 'weighted'")
+        .collect()
+    ]
+    assert out and out == [
+        (r["lang"], r["doc_id"])
+        for r in q58_sampling_suite(spark, sf_dir)
+        .filter("method = 'weighted'")
+        .collect()
+    ]  # deterministic across runs
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    per_lang: dict[str, int] = {}
+    for lang, _ in out:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    docs = load_table(spark, sf_dir, "documents")
+    n_by_lang = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    assert per_lang == {
+        lang: min(n, STRATUM_TARGET) for lang, n in n_by_lang.items()
+    }
+
+    # constructed tilt: one synthetic stratum, 25 heavy docs (w=10^7)
+    # among 500 light ones (w=1) -> u^(1/w) ~ 1 for heavy, = u for light;
+    # a light doc outranking a heavy one needs u_light > u_heavy^(1e7),
+    # i.e. u_heavy astronomically close to 1 AND u_light above it
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.range(0, 525).select(
+            SF.col("id").alias("doc_id"),
+            SF.lit("synthetic, non-empty").alias("text"),
+            SF.lit("zz").alias("lang"),
+            SF.lit("tilt").alias("source"),
+            SF.when(SF.col("id") % 21 == 0, SF.lit(10_000_000))
+            .otherwise(SF.lit(1))
+            .cast("long")
+            .alias("n_chars"),
+        ).write.parquet(f"{td}/documents.parquet")
+        heavy = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{td}/documents.parquet")
+            .filter("n_chars > 1")
+            .collect()
+        }
+        assert len(heavy) == 25
+        got = {
+            r["doc_id"]
+            for r in q58_sampling_suite(spark, td)
+            .filter("method = 'weighted'")
+            .collect()
+        }
+        assert got == heavy  # all 25 slots go to the heavy docs
+
+
 def test_embedding_outliers_shape(spark, sf_dir):
     from movie_recommendation_etl_spark.plans.dedup_similarity import (
         q63_embedding_outliers,

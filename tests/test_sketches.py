@@ -223,6 +223,139 @@ def test_heavy_hitter_store_incremental_matches_one_shot(spark, tmp_path):
     assert confirm == expected
 
 
+def test_heavy_hitter_store_survives_crashed_write(spark, tmp_path):
+    """r12 ADVICE: the old mode('overwrite') deleted the store before
+    rewriting it — a crash mid-write lost the lifetime summary. The r13
+    commit protocol (versioned v_<n> dirs, highest-with-_SUCCESS wins)
+    must (a) keep admissions reading the LAST committed version when an
+    uncommitted (crashed) version dir exists, (b) prune superseded
+    versions after a successful commit, and (c) still read legacy
+    flat-layout stores."""
+    import os
+    import shutil
+
+    from movie_recommendation_etl_spark.operators.sketches import (
+        read_heavy_hitter_candidates,
+        update_heavy_hitter_store,
+    )
+
+    store = str(tmp_path / "hh_store")
+    b1 = spark.createDataFrame([("a",)] * 50 + [("b",)] * 10, "k string")
+    s1 = update_heavy_hitter_store(spark, store, b1, "k", k=5, key_name="k")
+    assert s1["n_seen"] == 60
+
+    # simulate a crash: a half-written NEWER version without _SUCCESS
+    crashed = os.path.join(store, "v_99")
+    shutil.copytree(os.path.join(store, "v_1"), crashed)
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+
+    cands = {
+        r["k"] for r in read_heavy_hitter_candidates(spark, store).collect()
+    }
+    assert "a" in cands  # reader ignored the uncommitted dir
+
+    # next admission also ignores it, keeps the lifetime count, and
+    # commits v_100 (above the crashed number — never a name collision)
+    b2 = spark.createDataFrame([("a",)] * 30, "k string")
+    s2 = update_heavy_hitter_store(spark, store, b2, "k", k=5, key_name="k")
+    assert s2["n_seen"] == 90
+    versions = sorted(
+        d for d in os.listdir(store) if d.startswith("v_")
+    )
+    assert "v_100" in versions and "v_1" not in versions  # pruned
+
+    # legacy flat layout (pre-versioning store) still reads
+    legacy = str(tmp_path / "hh_legacy")
+    spark.createDataFrame(
+        [(None, 0.0, 40, 5), ("a", 30.0, 40, 5)],
+        "k string, __mg_est double, n_seen long, __mg_k long",
+    ).coalesce(1).write.parquet(legacy)
+    got = read_heavy_hitter_candidates(spark, legacy).collect()
+    assert [r["k"] for r in got] == ["a"]
+    s3 = update_heavy_hitter_store(
+        spark,
+        legacy,
+        spark.createDataFrame([("a",)] * 5, "k string"),
+        "k",
+        k=5,
+        key_name="k",
+    )
+    assert s3["n_seen"] == 45  # lifetime carried over from the flat store
+
+    # FIRST admission crashed (only an uncommitted v_1 exists): the read
+    # names the failure mode instead of a schema-inference error, and a
+    # retry bootstraps fresh, numbering past the wreckage
+    import pytest
+
+    fresh = str(tmp_path / "hh_crashed_first")
+    os.makedirs(os.path.join(fresh, "v_1"))
+    with open(os.path.join(fresh, "v_1", "part-0.parquet"), "wb") as f:
+        f.write(b"half-written garbage")
+    with pytest.raises(ValueError, match="no committed version"):
+        read_heavy_hitter_candidates(spark, fresh).collect()
+    s4 = update_heavy_hitter_store(spark, fresh, b2, "k", k=5, key_name="k")
+    assert s4["n_seen"] == 30  # bootstrapped fresh, not mis-read
+    assert sorted(os.listdir(fresh)) == ["v_2"]  # wreckage pruned
+
+
+def test_distinct_store_incremental_matches_one_shot(spark, tmp_path):
+    """Persisted HLL distinct-count store: batch-at-a-time admission must
+    give the SAME estimate as one aggregate over the union (HLL unions
+    are register-wise max — order- and split-independent), the estimate
+    is exact at sub-sketch cardinalities, n_seen tracks lifetime rows,
+    NULL keys don't count, and a mismatched lg_k admission is rejected
+    with the precision-drift failure mode named."""
+    import pytest
+
+    from movie_recommendation_etl_spark.operators.sketches import (
+        read_distinct_estimate,
+        update_distinct_store,
+    )
+
+    store = str(tmp_path / "hll_store")
+    # three overlapping batches: 0..399, 200..599, 400..799 (+ NULLs)
+    batches = [
+        spark.range(lo, lo + 400).selectExpr(
+            "CASE WHEN id % 97 = 0 THEN NULL "
+            "ELSE CAST(id AS STRING) END AS k"
+        )
+        for lo in (0, 200, 400)
+    ]
+    stats = None
+    for b in batches:
+        stats = update_distinct_store(spark, store, b, "k")
+    true_distinct = spark.range(0, 800).filter("id % 97 != 0").count()
+    n_non_null = sum(b.filter("k IS NOT NULL").count() for b in batches)
+    assert stats["n_seen"] == n_non_null
+    # lg_k=14 => rsd ~0.8%; at 792 distinct HLL_4 is exact in practice —
+    # allow the documented 3-rsd band rather than pinning registers
+    assert abs(stats["estimate"] - true_distinct) <= 3 * 0.0081 * true_distinct
+
+    one_shot = update_distinct_store(
+        spark,
+        str(tmp_path / "hll_one_shot"),
+        batches[0].unionByName(batches[1]).unionByName(batches[2]),
+        "k",
+    )
+    assert one_shot["estimate"] == stats["estimate"]  # register-max merge
+
+    got = read_distinct_estimate(spark, store)
+    assert got["estimate"] == stats["estimate"]
+    assert got["n_seen"] == n_non_null and got["lg_k"] == 14
+
+    with pytest.raises(ValueError, match="lg_k=14"):
+        update_distinct_store(spark, store, batches[0], "k", lg_k=12)
+
+    # fresh store + empty batch: estimate 0, store still bootstraps
+    empty = str(tmp_path / "hll_empty")
+    s0 = update_distinct_store(
+        spark, empty, spark.createDataFrame([], "k string"), "k"
+    )
+    assert s0 == {"n_seen": 0, "estimate": 0.0}
+    s1 = update_distinct_store(spark, empty, batches[0], "k")
+    assert s1["n_seen"] == batches[0].filter("k IS NOT NULL").count()
+
+
 def test_mg_merge_superset_property_fuzzed():
     """Theorem-level fuzz (hypothesis): for ANY stream, ANY split into
     batches, and ANY k, chaining _mg_merge keeps every key whose true
