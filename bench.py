@@ -76,6 +76,7 @@ SCOPE_TAGS: dict[str, str] = {
     # (q48 gained a streaming arm in r13, but its bench lines were
     # simultaneously split into q48_batch / q48_stream — fresh names
     # fence themselves, so no tag is needed)
+    "q58_sampling_suite": "r13-weighted-arm",
     "q30_batch_arms": "r12-gapfill-arm",
     "q33_lookup_expr_suite": "r9-csv-arm",
     "q40_text_profile_suite": "r11-bc-lemma-arm",

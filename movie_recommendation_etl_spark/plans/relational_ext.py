@@ -230,7 +230,15 @@ def q43_term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q44_approx_count_distinct",
     oracle="""
-    SELECT count(DISTINCT l_orderkey) AS exact_orders,
+    SELECT 'oneshot' AS arm,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey) AS exact_parts,
+           1 AS orders_within_3rsd,
+           1 AS parts_within_3rsd
+    FROM lineitem
+    UNION ALL
+    SELECT 'store' AS arm,
+           count(DISTINCT l_orderkey) AS exact_orders,
            count(DISTINCT l_partkey) AS exact_parts,
            1 AS orders_within_3rsd,
            1 AS parts_within_3rsd
@@ -238,31 +246,63 @@ def q43_term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q44_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimation, hash-gated on its CONTRACT
+    """HyperLogLog distinct estimation, hash-gated on its CONTRACT
     (r11 upgrade from rows-only): the sketch VALUE is engine-specific —
-    no SQL oracle can replicate Spark's HLL++ registers bit-for-bit — but
-    the estimator's accuracy contract is checkable cross-engine. The
-    oracle computes the exact distinct counts and asserts the
-    within-bound booleans TRUE; the Spark side computes the booleans from
-    its REAL approx_count_distinct output (|approx − exact| ≤ 3·rsd·exact,
-    rsd 0.02 → 6%, a ≥3σ band for HLL++). A broken sketch flips a boolean
-    and hash-fails the driver gate instead of hiding behind a rows-only
-    check. Spark's HLL++ is deterministic for fixed data and rsd, so the
-    gate is stable. At 100 TB this operator replaces exact
-    COUNT(DISTINCT) — one pass, bounded memory, no giant shuffle; the
-    exact twins computed here for the gate are the expensive thing the
-    sketch exists to avoid."""
+    no SQL oracle can replicate the registers bit-for-bit — but the
+    estimator's accuracy contract is checkable cross-engine. The oracle
+    computes the exact distinct counts and asserts the within-bound
+    booleans TRUE; the Spark side computes the booleans from its REAL
+    sketch outputs. A broken sketch flips a boolean and hash-fails the
+    driver gate instead of hiding behind a rows-only check. Both sketch
+    paths are deterministic for fixed data, so the gate is stable. Arms:
+
+    - ``oneshot``: approx_count_distinct (HLL++, rsd 0.02 → 6% 3-rsd
+      band) against same-plan exact twins. At 100 TB this replaces exact
+      COUNT(DISTINCT) — one pass, bounded memory, no giant shuffle; the
+      exact twins computed here for the gate are the expensive thing the
+      sketch exists to avoid.
+    - ``store`` (r13): the INCREMENTAL path — lineitem split into two
+      deterministic halves (l_linenumber parity, so the same l_orderkey
+      appears in BOTH batches and cross-batch union-dedup is what's
+      being gated, not just addition) admitted batch-at-a-time into the
+      persisted HLL sketch store (operators/sketches.py:
+      update_distinct_store, Datasketches HLL_4 at lg_k=14 → 2.5% 3-rsd
+      band), then the lifetime estimate checked against the same exact
+      twins. This is the driver-gated row for the admission-store tier —
+      pytest pins the batch≡one-shot merge theorem, this arm pins the
+      end product against the oracle.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
+
+    def _flags(arm: str, est_o, est_p, band: float) -> DataFrame:
+        agg = li.agg(
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        # INT 0/1, not BOOLEAN: the driver's comparator has hashed every
+        # other registry column type for ten rounds, but never a boolean
+        # — integers take the battle-tested path on both engines.
+        return agg.select(
+            F.lit(arm).alias("arm"),
+            "exact_orders",
+            "exact_parts",
+            (
+                F.abs(est_o - F.col("exact_orders"))
+                <= F.col("exact_orders") * F.lit(band)
+            ).cast("int").alias("orders_within_3rsd"),
+            (
+                F.abs(est_p - F.col("exact_parts"))
+                <= F.col("exact_parts") * F.lit(band)
+            ).cast("int").alias("parts_within_3rsd"),
+        )
+
+    oneshot = li.agg(
         F.count_distinct("l_orderkey").alias("exact_orders"),
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("__approx_o"),
         F.approx_count_distinct("l_partkey", 0.02).alias("__approx_p"),
-    )
-    # INT 0/1, not BOOLEAN: the driver's comparator has hashed every
-    # other registry column type for ten rounds, but never a boolean —
-    # integers take the battle-tested path on both engines.
-    return agg.select(
+    ).select(
+        F.lit("oneshot").alias("arm"),
         "exact_orders",
         "exact_parts",
         (
@@ -274,3 +314,25 @@ def q44_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_parts") * F.lit(0.06)
         ).cast("int").alias("parts_within_3rsd"),
     )
+
+    import shutil
+    import tempfile
+
+    from movie_recommendation_etl_spark.operators.sketches import (
+        read_distinct_estimate,
+        update_distinct_store,
+    )
+
+    d = tempfile.mkdtemp(prefix="spark_graft_q44_store_")
+    try:
+        for half in (0, 1):
+            batch = li.filter(F.col("l_linenumber") % 2 == half)
+            update_distinct_store(spark, f"{d}/orders", batch, "l_orderkey")
+            update_distinct_store(spark, f"{d}/parts", batch, "l_partkey")
+        est_o = read_distinct_estimate(spark, f"{d}/orders")["estimate"]
+        est_p = read_distinct_estimate(spark, f"{d}/parts")["estimate"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # 3-rsd band at lg_k=14: 3 * 1.04 / sqrt(2^14) ≈ 2.4% — rounded up
+    store = _flags("store", F.lit(est_o), F.lit(est_p), 0.025)
+    return oneshot.unionByName(store)

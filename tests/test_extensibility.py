@@ -72,8 +72,10 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
 
     from movie_recommendation_etl_spark.sources.catalog import load_table
 
-    row = QUERIES["q44_approx_count_distinct"](spark, sf_dir).collect()[0]
-    assert row["orders_within_3rsd"] and row["parts_within_3rsd"]
+    rows = QUERIES["q44_approx_count_distinct"](spark, sf_dir).collect()
+    assert {r["arm"] for r in rows} == {"oneshot", "store"}
+    for row in rows:  # r13: both the one-shot and the store arm must hold
+        assert row["orders_within_3rsd"] and row["parts_within_3rsd"]
     li = load_table(spark, sf_dir, "lineitem")
     raw = li.agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("a"),
