@@ -139,6 +139,66 @@ def test_weighted_sample_tilts_toward_heavy_docs(spark, sf_dir):
         assert got == heavy  # all 25 slots go to the heavy docs
 
 
+def test_weighted_sample_matches_python_reference_fuzzed(spark, tmp_path):
+    """The weighted arm replayed in pure Python: same md5 uniforms, same
+    u^(1/w) priorities, same (priority desc, doc_id) order — the Spark
+    selection must equal the reference top-k per stratum on fuzzed
+    weights. Guards the exact keying scheme (salt, hex8 parse, weight
+    floor), not just the tilt direction. Seeded data; the rank-boundary
+    priority gap is checked to be far above cross-libm pow error
+    (~1 ulp), so the comparison can never flake on rounding."""
+    import hashlib
+    import random
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from movie_recommendation_etl_spark.plans.curation import (
+        STRATUM_TARGET,
+        q58_sampling_suite,
+    )
+
+    rng = random.Random(1337)
+    rows = [
+        (i, rng.choice(["aa", "bb"]), rng.randint(1, 2000))
+        for i in range(600)
+    ]
+
+    def unif(doc_id: int) -> float:
+        h = hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967296.0
+
+    expected: dict[str, list[int]] = {}
+    for lang in ("aa", "bb"):
+        scored = sorted(
+            (
+                (-(unif(i) ** (1.0 / max(w, 1))), i)
+                for i, lg, w in rows
+                if lg == lang
+            ),
+        )
+        # rank-boundary gap: priorities at the cut must not be within
+        # libm noise of each other (they aren't for this seed — pinned)
+        cut = STRATUM_TARGET
+        assert abs(scored[cut - 1][0] - scored[cut][0]) > 1e-9
+        expected[lang] = sorted(i for _, i in scored[:cut])
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, "x", lg, "src", w) for i, lg, w in rows],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{td}/documents.parquet")
+        got: dict[str, list[int]] = {"aa": [], "bb": []}
+        for r in (
+            q58_sampling_suite(spark, td)
+            .filter("method = 'weighted'")
+            .collect()
+        ):
+            got[r["lang"]].append(r["doc_id"])
+    assert {k: sorted(v) for k, v in got.items()} == expected
+
+
 def test_embedding_outliers_shape(spark, sf_dir):
     from movie_recommendation_etl_spark.plans.dedup_similarity import (
         q63_embedding_outliers,
