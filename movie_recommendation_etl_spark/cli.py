@@ -790,6 +790,72 @@ def _cmd_distinct(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_store_info(args: argparse.Namespace) -> int:
+    """Inspect a persisted sketch store (MG heavy-hitter or HLL
+    distinct): commit state (committed version, uncommitted crash
+    leftovers), the pinned parameter (k / lg_k), lifetime rows, and the
+    summary size — the ops view of the versioned commit protocol
+    (operators/sketches.py). Read-only: never mutates the store."""
+    from movie_recommendation_etl_spark.operators.sketches import (
+        _latest_store_version,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mre-store-info")
+    vpath, vn, max_n = _latest_store_version(spark, args.store)
+    if vpath is None and max_n == 0:
+        # no version dirs: legacy flat store or missing path
+        try:
+            df = spark.read.parquet(args.store)
+            layout = "legacy-flat"
+        except Exception:
+            print(f"no store at {args.store}", file=sys.stderr)
+            return 1
+    elif vpath is None:
+        print(
+            f"store at {args.store}: NO committed version "
+            f"({max_n} uncommitted dir(s) — crashed writes; re-run the "
+            "admission to rebuild)",
+            file=sys.stderr,
+        )
+        return 1
+    else:
+        df = spark.read.parquet(vpath)
+        layout = f"versioned (current v_{vn}"
+        layout += (
+            f", {max_n - vn} uncommitted leftover(s))"
+            if max_n > vn
+            else ")"
+        )
+    cols = set(df.columns)
+    if "sketch" in cols:  # HLL distinct store
+        from pyspark.sql import functions as F
+
+        row = df.select(
+            F.hll_sketch_estimate("sketch").alias("est"), "n_seen", "lg_k"
+        ).first()
+        est = 0.0 if row["est"] is None else float(row["est"])
+        print(
+            f"type=hll-distinct layout={layout} lg_k={row['lg_k']} "
+            f"n_seen={row['n_seen']} estimate={est:.0f}"
+        )
+        return 0
+    if "__mg_k" in cols:  # MG heavy-hitter store
+        rows = df.collect()  # bounded: <= k+1 rows by the store contract
+        meta = rows[0]
+        n_cand = sum(1 for r in rows if r[df.columns[0]] is not None)
+        print(
+            f"type=mg-heavy-hitters layout={layout} k={meta['__mg_k']} "
+            f"n_seen={meta['n_seen']} candidates={n_cand}"
+        )
+        return 0
+    print(
+        f"unrecognized store schema at {args.store}: {sorted(cols)}",
+        file=sys.stderr,
+    )
+    return 1
+
+
 def _cmd_zorder(args: argparse.Namespace) -> int:
     """Rewrite a parquet table clustered on the Morton interleave of >= 2
     int columns (functions/zorder.py) — the OPTIMIZE ... ZORDER BY shape:
@@ -1023,6 +1089,14 @@ def build_parser() -> argparse.ArgumentParser:
         "admission, drift rejected",
     )
     di.set_defaults(fn=_cmd_distinct)
+
+    si = sub.add_parser(
+        "store-info",
+        help="inspect a persisted sketch store (commit state, pinned "
+        "parameter, lifetime rows) — read-only",
+    )
+    si.add_argument("store")
+    si.set_defaults(fn=_cmd_store_info)
 
     sq = sub.add_parser(
         "sql", help="ad-hoc Spark SQL over the catalog tables"

@@ -1058,6 +1058,54 @@ def test_cli_distinct_store_lifecycle(capsys, sf_dir, tmp_path):
     assert "not in" in capsys.readouterr().err
 
 
+def test_cli_store_info(capsys, spark, sf_dir, tmp_path):
+    """store-info: reports type/layout/parameter/lifetime for both store
+    kinds, names the all-uncommitted crash state, and missing paths are
+    exit-1."""
+    import os
+    import shutil
+
+    hll = str(tmp_path / "hll")
+    assert main(["distinct", f"{sf_dir}/documents.parquet",
+                 "--store", hll, "--col", "lang"]) == 0
+    capsys.readouterr()
+    assert main(["store-info", hll]) == 0
+    out = capsys.readouterr().out
+    assert "type=hll-distinct" in out and "lg_k=14" in out
+    assert "layout=versioned (current v_1)" in out
+
+    mg = str(tmp_path / "mg")
+    from movie_recommendation_etl_spark.operators.sketches import (
+        update_heavy_hitter_store,
+    )
+
+    update_heavy_hitter_store(
+        spark,
+        mg,
+        spark.createDataFrame([("a",)] * 9 + [("b",)], "k string"),
+        "k",
+        k=4,
+        key_name="k",
+    )
+    assert main(["store-info", mg]) == 0
+    out = capsys.readouterr().out
+    assert "type=mg-heavy-hitters" in out and "k=4" in out
+    assert "n_seen=10" in out
+
+    # crash leftover: an extra uncommitted dir is counted, committed wins
+    shutil.copytree(os.path.join(mg, "v_1"), os.path.join(mg, "v_7"))
+    os.remove(os.path.join(mg, "v_7", "_SUCCESS"))
+    assert main(["store-info", mg]) == 0
+    assert "uncommitted leftover" in capsys.readouterr().out
+
+    # ALL-uncommitted store names the crash state; missing path exits 1
+    shutil.rmtree(os.path.join(mg, "v_1"))
+    assert main(["store-info", mg]) == 1
+    assert "NO committed version" in capsys.readouterr().err
+    assert main(["store-info", str(tmp_path / "nope")]) == 1
+    assert "no store at" in capsys.readouterr().err
+
+
 def test_cli_profile_is_one_scan(spark, sf_dir):
     """The profile's cost contract (r12 VERDICT #5 done-criterion): all
     per-column stats INCLUDING the new p50/p90 quantiles land in a single
