@@ -342,11 +342,20 @@ def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability tilts ∝ weight — the quality/length-weighted corpus
     sampler an LLM data pipeline uses when longer or higher-scoring docs
     should be proportionally likelier, still rerun-stable and
-    engine-independent. One shuffle on the stratum key (grouped_top_k;
-    AQE absorbs stratum skew). The stratified arm's two-phase admission
-    trick applies here too, but its threshold is weight-distribution-
-    dependent (admit key > t needs t with Σ(1-t^{w_i}) ≈ oversample·k),
-    so the exact window form is kept as the reference semantics.
+    engine-independent. Scale shape (r14): the stratified arm's
+    admission-threshold trick does NOT transfer (the threshold becomes
+    weight-distribution-dependent: admit key > t needs t with
+    Σ(1-t^{w_i}) ≈ oversample·k), and a naive
+    ``row_number() OVER (PARTITION BY lang)`` over the full corpus is a
+    straggler by construction — a window partition cannot be split (AQE
+    skew handling splits *join* partitions only), so a handful of
+    languages over 100 TB means one reducer per language. Instead the
+    weight-AGNOSTIC exact fix: two-stage top-k
+    (operators/topk.grouped_top_k_two_stage) — stage 1 windows over
+    (lang × 64 hash-salt cells) keeping each cell's local top-k, stage 2
+    re-ranks the ≤ 64·k survivors per lang. Output-identical for any
+    weights (a global top-k row is top-k in its own cell), so the naive
+    DuckDB window oracle still hash-matches.
     Determinism note: priorities cross engines via IEEE pow — not
     correctly rounded in either libm, but a rank flip needs TWO
     priorities within ~1 ulp, vanishing at any realistic stratum size
@@ -408,9 +417,12 @@ def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # weighted arm: Efraimidis-Spirakis priorities over the narrow
-    # n_chars column — see the docstring for the semantics and the
-    # cross-engine pow determinism note
-    from movie_recommendation_etl_spark.operators.topk import grouped_top_k
+    # n_chars column — see the docstring for the semantics, the
+    # cross-engine pow determinism note, and why the two-stage top-k
+    # (NOT a full-corpus per-lang window) is the scale shape here
+    from movie_recommendation_etl_spark.operators.topk import (
+        grouped_top_k_two_stage,
+    )
 
     u_ws = md5_hex8_long("doc_id", salt="ws:").cast("double") / F.lit(
         4294967296.0
@@ -419,11 +431,12 @@ def q58_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         u_ws, F.lit(1.0) / F.greatest("n_chars", F.lit(1)).cast("double")
     )
     weighted = (
-        grouped_top_k(
+        grouped_top_k_two_stage(
             docs.select("doc_id", "lang", es_key.alias("es_key")),
             ["lang"],
             [F.col("es_key").desc(), F.col("doc_id")],
             STRATUM_TARGET,
+            salt_cols=["doc_id"],
             rank_col="rk",
         )
         .select(F.lit("weighted").alias("method"), "doc_id", "lang", "rk")

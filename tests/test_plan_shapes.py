@@ -94,6 +94,29 @@ def test_sample_prunes_text_column(spark, sf_dir):
     assert schemas and all("text" not in s for s in schemas)
 
 
+def test_weighted_sample_two_stage_topk(spark, sf_dir):
+    """q58's weighted arm must NEVER feed the full documents scan into a
+    window partitioned by lang alone — a window partition cannot be split
+    (AQE skew handling covers joins only), so that shape is one straggler
+    reducer per language at 100 TB. The two-stage form shuffles the scan
+    over (lang, __tk_salt) first; lang-only window partitions may then see
+    only bounded inputs (the stage-1 rank-filter survivors, or the
+    stratified arm's admission-filtered rows)."""
+    plan = _plan(spark, sf_dir, "q58_sampling_suite")
+    # stage 1: the corpus-sized exchange carries the salt
+    assert re.search(r"Exchange hashpartitioning\(lang#\d+, __tk_salt", plan)
+    # stage 2 (the lang-only es_key window) must sit ABOVE the stage-1
+    # rank filter: in its printed subtree the __tk_rn1 filter appears
+    # before any FileScan — i.e. the raw scan never reaches a per-lang
+    # window partition directly
+    m = re.search(r"Window \[[^\n]*windowspecdefinition\(lang#\d+, es_key", plan)
+    assert m, plan
+    subtree = plan[m.start():]
+    rank_at = subtree.find("__tk_rn1")
+    scan_at = subtree.find("FileScan")
+    assert rank_at != -1 and (scan_at == -1 or rank_at < scan_at), subtree
+
+
 def test_simhash_hashes_each_token_once(spark, sf_dir):
     """simhash16 must md5 each token ONCE (transform over the token array)
     and fold votes over the hashed list. The per-bit-outer form evaluates
