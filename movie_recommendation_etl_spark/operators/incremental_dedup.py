@@ -97,9 +97,17 @@ STORE_FILES_PER_PARTITION = 1
 def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
     """The store frame, or None when the store does not exist yet
     (bootstrap). ONLY the missing-path AnalysisException maps to None;
-    every other failure propagates (see admit_new_documents)."""
+    every other failure propagates (see admit_new_documents). A merge
+    commit a crash interrupted is applied first (r14 crash-safe protocol,
+    sources/writers.recover_pending_merge) — apply-only, never purging a
+    live writer's staging."""
     from pyspark.sql.utils import AnalysisException
 
+    from movie_recommendation_etl_spark.sources.writers import (
+        recover_pending_merge,
+    )
+
+    recover_pending_merge(spark, store_path)
     try:
         return spark.read.parquet(store_path)
     except AnalysisException as e:

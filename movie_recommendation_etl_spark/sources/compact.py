@@ -146,6 +146,16 @@ def compact_parquet(
     unsplittable file. Like the merge sink, the frame is localCheckpoint'ed
     before overwriting its own source files.
     """
+    from movie_recommendation_etl_spark.sources.writers import (
+        recover_pending_merge,
+    )
+
+    # apply any crash-interrupted merge commit FIRST: compacting on top of
+    # a committed-but-unapplied journal would rewrite files the journal's
+    # delete set names, and the later replay would resurrect superseded
+    # rows (single-writer contract shared with merge_upsert_parquet)
+    recover_pending_merge(spark, path)
+
     plans = plan_compaction(spark, path, target_file_bytes=target_file_bytes)
     if not plans:
         return plans

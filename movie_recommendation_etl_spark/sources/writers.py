@@ -119,6 +119,196 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+_MERGE_STAGING_DIR = "_merge_staging"
+_MERGE_JOURNAL_DIR = "_merge_journal"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(jvm, fs, qualified root Path) — Hadoop FileSystem API, so the merge
+    commit protocol works unchanged on file:/, hdfs:/ and s3a:/ (same
+    pattern as operators/sketches._latest_store_version)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, fs.makeQualified(p)
+
+
+def _latest_journal(spark: SparkSession, table_path: str) -> tuple[str | None, int]:
+    """(highest COMMITTED ``_merge_journal/v_<n>`` path or None, max n seen
+    committed or not). Committed = Spark's own ``_SUCCESS`` marker — the
+    same convention as the sketch stores' versioned commits."""
+    jvm, fs, root = _hadoop_fs(spark, table_path)
+    jroot = jvm.org.apache.hadoop.fs.Path(root, _MERGE_JOURNAL_DIR)
+    if not fs.exists(jroot):
+        return None, 0
+    best, best_n, max_n = None, 0, 0
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v_")):
+            continue
+        try:
+            n = int(name[2:])
+        except ValueError:
+            continue
+        max_n = max(max_n, n)
+        if n > best_n and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            best, best_n = st.getPath().toString(), n
+    return best, max_n
+
+
+def _apply_merge_journal(
+    spark: SparkSession, table_path: str, entries: list[tuple]
+) -> None:
+    """Execute (or idempotently REPLAY) a committed merge journal: delete
+    the superseded files, move the staged files into place, then retire the
+    journal and staging area. Safe to re-run from any crash point because
+    the delete set and the move destinations are disjoint (staged files
+    carry fresh job-UUID names): a delete of an already-deleted file
+    no-ops, a move whose source already moved is skipped. Only after every
+    entry is applied are the journal and staging dirs removed — their
+    removal IS the "merge fully applied" marker."""
+    jvm, fs, root = _hadoop_fs(spark, table_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    for op, src, _dst in entries:
+        if op == "delete":
+            fs.delete(P(src), True)  # False (missing) is fine on replay
+    for op, src, dst in entries:
+        if op != "move":
+            continue
+        s, d = P(src), P(dst)
+        if fs.exists(s):
+            fs.mkdirs(d.getParent())
+            if not fs.rename(s, d):
+                raise IOError(
+                    f"merge journal apply: rename {src} -> {dst} failed"
+                )
+        elif not fs.exists(d):
+            raise IOError(
+                f"merge journal apply: {src} and {dst} both missing — "
+                "staged data lost; restore from staging backup"
+            )
+    # best-effort: partition dirs the merge emptied (every old file deleted,
+    # no staged file moved in — e.g. a key migrated out) are removed so
+    # stale directory levels don't linger; a crash here only leaves an
+    # EMPTY dir, which parquet discovery ignores
+    old_dirs = {
+        str(P(src).getParent()) for op, src, _ in entries if op == "delete"
+    }
+    new_dirs = {
+        str(P(dst).getParent()) for op, _, dst in entries if op == "move"
+    }
+    for dname in sorted(old_dirs - new_dirs):
+        dp = P(dname)
+        if str(fs.makeQualified(dp)) == str(root):
+            continue  # unpartitioned table root: never delete
+        try:
+            if len(fs.listStatus(dp)) == 0:
+                fs.delete(dp, True)
+        except Exception:
+            pass  # cleanup only
+    fs.delete(P(root, _MERGE_JOURNAL_DIR), True)
+    fs.delete(P(root, _MERGE_STAGING_DIR), True)
+
+
+def recover_pending_merge(
+    spark: SparkSession, path: str, *, purge: bool = False
+) -> bool:
+    """Complete a ``merge_upsert_parquet`` commit a crash interrupted.
+
+    A COMMITTED journal (``_merge_journal/v_<n>/`` carrying ``_SUCCESS``)
+    means the merged output is fully staged and the delete+move plan is
+    durable — replay it to convergence. No committed journal means the
+    crash happened BEFORE the commit point: the table proper was never
+    touched (staging and journal live in underscore-prefixed dirs parquet
+    discovery ignores), so readers see the pre-merge state intact and the
+    leftovers are garbage. That garbage is removed only with ``purge=True``
+    (the merge path, which owns the documented single-writer lock); plain
+    readers must not delete a live writer's staging.
+
+    Returns True when a pending merge was applied. Runs automatically at
+    the start of every merge, from the admission stores' read path
+    (operators/incremental_dedup._read_store) and before compaction."""
+    jvm, fs, root = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    has_journal = fs.exists(P(root, _MERGE_JOURNAL_DIR))
+    has_staging = fs.exists(P(root, _MERGE_STAGING_DIR))
+    if not has_journal and not has_staging:
+        return False
+    vpath, _max_n = _latest_journal(spark, path)
+    if vpath is None:
+        if purge:
+            fs.delete(P(root, _MERGE_JOURNAL_DIR), True)
+            fs.delete(P(root, _MERGE_STAGING_DIR), True)
+        return False
+    entries = [
+        (r["op"], r["src"], r["dst"])
+        for r in spark.read.parquet(vpath).collect()  # bounded: file count
+    ]
+    _apply_merge_journal(spark, path, entries)
+    return True
+
+
+def _touched_partition_files(
+    spark: SparkSession,
+    existing: DataFrame,
+    table_path: str,
+    partition_by: Sequence[str] | None,
+    touched: list[tuple] | None,
+) -> list[str]:
+    """The exact data files the merge supersedes (the journal's delete
+    set). Partitioned tables: an FS listing of each touched partition
+    directory — names built with Spark's OWN escapePathName so the lookup
+    can never drift from what Spark wrote; values outside the str/int fast
+    path (timestamps, floats — string-format parity not guaranteed) fall
+    back to one ``input_file_name`` job over the pruned existing frame.
+    Unpartitioned tables: the root-level data files. Either way the list
+    is bounded by touched FILE count, never row count, and it includes
+    files appended by external engines (the merge read their rows, so its
+    output supersedes them too)."""
+    jvm, fs, root = _hadoop_fs(spark, table_path)
+    P = jvm.org.apache.hadoop.fs.Path
+
+    def _data_files(dir_path) -> list[str]:
+        if not fs.exists(dir_path):
+            return []
+        return [
+            st.getPath().toString()
+            for st in fs.listStatus(dir_path)
+            if st.isFile()
+            and not st.getPath().getName().startswith(("_", "."))
+        ]
+
+    if not partition_by:
+        return _data_files(root)
+    assert touched is not None
+    simple = all(
+        v is None
+        or (isinstance(v, (str, int)) and not isinstance(v, bool))
+        for t in touched
+        for v in t
+    )
+    if not simple:
+        from pyspark.sql import functions as F
+
+        return [
+            r[0]
+            for r in existing.select(F.input_file_name()).distinct().collect()
+        ]
+    utils = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    files: list[str] = []
+    for t in touched:
+        segs = [
+            utils.getPartitionPathString(
+                c, "" if v is None else str(v)  # "" -> __HIVE_DEFAULT_...
+            )
+            for c, v in zip(partition_by, t)
+        ]
+        files += _data_files(P(root, "/".join(segs)))
+    return files
+
+
 def merge_upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -162,24 +352,42 @@ def merge_upsert_parquet(
     By default we find those partitions too — one column-pruned scan of the
     existing table's (key, partition) columns, semi-joined against the
     broadcast update keys — merge them, and physically clear any partition
-    left with zero surviving rows (dynamic overwrite cannot rewrite a
-    partition absent from the output). Set ``stable_partition_keys=True``
+    left with zero surviving rows. Set ``stable_partition_keys=True``
     to skip that scan when partition columns are functionally dependent on
     the key (the common time/tenant layouts): the merge then reads only the
     updates' own partitions, the original r2 fast path.
-    The merged frame is localCheckpoint'ed before the overwrite because the
-    sink path is also the scan source — truncating lineage first is the
-    standard self-overwrite guard for non-transactional rewrites (a crash
-    between checkpoint and commit needs the usual staging-dir/backup story
-    in production).
+
+    CRASH-SAFE COMMIT (r14, extending the sketch stores' versioned
+    protocol to the partitioned stores that need it most — the
+    doc/embedding admission stores hold lifetime dedup history, and a
+    mid-write loss silently re-admits dups): the merged output is written
+    to ``_merge_staging/`` (invisible to parquet discovery), then a
+    delete+move JOURNAL commits under ``_merge_journal/v_<n>/`` with
+    Spark's ``_SUCCESS`` as the commit point, then the journal is applied
+    (delete superseded files, rename staged files into place) and retired.
+    A crash BEFORE the journal commits leaves the table byte-identical
+    (leftovers are purged on the next merge); a crash DURING the apply is
+    replayed idempotently by ``recover_pending_merge`` — which runs
+    automatically at the start of every merge, on the admission-store read
+    path, and before compaction. Because the staging write is no longer a
+    self-overwrite, the merge needs NO lineage checkpoint. Renames are
+    atomic on file:/ and hdfs:/; on object stores they are copy+delete —
+    still crash-consistent (the journal replays), just not O(1); use a
+    transactional table format there if rename cost matters. Single
+    writer per table, as before.
     """
     from functools import reduce
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
     from pyspark.sql import Window as W
     from pyspark.sql.utils import AnalysisException
 
     keys = list(key_cols)
+    # finish any crash-interrupted prior merge FIRST (and purge its
+    # garbage — this path owns the single-writer lock), so `existing`
+    # below reads a fully-applied table
+    recover_pending_merge(spark, path, purge=True)
     try:
         existing = spark.read.parquet(path)
     except AnalysisException:
@@ -188,7 +396,7 @@ def merge_upsert_parquet(
         # both land; caught by tests/test_merge_property.py)
         existing = spark.createDataFrame([], updates.schema)
 
-    part_files: list[tuple[tuple, str]] = []
+    touched: list[tuple] | None = None
     if partition_by:
         touched_df = updates.select(*partition_by).distinct()
         if not stable_partition_keys:
@@ -207,16 +415,21 @@ def merge_upsert_parquet(
         touched = [tuple(r) for r in touched_df.collect()]
         if not touched:
             return
-        if len(partition_by) == 1:
+        has_null_part = any(v is None for t in touched for v in t)
+        if len(partition_by) == 1 and not has_null_part:
             # single partition column: isin prunes partitions as one
-            # predicate however many values there are
+            # predicate however many values there are (isin never matches
+            # NULL — a touched NULL partition takes the general branch)
             existing = existing.filter(
                 F.col(partition_by[0]).isin([t[0] for t in touched])
             )
         else:
-            # multi-level partitioning: OR of per-partition conjunctions —
-            # size is bounded by touched-partition count, and every
-            # conjunct is on partition columns so directory pruning applies
+            # multi-level (or NULL-bearing) partitioning: OR of
+            # per-partition conjunctions — size is bounded by
+            # touched-partition count, every conjunct is on partition
+            # columns so directory pruning applies, and NULL values match
+            # via isNull (== NULL never matches; missing a touched NULL
+            # partition here would turn the r14 delete set into data loss)
             existing = existing.filter(
                 reduce(
                     lambda a, b: a | b,
@@ -224,7 +437,9 @@ def merge_upsert_parquet(
                         reduce(
                             lambda a, b: a & b,
                             [
-                                F.col(c) == F.lit(v)
+                                F.col(c).isNull()
+                                if v is None
+                                else F.col(c) == F.lit(v)
                                 for c, v in zip(partition_by, t)
                             ],
                         )
@@ -232,19 +447,6 @@ def merge_upsert_parquet(
                     ],
                 )
             )
-        if not stable_partition_keys:
-            # file inventory of the pruned partitions, used after the write
-            # to clear partitions a migration emptied; one row per FILE
-            # (distinct), never per data row
-            part_files = [
-                (tuple(r)[:-1], r["__f"])
-                for r in existing.select(
-                    *partition_by, F.input_file_name().alias("__f")
-                )
-                .distinct()
-                .collect()
-            ]
-
     # Schema evolution, align-by-name with null-fill (r3 VERDICT #4): the
     # output schema is the updates' columns followed by any legacy columns
     # only the existing table has. Existing rows null-fill newly added
@@ -315,37 +517,56 @@ def merge_upsert_parquet(
                 )
             )
         merged = merged.repartition(*parts)
-    merged = merged.localCheckpoint(eager=True)
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        if partition_by:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        write_parquet(merged, path, partition_by=partition_by)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-
-    if part_files:
-        # a migration can leave a source partition with ZERO surviving rows;
-        # dynamic overwrite never touches a partition absent from the output,
-        # so its old files (holding the stale pre-migration row) would
-        # survive. Delete those directories explicitly. merged is
-        # checkpointed, so the distinct here re-reads local blocks, not the
-        # merge lineage.
-        out_parts = {
-            tuple(r) for r in merged.select(*partition_by).distinct().collect()
-        }
-        stale_files = [f for (pt, f) in part_files if pt not in out_parts]
-        if stale_files:
-            jvm = spark._jvm
-            hconf = spark._jsc.hadoopConfiguration()
-            stale_dirs = {
-                str(jvm.org.apache.hadoop.fs.Path(f).getParent())
-                for f in stale_files
-            }
-            for d in sorted(stale_dirs):
-                p = jvm.org.apache.hadoop.fs.Path(d)
-                p.getFileSystem(hconf).delete(p, True)
+    # ---- crash-safe commit (see docstring) --------------------------------
+    # Delete set: the files the merge supersedes (every data file in the
+    # touched partitions / the whole table when unpartitioned) — captured
+    # BEFORE anything is written, bounded by file count.
+    old_files = _touched_partition_files(
+        spark, existing, path, partition_by, touched
+    )
+    jvm, fs, root = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    _vp, max_jn = _latest_journal(spark, path)
+    staging = f"{root.toString()}/{_MERGE_STAGING_DIR}/s_{max_jn + 1}"
+    # The staging write reads the live table it will replace, but into a
+    # SEPARATE directory — no self-overwrite, so no lineage checkpoint is
+    # needed (the pre-r14 dynamic-overwrite form required one).
+    write_parquet(
+        merged, staging, partition_by=partition_by, mode="errorifexists"
+    )
+    # Move plan: every staged data file lands at its same relative path
+    # under the table root. Staged file names are job-unique, so the
+    # delete set and the move destinations are DISJOINT — the property
+    # that makes journal replay idempotent from any crash point.
+    moves: list[tuple[str, str]] = []
+    base = fs.makeQualified(P(staging)).toString()
+    it = fs.listFiles(P(staging), True)
+    while it.hasNext():
+        src = it.next().getPath().toString()
+        rel = src[len(base) + 1 :]
+        if rel.rsplit("/", 1)[-1].startswith(("_", ".")):
+            continue  # markers/checksums: not data
+        moves.append((src, f"{root.toString()}/{rel}"))
+    entries = [("delete", f, None) for f in old_files] + [
+        ("move", s, d) for s, d in moves
+    ]
+    journal = spark.createDataFrame(
+        entries,
+        T.StructType(
+            [
+                T.StructField("op", T.StringType(), False),
+                T.StructField("src", T.StringType(), False),
+                T.StructField("dst", T.StringType(), True),
+            ]
+        ),
+    )
+    # the _SUCCESS inside this version dir is the COMMIT POINT: before it,
+    # the table is untouched; after it, recovery replays to the new state
+    journal.coalesce(1).write.mode("errorifexists").parquet(
+        f"{root.toString()}/{_MERGE_JOURNAL_DIR}/v_{max_jn + 1}"
+    )
+    _apply_merge_journal(spark, path, entries)
 
 
 def save_model(model, path: str) -> None:
