@@ -216,3 +216,45 @@ def test_streaming_mg_candidates_superset_and_exact_confirm(
     assert confirm == batch_out
     # state genuinely accumulated across multiple triggers
     assert len(emitted) > len(per_bucket_rows)
+
+
+def test_drain_mg_candidates_driver_retention_bounded(spark, tmp_path):
+    """r13 VERDICT #4: the drain's DRIVER retention must stay ≤ n_buckets·k
+    rows at every point of a long availableNow drain (the prior memory
+    sink kept every update-mode emission — linear in trigger count), and
+    the returned summary must still be each bucket's final emission (hot
+    keys survive; per-bucket rows share one n_seen)."""
+    from movie_recommendation_etl_spark.streaming.heavy_hitters import (
+        drain_mg_candidates,
+    )
+
+    rows = [
+        ("hot",) if i % 2 == 0 else ("w%d" % ((i * 7919) % 197),)
+        for i in range(6600)
+    ]
+    src = str(tmp_path / "grams_src")
+    spark.createDataFrame(rows, "gram string").repartition(22).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    k, n_buckets = 10, 2
+    stream = (
+        spark.readStream.schema("gram string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stats: dict = {}
+    final = drain_mg_candidates(
+        spark, stream, k=k, n_buckets=n_buckets, stats=stats
+    ).collect()
+
+    assert stats["n_batches"] >= 20  # the drain genuinely ran many triggers
+    assert stats["max_held_rows"] <= n_buckets * k  # bounded at EVERY point
+    assert 0 < len(final) <= n_buckets * k
+    # each bucket's returned rows are ONE emission (a single n_seen)
+    per_bucket_nseen: dict[int, set[int]] = {}
+    for r in final:
+        per_bucket_nseen.setdefault(r["bucket"], set()).add(r["n_seen"])
+    assert all(len(s) == 1 for s in per_bucket_nseen.values())
+    # N/(k+1) = 600 < freq("hot") = 3300 -> MG guarantees survival
+    assert "hot" in {r["gram"] for r in final}
