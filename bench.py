@@ -56,7 +56,7 @@ REF_SCALE_METHOD = "min2_fit_cal_staged"
 # value (or none), the blob carries a regressions_note saying the
 # headline totals are not comparable this round. Per-query comparisons
 # are unaffected (they fence via SCOPE_TAGS / name matching).
-HEADLINE_SCOPE = "r13-q48-split"
+HEADLINE_SCOPE = "r14-q76-split"
 
 # A calibration ratio this far from 1.0 means the host was in a
 # different regime when the two samples ran (or one sample is junk) —
@@ -128,8 +128,13 @@ RESAMPLE_MIN_CAP_SEC = 10.0
 
 # The driver records roughly the last 2000 bytes of bench stdout; the
 # compact line must fit the window WHOLE (with margin for the driver's
-# own envelope bytes) or it defeats its purpose.
-COMPACT_LINE_BUDGET = 1900
+# own envelope bytes) or it defeats its purpose. r14: 1900 -> 1950 — the
+# q76 batch/stream split (+1 timing entry) pushed the steady-state line
+# to ~1907 bytes, and at 1900 the guard dropped the regressions +
+# end_resampled blocks that adjudication needs; 50 bytes of margin
+# remain, and the compact line prints LAST so only the final 2000 bytes
+# matter for survival.
+COMPACT_LINE_BUDGET = 1950
 
 
 def needs_resample(samples: list[float]) -> bool:
@@ -325,7 +330,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q71_tfidf_cosine_topk",
     "q72_curate_pipeline",
     "q73_chunk_documents",
-    "q76_decontaminate",
+    # q76 timed as its two halves from r14 (the q30/q48 split rationale):
+    # the new stream arm's availableNow drain is fixed trigger overhead
+    # that would drown the batch operator's signal. q76_batch measures
+    # the same work the q76_decontaminate line measured through r13.
+    "q76_batch",
+    "q76_stream",
     "q77_pack_sequences",
     "q78_substring_dedup",
     "q79_perplexity_band",
@@ -621,6 +631,8 @@ def main() -> int:
     from movie_recommendation_etl_spark.plans.text_analysis import (
         q48_batch_arm,
         q48_stream_arm,
+        q76_batch_arm,
+        q76_stream_arm,
     )
     from movie_recommendation_etl_spark.plans.recommend import (
         flagship_neighbors,
@@ -717,6 +729,8 @@ def main() -> int:
         "q30_stream_arms": q30_stream_arms,
         "q48_batch": q48_batch_arm,
         "q48_stream": q48_stream_arm,
+        "q76_batch": q76_batch_arm,
+        "q76_stream": q76_stream_arm,
         # q61/q62's registry slots became contract gates in r11 (ANN +
         # exact top-5 + recall flags under one hash); the bench keeps
         # timing the NEIGHBOR-level ANN frames those gates wrap, so the

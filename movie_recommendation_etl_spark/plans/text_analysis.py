@@ -409,6 +409,27 @@ _Q76_NGRAM_SQL = (
 )
 
 
+def _q76_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(train, eval) split of the documents table shared by both q76 arms:
+    docs whose md5 leading hex digit is '0' play the held-out eval
+    benchmark; the rest are the training corpus, salted with PLANTED
+    contamination (half the eval docs re-enter training under a shifted id
+    with two junk tokens prepended — near-total 5-gram overlap, but not an
+    exact duplicate, so only an n-gram gate catches it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
+    second_hex = F.md5(F.col("doc_id").cast("string")).substr(2, 1)
+    ev = docs.filter(first_hex == "0").select("doc_id", "text")
+    clean = docs.filter(first_hex != "0").select("doc_id", "text")
+    planted = ev.filter(second_hex.isin(*"01234567")).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("zq0 zq1 "), F.col("text")).alias("text"),
+    )
+    return clean.unionByName(planted), ev
+
+
 @query(
     "q76_decontaminate",
     oracle=f"""
@@ -436,47 +457,108 @@ _Q76_NGRAM_SQL = (
         FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) t
         JOIN ev_grams e USING (gram)
         GROUP BY t.doc_id
+    ),
+    res AS (
+        SELECT t.doc_id,
+               len(t.grams) AS n_grams,
+               COALESCE(h.n_overlap, 0) AS n_overlap,
+               CASE WHEN len(t.grams) > 0
+                    THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                         / CAST(len(t.grams) AS DOUBLE)
+                    ELSE 0.0 END AS overlap_ratio,
+               CASE WHEN len(t.grams) > 0
+                    THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                         / CAST(len(t.grams) AS DOUBLE)
+                    ELSE 0.0 END >= 0.05 AS is_contaminated
+        FROM tr t LEFT JOIN hits h USING (doc_id)
     )
-    SELECT t.doc_id,
-           len(t.grams) AS n_grams,
-           COALESCE(h.n_overlap, 0) AS n_overlap,
-           CASE WHEN len(t.grams) > 0
-                THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
-                     / CAST(len(t.grams) AS DOUBLE)
-                ELSE 0.0 END AS overlap_ratio,
-           CASE WHEN len(t.grams) > 0
-                THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
-                     / CAST(len(t.grams) AS DOUBLE)
-                ELSE 0.0 END >= 0.05 AS is_contaminated
-    FROM tr t LEFT JOIN hits h USING (doc_id)
+    SELECT 'batch' AS arm, * FROM res
+    UNION ALL
+    SELECT 'stream' AS arm, * FROM res
     """,
 )
 def q76_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (operators/decontaminate.py) over a split
-    of the documents table: docs whose md5 leading hex digit is '0' play the
-    held-out eval benchmark; the rest are the training corpus, salted with
-    PLANTED contamination (half the eval docs re-enter training under a
-    shifted id with two junk tokens prepended — near-total 5-gram overlap,
-    but not an exact duplicate, so only an n-gram gate catches it).
+    """Benchmark decontamination over the _q76_split corpus — a two-arm
+    suite (r14, the q48 template) under ONE oracle that emits the naive
+    per-document answer once per arm, so BOTH engine paths must reproduce
+    it bit-for-bit:
 
-    Plan shape: eval gram set broadcast (plan-asserted in
-    tests/test_plan_shapes.py), one training scan, one Exchange on doc_id.
+    - ``batch``: operators/decontaminate.ngram_contamination — eval gram
+      set broadcast (plan-asserted in tests/test_plan_shapes.py), one
+      training scan, one Exchange on doc_id.
+    - ``stream`` (r14): the INGESTION-TIME gate
+      (streaming/decontaminate.contamination_verdicts) over a real
+      Structured Streaming read of the training corpus — 3 files fed one
+      per trigger, stateless per-row verdicts against the broadcast eval
+      gram set, landed in a parquet files sink by an availableNow drain
+      (per-document output is corpus-sized: a files sink is the only
+      100 TB-honest sink; nothing is driver-held).
     """
+    return q76_batch_arm(spark, sf_dir).unionByName(
+        q76_stream_arm(spark, sf_dir)
+    )
+
+
+def q76_batch_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q76 suite's BATCH half — not a registry slot; see
+    q76_decontaminate, whose oracle gates it. Benched separately
+    (q76_batch) so the batch operator's signal isn't drowned in the
+    stream arm's fixed trigger overhead (the q30/q48 split rationale)."""
     from movie_recommendation_etl_spark.operators.decontaminate import (
         ngram_contamination,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    first_hex = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
-    second_hex = F.md5(F.col("doc_id").cast("string")).substr(2, 1)
-    ev = docs.filter(first_hex == "0").select("doc_id", "text")
-    clean = docs.filter(first_hex != "0").select("doc_id", "text")
-    planted = ev.filter(second_hex.isin(*"01234567")).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.lit("zq0 zq1 "), F.col("text")).alias("text"),
+    train, ev = _q76_split(spark, sf_dir)
+    out = ngram_contamination(train, ev, n=5, ratio_threshold=0.05)
+    return out.select(F.lit("batch").alias("arm"), *out.columns)
+
+
+def q76_stream_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q76 suite's STREAMING half (a real availableNow drain through
+    the ingestion gate into a parquet files sink) — not a registry slot;
+    see q76_decontaminate. The drained files are read back and
+    localCheckpoint'ed so the tempdir can be dropped; a production gate
+    keeps the sink directory (it IS the admitted corpus)."""
+    import shutil
+    import tempfile
+
+    from movie_recommendation_etl_spark.streaming.decontaminate import (
+        contamination_verdicts,
+        eval_gram_set,
     )
-    train = clean.unionByName(planted)
-    return ngram_contamination(train, ev, n=5, ratio_threshold=0.05)
+
+    work_dir = tempfile.mkdtemp(prefix="spark_graft_q76_stream_")
+    try:
+        train, ev = _q76_split(spark, sf_dir)
+        grams = eval_gram_set(ev, n=5)
+        src = f"{work_dir}/src"
+        train.repartition(3).write.mode("overwrite").parquet(src)
+        train_stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        verdicts = contamination_verdicts(
+            train_stream, grams, n=5, ratio_threshold=0.05
+        ).select(
+            "doc_id", "n_grams", "n_overlap", "overlap_ratio",
+            "is_contaminated",
+        )
+        (
+            verdicts.writeStream.format("parquet")
+            .option("path", f"{work_dir}/out")
+            .option("checkpointLocation", f"{work_dir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        out = spark.read.parquet(f"{work_dir}/out").localCheckpoint(
+            eager=True
+        )
+        return out.select(F.lit("stream").alias("arm"), *out.columns)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
 
 
 _Q48_PHI = 0.00105

@@ -59,7 +59,7 @@ def eval_gram_set(
     return {r["gram"] for r in rows}
 
 
-def contamination_gated_documents(
+def contamination_verdicts(
     docs: DataFrame,
     grams: "set[str] | object",
     *,
@@ -67,13 +67,18 @@ def contamination_gated_documents(
     n: int = 5,
     ratio_threshold: float = 0.05,
 ) -> DataFrame:
-    """Filter a (streaming or batch) document frame down to rows whose
-    n-gram overlap ratio with ``grams`` is BELOW ``ratio_threshold``.
-    Stateless per row — works in append mode with no watermark and no
-    state store.
+    """Append the batch operator's per-document verdict columns —
+    ``(n_grams int, n_overlap long, overlap_ratio double, is_contaminated
+    boolean)``, value- and type-identical to
+    operators/decontaminate.ngram_contamination — to a (streaming or
+    batch) document frame. Stateless per row: works in append mode with no
+    watermark and no state store, so the verdict stream can land straight
+    in a files sink (the 100 TB shape — per-document output must never be
+    driver-held). The q76 ``stream`` arm hash-gates this against the same
+    DuckDB oracle as the batch arm.
 
     ``grams`` is either a plain set (a Spark broadcast is created for this
-    gated frame) or an existing ``Broadcast`` of a frozenset. A long-lived
+    frame) or an existing ``Broadcast`` of a frozenset. A long-lived
     driver that rebuilds the gate on eval-set refresh should create the
     broadcast itself (``sc.broadcast(frozenset(grams))``), pass the handle
     here, and ``unpersist()`` the old one after the previous query stops —
@@ -96,14 +101,44 @@ def contamination_gated_documents(
         ).astype("int32")
 
     doc_grams: Column = word_shingles(F.split(text_col, " "), n)
+    # n_grams mirrors the batch aggregate's count(gram)-after-explode_outer:
+    # 0 for a doc too short for a single n-gram OR a NULL text (F.size of a
+    # NULL array is NULL under default sizeOfNull semantics — coalesce it)
     with_counts = docs.withColumn("__grams", doc_grams).select(
         "*",
-        F.size("__grams").alias("__n_grams"),
-        _overlap(F.col("__grams")).alias("__n_overlap"),
+        F.coalesce(F.size("__grams"), F.lit(0)).cast("int").alias("n_grams"),
+        _overlap(F.col("__grams")).cast("long").alias("n_overlap"),
     )
-    keep = (F.col("__n_grams") <= 0) | (
-        F.col("__n_overlap").cast("double")
-        / F.col("__n_grams").cast("double")
-        < F.lit(ratio_threshold)
+    ratio = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_overlap").cast("double") / F.col("n_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return with_counts.select(
+        "*",
+        ratio.alias("overlap_ratio"),
+        (ratio >= F.lit(ratio_threshold)).alias("is_contaminated"),
+    ).drop("__grams")
+
+
+def contamination_gated_documents(
+    docs: DataFrame,
+    grams: "set[str] | object",
+    *,
+    text_col: str = "text",
+    n: int = 5,
+    ratio_threshold: float = 0.05,
+) -> DataFrame:
+    """Filter a (streaming or batch) document frame down to rows whose
+    n-gram overlap ratio with ``grams`` is BELOW ``ratio_threshold`` — the
+    ingestion gate, a select over ``contamination_verdicts`` (see its
+    docstring for the broadcast-lifecycle contract of ``grams``)."""
+    verdicts = contamination_verdicts(
+        docs,
+        grams,
+        text_col=text_col,
+        n=n,
+        ratio_threshold=ratio_threshold,
     )
-    return with_counts.filter(keep).drop("__grams", "__n_grams", "__n_overlap")
+    return verdicts.filter(~F.col("is_contaminated")).drop(
+        "n_grams", "n_overlap", "overlap_ratio", "is_contaminated"
+    )

@@ -424,9 +424,11 @@ def test_compact_line_fits_tail_window_with_margin():
     """The compact line only helps if it fits the driver's window WHOLE.
     Worst-case realistic shape (38+ timings, both calibrations, recall,
     scope tags, a flagged query) must stay comfortably under 2000 bytes."""
+    import bench
+
     stdout, _ = _realistic_r11_stdout()
     compact = stdout.rsplit("\n", 1)[1]
-    assert len(compact.encode()) <= 1900
+    assert len(compact.encode()) <= bench.COMPACT_LINE_BUDGET
 
 
 def test_clipped_leading_brace_does_not_abort_recovery(tmp_path):
