@@ -876,7 +876,7 @@ def _cmd_zorder(args: argparse.Namespace) -> int:
     for spec in args.bucket or []:
         if ":" not in spec:
             print(
-                f"--bucket {spec!r}: expected col:days|hours|div:N|mod:N",
+                f"--bucket {spec!r}: expected col:days|hours|div:N|mod:N|q:N",
                 file=sys.stderr,
             )
             return 1
@@ -915,6 +915,17 @@ def _cmd_zorder(args: argparse.Namespace) -> int:
         print(f"zorder error: {exc}", file=sys.stderr)
         return 1
     print(f"zordered table written: {args.out_path} (by {','.join(cols)})")
+    if any(s.startswith("q:") for s in bucket.values()):
+        # quantile boundaries are data-dependent; the pinned recipe makes
+        # the layout reproducible (functions/zorder.read_zorder_sidecar)
+        from movie_recommendation_etl_spark.functions.zorder import (
+            ZORDER_SIDECAR,
+        )
+
+        print(
+            f"quantile bucket boundaries pinned: "
+            f"{args.out_path}/{ZORDER_SIDECAR}"
+        )
     return 0
 
 
@@ -1038,7 +1049,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--bucket", action="append", default=None, metavar="COL:SPEC",
         help="bucket a raw column for the key only (repeatable): "
         "col:days, col:hours, col:div:N (monotone — keeps footer "
-        "pruning), col:mod:N (balance only — sacrifices pruning on col)",
+        "pruning), col:mod:N (balance only — sacrifices pruning on col), "
+        "col:q:N (equal-population quantile buckets for skewed columns; "
+        "monotone, boundaries from one percentile_approx pre-pass, "
+        "pinned in a _zorder_buckets.json sidecar for reproducibility)",
     )
     zo.set_defaults(fn=_cmd_zorder)
 

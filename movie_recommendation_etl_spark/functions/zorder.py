@@ -125,10 +125,122 @@ def bucketize(col: str, spec: str) -> Column:
             # keep raising in morton_key (documented above)
             return F.floor(c.cast("long") / F.lit(n)).cast("long")
         return F.pmod(c.cast("long"), F.lit(n)).cast("long")
+    if spec.startswith("q:"):
+        raise ValueError(
+            f"bucket spec {spec!r} for {col}: quantile buckets need a data "
+            "pass over the table and are resolved by write_zordered_parquet "
+            "(pass bucket={'col': 'q:N'} there, or --bucket col:q:N on the "
+            "CLI); bucketize() itself is data-free"
+        )
     raise ValueError(
         f"unknown bucket spec {spec!r} for {col} "
-        "(expected days | hours | div:N | mod:N)"
+        "(expected days | hours | div:N | mod:N | q:N)"
     )
+
+
+def _parse_q_spec(col: str, spec: str) -> int:
+    try:
+        n = int(spec[2:])
+    except ValueError:
+        n = 0
+    if n < 2:
+        raise ValueError(
+            f"bucket spec {spec!r} for {col}: N must be an int >= 2"
+        )
+    return n
+
+
+def quantile_boundaries(
+    df: DataFrame, n_buckets: dict[str, int], *, accuracy: int = 10_000
+) -> dict[str, list]:
+    """Equal-POPULATION bucket boundaries for skewed numeric columns, in
+    ONE aggregate pass over all requested columns (``percentile_approx``
+    is partial-aggregable — the pre-pass is a scan plus a 1-row agg, the
+    same cost class as the profile command). Returns, per column, the
+    ``N-1`` interior boundaries (input-typed: percentile_approx preserves
+    the column type, so the derived buckets compare exactly).
+
+    Why not div:N for skew: equal-WIDTH buckets give a long-tailed column
+    (revenue-like) one giant bucket holding most rows — every file
+    overlaps the dense region and footer pruning there is void. Equal-
+    population boundaries spend the bits budget where the rows are."""
+    aggs = [
+        F.percentile_approx(
+            c, [i / n for i in range(1, n)], F.lit(accuracy)
+        ).alias(c)
+        for c, n in sorted(n_buckets.items())
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, list] = {}
+    for c in n_buckets:
+        vals = row[c]
+        if vals is None or any(v is None for v in vals):
+            raise ValueError(
+                f"quantile boundaries for {c}: column is empty or all-NULL"
+            )
+        out[c] = list(vals)
+    return out
+
+
+def bucket_by_boundaries(col: str, boundaries: Sequence) -> Column:
+    """Monotone bucket index in [0, len(boundaries)]: the count of
+    boundaries strictly below the value. Boundaries must be ascending
+    (quantile_boundaries emits them so); ties across boundaries just leave
+    some buckets empty — monotonicity, and therefore raw-column footer
+    pruning, is unaffected. A NULL value propagates NULL (each comparison
+    is NULL, and ``+`` keeps it NULL) so morton_key still raises its named
+    error instead of silently clustering NULLs into bucket 0."""
+    c = F.col(col)
+    out: Column = F.lit(0).cast("long")
+    for b in boundaries:
+        out = out + (c > F.lit(b)).cast("long")
+    return out
+
+
+ZORDER_SIDECAR = "_zorder_buckets.json"
+
+
+def _write_zorder_sidecar(spark, path: str, payload: dict) -> None:
+    """Pin the layout recipe next to the data (underscore-prefixed:
+    invisible to parquet discovery), via the Hadoop FS API so it lands on
+    whatever filesystem the table uses."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{ZORDER_SIDECAR}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(
+            bytearray(
+                # default=str: a non-JSON boundary type (timestamp q-cols)
+                # degrades to its string form instead of failing the write
+                # the data files already committed
+                json.dumps(payload, sort_keys=True, default=str).encode()
+            )
+        )
+    finally:
+        out.close()
+
+
+def read_zorder_sidecar(spark, path: str) -> dict | None:
+    """The pinned bucket recipe of a z-ordered table (None when the table
+    has none — not every layout uses data-dependent buckets)."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{ZORDER_SIDECAR}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode())
 
 
 def write_zordered_parquet(
@@ -139,6 +251,7 @@ def write_zordered_parquet(
     num_files: int | None = None,
     bits: int | None = None,
     bucket: dict[str, str] | None = None,
+    pinned_boundaries: dict[str, list] | None = None,
 ) -> None:
     """Range-sorted parquet on the Morton key of n pre-bucketed int
     columns: each output file covers a compact hyper-rectangle of the key
@@ -149,7 +262,19 @@ def write_zordered_parquet(
     ``bucket`` maps a zorder column to a bucketize() spec applied ONLY
     inside the key derivation — the stored column is untouched, so a
     monotone spec (days/hours/div:N) keeps raw-column footer pruning
-    intact while making timestamps and wide ints interleavable."""
+    intact while making timestamps and wide ints interleavable.
+
+    ``q:N`` (r14) buckets by equal-POPULATION quantile boundaries — the
+    right spec for skewed value distributions, where div:N's equal-width
+    buckets put most rows in one bucket and void pruning in the dense
+    region. The boundaries come from one ``percentile_approx`` pre-pass
+    over all q-columns together (quantile_boundaries). DETERMINISM: the
+    boundaries are data-dependent, so two rewrites of different snapshots
+    produce different bucket edges — the chosen boundaries are therefore
+    PINNED in a ``_zorder_buckets.json`` sidecar next to the data, and a
+    reproducible rewrite passes them back via ``pinned_boundaries``
+    (keyed by column; entries there skip the pre-pass). The sidecar also
+    records the full bucket spec map so the layout recipe round-trips."""
     from movie_recommendation_etl_spark.sources.writers import (
         write_sorted_parquet,
     )
@@ -165,8 +290,20 @@ def write_zordered_parquet(
             f"bucket specs for non-zorder columns: {unknown} "
             f"(zorder cols: {list(zorder_cols)})"
         )
+    q_cols = {
+        c: _parse_q_spec(c, s)
+        for c, s in bucket.items()
+        if s.startswith("q:")
+    }
+    boundaries: dict[str, list] = dict(pinned_boundaries or {})
+    to_compute = {c: n for c, n in q_cols.items() if c not in boundaries}
+    if to_compute:
+        boundaries.update(quantile_boundaries(df, to_compute))
     key_inputs: list[Column | str] = [
-        bucketize(c, bucket[c]) if c in bucket else c for c in zorder_cols
+        bucket_by_boundaries(c, boundaries[c])
+        if c in q_cols
+        else (bucketize(c, bucket[c]) if c in bucket else c)
+        for c in zorder_cols
     ]
     keyed = df.withColumn("__zkey", morton_key(*key_inputs, bits=bits))
     # the Morton key is derivable layout metadata, not data — drop it after
@@ -174,3 +311,13 @@ def write_zordered_parquet(
     write_sorted_parquet(
         keyed, path, ["__zkey"], num_files=num_files, drop_cols=["__zkey"]
     )
+    if q_cols:
+        _write_zorder_sidecar(
+            df.sparkSession,
+            path,
+            {
+                "zorder_cols": list(zorder_cols),
+                "bucket": bucket,
+                "boundaries": {c: boundaries[c] for c in q_cols},
+            },
+        )

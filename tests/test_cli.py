@@ -1154,3 +1154,53 @@ def test_cli_profile_empty_table(capsys, spark, tmp_path):
     out = capsys.readouterr().out.splitlines()
     assert out[0] == "rows\t0"
     assert out[2] == "a\t0\t0\t\t\t\t" and "None" not in out[2]
+
+
+def test_cli_zorder_quantile_bucket(capsys, tmp_path):
+    """r13 VERDICT #5 done-criterion: the CLI round-trips a q:N spec —
+    exit 0, boundaries pinned in the sidecar next to the data, and a
+    dense-region predicate on the skewed column prunes files that a
+    div layout must read (the superiority itself is asserted in
+    tests/test_zorder.py; here the CLI surface and the pinned recipe)."""
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.functions.zorder import (
+        read_zorder_sidecar,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="test")
+    src = str(tmp_path / "skewed_src")
+    dest = str(tmp_path / "skewed_z")
+    spark.range(0, 20_000).select(
+        F.pow(
+            F.lit(2.0), (F.abs(F.xxhash64("id", F.lit(1))) % 20).cast("double")
+        ).cast("long").alias("v"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % 64).cast("int").alias("uid"),
+    ).write.mode("overwrite").parquet(src)
+
+    assert (
+        main(
+            [
+                "zorder", src, dest,
+                "--by", "v,uid",
+                "--bucket", "v:q:8",
+                "--bucket", "uid:div:8",
+                "--num-files", "8",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "zordered table written" in out
+    assert "_zorder_buckets.json" in out
+    sc = read_zorder_sidecar(spark, dest)
+    assert sc["bucket"]["v"] == "q:8"
+    assert len(sc["boundaries"]["v"]) == 7
+
+    # a bad q spec is an exit-1 user error, not a traceback
+    assert (
+        main(["zorder", src, dest, "--by", "v,uid", "--bucket", "v:q:1"])
+        == 1
+    )
+    assert "N must be" in capsys.readouterr().err

@@ -315,3 +315,124 @@ def test_morton_key_matches_python_reference_fuzzed(spark):
         assert got3[(a, b, c, bits)] == py_morton([a, b, c], bits), (
             a, b, c, bits,
         )
+
+
+def _overlap_frac(ranges: list[tuple[int, int]], lo: int, hi: int) -> float:
+    """Fraction of files a reader must open for predicate [lo, hi] — the
+    footer-pruning metric that matters for point/range queries (mean
+    coverage hides skew: a file covering a tiny ABSOLUTE range can still
+    sit exactly where all the rows — and all the queries — are)."""
+    return sum(1 for a, b in ranges if not (b < lo or a > hi)) / len(ranges)
+
+
+def _skewed_frame(spark):
+    # exponentially long-tailed value column (revenue-like): v = 2^(k%24)
+    # for uniform k — equal-WIDTH buckets put ~85% of rows in bucket 0
+    return spark.range(0, 40_000).select(
+        F.pow(
+            F.lit(2.0), (F.abs(F.xxhash64("id", F.lit(1))) % 24).cast("double")
+        )
+        .cast("long")
+        .alias("v"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % 256).cast("int").alias("uid"),
+    )
+
+
+def test_zorder_quantile_bucket_beats_div_on_skew(spark, tmp_path):
+    """r13 VERDICT #5: on a long-tailed column, q:N (equal-population
+    quantile boundaries, one percentile_approx pre-pass) must prune the
+    DENSE region far better than the equal-width div:N spec — div puts
+    most rows in one giant bucket, so nearly every file overlaps a
+    dense-region predicate. Boundaries are pinned in a sidecar and a
+    pinned rewrite reproduces the layout without a data pass."""
+    from movie_recommendation_etl_spark.functions.zorder import (
+        read_zorder_sidecar,
+    )
+
+    df = _skewed_frame(spark)
+    zq, zd = str(tmp_path / "zq"), str(tmp_path / "zd")
+    write_zordered_parquet(
+        df, zq, ["v", "uid"], num_files=16,
+        bucket={"v": "q:16", "uid": "div:16"},
+    )
+    write_zordered_parquet(
+        df, zd, ["v", "uid"], num_files=16,
+        bucket={"v": f"div:{(1 << 23) // 16 + 1}", "uid": "div:16"},
+    )
+    for lo, hi in [(1, 100), (1, 1000), (4096, 65536)]:
+        q = _overlap_frac(_file_ranges(zq, "v"), lo, hi)
+        d = _overlap_frac(_file_ranges(zd, "v"), lo, hi)
+        # measured 0.5625 vs 0.9375; thresholds leave partitioner slack
+        assert q <= 0.75, (lo, hi, q)
+        assert d >= 0.85, (lo, hi, d)
+        assert q < d, (lo, hi, q, d)
+    # rows round-trip and the stored column is untouched
+    assert spark.read.parquet(zq).count() == 40_000
+
+    # the sidecar pins the recipe: spec map + ascending boundaries
+    sc = read_zorder_sidecar(spark, zq)
+    assert sc["bucket"] == {"v": "q:16", "uid": "div:16"}
+    bnd = sc["boundaries"]["v"]
+    assert len(bnd) == 15 and bnd == sorted(bnd)
+    # a div-only layout has no data-dependent recipe -> no sidecar
+    assert read_zorder_sidecar(spark, zd) is None
+
+    # pinned rewrite: same boundaries in -> same pinned recipe out
+    zq2 = str(tmp_path / "zq2")
+    write_zordered_parquet(
+        df, zq2, ["v", "uid"], num_files=16,
+        bucket={"v": "q:16", "uid": "div:16"},
+        pinned_boundaries={"v": bnd},
+    )
+    assert read_zorder_sidecar(spark, zq2)["boundaries"]["v"] == bnd
+
+
+def test_quantile_boundaries_and_bucket_column(spark):
+    """quantile_boundaries: ONE aggregate over all q-columns, input-typed
+    ascending boundaries; bucket_by_boundaries: monotone bucket index,
+    NULL propagates (morton_key must raise its named error, never
+    silently cluster NULLs into bucket 0); bad specs are driver-side
+    ValueErrors."""
+    import pytest
+
+    from movie_recommendation_etl_spark.functions.zorder import (
+        bucket_by_boundaries,
+        bucketize,
+        quantile_boundaries,
+    )
+
+    df = spark.range(1, 101).select(
+        F.col("id").alias("a"), (F.col("id") * 10).alias("b")
+    )
+    bnd = quantile_boundaries(df, {"a": 4, "b": 10})
+    assert len(bnd["a"]) == 3 and len(bnd["b"]) == 9
+    assert bnd["a"] == sorted(bnd["a"])
+    assert all(isinstance(v, int) for v in bnd["a"])  # input-typed (long)
+
+    got = {
+        r["a"]: r["bk"]
+        for r in df.select(
+            "a", bucket_by_boundaries("a", bnd["a"]).alias("bk")
+        ).collect()
+    }
+    # monotone, 4 buckets, ~equal population
+    assert sorted(set(got.values())) == [0, 1, 2, 3]
+    assert all(got[x] <= got[y] for x in got for y in got if x <= y)
+
+    null_row = spark.createDataFrame([(None,)], "a long").select(
+        bucket_by_boundaries("a", bnd["a"]).alias("bk")
+    ).collect()
+    assert null_row[0]["bk"] is None
+
+    for bad in ("q:", "q:1", "q:x", "q:-4"):
+        with pytest.raises(ValueError, match="N must be"):
+            write_zordered_parquet(
+                df, "/tmp/never", ["a", "b"], bucket={"a": bad}
+            )
+    # bucketize() itself points q:N users at the write-level resolution
+    with pytest.raises(ValueError, match="write_zordered_parquet"):
+        bucketize("a", "q:4")
+    with pytest.raises(ValueError, match="empty or all-NULL"):
+        quantile_boundaries(
+            spark.createDataFrame([(None,)], "a long"), {"a": 4}
+        )
