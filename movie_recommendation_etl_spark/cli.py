@@ -790,12 +790,77 @@ def _cmd_distinct(args: argparse.Namespace) -> int:
     return 0
 
 
+def _admission_store_info(spark, path: str, df) -> int:
+    """store-info for the doc/embedding SIGNATURE stores (q74/q75,
+    operators/incremental_dedup.py — r13 VERDICT #6: they were the ops
+    surface's blind spot): store bytes, admitted ids, band rows / LSH
+    band count, partition layout (band_pfx dirs vs legacy-flat), and the
+    r14 merge-commit state. Read-only — a pending committed merge is
+    REPORTED, not applied (the figures then describe the pre-merge state;
+    the next admission/read applies it). The id/band aggregate scans the
+    store once — O(store), which is ~3 orders below the corpus by
+    construction."""
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        _store_bytes,
+    )
+    from movie_recommendation_etl_spark.sources.writers import (
+        _MERGE_JOURNAL_DIR,
+        _MERGE_STAGING_DIR,
+        _hadoop_fs,
+        _latest_journal,
+    )
+
+    cols = set(df.columns)
+    key = "doc_id" if "doc_id" in cols else "vec_id"
+    kind = "doc-admission" if key == "doc_id" else "embedding-admission"
+    jvm, fs, root = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    partitioned = "band_pfx" in cols
+    if partitioned:
+        n_parts = sum(
+            1
+            for st in fs.listStatus(root)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("band_pfx=")
+        )
+        layout = f"partitioned ({n_parts} band_pfx dirs)"
+    else:
+        layout = "legacy-flat (rewrite/compact to gain pruned probes)"
+    agg = df.agg(
+        F.countDistinct(key).alias("ids"),
+        F.countDistinct("band_idx").alias("n_bands"),
+        F.count("*").alias("band_rows"),
+    ).first()
+    has_j = fs.exists(P(root, _MERGE_JOURNAL_DIR))
+    has_s = fs.exists(P(root, _MERGE_STAGING_DIR))
+    if not has_j and not has_s:
+        commit = "clean"
+    elif _latest_journal(spark, path)[0] is not None:
+        commit = (
+            "pending-committed-merge (auto-applies on the next "
+            "admission/read; figures above are the PRE-merge state)"
+        )
+    else:
+        commit = (
+            "crashed-pre-commit-leftovers (table state intact; the next "
+            "admission purges them)"
+        )
+    print(
+        f"type={kind} layout={layout} ids={agg['ids']} "
+        f"band_rows={agg['band_rows']} n_bands={agg['n_bands']} "
+        f"bytes={_store_bytes(spark, path)} commit={commit}"
+    )
+    return 0
+
+
 def _cmd_store_info(args: argparse.Namespace) -> int:
-    """Inspect a persisted sketch store (MG heavy-hitter or HLL
-    distinct): commit state (committed version, uncommitted crash
-    leftovers), the pinned parameter (k / lg_k), lifetime rows, and the
-    summary size — the ops view of the versioned commit protocol
-    (operators/sketches.py). Read-only: never mutates the store."""
+    """Inspect a persisted incremental store: the sketch stores (MG
+    heavy-hitter / HLL distinct — commit state of the versioned protocol,
+    the pinned parameter k / lg_k, lifetime rows, summary size) and the
+    doc/embedding admission stores (_admission_store_info). Read-only:
+    never mutates the store."""
     from movie_recommendation_etl_spark.operators.sketches import (
         _latest_store_version,
     )
@@ -828,6 +893,9 @@ def _cmd_store_info(args: argparse.Namespace) -> int:
             else ")"
         )
     cols = set(df.columns)
+    if {"band_idx", "band_val"} <= cols and ("sig" in cols or "qvec" in cols):
+        # doc (MinHash sig) / embedding (int8 qvec) admission stores
+        return _admission_store_info(spark, args.store, df)
     if "sketch" in cols:  # HLL distinct store
         from pyspark.sql import functions as F
 

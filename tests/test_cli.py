@@ -1204,3 +1204,55 @@ def test_cli_zorder_quantile_bucket(capsys, tmp_path):
         == 1
     )
     assert "N must be" in capsys.readouterr().err
+
+
+def test_cli_store_info_admission_stores(capsys, spark, tmp_path):
+    """r13 VERDICT #6: store-info covers BOTH admission store kinds —
+    bytes, ids, band rows/count, partition layout, and the r14 merge
+    commit state — read-only (a crashed-leftover state is reported, not
+    purged or applied)."""
+    import random
+
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_documents,
+        admit_new_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # disjoint token sets per doc: nothing is a near-dup, all admit
+            (i, " ".join(f"w{(i * 29 + j) % 997}" for j in range(12)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    doc_store = str(tmp_path / "doc_store")
+    admit_new_documents(spark, docs, doc_store)
+    assert main(["store-info", doc_store]) == 0
+    out = capsys.readouterr().out
+    assert "type=doc-admission" in out
+    assert "layout=partitioned" in out
+    assert "ids=20" in out
+    assert "commit=clean" in out
+    assert "bytes=" in out and "n_bands=" in out
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(15)],
+        "vec_id long, embedding array<double>",
+    )
+    emb_store = str(tmp_path / "emb_store")
+    admit_new_embeddings(spark, emb, emb_store, dim=16)
+    assert main(["store-info", emb_store]) == 0
+    out = capsys.readouterr().out
+    assert "type=embedding-admission" in out
+    assert "ids=15" in out
+
+    # crashed pre-commit leftovers: reported, never purged by store-info
+    import os
+
+    os.makedirs(f"{doc_store}/_merge_staging/s_1")
+    assert main(["store-info", doc_store]) == 0
+    out = capsys.readouterr().out
+    assert "commit=crashed-pre-commit-leftovers" in out
+    assert os.path.exists(f"{doc_store}/_merge_staging/s_1")  # read-only
