@@ -616,6 +616,15 @@ def _cmd_sql(args: argparse.Namespace) -> int:
             )
             return 2
         name, path = mount.split("=", 1)
+        if spark.catalog.tableExists(name):
+            # shadowing a catalog view silently changes query results
+            # (r13 ADVICE) — say so, loudly, but allow it: mounting a
+            # rewritten copy of a table IS a legitimate inspection move
+            print(
+                f"warning: --table {name} shadows the registered catalog "
+                f"view '{name}' for this query",
+                file=sys.stderr,
+            )
         try:
             spark.read.parquet(path).createOrReplaceTempView(name)
         except (AnalysisException, ParseException) as exc:

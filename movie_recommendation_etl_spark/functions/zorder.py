@@ -108,7 +108,11 @@ def bucketize(col: str, spec: str) -> Column:
     """
     c = F.col(col)
     if spec == "days":
-        return F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+        # floor(epoch/86400), NOT cast-to-date: the date cast takes the
+        # session timezone's day boundaries, so the same table written
+        # under two session TZs would bucket differently (r13 ADVICE);
+        # this form is days-since-epoch UTC like 'hours' is hours-UTC
+        return F.floor(F.unix_timestamp(c) / F.lit(86400)).cast("long")
     if spec == "hours":
         return F.floor(F.unix_timestamp(c) / F.lit(3600)).cast("long")
     if spec.startswith("div:") or spec.startswith("mod:"):

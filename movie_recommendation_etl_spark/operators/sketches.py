@@ -280,7 +280,11 @@ def _prune_store_versions(spark, store_dir: str, keep_n: int) -> None:
                 if int(name[2:]) == keep_n:
                     continue
             except ValueError:
-                pass
+                # a v_<non-int> dir (v_backup, ...) is FOREIGN, not a
+                # version: _latest_store_version never reads it, so prune
+                # must not delete it either (r13 ADVICE — mirror the
+                # unknown-file branch)
+                continue
         elif not (
             name.startswith("part-")
             or name in ("_SUCCESS",)

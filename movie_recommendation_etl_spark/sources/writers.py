@@ -12,9 +12,15 @@ overwrite (truncate-and-reload) instead of blind append.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Serializes the outputTimestampType toggle for sessions NOT built by
+# session.get_spark (which pins TIMESTAMP_MICROS at build time) — see
+# write_sorted_parquet.
+_TS_CONF_LOCK = threading.Lock()
 
 
 def write_parquet(
@@ -63,12 +69,18 @@ def write_sorted_parquet(
     from target file size at full scale; skew in the sort key is absorbed by
     the range partitioner's sampling.
 
-    Timestamps are written as TIMESTAMP_MICROS for the duration of the
-    write: Spark's INT96 default carries NO parquet min/max statistics,
-    which silently voids the footer pruning this sink exists to provide —
-    a time-keyed layout whose time column cannot prune (found by the r13
-    zorder --bucket ts:days test; the legacy default only matters for
-    pre-Hive-4 readers).
+    Timestamps are written as TIMESTAMP_MICROS: Spark's INT96 default
+    carries NO parquet min/max statistics, which silently voids the footer
+    pruning this sink exists to provide — a time-keyed layout whose time
+    column cannot prune (found by the r13 zorder --bucket ts:days test;
+    the legacy default only matters for pre-Hive-4 readers). Sessions from
+    session.get_spark already set the conf at build time, so no toggle
+    happens; for a FOREIGN session still on INT96, the sink toggles the
+    session-wide conf for the write's duration under a module lock — that
+    serializes concurrent write_sorted_parquet calls on such a session,
+    but another thread writing through a different code path can still
+    observe MICROS (r13 ADVICE: set the conf at session build, as
+    get_spark does, to avoid the toggle entirely).
     """
     cols = list(sort_cols)
     out = (
@@ -86,12 +98,17 @@ def write_sorted_parquet(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     conf = df.sparkSession.conf
     ts_key = "spark.sql.parquet.outputTimestampType"
-    prev_ts = conf.get(ts_key)
-    conf.set(ts_key, "TIMESTAMP_MICROS")
-    try:
+    if conf.get(ts_key) == "TIMESTAMP_MICROS":
+        # the get_spark default since r14 — no session-wide toggle needed
         writer.parquet(path)
-    finally:
-        conf.set(ts_key, prev_ts)
+        return
+    with _TS_CONF_LOCK:
+        prev_ts = conf.get(ts_key)
+        conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(path)
+        finally:
+            conf.set(ts_key, prev_ts)
 
 
 def write_csv(

@@ -799,6 +799,22 @@ def test_cli_sql_table_mounts_artifact_outputs(capsys, sf_dir, spark, tmp_path):
     out = capsys.readouterr().out.splitlines()
     assert out[0] == "n\tt" and out[1] == "5\t100"  # regionkeys 0..4
 
+    # shadowing a registered catalog view works but WARNS (r13 ADVICE:
+    # a silent shadow changes query results with no witness)
+    assert (
+        main(
+            [
+                "sql", sf_dir,
+                "SELECT count(*) AS n FROM region",
+                "--table", f"region={shard}",
+            ]
+        )
+        == 0
+    )
+    shadowed = capsys.readouterr()
+    assert "shadows the registered catalog view 'region'" in shadowed.err
+    assert shadowed.out.splitlines()[1] == "7"  # the mount, not the view
+
     assert main(["sql", sf_dir, "SELECT 1", "--table", "nopath"]) == 2
     assert "name=/path" in capsys.readouterr().err
     assert (
