@@ -517,8 +517,12 @@ def q76_stream_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q76 suite's STREAMING half (a real availableNow drain through
     the ingestion gate into a parquet files sink) — not a registry slot;
     see q76_decontaminate. The drained files are read back and
-    localCheckpoint'ed so the tempdir can be dropped; a production gate
-    keeps the sink directory (it IS the admitted corpus)."""
+    localCheckpoint'ed ONLY so the tempdir can be dropped before
+    returning (harness lifetime; the checkpoint holds the 5 metric
+    columns, never the text) — a production gate keeps the sink
+    directory itself: it IS the admitted corpus, and nothing in the
+    streaming plan is driver- or memory-bound (stateless verdicts,
+    append mode, files sink)."""
     import shutil
     import tempfile
 
