@@ -248,10 +248,19 @@ def bpe_costs_array(model: BPEModel):
 
 
 def save_bpe_model(spark, model: BPEModel, path: str) -> None:
+    from movie_recommendation_etl_spark.sources.writers import (
+        write_local_rows_parquet,
+    )
+
     rows = [(i, a, b) for i, (a, b) in enumerate(model.merges)]
-    spark.createDataFrame(
-        rows, "rank: int, left: string, right: string"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    # single-slice local write, not coalesce(1) — see write_local_rows_parquet
+    write_local_rows_parquet(
+        spark,
+        rows,
+        "rank: int, left: string, right: string",
+        path,
+        mode="overwrite",
+    )
 
 
 def load_bpe_model(spark, path: str) -> BPEModel:

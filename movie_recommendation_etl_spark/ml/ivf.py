@@ -99,11 +99,17 @@ def assign_cells(
     )
 
 
-def _centroids_df(model: KMeansModel, spark) -> DataFrame:
-    rows = [
+_CENTROID_SCHEMA = "cell: int, centroid: array<double>"
+
+
+def _centroid_rows(model: KMeansModel) -> list[tuple]:
+    return [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    return spark.createDataFrame(rows, "cell: int, centroid: array<double>")
+
+
+def _centroids_df(model: KMeansModel, spark) -> DataFrame:
+    return spark.createDataFrame(_centroid_rows(model), _CENTROID_SCHEMA)
 
 
 def ivf_knn(
@@ -166,9 +172,18 @@ def save_ivf_index(
         quantize_int8,
     )
 
-    _centroids_df(model, dataset.sparkSession).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids")
+    from movie_recommendation_etl_spark.sources.writers import (
+        write_local_rows_parquet,
+    )
+
+    # single-slice local write, not coalesce(1) — see write_local_rows_parquet
+    write_local_rows_parquet(
+        dataset.sparkSession,
+        _centroid_rows(model),
+        _CENTROID_SCHEMA,
+        f"{path}/centroids",
+        mode="overwrite",
+    )
     cells = assign_cells(model, dataset, array_col)
     if quantize:
         cells = cells.withColumn("qvec", quantize_int8(F.col(array_col)))

@@ -438,14 +438,23 @@ def pq_knn_from_index(
 def save_pq_model(spark, model: PQModel, path: str) -> None:
     """Persist codebooks as one small parquet table (m x ksub rows of
     (sub, code, centroid)) — readable by any engine, no pickle."""
+    from movie_recommendation_etl_spark.sources.writers import (
+        write_local_rows_parquet,
+    )
+
     rows = [
         (j, c, model.codebooks[j][c].tolist())
         for j in range(model.m)
         for c in range(model.ksub)
     ]
-    spark.createDataFrame(
-        rows, "sub: int, code: int, centroid: array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    # single-slice local write, not coalesce(1) — see write_local_rows_parquet
+    write_local_rows_parquet(
+        spark,
+        rows,
+        "sub: int, code: int, centroid: array<double>",
+        path,
+        mode="overwrite",
+    )
 
 
 def load_pq_model(spark, path: str) -> PQModel:

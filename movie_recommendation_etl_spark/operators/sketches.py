@@ -399,7 +399,18 @@ def update_heavy_hitter_store(
     # guarantee than the history supports)
     rows = [(None, 0.0, n_total, k)]
     rows += [(i, float(v), n_total, k) for i, v in final.items()]
-    out = spark.createDataFrame(
+    # commit protocol: new version dir first (crash => uncommitted, old
+    # version still wins), numbered past ANY existing dir (committed or
+    # crashed — never a name collision), prune everything else only
+    # after _SUCCESS. write_local_rows_parquet, not coalesce(1): the
+    # summary is a driver-side list, and the coalesce spelling costs
+    # ~4.5 s of pure task scheduling per admission (r14).
+    from movie_recommendation_etl_spark.sources.writers import (
+        write_local_rows_parquet,
+    )
+
+    write_local_rows_parquet(
+        spark,
         rows,
         T.StructType(
             [
@@ -411,13 +422,7 @@ def update_heavy_hitter_store(
                 T.StructField("__mg_k", T.LongType()),
             ]
         ),
-    )
-    # commit protocol: new version dir first (crash => uncommitted, old
-    # version still wins), numbered past ANY existing dir (committed or
-    # crashed — never a name collision), prune everything else only
-    # after _SUCCESS
-    out.coalesce(1).write.mode("errorifexists").parquet(
-        f"{store_dir}/v_{max_n + 1}"
+        f"{store_dir}/v_{max_n + 1}",
     )
     _prune_store_versions(spark, store_dir, keep_n=max_n + 1)
     return {"n_seen": n_total, "n_candidates": int(len(final))}

@@ -150,6 +150,67 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jvm, fs, fs.makeQualified(p)
 
 
+def write_local_rows_parquet(
+    spark: SparkSession,
+    rows: list,
+    schema,
+    path: str,
+    *,
+    mode: str = "errorifexists",
+) -> None:
+    """ONE-file parquet from a SMALL driver-side row list (sketch
+    summaries, codebooks, BPE merges). The obvious spelling —
+    ``createDataFrame(rows).coalesce(1).write`` — parallelizes the list
+    into defaultParallelism partitions and then pulls ALL of them through
+    a single task SERIALLY, each near-empty partition paying its own
+    Python-worker round-trip: measured ~4.5 s of pure scheduling for a
+    32-row frame on local[32], on EVERY call (r14 — this was most of the
+    incremental_admit bench regression). Parallelizing to a single slice
+    up front writes the same single file in ~0.4 s."""
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    spark.createDataFrame(rdd, schema).write.mode(mode).parquet(path)
+
+
+def _journal_file(jvm, vdir: str):
+    return jvm.org.apache.hadoop.fs.Path(f"{vdir}/journal.json")
+
+
+def _write_merge_journal(
+    spark: SparkSession, table_path: str, n: int, entries: list[tuple]
+) -> None:
+    """Commit the delete+move plan under ``_merge_journal/v_<n>/`` as a
+    driver-written JSON file plus an explicit ``_SUCCESS`` marker — the
+    commit POINT is the marker's (atomic) creation. Driver-side FS writes,
+    no Spark job: the journal is bounded by touched FILE count, and a
+    32-row parquet write through the JVM costs ~100x the payload in
+    scheduling (see write_local_rows_parquet)."""
+    import json
+
+    jvm, fs, root = _hadoop_fs(spark, table_path)
+    vdir = f"{root.toString()}/{_MERGE_JOURNAL_DIR}/v_{n}"
+    out = fs.create(_journal_file(jvm, vdir), True)
+    try:
+        out.write(bytearray(json.dumps(entries).encode()))
+    finally:
+        out.close()
+    # marker LAST: its existence == journal committed
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{vdir}/_SUCCESS"), True
+    ).close()
+
+
+def _read_merge_journal(spark: SparkSession, vdir: str) -> list[tuple]:
+    import json
+
+    jvm, fs, _root = _hadoop_fs(spark, vdir)
+    stream = fs.open(_journal_file(jvm, vdir))
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return [tuple(e) for e in json.loads(data.decode())]
+
+
 def _latest_journal(spark: SparkSession, table_path: str) -> tuple[str | None, int]:
     """(highest COMMITTED ``_merge_journal/v_<n>`` path or None, max n seen
     committed or not). Committed = Spark's own ``_SUCCESS`` marker — the
@@ -259,10 +320,7 @@ def recover_pending_merge(
             fs.delete(P(root, _MERGE_JOURNAL_DIR), True)
             fs.delete(P(root, _MERGE_STAGING_DIR), True)
         return False
-    entries = [
-        (r["op"], r["src"], r["dst"])
-        for r in spark.read.parquet(vpath).collect()  # bounded: file count
-    ]
+    entries = _read_merge_journal(spark, vpath)  # bounded: file count
     _apply_merge_journal(spark, path, entries)
     return True
 
@@ -379,8 +437,9 @@ def merge_upsert_parquet(
     doc/embedding admission stores hold lifetime dedup history, and a
     mid-write loss silently re-admits dups): the merged output is written
     to ``_merge_staging/`` (invisible to parquet discovery), then a
-    delete+move JOURNAL commits under ``_merge_journal/v_<n>/`` with
-    Spark's ``_SUCCESS`` as the commit point, then the journal is applied
+    delete+move JOURNAL commits under ``_merge_journal/v_<n>/`` as a
+    driver-written JSON plus an explicit ``_SUCCESS`` marker — the commit
+    point (no Spark job: see _write_merge_journal), then the journal is applied
     (delete superseded files, rename staged files into place) and retired.
     A crash BEFORE the journal commits leaves the table byte-identical
     (leftovers are purged on the next merge); a crash DURING the apply is
@@ -396,7 +455,6 @@ def merge_upsert_parquet(
     from functools import reduce
 
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
     from pyspark.sql import Window as W
     from pyspark.sql.utils import AnalysisException
 
@@ -568,21 +626,9 @@ def merge_upsert_parquet(
     entries = [("delete", f, None) for f in old_files] + [
         ("move", s, d) for s, d in moves
     ]
-    journal = spark.createDataFrame(
-        entries,
-        T.StructType(
-            [
-                T.StructField("op", T.StringType(), False),
-                T.StructField("src", T.StringType(), False),
-                T.StructField("dst", T.StringType(), True),
-            ]
-        ),
-    )
     # the _SUCCESS inside this version dir is the COMMIT POINT: before it,
     # the table is untouched; after it, recovery replays to the new state
-    journal.coalesce(1).write.mode("errorifexists").parquet(
-        f"{root.toString()}/{_MERGE_JOURNAL_DIR}/v_{max_jn + 1}"
-    )
+    _write_merge_journal(spark, path, max_jn + 1, entries)
     _apply_merge_journal(spark, path, entries)
 
 
