@@ -207,3 +207,71 @@ def test_unpartitioned_crash_at_commit_point(spark, tmp_path):
     assert recover_pending_merge(spark, path) is True
     assert _rows(spark, path) == AFTER_B2
     assert _no_merge_dirs(path)
+
+
+def test_apply_crash_point_sweep(spark, tmp_path):
+    """Exhaustive crash-point sweep at the FS level: interrupt the journal
+    apply after EVERY prefix of its delete+move operations, then replay
+    via recover_pending_merge — the table must converge to exactly the
+    staged state from every interruption point (the disjointness argument
+    in _apply_merge_journal's docstring, tested rather than asserted)."""
+    import json
+
+    from movie_recommendation_etl_spark.sources.writers import (
+        _apply_merge_journal,
+        _hadoop_fs,
+    )
+
+    def build(root):
+        # table with 2 old files; staging with 2 replacement files
+        os.makedirs(f"{root}/p=a"), os.makedirs(f"{root}/p=b")
+        open(f"{root}/p=a/old1.parquet", "w").write("OLD1")
+        open(f"{root}/p=b/old2.parquet", "w").write("OLD2")
+        os.makedirs(f"{root}/_merge_staging/s_1/p=a")
+        os.makedirs(f"{root}/_merge_staging/s_1/p=c")
+        open(f"{root}/_merge_staging/s_1/p=a/new1.parquet", "w").write("NEW1")
+        open(f"{root}/_merge_staging/s_1/p=c/new2.parquet", "w").write("NEW2")
+        entries = [
+            ("delete", f"file:{root}/p=a/old1.parquet", None),
+            ("delete", f"file:{root}/p=b/old2.parquet", None),
+            ("move", f"file:{root}/_merge_staging/s_1/p=a/new1.parquet",
+             f"file:{root}/p=a/new1.parquet"),
+            ("move", f"file:{root}/_merge_staging/s_1/p=c/new2.parquet",
+             f"file:{root}/p=c/new2.parquet"),
+        ]
+        os.makedirs(f"{root}/_merge_journal/v_1")
+        with open(f"{root}/_merge_journal/v_1/journal.json", "w") as f:
+            json.dump(entries, f)
+        open(f"{root}/_merge_journal/v_1/_SUCCESS", "w").close()
+        return entries
+
+    def state(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                out[os.path.relpath(p, root)] = open(p).read()
+        return out
+
+    # the fully-applied reference state
+    ref_root = str(tmp_path / "ref")
+    entries = build(ref_root)
+    _apply_merge_journal(spark, ref_root, entries)
+    want = state(ref_root)
+    assert want == {"p=a/new1.parquet": "NEW1", "p=c/new2.parquet": "NEW2"}
+
+    jvm, fs, _ = _hadoop_fs(spark, ref_root)
+    P = jvm.org.apache.hadoop.fs.Path
+    for k in range(len(entries) + 1):
+        root = str(tmp_path / f"k{k}")
+        entries_k = build(root)
+        # perform the first k operations exactly as the apply would
+        for op, src, dst in entries_k[:k]:
+            if op == "delete":
+                fs.delete(P(src), True)
+            else:
+                fs.mkdirs(P(dst).getParent())
+                assert fs.rename(P(src), P(dst))
+        # ...crash... then the read-path recovery replays to convergence
+        assert recover_pending_merge(spark, root) is True
+        assert state(root) == want, k
