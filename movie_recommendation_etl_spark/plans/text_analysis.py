@@ -474,18 +474,25 @@ def _q76_split(
     )
     SELECT 'batch' AS arm, * FROM res
     UNION ALL
+    SELECT 'bloom' AS arm, * FROM res
+    UNION ALL
     SELECT 'stream' AS arm, * FROM res
     """,
 )
 def q76_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination over the _q76_split corpus — a two-arm
+    """Benchmark decontamination over the _q76_split corpus — a THREE-arm
     suite (r14, the q48 template) under ONE oracle that emits the naive
-    per-document answer once per arm, so BOTH engine paths must reproduce
+    per-document answer once per arm, so every engine path must reproduce
     it bit-for-bit:
 
     - ``batch``: operators/decontaminate.ngram_contamination — eval gram
       set broadcast (plan-asserted in tests/test_plan_shapes.py), one
       training scan, one Exchange on doc_id.
+    - ``bloom`` (r14): ngram_contamination_bloom — the 100 TB tier for
+      eval sets too big to broadcast exactly (broadcast Bloom BITMAP +
+      candidate-only confirm shuffle). Identical output by construction
+      (no false negatives, exact confirm scrubs false positives) — now
+      hash-PROVEN against DuckDB, not just pytest-equal to the exact arm.
     - ``stream`` (r14): the INGESTION-TIME gate
       (streaming/decontaminate.contamination_verdicts) over a real
       Structured Streaming read of the training corpus — 3 files fed one
@@ -494,8 +501,10 @@ def q76_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       (per-document output is corpus-sized: a files sink is the only
       100 TB-honest sink; nothing is driver-held).
     """
-    return q76_batch_arm(spark, sf_dir).unionByName(
-        q76_stream_arm(spark, sf_dir)
+    return (
+        q76_batch_arm(spark, sf_dir)
+        .unionByName(q76_bloom_arm(spark, sf_dir))
+        .unionByName(q76_stream_arm(spark, sf_dir))
     )
 
 
@@ -511,6 +520,21 @@ def q76_batch_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, ev = _q76_split(spark, sf_dir)
     out = ngram_contamination(train, ev, n=5, ratio_threshold=0.05)
     return out.select(F.lit("batch").alias("arm"), *out.columns)
+
+
+def q76_bloom_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q76 suite's BLOOM half — not a registry slot; see
+    q76_decontaminate. Deliberately NOT a separate bench line: its cost
+    class is the batch arm plus the bitmap build, and the suite's bench
+    lines stay q76_batch / q76_stream (the registry slot is what the
+    correctness gate runs)."""
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        ngram_contamination_bloom,
+    )
+
+    train, ev = _q76_split(spark, sf_dir)
+    out = ngram_contamination_bloom(train, ev, n=5, ratio_threshold=0.05)
+    return out.select(F.lit("bloom").alias("arm"), *out.columns)
 
 
 def q76_stream_arm(spark: SparkSession, sf_dir: str) -> DataFrame:

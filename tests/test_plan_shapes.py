@@ -148,11 +148,20 @@ def test_single_shuffle_for_window_suite(spark, sf_dir):
 
 
 def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
-    """q76's contamination check must ride the training scan as a broadcast
-    hash join on the gram key (the eval side is small by construction) with
-    exactly ONE Exchange — the doc-id aggregation. A shuffled gram join
-    here means re-shuffling the 100 TB training side per eval refresh."""
-    plan = _plan(spark, sf_dir, "q76_decontaminate")
+    """q76's BATCH arm: the contamination check must ride the training
+    scan as a broadcast hash join on the gram key (the eval side is small
+    by construction) with exactly ONE Exchange — the doc-id aggregation. A
+    shuffled gram join here means re-shuffling the 100 TB training side
+    per eval refresh. Asserted on the batch arm alone — the full registry
+    slot is now a 3-arm union and the bloom arm legitimately carries its
+    own doc-keyed exchanges (candidate confirm; its Python-free probe
+    plan is pinned in tests/test_curate_pipeline.py)."""
+    from movie_recommendation_etl_spark.plans.text_analysis import (
+        q76_batch_arm,
+    )
+
+    df = q76_batch_arm(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     # the TRAINING side shuffles exactly once (doc-id agg); the only other
     # exchange allowed is the tiny eval-gram distinct under the broadcast
