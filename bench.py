@@ -76,7 +76,13 @@ SCOPE_TAGS: dict[str, str] = {
     # (q48 gained a streaming arm in r13, but its bench lines were
     # simultaneously split into q48_batch / q48_stream — fresh names
     # fence themselves, so no tag is needed)
-    "q58_sampling_suite": "r13-weighted-arm",
+    # r14: the weighted arm's naive per-lang row_number window became an
+    # exact TWO-STAGE top-k (salted stage-1 + bounded stage-2 — kills the
+    # one-reducer-per-stratum straggler at 100 TB). Output-identical, but
+    # the extra salted exchange costs ~+0.3 s at sf0.1 (0.72 -> ~1.05
+    # across three r14 runs) — a deliberate scale-for-small-SF trade, so
+    # the comparison fences for one round.
+    "q58_sampling_suite": "r14-two-stage-topk",
     "q30_batch_arms": "r12-gapfill-arm",
     "q33_lookup_expr_suite": "r9-csv-arm",
     "q40_text_profile_suite": "r11-bc-lemma-arm",
