@@ -415,7 +415,8 @@ def merge_upsert_parquet(
     on both sides.
 
     Scale shape: with ``partition_by``, only the partitions the merge can
-    affect are read, merged, and rewritten (dynamic partition overwrite);
+    affect are read, merged, and rewritten (staged files renamed in over
+    the journal's delete set — dynamic overwrite before r14);
     untouched partitions keep their files. The touched-partition list is
     collected to the driver — bounded by partition count, never row count.
     Without ``partition_by`` the whole table rewrites (correct, but at
