@@ -933,6 +933,47 @@ def _cmd_store_info(args: argparse.Namespace) -> int:
     return 1
 
 
+def _cmd_repair(args: argparse.Namespace) -> int:
+    """Explicit crash recovery for the staged merge protocol
+    (sources/writers.recover_pending_merge): apply a COMMITTED journal a
+    crash left unapplied (the same replay the read/merge/compact paths
+    run automatically), and report — or with ``--purge`` remove —
+    pre-commit leftovers. The read-only twin of what store-info REPORTS."""
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.writers import (
+        _MERGE_JOURNAL_DIR,
+        _MERGE_STAGING_DIR,
+        _hadoop_fs,
+        recover_pending_merge,
+    )
+
+    spark = get_spark(app_name="mre-repair")
+    jvm, fs, root = _hadoop_fs(spark, args.path)
+    P = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(root):
+        print(f"no table at {args.path}", file=sys.stderr)
+        return 1
+    had_leftovers = fs.exists(P(root, _MERGE_JOURNAL_DIR)) or fs.exists(
+        P(root, _MERGE_STAGING_DIR)
+    )
+    applied = recover_pending_merge(spark, args.path, purge=args.purge)
+    if applied:
+        print("pending committed merge applied; table is current")
+        return 0
+    if had_leftovers and args.purge:
+        print("pre-commit crash leftovers purged; table state was intact")
+        return 0
+    if had_leftovers:
+        print(
+            "pre-commit crash leftovers present (table state is intact); "
+            "re-run with --purge to remove them, or let the next merge "
+            "do it"
+        )
+        return 0
+    print("nothing to repair: no pending merge, no leftovers")
+    return 0
+
+
 def _cmd_zorder(args: argparse.Namespace) -> int:
     """Rewrite a parquet table clustered on the Morton interleave of >= 2
     int columns (functions/zorder.py) — the OPTIMIZE ... ZORDER BY shape:
@@ -977,6 +1018,22 @@ def _cmd_zorder(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 1
+    pinned = None
+    if args.boundaries_from:
+        from movie_recommendation_etl_spark.functions.zorder import (
+            read_zorder_sidecar,
+        )
+
+        sidecar = read_zorder_sidecar(spark, args.boundaries_from)
+        if sidecar is None:
+            print(
+                f"--boundaries-from {args.boundaries_from}: no "
+                "_zorder_buckets.json sidecar there (only q:N layouts "
+                "pin boundaries)",
+                file=sys.stderr,
+            )
+            return 1
+        pinned = sidecar["boundaries"]
     try:
         write_zordered_parquet(
             df,
@@ -985,6 +1042,7 @@ def _cmd_zorder(args: argparse.Namespace) -> int:
             num_files=args.num_files,
             bits=args.bits,
             bucket=bucket,
+            pinned_boundaries=pinned,
         )
     except (ValueError, PySparkException) as exc:
         # out-of-range values (morton_key raise_error) / bad bits budget /
@@ -1131,7 +1189,29 @@ def build_parser() -> argparse.ArgumentParser:
         "monotone, boundaries from one percentile_approx pre-pass, "
         "pinned in a _zorder_buckets.json sidecar for reproducibility)",
     )
+    zo.add_argument(
+        "--boundaries-from", default=None, metavar="TABLE_PATH",
+        help="reuse the pinned q:N quantile boundaries from an existing "
+        "z-ordered table's _zorder_buckets.json sidecar (reproducible "
+        "rewrite: no data pre-pass, identical bucket edges)",
+    )
     zo.set_defaults(fn=_cmd_zorder)
+
+    rp = sub.add_parser(
+        "repair",
+        help="apply a crash-interrupted merge commit on a parquet table "
+        "(committed journal -> replay; pre-commit leftovers -> report, "
+        "or purge with --purge)",
+    )
+    rp.add_argument("path")
+    rp.add_argument(
+        "--purge", action="store_true",
+        help="also remove PRE-commit crash leftovers (_merge_staging / "
+        "uncommitted journals). Only safe when no merge writer is live — "
+        "the merge path owns the single-writer lock and purges these "
+        "itself on its next run",
+    )
+    rp.set_defaults(fn=_cmd_repair)
 
     hh = sub.add_parser(
         "heavy-hitters",

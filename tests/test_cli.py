@@ -1272,3 +1272,123 @@ def test_cli_store_info_admission_stores(capsys, spark, tmp_path):
     out = capsys.readouterr().out
     assert "commit=crashed-pre-commit-leftovers" in out
     assert os.path.exists(f"{doc_store}/_merge_staging/s_1")  # read-only
+
+
+def test_cli_repair_merge_crash_states(capsys, spark, tmp_path):
+    """repair: applies a committed-but-unapplied merge journal, reports
+    (or purges, only with --purge) pre-commit leftovers, and no-ops on a
+    clean table."""
+    import os
+
+    import pytest as _pt
+
+    from movie_recommendation_etl_spark.sources import writers
+    from movie_recommendation_etl_spark.sources.writers import (
+        merge_upsert_parquet,
+    )
+
+    path = str(tmp_path / "t")
+
+    def m(rows):
+        merge_upsert_parquet(
+            spark,
+            spark.createDataFrame(rows, "id int, v string"),
+            path,
+            ["id"],
+        )
+
+    m([(1, "a"), (2, "b")])
+    assert main(["repair", path]) == 0
+    assert "nothing to repair" in capsys.readouterr().out
+
+    # crash AT the commit point: journal committed, apply never ran
+    mp = _pt.MonkeyPatch()
+    mp.setattr(
+        writers,
+        "_apply_merge_journal",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with _pt.raises(RuntimeError):
+        m([(2, "B2"), (3, "c")])
+    mp.undo()
+    assert main(["repair", path]) == 0
+    assert "applied; table is current" in capsys.readouterr().out
+    got = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, "a"), (2, "B2"), (3, "c")]
+
+    # pre-commit leftovers: reported without --purge, removed with it
+    os.makedirs(f"{path}/_merge_staging/s_9")
+    assert main(["repair", path]) == 0
+    assert "re-run with --purge" in capsys.readouterr().out
+    assert os.path.exists(f"{path}/_merge_staging")
+    assert main(["repair", path, "--purge"]) == 0
+    assert "purged" in capsys.readouterr().out
+    assert not os.path.exists(f"{path}/_merge_staging")
+
+    assert main(["repair", str(tmp_path / "missing")]) == 1
+    assert "no table" in capsys.readouterr().err
+
+
+def test_cli_zorder_boundaries_from_pins_rewrite(capsys, spark, tmp_path):
+    """--boundaries-from reuses a previous layout's pinned quantile
+    boundaries: no data pre-pass, identical bucket edges in the new
+    sidecar; a path without a sidecar is a clean user error."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.functions.zorder import (
+        read_zorder_sidecar,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(0, 10_000).select(
+        F.pow(
+            F.lit(2.0), (F.abs(F.xxhash64("id", F.lit(1))) % 16).cast("double")
+        ).cast("long").alias("v"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % 32).cast("int").alias("uid"),
+    ).write.mode("overwrite").parquet(src)
+
+    first = str(tmp_path / "z1")
+    assert (
+        main(
+            [
+                "zorder", src, first,
+                "--by", "v,uid", "--bucket", "v:q:8",
+                "--bucket", "uid:div:4", "--num-files", "4",
+            ]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    second = str(tmp_path / "z2")
+    assert (
+        main(
+            [
+                "zorder", src, second,
+                "--by", "v,uid", "--bucket", "v:q:8",
+                "--bucket", "uid:div:4", "--num-files", "4",
+                "--boundaries-from", first,
+            ]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    b1 = read_zorder_sidecar(spark, first)["boundaries"]
+    b2 = read_zorder_sidecar(spark, second)["boundaries"]
+    assert b1 == b2
+
+    # no sidecar at the source table -> user error
+    assert (
+        main(
+            [
+                "zorder", src, str(tmp_path / "z3"),
+                "--by", "v,uid", "--bucket", "v:q:8",
+                "--boundaries-from", src,
+            ]
+        )
+        == 1
+    )
+    assert "no" in capsys.readouterr().err
