@@ -394,3 +394,29 @@ def test_jdbc_array_column_types_exact():
         )
         is None
     )
+
+
+def test_write_local_rows_parquet_single_file_and_empty(spark, tmp_path):
+    """write_local_rows_parquet: exactly ONE data file (single-slice
+    parallelize — the whole point vs the coalesce(1) scheduling tax, see
+    its docstring), round-trips values, and an empty row list still
+    writes a readable empty table with the declared schema."""
+    import glob
+
+    from movie_recommendation_etl_spark.sources.writers import (
+        write_local_rows_parquet,
+    )
+
+    p = str(tmp_path / "t")
+    write_local_rows_parquet(
+        spark, [(1, "a"), (2, "b")], "id int, v string", p
+    )
+    assert len(glob.glob(f"{p}/part-*.parquet")) == 1
+    assert sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(p).collect()
+    ) == [(1, "a"), (2, "b")]
+
+    e = str(tmp_path / "empty")
+    write_local_rows_parquet(spark, [], "id int, v string", e)
+    back = spark.read.parquet(e)
+    assert back.count() == 0 and back.columns == ["id", "v"]
