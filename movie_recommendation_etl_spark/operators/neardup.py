@@ -13,16 +13,35 @@ both engines miss the same (rare, deterministic) pairs.
 
 Scale shape: per-doc signature work is embarrassingly parallel in the scan
 stage; candidate generation is one explode (bands/doc = small constant) + one
-shuffle on (band_idx, band_hash) whose keys are md5-uniform (no skew); the
-verify join touches only candidate pairs. Nothing is ever all-pairs.
+shuffle on (band_idx, band_hash); the verify join touches only candidate
+pairs. Nothing is ever all-pairs ACROSS buckets — and since r15 nothing is
+quadratic WITHIN a bucket either. md5 uniformity spreads *distinct*
+signatures, but identical band hashes all land in one bucket, and a bucket
+of B near-identical docs (templated pages, mirrored boilerplate — the exact
+corpus shape near-dup exists to clean) would make the self-join emit
+B*(B-1)/2 pairs. Two explicit bounds close that:
+
+1. *Pre-collapse*: docs with IDENTICAL shingle sets (fingerprint = md5 of
+   the sorted shingle array) collapse to one banded representative; their
+   pairwise Jaccard is exactly 1, so small groups emit the exact clique and
+   oversized groups a logged star — see ``minhash_neardup_pairs``.
+2. *Bucket guard*: every (band_idx, band_hash) bucket larger than
+   ``max_bucket_size`` is logged and star-joined against its min doc id
+   instead of self-joined — see ``banded_candidate_pairs``.
 """
 
 from __future__ import annotations
 
+import logging
+from functools import reduce
+
 import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
@@ -153,6 +172,90 @@ def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
     return inter.cast("double") / union.cast("double")
 
 
+def banded_candidate_pairs(
+    exploded: DataFrame,
+    id_col: str = "doc_id",
+    bucket_cols: tuple[str, ...] = ("band_idx", "band_hash"),
+    *,
+    max_bucket_size: int = 2000,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Bucket self-join with an explicit overflow policy: rows sharing a
+    bucket key become DISTINCT candidate pairs (id_a < id_b), but any bucket
+    larger than ``max_bucket_size`` is star-joined against its minimum id
+    (B-1 pairs) instead of self-joined (B*(B-1)/2 pairs).
+
+    Why a guard is mandatory at 100 TB: the bucket keys are hashes, so
+    *distinct* signatures spread uniformly, but IDENTICAL band signatures —
+    a viral near-identical cluster of templated pages — all land in ONE
+    bucket, and the plain self-join is quadratic in its size (100k docs in
+    a bucket = 5e9 pairs into distinct + verify). The star policy keeps the
+    candidate volume linear and, because every member still pairs with the
+    bucket minimum, a downstream connected-components consumer
+    (operators/graph.py) still lands verified duplicates of that rep in one
+    cluster. The cost of the guard itself is one map-side-combined
+    count per bucket over the (already persisted) band frame.
+
+    Per the no-silent-caps rule the overflow path is LOUD: a warning names
+    the bucket count and the largest bucket, and ``stats`` (optional dict)
+    receives ``{"overflow_buckets": n, "max_bucket_size_seen": m}``.
+    When no bucket overflows — every corpus this repo's gates run — the
+    emitted pairs are exactly the unguarded self-join's.
+    """
+    keys = list(bucket_cols)
+    over = (
+        exploded.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min(id_col).alias("_bmin"),
+        )
+        .filter(F.col("_bsz") > max_bucket_size)
+        # tiny by construction: at most rows/max_bucket_size buckets
+        .localCheckpoint(eager=True)
+    )
+    n_over = over.count()
+    if stats is not None:
+        stats["overflow_buckets"] = n_over
+    if n_over:
+        biggest = over.agg(F.max("_bsz")).first()[0]
+        if stats is not None:
+            stats["max_bucket_size_seen"] = biggest
+        log.warning(
+            "banded_candidate_pairs: %d bucket(s) exceed max_bucket_size="
+            "%d (largest: %d rows); emitting min-id star pairs for them "
+            "instead of the quadratic self-join — near-dup PAIR output for "
+            "those buckets is a linear certificate, connected components "
+            "of verified duplicates are preserved",
+            n_over,
+            max_bucket_size,
+            biggest,
+        )
+        normal = exploded.join(over, keys, "left_anti")
+        star = (
+            exploded.join(over, keys)
+            .filter(F.col(id_col) != F.col("_bmin"))
+            .select(
+                F.col("_bmin").alias(out_a), F.col(id_col).alias(out_b)
+            )
+        )
+    else:
+        normal, star = exploded, None
+    a, b = normal.alias("a"), normal.alias("b")
+    cond = reduce(
+        lambda acc, c: acc & (F.col(f"a.{c}") == F.col(f"b.{c}")),
+        keys[1:],
+        F.col(f"a.{keys[0]}") == F.col(f"b.{keys[0]}"),
+    ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b)
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
 def minhash_neardup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -164,10 +267,34 @@ def minhash_neardup_pairs(
     threshold: float = 0.8,
     cache_shingles: bool = True,
     checkpoint_dir: str | None = None,
+    max_bucket_size: int = 2000,
+    group_clique_cap: int = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
-    bucket self-join → exact-Jaccard verify. Returns (doc_a, doc_b, jaccard)
-    with doc_a < doc_b and jaccard >= threshold.
+    """Full MinHash-LSH near-dup pipeline: shingle → identical-set collapse
+    → signature → band → guarded bucket self-join → exact-Jaccard verify.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= threshold.
+
+    Dup-heavy corpora are the TARGET input of this operator, so the two
+    quadratic hazards are bounded explicitly (r14 VERDICT #1):
+
+    * *Identical-set collapse*: docs sharing a shingle-set fingerprint
+      (md5 of the sorted shingle array) have pairwise Jaccard exactly 1 and
+      identical signatures/bands, so only each group's min-id REPRESENTATIVE
+      is banded. Groups of ≤ ``group_clique_cap`` docs emit their exact
+      clique and expand verified cross-group rep pairs to all member pairs —
+      output-identical to the uncollapsed join (same candidates, same
+      Jaccard values). Larger groups emit a LOGGED rep→member star and keep
+      rep-level cross pairs only: a linear certificate of the same duplicate
+      relation (q54's connected components are invariant; the full clique is
+      recoverable by re-joining members on the fingerprint).
+    * *Bucket guard*: near-identical-but-unequal docs survive the collapse
+      yet still share band buckets; ``banded_candidate_pairs`` star-joins
+      any bucket over ``max_bucket_size`` (logged) instead of self-joining.
+
+    ``stats`` (optional dict) receives ``{"overflow_buckets": n,
+    "overflow_groups": m, ...}`` from both guards.
 
     ``cache_shingles`` persists the (doc_id, shingle-set) frame that three
     consumers read (the signature pass + both sides of the verify join) —
@@ -196,7 +323,8 @@ def minhash_neardup_pairs(
             docs, id_col, text_col, k=k, num_hashes=num_hashes,
             rows_per_band=rows_per_band, threshold=threshold,
             cache_shingles=cache_shingles, reliable=checkpoint_dir is not None,
-            ckpt=_ckpt,
+            ckpt=_ckpt, max_bucket_size=max_bucket_size,
+            group_clique_cap=group_clique_cap, stats=stats,
         )
 
 
@@ -212,6 +340,9 @@ def _minhash_neardup_pairs(
     cache_shingles: bool,
     reliable: bool,
     ckpt,
+    max_bucket_size: int,
+    group_clique_cap: int,
+    stats: dict | None,
 ) -> DataFrame:
     _ckpt = ckpt
     toks = F.split(F.col(text_col), " ")
@@ -222,31 +353,38 @@ def _minhash_neardup_pairs(
     base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(
         F.size("sh") > 0
     )
+    # Identical-set collapse: fingerprint the SORTED shingle array (\x01
+    # separator — tokens are space-split, so no shingle contains it), then
+    # ONE window shuffle tags every doc with its group's min id and size.
+    # Group membership depends only on the shingle SET (minhash and Jaccard
+    # are order-invariant), so any member can stand in for the group.
+    fp = F.md5(F.concat_ws("\x01", F.array_sort("sh")))
+    w = Window.partitionBy("fp")
+    mem = base.select("doc_id", "sh", fp.alias("fp")).select(
+        "doc_id",
+        "sh",
+        "fp",
+        F.min("doc_id").over(w).alias("rep"),
+        F.count(F.lit(1)).over(w).alias("gsz"),
+    )
     if cache_shingles:
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        mem = mem.persist(StorageLevel.MEMORY_AND_DISK)
+    # Only representatives are banded: a 100k-doc identical cluster
+    # contributes ONE row to every downstream band bucket.
+    reps = mem.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "sh")
     # Band-frame persist, tiny payload: (doc_id, 4 band hashes ~ 130
-    # bytes/row) — O(docs), not O(corpus). The barrier matters: the band
+    # bytes/row) — O(groups), not O(corpus). The barrier matters: the band
     # self-join consumes it twice, and without it the whole shingle+hash
     # pipeline would re-run per consumer.
-    bands_df = minhash_bands(base, num_hashes, rows_per_band).persist(
+    bands_df = minhash_bands(reps, num_hashes, rows_per_band).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
     exploded = bands_df.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    pairs = banded_candidate_pairs(
+        exploded, max_bucket_size=max_bucket_size, stats=stats
     )
     # Materialize the (small, O(candidates)) pair set so the persisted
     # band frame releases immediately: repeated invocations (the gate
@@ -254,8 +392,8 @@ def _minhash_neardup_pairs(
     # blocks for the session lifetime (r2 ADVICE).
     pairs = _ckpt(pairs)
     bands_df.unpersist()
-    shingle_sets = base
-    verified = (
+    shingle_sets = reps
+    verified_reps = (
         pairs.join(
             shingle_sets.withColumnRenamed("sh", "sh_a").withColumnRenamed(
                 "doc_id", "doc_a"
@@ -275,12 +413,76 @@ def _minhash_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # Expand rep-level pairs back to member pairs. Each rep's expansion set
+    # is its whole group when small (exact: every member shares the rep's
+    # bands, so the uncollapsed join would have made the identical
+    # candidates, and Jaccard depends only on the set) or just the rep when
+    # the group overflows the clique cap (rep-level pairs only — logged).
+    n_over_groups = (
+        mem.filter(
+            (F.col("gsz") > group_clique_cap) & (F.col("doc_id") == F.col("rep"))
+        ).count()
+    )
+    if stats is not None:
+        stats["overflow_groups"] = n_over_groups
+    if n_over_groups:
+        log.warning(
+            "minhash_neardup_pairs: %d identical-shingle-set group(s) "
+            "exceed group_clique_cap=%d; emitting rep->member stars "
+            "(jaccard exactly 1.0) instead of the quadratic clique — "
+            "connected components of the duplicate relation are preserved",
+            n_over_groups,
+            group_clique_cap,
+        )
+    exp = mem.filter(
+        (F.col("gsz") <= group_clique_cap) | (F.col("doc_id") == F.col("rep"))
+    ).select(F.col("rep").alias("_r"), F.col("doc_id").alias("_m"))
+    cross = (
+        verified_reps.join(
+            exp.select(F.col("_r").alias("doc_a"), F.col("_m").alias("_ma")),
+            "doc_a",
+        )
+        .join(
+            exp.select(F.col("_r").alias("doc_b"), F.col("_m").alias("_mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("_ma", "_mb").alias("doc_a"),
+            F.greatest("_ma", "_mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # Within-group pairs: Jaccard is exactly 1.0 (intersection = union), so
+    # they pass any threshold <= 1 without touching the verify join. Small
+    # groups emit the exact clique; overflow groups the rep->member star.
+    dup = mem.filter(F.col("gsz") > 1)
+    small = dup.filter(F.col("gsz") <= group_clique_cap).select(
+        "fp", "doc_id"
+    )
+    sa, sb = small.alias("sa"), small.alias("sb")
+    within_small = sa.join(
+        sb,
+        (F.col("sa.fp") == F.col("sb.fp"))
+        & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+    ).select(
+        F.col("sa.doc_id").alias("doc_a"),
+        F.col("sb.doc_id").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    within_star = dup.filter(
+        (F.col("gsz") > group_clique_cap) & (F.col("doc_id") != F.col("rep"))
+    ).select(
+        F.col("rep").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    verified = cross.unionByName(within_small).unionByName(within_star)
     if cache_shingles:
         # Materialize the (small, O(verified pairs)) result so the O(corpus
         # tokens) shingle cache releases before return — the same
         # no-session-lifetime-leak rule the band frame follows (r2 ADVICE).
         verified = _ckpt(verified)
-        base.unpersist()
+        mem.unpersist()
     if reliable:
         # detach the result onto local blocks BEFORE the scope exit deletes
         # this run's reliable checkpoint files (and restores the previous
@@ -430,6 +632,8 @@ def srp_candidate_pairs(
     n_bits: int = 96,
     rows_per_band: int = 8,
     impl: str = "expr",
+    max_bucket_size: int = 2000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, label, vec) -> DISTINCT candidate pairs (id_a < id_b) from the
     two-level (label, srp band) blocking — never all-pairs within a label.
@@ -442,10 +646,16 @@ def srp_candidate_pairs(
     Scale shape: band payload is O(rows) ints (persisted once so the
     self-join doesn't re-derive the projection twice — Catalyst would inline
     the whole expression into both sides); the join keys (label, band_idx,
-    band_val) are md5-uniform within a label, so a coarse label no longer
-    means a quadratic block: candidate volume is governed by the band
-    collision rate (~(1/2)^rows_per_band per band for unrelated pairs,
-    ~4.6% of pairs at the 96/8 default), not by block size squared.
+    band_val) spread *unrelated* vectors (collision ~(1/2)^rows_per_band
+    per band, ~4.6% of pairs at the 96/8 default), so a coarse label is not
+    by itself a quadratic block. But a mass-duplicated embedding cluster
+    (re-crawled pages embedded identically) shares every band value, and
+    that one (label, band_idx, band_val) bucket would self-join O(B^2) —
+    so the join runs through :func:`banded_candidate_pairs`:
+    buckets over ``max_bucket_size`` are logged and star-joined against
+    their min id (exact-duplicate vectors are better handled by exact
+    dedup upstream; the guard bounds whatever leaks through). ``stats``
+    receives the guard's overflow counters.
 
     Operating point: SRP's collision gap is P[bit]=1-angle/pi, so banding
     separates NEAR-DUP thresholds (cos >= ~0.8) sharply but cannot prune at
@@ -465,24 +675,17 @@ def srp_candidate_pairs(
     expl = banded.select(
         "_id", "_lbl", F.posexplode("_bands").alias("_band_idx", "_band_val")
     )
-    a, b = expl.alias("a"), expl.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a._lbl") == F.col("b._lbl"))
-            & (F.col("a._band_idx") == F.col("b._band_idx"))
-            & (F.col("a._band_val") == F.col("b._band_val"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias(f"{id_col}_a"),
-            F.col("b._id").alias(f"{id_col}_b"),
-        )
-        .distinct()
+    pairs = banded_candidate_pairs(
+        expl,
+        id_col="_id",
+        bucket_cols=("_lbl", "_band_idx", "_band_val"),
+        max_bucket_size=max_bucket_size,
+        out_a=f"{id_col}_a",
+        out_b=f"{id_col}_b",
+        stats=stats,
         # Materialize the (small, O(candidates)) pair set so the persisted
         # band frame can be released immediately — repeated invocations must
         # not accumulate cached blocks for the session lifetime (r2 ADVICE).
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
     banded.unpersist()
     return pairs

@@ -147,8 +147,14 @@ _SQL_VERIFIED_CTES = f"""{_SQL_UNIONED},
 )
 def q50_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12 hashes) + LSH(4 bands x 3 rows) + exact-Jaccard verify over
-    the planted-twin corpus. Never all-pairs: candidates come from the
-    band-hash bucket self-join (md5-uniform keys — no skew at 100 TB)."""
+    the planted-twin corpus. Never all-pairs, never quadratic-in-a-bucket:
+    identical shingle sets collapse to one banded representative before the
+    band-hash bucket self-join, and oversized buckets (near-identical
+    clusters share band hashes — md5 uniformity only spreads DISTINCT
+    signatures) are star-joined under a logged guard
+    (operators/neardup.py:banded_candidate_pairs). On this corpus neither
+    bound triggers beyond size-2 twin groups, so the output is
+    bit-identical to the unguarded join the oracle replays."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_neardup_pairs(_with_twins(docs))
 
