@@ -601,6 +601,21 @@ def merge_upsert_parquet(
     old_files = _touched_partition_files(
         spark, existing, path, partition_by, touched
     )
+    if not old_files:
+        # Append-only fast path (bootstrap table, or brand-new partitions):
+        # the delete set is empty — no file is superseded — so the staged
+        # write + journal + per-file renames buy nothing. Write directly
+        # under the table root with Spark's job-level commit. Crash
+        # semantics stay safe: the committer keeps in-flight task output
+        # under _temporary/ (invisible to discovery); the narrow job-commit
+        # window can at worst expose a PREFIX of the new files, and because
+        # nothing was superseded, replaying the batch converges — the
+        # partial files then belong to touched partitions, so the retry
+        # takes the full journaled path and supersedes them. The hazard the
+        # journal exists for (losing files of the delete set and silently
+        # re-admitting dups) cannot occur with an empty delete set.
+        write_parquet(merged, path, partition_by=partition_by, mode="append")
+        return
     jvm, fs, root = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     _vp, max_jn = _latest_journal(spark, path)

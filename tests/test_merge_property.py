@@ -101,3 +101,57 @@ def test_merge_sequence_matches_model(spark, tmp_path_factory, batches):
         merge_upsert_parquet(spark, df, out, ["id"], order_col="ver")
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == _model_merge(batches)
+
+
+def test_append_only_merges_skip_journal(spark, tmp_path_factory):
+    """Empty-delete-set fast path (r14 VERDICT nit): bootstrap and
+    brand-new-partition merges supersede no file, so they must write
+    DIRECTLY (no _merge_journal version, no _merge_staging leftovers),
+    while a superseding merge still takes the journaled path — and the
+    resulting table is identical to what the model fold expects."""
+    import os
+
+    from movie_recommendation_etl_spark.sources.writers import (
+        _MERGE_STAGING_DIR,
+    )
+
+    path = str(tmp_path_factory.mktemp("fastpath") / "t")
+
+    def journal_versions():
+        d = os.path.join(path, "_merge_journal")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    rows1 = [(1, "a", "p1"), (2, "b", "p1")]
+    df1 = spark.createDataFrame(rows1, "k long, v string, part string")
+    merge_upsert_parquet(
+        spark, df1, path, ["k"], partition_by=["part"]
+    )
+    assert journal_versions() == []  # bootstrap: append-only
+    # new partition, untouched existing one: still append-only
+    df2 = spark.createDataFrame([(3, "c", "p2")], df1.schema)
+    merge_upsert_parquet(
+        spark, df2, path, ["k"], partition_by=["part"]
+    )
+    assert journal_versions() == []
+    assert not os.path.isdir(os.path.join(path, _MERGE_STAGING_DIR))
+    # superseding merge (k=1 exists in p1): journaled path — p1's old
+    # data files are in the delete set and must be REPLACED, not kept
+    # beside appended ones (journal dirs retire after apply, so the old
+    # file names vanishing is the observable)
+    def p1_files():
+        d = os.path.join(path, "part=p1")
+        return {f for f in os.listdir(d) if not f.startswith(("_", "."))}
+
+    before = p1_files()
+    df3 = spark.createDataFrame([(1, "A", "p1")], df1.schema)
+    merge_upsert_parquet(
+        spark, df3, path, ["k"], partition_by=["part"]
+    )
+    after = p1_files()
+    assert before and after and not (before & after)
+    assert journal_versions() == []  # retired after apply
+    got = {
+        (r["k"], r["v"], r["part"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "A", "p1"), (2, "b", "p1"), (3, "c", "p2")}
