@@ -240,7 +240,39 @@ def ngram_contamination_bloom(
         num_hashes=num_hashes,
     )
     bm_df = spark.createDataFrame([(bitmap,)], "bm: array<long>")
+    return bloom_contamination_verdicts(
+        train,
+        bm_df,
+        _eval_grams(eval_set, text_col, n),
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        ratio_threshold=ratio_threshold,
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+    )
 
+
+def bloom_contamination_verdicts(
+    train: DataFrame,
+    bm_df: DataFrame,
+    eval_grams: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    ratio_threshold: float = 0.05,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """The Bloom-tier verdict plan given a PREBUILT bitmap frame (one
+    ``bm: array<long>`` row from :func:`build_gram_bloom`) and the exact
+    eval-gram frame. Factored out of :func:`ngram_contamination_bloom` so
+    the streaming gate (streaming/decontaminate.bloom_gated_stream) runs
+    the byte-identical plan per micro-batch — the two tiers cannot drift.
+    ``num_bits``/``num_hashes`` MUST match the bitmap's build parameters
+    (a mismatch silently probes wrong bits; the caller owns that pairing).
+    """
     grams = word_shingles(F.split(text_col, " "), n)
     exploded = train.select(
         F.col(id_col), F.explode_outer(grams).alias("gram")
@@ -264,7 +296,7 @@ def ngram_contamination_bloom(
     per_doc = per_doc.localCheckpoint(eager=False)
     confirmed = (
         per_doc.select(F.col(id_col), F.explode("__cand").alias("gram"))
-        .join(_eval_grams(eval_set, text_col, n), "gram")
+        .join(eval_grams, "gram")
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("__n_confirmed"))
     )

@@ -142,3 +142,105 @@ def contamination_gated_documents(
     return verdicts.filter(~F.col("is_contaminated")).drop(
         "n_grams", "n_overlap", "overlap_ratio", "is_contaminated"
     )
+
+
+def bloom_gated_stream(
+    docs_stream: DataFrame,
+    eval_set: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    ratio_threshold: float = 0.05,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    keep_verdicts: bool = False,
+    available_now: bool = True,
+):
+    """The streaming ingestion gate WITHOUT the driver-held gram set (r14
+    VERDICT #5): Bloom-tier decontamination over a document stream, exact
+    answers, no size ceiling on the eval corpus.
+
+    The stateless gate (:func:`contamination_gated_documents`) collects the
+    eval grams to the driver — bounded at ``eval_gram_set``'s ``max_grams``
+    cap. Above that cap the per-doc confirm count is unavoidably a JOIN +
+    per-doc aggregation, and a streaming aggregation would drag in
+    watermarks/update-mode/state stores for what is semantically a
+    row-local verdict. The Spark-idiomatic escape is ``foreachBatch``:
+    every micro-batch is a bounded DataFrame, so each batch runs the exact
+    BATCH Bloom plan (operators/decontaminate.bloom_contamination_verdicts
+    — scan-stage bitmap probe, candidates-only shuffle, exact confirm join
+    against the distributed eval-gram frame) and lands its survivors in
+    the files sink. Nothing is driver- or executor-memory-bound: the only
+    driver artifact is the ~``num_bits/8``-byte bitmap (bounded METADATA,
+    built once, broadcast to every batch), and the eval grams stay a
+    persisted distributed frame.
+
+    Verdict parity with the batch operator is structural (same core
+    function), and tests/test_streaming.py asserts the keep/drop sets
+    match ngram_contamination on the same corpus — including an eval set
+    OVER the exact gate's gram cap.
+
+    Exactly-once: each micro-batch OVERWRITES its own
+    ``ingest_batch=<id>`` partition directory, so a replayed batch (sink
+    written, commit log not yet advanced) converges instead of
+    duplicating files; read the sink root and ``ingest_batch`` surfaces
+    as an ordinary partition column. Returns the started StreamingQuery
+    (caller awaits termination / manages lifecycle). The eval-gram frame
+    is persisted for the query's lifetime; the query's ``stop()``/
+    termination does not auto-unpersist it — a long-lived driver that
+    rebuilds the gate on eval refresh should call
+    ``spark.catalog.clearCache()`` or track and unpersist it (same
+    lifecycle contract as contamination_verdicts' broadcast)."""
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        bloom_contamination_verdicts,
+        build_gram_bloom,
+    )
+    from movie_recommendation_etl_spark.operators.neardup import (
+        word_shingles as _ws,
+    )
+
+    spark = docs_stream.sparkSession
+    bitmap = build_gram_bloom(
+        eval_set, text_col=text_col, n=n, num_bits=num_bits,
+        num_hashes=num_hashes,
+    )
+    bm_df = spark.createDataFrame([(bitmap,)], "bm: array<long>")
+    eval_grams = (
+        eval_set.select(
+            F.explode(_ws(F.split(text_col, " "), n)).alias("gram")
+        )
+        .distinct()
+        .persist()
+    )
+    verdict_cols = ["n_grams", "n_overlap", "overlap_ratio", "is_contaminated"]
+
+    def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = bloom_contamination_verdicts(
+            batch_df,
+            bm_df,
+            eval_grams,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            ratio_threshold=ratio_threshold,
+            num_bits=num_bits,
+            num_hashes=num_hashes,
+        )
+        kept = batch_df.join(
+            verdicts.filter(~F.col("is_contaminated")), id_col
+        )
+        if not keep_verdicts:
+            kept = kept.drop(*verdict_cols)
+        kept.write.mode("overwrite").parquet(
+            f"{sink_path}/ingest_batch={batch_id}"
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(_gate_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -565,3 +565,77 @@ def test_gap_fill_matches_python_replay_on_random_sparse_events(spark):
     # sparsity really happened: most cells are gap-filled zeros
     zero_cells = sum(1 for n, _ in got.values() if n == 0)
     assert zero_cells > len(got) / 3
+
+
+def test_bloom_gated_stream_matches_batch_over_gram_cap(spark, tmp_path):
+    """The Bloom-tier streaming gate (r14 VERDICT #5): keep/drop sets must
+    equal the exact batch operator's on the same corpus, WITHOUT any
+    driver-held gram set — asserted on an eval corpus OVER the exact
+    gate's gram cap (eval_gram_set raises; the bloom gate sails through,
+    holding only the ~1 MB bitmap on the driver)."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+    from movie_recommendation_etl_spark.streaming.decontaminate import (
+        bloom_gated_stream,
+        eval_gram_set,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # eval corpus: the benchmark doc plus filler docs whose distinct-gram
+    # count exceeds a deliberately small exact-gate cap
+    ev_rows = [(0, bench_text)] + [
+        (i, " ".join(f"ev{i}w{j}" for j in range(16))) for i in range(1, 30)
+    ]
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_grams"):
+        eval_gram_set(ev, n=5, max_grams=100)  # exact gate's ceiling
+
+    incoming = [
+        (1, "prefix junk " + bench_text),            # contaminated
+        (2, "totally unrelated words appear here now and then again ok"),
+        (3, bench_text),                             # contaminated (exact)
+        (4, "alpha beta gamma unrelated tail of fresh tokens here right"),
+        (5, "short doc"),                            # no 5-gram: passes
+        (6, "ev3w0 ev3w1 ev3w2 ev3w3 ev3w4 ev3w5 ev3w6 trailing bits"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "bloom_stream_src")
+    spark.createDataFrame(incoming, schema).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    sink = str(tmp_path / "bloom_stream_sink")
+    ckpt = str(tmp_path / "bloom_stream_ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = bloom_gated_stream(
+        stream, ev, sink, ckpt, n=5, ratio_threshold=0.5,
+        num_bits=1 << 16,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    kept_streaming = {r["doc_id"] for r in out.collect()}
+    # multi-micro-batch drain (maxFilesPerTrigger=1 over 3 files), each
+    # batch in its own idempotent partition dir
+    assert out.select("ingest_batch").distinct().count() >= 2
+    assert set(out.columns) == {"doc_id", "text", "ingest_batch"}
+
+    batch = spark.createDataFrame(incoming, schema)
+    verdicts = ngram_contamination(
+        batch, ev, n=5, ratio_threshold=0.5
+    ).collect()
+    kept_batch = {r["doc_id"] for r in verdicts if not r["is_contaminated"]}
+    assert kept_streaming == kept_batch
+    assert kept_streaming == {2, 4, 5}
