@@ -268,6 +268,13 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
             if out.get("end_resampled")
             else {}
         ),
+        **(
+            # the replay's in-subprocess displaced stage samples (~60
+            # bytes, present only when the escalation actually ran)
+            {"ref_scale_resampled": out["ref_scale_resampled"]}
+            if out.get("ref_scale_resampled")
+            else {}
+        ),
         # name -> pct so the tail names the MAGNITUDE, not just the
         # membership (r12 VERDICT #6; prev/now detail stays in the blob)
         "regressions": {
@@ -802,6 +809,16 @@ def main() -> int:
         admit_new_documents,
     )
 
+    # Custom-harness lines get a DISPLACED-sample channel too (r14
+    # VERDICT #2: this round's entire regression set sat in lines the
+    # end-of-run pass could not reach): each extra registers a
+    # self-contained resampler that REBUILDS its fixture (untimed) and
+    # returns one timed sample, so the preliminary-flag pass can give a
+    # flagged extra the same end-of-run adjudication registry queries
+    # get. catalog_warm is the one deliberate exception — its semantics
+    # are the cold session-cache fill, unrepeatable in-session.
+    extra_resamplers: dict = {}
+
     # Same sampling policy as the query loop; each sample gets a FRESH
     # store (the probe mutates it — re-admitting the same batch would
     # measure the dedup-everything path instead). The store build is
@@ -821,6 +838,7 @@ def main() -> int:
             shutil.rmtree(store_dir, ignore_errors=True)
 
     _record("incremental_admit", sample_min(_admit_timed))
+    extra_resamplers["incremental_admit"] = _admit_timed
 
     # Warm ANN latency: fit once, cache, then repeated point queries
     # (the reference's interactive get_recommendations loop).
@@ -944,6 +962,74 @@ def main() -> int:
     finally:
         shutil.rmtree(pq_dir, ignore_errors=True)
 
+    # Displaced-sample resamplers for the ANN extras: rebuild the torn-down
+    # fixture (untimed) and take one sample of exactly the timed region the
+    # main measurement used. Only run when the preliminary pass flags the
+    # line, so the rebuild cost is paid exactly when adjudication is owed.
+    def _ann_fixture():
+        docs_fx = load_table(spark, SF_DIR, "documents")
+        _, v = fit_document_vectors(docs_fx)
+        v = v.cache()
+        v.count()
+        lsh_fx = fit_lsh(v)
+        return v, lsh_fx, prepare_index(lsh_fx, v)
+
+    def _ann_warm_resample() -> float:
+        v, lsh_fx, idx = _ann_fixture()
+        try:
+            ids = [r[0] for r in v.select("doc_id").limit(4).collect()]
+            w: list[float] = []
+            for qid in ids:
+                t0 = time.monotonic()
+                recommend(lsh_fx, idx, "doc_id", qid, top_k=5).collect()
+                w.append(time.monotonic() - t0)
+            w.sort()
+            return w[len(w) // 2]
+        finally:
+            idx.unpersist()
+            v.unpersist()
+
+    def _batch_ann_resample() -> float:
+        v, lsh_fx, idx = _ann_fixture()
+        try:
+            qb = v.filter("doc_id % 37 = 0")
+            t0 = time.monotonic()
+            batch_ann(lsh_fx, qb, idx, "doc_id", "doc_id", top_k=5).count()
+            return time.monotonic() - t0
+        finally:
+            idx.unpersist()
+            v.unpersist()
+
+    def _ivf_pq_resample() -> float:
+        d = tempfile.mkdtemp(prefix="bench_ivf_pq_rs_")
+        try:
+            emb2 = load_table(spark, SF_DIR, "embeddings")
+            km2 = fit_ivf_centroids(emb2, n_centroids=16)
+            pq2 = fit_pq(emb2, m=8, ksub=256, iters=8)
+            save_ivf_index(km2, emb2, f"{d}/idx", pq=pq2)
+            c2, cells2 = load_ivf_index(spark, f"{d}/idx")
+            pm2 = load_pq_model(spark, f"{d}/idx/pq")
+            q_rows2 = [
+                list(r["embedding"])
+                for r in emb2.select("embedding").limit(4).collect()
+            ]
+            w: list[float] = []
+            for qe in q_rows2:
+                t0 = time.monotonic()
+                ivf_recommend(
+                    c2, cells2, qe, top_k=5, n_probe=4,
+                    pq_model=pm2, rerank_factor=8,
+                ).collect()
+                w.append(time.monotonic() - t0)
+            w.sort()
+            return w[len(w) // 2]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    extra_resamplers["ann_warm_query"] = _ann_warm_resample
+    extra_resamplers["batch_ann"] = _batch_ann_resample
+    extra_resamplers["ivf_pq_serve"] = _ivf_pq_resample
+
     # END-of-run re-sample pass (r12 VERDICT #1): host noise is
     # time-correlated (r12 judge session: q21 measured 34 s then 0.19 s
     # minutes apart), so a sample displaced to the END of the sweep
@@ -955,9 +1041,11 @@ def main() -> int:
     # is recorded in end_resampled even when it doesn't become the min,
     # so a flag that survives the final report visibly survived its OWN
     # displaced re-sample — exactly the adjudication the r12 q57 flag
-    # lacked. Custom-harness lines (incremental_admit, batch_ann, ...)
-    # keep min-of-3-when-flagged as their only extra-sample channel:
-    # their fixtures (stores, cached indexes) are torn down by now.
+    # lacked. Custom-harness lines (incremental_admit, batch_ann,
+    # ann_warm_query, ivf_pq_serve) participate since r15 through their
+    # registered resamplers, which rebuild the torn-down fixture untimed
+    # and re-time exactly the measured region; only catalog_warm stays
+    # out (cold-cache semantics are unrepeatable in-session).
     end_resampled: dict[str, float] = {}
     if prev_blob_early and prev_blob_early.get("bench_method") == BENCH_METHOD:
         pre_prev = fence_ref_scale(
@@ -977,12 +1065,16 @@ def main() -> int:
             pre_prev, timings, calibration_ratio=pre_ratio
         )
         for name in sorted(pre_flags):
-            if name not in runnable:
+            if name in runnable:
+                _touch_loadavg()
+                t0 = time.monotonic()
+                _run_noop(runnable[name](spark, SF_DIR))
+                s = round(time.monotonic() - t0, 3)
+            elif name in extra_resamplers:
+                _touch_loadavg()
+                s = round(extra_resamplers[name](), 3)
+            else:
                 continue
-            _touch_loadavg()
-            t0 = time.monotonic()
-            _run_noop(runnable[name](spark, SF_DIR))
-            s = round(time.monotonic() - t0, 3)
             end_resampled[name] = s
             if s < timings[name]:
                 timings[name] = s
@@ -1007,9 +1099,35 @@ def main() -> int:
     ref_scale_calibration: float | None = None
     ref_scale_calibration_mem: float | None = None
     ref_scale_loadavg: list[float] | None = None
+    ref_scale_resampled: dict[str, float] | None = None
     if os.environ.get("SPARK_GRAFT_SKIP_REF_SCALE") != "1":
         import subprocess
 
+        # In-replay escalation channel (r14 VERDICT #2/#3): the replay
+        # runs after spark.stop, so the parent's end-of-run pass can never
+        # reach its entries. Instead the subprocess gets the PREVIOUS
+        # round's replay numbers + calibration and, when its own staged
+        # sample would flag against them, takes one more displaced staged
+        # sample itself (reported back as ref_resampled).
+        ref_env = dict(os.environ)
+        if (
+            prev_blob_early
+            and prev_blob_early.get("ref_scale_method") == REF_SCALE_METHOD
+        ):
+            pq_prev = prev_blob_early.get("queries") or {}
+            ref_env["SPARK_GRAFT_REF_PREV"] = json.dumps(
+                {
+                    "fit_sec": pq_prev.get("ref_scale_fit_sec"),
+                    "stages": {
+                        k[len("ref_scale_stage_"):]: v
+                        for k, v in pq_prev.items()
+                        if k.startswith("ref_scale_stage_")
+                    },
+                    "calibration_sec": prev_blob_early.get(
+                        "ref_scale_calibration_sec"
+                    ),
+                }
+            )
         try:
             proc = subprocess.run(
                 [
@@ -1022,8 +1140,10 @@ def main() -> int:
                 ],
                 capture_output=True,
                 text=True,
+                env=ref_env,
                 # staged attribution pass (r11) adds up to one more
-                # fit-shaped job to the replay — budget for it
+                # fit-shaped job to the replay, and the r15 escalation a
+                # second — budget for both
                 timeout=1200,
             )
             for line in reversed(proc.stdout.splitlines()):
@@ -1065,6 +1185,14 @@ def main() -> int:
                         spread["ref_scale_fit_sec"] = float(
                             ref["tfidf_fit_spread"]
                         )
+                    # the escalation's displaced stage samples (stage name
+                    # -> seconds) — the adjudication witness for any
+                    # ref_scale flag that survives into the final report
+                    if isinstance(ref.get("ref_resampled"), dict):
+                        ref_scale_resampled = {
+                            str(k): float(v)
+                            for k, v in ref["ref_resampled"].items()
+                        }
                     break
         except (
             subprocess.SubprocessError,
@@ -1201,6 +1329,13 @@ def main() -> int:
         # (prints AFTER queries and is a cut marker for the tail
         # reconstruction — its values are "qNN": seconds pairs)
         **({"end_resampled": end_resampled} if end_resampled else {}),
+        # the replay's own displaced stage samples (plain stage names —
+        # they can never masquerade as timings in the tail scraper)
+        **(
+            {"ref_scale_resampled": ref_scale_resampled}
+            if ref_scale_resampled
+            else {}
+        ),
         "regressions": compute_regressions(
             prev,
             timings,

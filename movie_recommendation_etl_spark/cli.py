@@ -1186,8 +1186,9 @@ def build_parser() -> argparse.ArgumentParser:
         "col:days, col:hours, col:div:N (monotone — keeps footer "
         "pruning), col:mod:N (balance only — sacrifices pruning on col), "
         "col:q:N (equal-population quantile buckets for skewed columns; "
-        "monotone, boundaries from one percentile_approx pre-pass, "
-        "pinned in a _zorder_buckets.json sidecar for reproducibility)",
+        "monotone, boundaries from one percentile_approx pre-pass — or, "
+        "for STRING columns, a counting-guided sample sort — pinned in a "
+        "_zorder_buckets.json sidecar for reproducibility)",
     )
     zo.add_argument(
         "--boundaries-from", default=None, metavar="TABLE_PATH",

@@ -186,6 +186,96 @@ def quantile_boundaries(
     return out
 
 
+def string_quantile_boundaries(
+    df: DataFrame,
+    n_buckets: dict[str, int],
+    *,
+    sample_rows: int = 100_000,
+    seed: int = 42,
+) -> dict[str, list]:
+    """Equal-population boundaries for STRING q-columns (r14 VERDICT #7).
+
+    ``percentile_approx`` cannot rank strings, so the boundaries come from
+    the same recipe Spark's own RangePartitioner uses — sample, sort,
+    split — guided by one counting pre-pass:
+
+    1. ONE aggregate pass over all requested columns collects
+       ``count`` + ``approx_count_distinct`` per column (both
+       partial-aggregable — same cost class as the numeric
+       percentile_approx pre-pass).
+    2. LOW-cardinality columns (distinct ≲ 4N) take the exact path: a
+       bounded ``groupBy(col).count()`` collect, boundaries placed by
+       cumulative row weight — exact equal-population.
+    3. HIGH-cardinality columns (URLs, doc ids) row-sample at fraction
+       ``sample_rows / count`` and take the empirical quantiles of the
+       sorted sample — equal-population to sampling error (~1/sqrt(S) per
+       bucket edge), the documented trade for one bounded collect instead
+       of a full sort of the column.
+
+    Boundaries are returned ascending and deduplicated; ties collapse to
+    fewer effective buckets (bucket_by_boundaries tolerates empty
+    buckets). String comparison is Spark's default binary ordering — the
+    SAME ordering parquet footer min/max stats use, so the derived
+    buckets keep raw-column footer pruning exact. The sampled path is
+    seeded but sampling is partition-order-dependent; reproducible
+    rewrites pass the sidecar-pinned boundaries back instead of
+    re-deriving (the write_zordered_parquet contract for ALL q-columns).
+    """
+    aggs: list[Column] = []
+    for c in sorted(n_buckets):
+        aggs.append(F.count(c).alias(f"__cnt_{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"__acd_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, list] = {}
+    for c, n in sorted(n_buckets.items()):
+        cnt, acd = row[f"__cnt_{c}"], row[f"__acd_{c}"]
+        if not cnt:
+            raise ValueError(
+                f"quantile boundaries for {c}: column is empty or all-NULL"
+            )
+        if acd <= max(4 * n, 64):
+            # exact path: value histogram is a bounded collect
+            hist = sorted(
+                (r[0], r[1])
+                for r in df.groupBy(c).count().collect()
+                if r[0] is not None
+            )
+            bounds: list = []
+            cum, target_i = 0, 1
+            for v, k in hist:
+                cum += k
+                while target_i < n and cum >= target_i * cnt / n:
+                    bounds.append(v)
+                    target_i += 1
+        else:
+            frac = min(1.0, sample_rows / cnt)
+            sample = sorted(
+                r[0]
+                for r in df.select(c)
+                .filter(F.col(c).isNotNull())
+                .sample(fraction=frac, seed=seed)
+                .collect()
+            )
+            if not sample:
+                raise ValueError(
+                    f"quantile boundaries for {c}: sample came back empty "
+                    f"(fraction {frac:.2e}) — raise sample_rows"
+                )
+            bounds = [
+                sample[min(len(sample) - 1, (i * len(sample)) // n)]
+                for i in range(1, n)
+            ]
+        # ascending + dedup: ties collapse to fewer (still correct)
+        # buckets. Never empty: with n >= 2 the exact path's cumulative
+        # weight always crosses cnt/n and the sample path emits n-1 picks.
+        dedup: list = []
+        for b in bounds:
+            if not dedup or b != dedup[-1]:
+                dedup.append(b)
+        out[c] = dedup
+    return out
+
+
 def bucket_by_boundaries(col: str, boundaries: Sequence) -> Column:
     """Monotone bucket index in [0, len(boundaries)]: the count of
     boundaries strictly below the value. Boundaries must be ascending
@@ -271,8 +361,11 @@ def write_zordered_parquet(
     ``q:N`` (r14) buckets by equal-POPULATION quantile boundaries — the
     right spec for skewed value distributions, where div:N's equal-width
     buckets put most rows in one bucket and void pruning in the dense
-    region. The boundaries come from one ``percentile_approx`` pre-pass
-    over all q-columns together (quantile_boundaries). DETERMINISM: the
+    region. Numeric/temporal q-columns share one ``percentile_approx``
+    pre-pass (quantile_boundaries); STRING q-columns (r15 — URLs, doc
+    ids) take the counting-guided sample sort instead
+    (string_quantile_boundaries), since percentile_approx cannot rank
+    strings. DETERMINISM: the
     boundaries are data-dependent, so two rewrites of different snapshots
     produce different bucket edges — the chosen boundaries are therefore
     PINNED in a ``_zorder_buckets.json`` sidecar next to the data, and a
@@ -302,7 +395,20 @@ def write_zordered_parquet(
     boundaries: dict[str, list] = dict(pinned_boundaries or {})
     to_compute = {c: n for c, n in q_cols.items() if c not in boundaries}
     if to_compute:
-        boundaries.update(quantile_boundaries(df, to_compute))
+        # route by type: percentile_approx handles anything it can rank
+        # numerically; strings take the sample-sort path (r15)
+        from pyspark.sql import types as T
+
+        str_cols = {
+            c: n
+            for c, n in to_compute.items()
+            if isinstance(df.schema[c].dataType, T.StringType)
+        }
+        num_cols = {c: n for c, n in to_compute.items() if c not in str_cols}
+        if num_cols:
+            boundaries.update(quantile_boundaries(df, num_cols))
+        if str_cols:
+            boundaries.update(string_quantile_boundaries(df, str_cols))
     key_inputs: list[Column | str] = [
         bucket_by_boundaries(c, boundaries[c])
         if c in q_cols

@@ -21,10 +21,11 @@ of B near-identical docs (templated pages, mirrored boilerplate — the exact
 corpus shape near-dup exists to clean) would make the self-join emit
 B*(B-1)/2 pairs. Two explicit bounds close that:
 
-1. *Pre-collapse*: docs with IDENTICAL shingle sets (fingerprint = md5 of
-   the sorted shingle array) collapse to one banded representative; their
-   pairwise Jaccard is exactly 1, so small groups emit the exact clique and
-   oversized groups a logged star — see ``minhash_neardup_pairs``.
+1. *Pre-collapse*: docs with IDENTICAL shingle sets (128-bit commutative
+   fingerprint riding the minhash aggregation — zero extra passes) collapse
+   to one banded representative; their pairwise Jaccard is exactly 1, so
+   small groups emit the exact clique and oversized groups a logged star —
+   see ``minhash_neardup_pairs``.
 2. *Bucket guard*: every (band_idx, band_hash) bucket larger than
    ``max_bucket_size`` is logged and star-joined against its min doc id
    instead of self-joined — see ``banded_candidate_pairs``.
@@ -38,13 +39,11 @@ from functools import reduce
 import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
 
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
-
 
 def word_ngrams(tokens: Column, k: int = 3, *, distinct: bool = True) -> Column:
     """k-word grams of a token array; ``distinct=True`` gives the Jaccard
@@ -124,35 +123,53 @@ def minhash_bands(
     )
 
 
-def minhash_signature_cols(base: DataFrame, num_hashes: int = 12) -> DataFrame:
+def minhash_signature_cols(
+    base: DataFrame, num_hashes: int = 12, *, with_fingerprint: bool = False
+) -> DataFrame:
     """(doc_id, sh) -> (doc_id, mh0..mh{n-1}): the raw MinHash signature as
     one long column per hash (the agg shape HashAggregate needs — see
     minhash_bands' docstring). Shared by the banding path above and the
     incremental signature store (operators/incremental_dedup.py), which
     persists signatures so future batches can estimate Jaccard against the
-    corpus without its shingles."""
+    corpus without its shingles.
+
+    ``with_fingerprint`` adds ``fp1``/``fp2``: a 128-bit order-independent
+    SET fingerprint (bit_xor of two independently-seeded xxhash64 values
+    per shingle) riding the SAME aggregation — zero extra passes, fully
+    map-side-combinable, no sort of the shingle arrays. Equal sets always
+    produce equal fingerprints (xor is commutative and sh is distinct);
+    unequal sets collide with probability ~2^-128 per pair — negligible
+    for the identical-set collapse it feeds (a collision would wrongly
+    collapse two docs; no adversarial inputs are assumed here)."""
     coeffs = cw_coeffs(num_hashes)
     expl = base.select("doc_id", F.explode("sh").alias("s"))
     # Two-step select so md5 evaluates once per shingle (same-project CSE is
     # codegen-dependent; an explicit intermediate column is guaranteed).
-    hashed = expl.select("doc_id", F.md5("s").alias("h")).select(
-        "doc_id",
+    proj1: list[Column] = [F.md5("s").alias("h")]
+    proj2: list[Column] = [
         F.conv(F.col("h").substr(1, 8), 16, 10).cast("long").alias("w1"),
         F.conv(F.col("h").substr(9, 8), 16, 10).cast("long").alias("w2"),
-    )
-    return hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (
-                    F.lit(a) * F.col("w1")
-                    + F.lit(b) * F.col("w2")
-                    + F.lit(c)
-                )
-                % F.lit(CW_P)
-            ).alias(f"mh{i}")
-            for i, (a, b, c) in enumerate(coeffs)
+    ]
+    if with_fingerprint:
+        proj1 += [
+            F.xxhash64("s").alias("x1"),
+            F.xxhash64("s", F.lit(1)).alias("x2"),
         ]
-    )
+        proj2 += [F.col("x1"), F.col("x2")]
+    hashed = expl.select("doc_id", *proj1).select("doc_id", *proj2)
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("w1") + F.lit(b) * F.col("w2") + F.lit(c))
+            % F.lit(CW_P)
+        ).alias(f"mh{i}")
+        for i, (a, b, c) in enumerate(coeffs)
+    ]
+    if with_fingerprint:
+        aggs += [
+            F.bit_xor("x1").alias("fp1"),
+            F.bit_xor("x2").alias("fp2"),
+        ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def band_hashes(sig: list[Column], rows_per_band: int = 3) -> Column:
@@ -181,6 +198,7 @@ def banded_candidate_pairs(
     out_a: str = "doc_a",
     out_b: str = "doc_b",
     stats: dict | None = None,
+    materialize=None,
 ) -> DataFrame:
     """Bucket self-join with an explicit overflow policy: rows sharing a
     bucket key become DISTINCT candidate pairs (id_a < id_b), but any bucket
@@ -189,21 +207,31 @@ def banded_candidate_pairs(
 
     Why a guard is mandatory at 100 TB: the bucket keys are hashes, so
     *distinct* signatures spread uniformly, but IDENTICAL band signatures —
-    a viral near-identical cluster of templated pages — all land in ONE
-    bucket, and the plain self-join is quadratic in its size (100k docs in
-    a bucket = 5e9 pairs into distinct + verify). The star policy keeps the
-    candidate volume linear and, because every member still pairs with the
-    bucket minimum, a downstream connected-components consumer
-    (operators/graph.py) still lands verified duplicates of that rep in one
-    cluster. The cost of the guard itself is one map-side-combined
-    count per bucket over the (already persisted) band frame.
+    a viral near-identical cluster of templated pages, or a mass of
+    byte-identical documents (which share ALL their band hashes) — all land
+    in ONE bucket, and the plain self-join is quadratic in its size (100k
+    docs in a bucket = 5e9 pairs into distinct + verify). The star policy
+    keeps the candidate volume linear: buckets up to the cap still emit
+    their EXACT clique (output identical to the unguarded join), and every
+    member of an overflow bucket still pairs with the bucket minimum, so a
+    downstream connected-components consumer (operators/graph.py) lands
+    verified duplicates of that rep in one cluster.
+
+    Cost on clean corpora: one map-side-combined bucket-size aggregate over
+    the (caller-persisted/checkpointed) band frame plus a trivial count —
+    and when nothing overflows, the join plan is EXACTLY the unguarded
+    self-join (no window, no extra shuffle, no anti join).
 
     Per the no-silent-caps rule the overflow path is LOUD: a warning names
     the bucket count and the largest bucket, and ``stats`` (optional dict)
     receives ``{"overflow_buckets": n, "max_bucket_size_seen": m}``.
-    When no bucket overflows — every corpus this repo's gates run — the
-    emitted pairs are exactly the unguarded self-join's.
+    ``materialize`` (default: eager localCheckpoint) runs on the result
+    inside this function so callers never re-run the band join.
     """
+    if materialize is None:
+        def materialize(df):
+            return df.localCheckpoint(eager=True)
+
     keys = list(bucket_cols)
     over = (
         exploded.groupBy(*keys)
@@ -253,7 +281,7 @@ def banded_candidate_pairs(
     )
     if star is not None:
         pairs = pairs.unionByName(star)
-    return pairs.distinct()
+    return materialize(pairs.distinct())
 
 
 def minhash_neardup_pairs(
@@ -269,48 +297,57 @@ def minhash_neardup_pairs(
     checkpoint_dir: str | None = None,
     max_bucket_size: int = 2000,
     group_clique_cap: int = 64,
+    collapse_identical: bool = False,
     stats: dict | None = None,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle → identical-set collapse
-    → signature → band → guarded bucket self-join → exact-Jaccard verify.
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
-    jaccard >= threshold.
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
+    guarded bucket self-join → exact-Jaccard verify. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
 
-    Dup-heavy corpora are the TARGET input of this operator, so the two
-    quadratic hazards are bounded explicitly (r14 VERDICT #1):
+    Dup-heavy corpora are the TARGET input of this operator, so the
+    quadratic hazard is bounded explicitly (r14 VERDICT #1):
 
-    * *Identical-set collapse*: docs sharing a shingle-set fingerprint
-      (md5 of the sorted shingle array) have pairwise Jaccard exactly 1 and
-      identical signatures/bands, so only each group's min-id REPRESENTATIVE
-      is banded. Groups of ≤ ``group_clique_cap`` docs emit their exact
-      clique and expand verified cross-group rep pairs to all member pairs —
-      output-identical to the uncollapsed join (same candidates, same
-      Jaccard values). Larger groups emit a LOGGED rep→member star and keep
-      rep-level cross pairs only: a linear certificate of the same duplicate
-      relation (q54's connected components are invariant; the full clique is
-      recoverable by re-joining members on the fingerprint).
-    * *Bucket guard*: near-identical-but-unequal docs survive the collapse
-      yet still share band buckets; ``banded_candidate_pairs`` star-joins
-      any bucket over ``max_bucket_size`` (logged) instead of self-joining.
-
-    ``stats`` (optional dict) receives ``{"overflow_buckets": n,
-    "overflow_groups": m, ...}`` from both guards.
+    * *Bucket guard* (always on): near-identical docs share band hashes,
+      so they concentrate in band buckets; ``banded_candidate_pairs``
+      star-joins any bucket over ``max_bucket_size`` (logged) instead of
+      self-joining it. Byte-identical docs share ALL their band hashes,
+      so identical-content clusters are bounded by the same guard.
+      Buckets UNDER the cap self-join normally — their output, including
+      whole identical-content cliques up to the cap, is bit-identical to
+      the unguarded join's.
+    * *Identical-set collapse* (``collapse_identical=True``, opt-in):
+      docs sharing a shingle-set fingerprint (a 128-bit commutative hash
+      riding the minhash aggregation — zero extra passes) have pairwise
+      Jaccard exactly 1 and identical signatures/bands, so only each
+      group's min-id REPRESENTATIVE is banded. Groups of ≤
+      ``group_clique_cap`` docs emit their exact clique and expand
+      verified cross-group rep pairs to all member pairs —
+      output-identical to the uncollapsed join; larger groups emit a
+      LOGGED rep→member star and keep rep-level cross pairs (q54-style
+      connected components are invariant). Opt-in because the guard
+      already bounds identical-content blowups and exact content dedup
+      normally runs upstream (plans/training_pipeline.py) — the collapse
+      pays ~3 extra narrow stages to skip re-hashing duplicate members,
+      worth it only when identical-content duplication is rampant AND
+      un-deduped.
 
     ``cache_shingles`` persists the (doc_id, shingle-set) frame that three
     consumers read (the signature pass + both sides of the verify join) —
     measured ~1.6x end-to-end vs recomputing the split/zip_with shingling
-    per consumer, now that the Carter-Wegman family made hashing cheap
-    enough for shingling to dominate. The cached payload is O(corpus
-    tokens); on a cluster whose memory+disk cannot hold it, pass False and
-    pay the recompute instead (the band frame below is O(docs) either way).
+    per consumer. The cached payload is O(corpus tokens); on a cluster
+    whose memory+disk cannot hold it, pass False and pay the recompute.
 
-    ``checkpoint_dir`` switches the two lineage-truncation points from
+    ``checkpoint_dir`` switches the lineage-truncation points from
     ``localCheckpoint`` (executor blocks; lost with an executor) to
     reliable ``checkpoint()`` on the given HDFS/S3 path — the production
     setting for long jobs; results are identical. The scope helper
     (operators/_checkpoint.py) restores the previous session checkpoint
     dir and deletes this run's checkpoint files once the result is
     detached, so repeated invocations do not leak reliable-storage copies.
+
+    ``stats`` (optional dict) receives ``{"overflow_buckets": n, ...}``
+    from the guard (plus ``{"multi_groups": g, "overflow_groups": m}``
+    when collapsing).
     """
     from movie_recommendation_etl_spark.operators._checkpoint import (
         reliable_checkpoint_scope,
@@ -324,7 +361,8 @@ def minhash_neardup_pairs(
             rows_per_band=rows_per_band, threshold=threshold,
             cache_shingles=cache_shingles, reliable=checkpoint_dir is not None,
             ckpt=_ckpt, max_bucket_size=max_bucket_size,
-            group_clique_cap=group_clique_cap, stats=stats,
+            group_clique_cap=group_clique_cap,
+            collapse_identical=collapse_identical, stats=stats,
         )
 
 
@@ -342,6 +380,7 @@ def _minhash_neardup_pairs(
     ckpt,
     max_bucket_size: int,
     group_clique_cap: int,
+    collapse_identical: bool,
     stats: dict | None,
 ) -> DataFrame:
     _ckpt = ckpt
@@ -353,47 +392,209 @@ def _minhash_neardup_pairs(
     base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(
         F.size("sh") > 0
     )
-    # Identical-set collapse: fingerprint the SORTED shingle array (\x01
-    # separator — tokens are space-split, so no shingle contains it), then
-    # ONE window shuffle tags every doc with its group's min id and size.
-    # Group membership depends only on the shingle SET (minhash and Jaccard
-    # are order-invariant), so any member can stand in for the group.
-    fp = F.md5(F.concat_ws("\x01", F.array_sort("sh")))
-    w = Window.partitionBy("fp")
-    mem = base.select("doc_id", "sh", fp.alias("fp")).select(
-        "doc_id",
-        "sh",
-        "fp",
-        F.min("doc_id").over(w).alias("rep"),
-        F.count(F.lit(1)).over(w).alias("gsz"),
-    )
     if cache_shingles:
-        mem = mem.persist(StorageLevel.MEMORY_AND_DISK)
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if not collapse_identical:
+        # Guard-only fast path (default): identical to the unguarded
+        # pipeline when nothing overflows — two deep jobs, no extra
+        # stages. Band-frame persist, tiny payload: (doc_id, 4 band
+        # hashes ~ 130 bytes/row) — O(docs), not O(corpus); the guard's
+        # bucket-size pass and the self-join share its one
+        # materialization.
+        bands_df = minhash_bands(base, num_hashes, rows_per_band).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        exploded = bands_df.select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+        )
+        # banded_candidate_pairs materializes the (small, O(candidates))
+        # pair set through _ckpt, so the persisted band frame releases
+        # immediately (r2 ADVICE: repeated invocations must not
+        # accumulate cached blocks for the session lifetime).
+        pairs = banded_candidate_pairs(
+            exploded,
+            max_bucket_size=max_bucket_size,
+            stats=stats,
+            materialize=_ckpt,
+        )
+        bands_df.unpersist()
+        verified = _verify_pairs(pairs, base, threshold)
+        if cache_shingles:
+            # Materialize the (small, O(verified pairs)) result so the
+            # O(corpus tokens) shingle cache releases before return.
+            verified = _ckpt(verified)
+            base.unpersist()
+        if reliable:
+            verified = verified.localCheckpoint(eager=True)
+        return verified
+
+    # ---- collapse_identical=True ---------------------------------------
+    # An order-independent 128-bit set fingerprint (fp1, fp2) rides the
+    # minhash aggregation itself (see minhash_signature_cols) — no extra
+    # pass over the shingles, no array sort, no payload shuffle. The
+    # narrow signature frame (14 longs/doc) is the hub every downstream
+    # step reads.
+    sig = minhash_signature_cols(base, num_hashes, with_fingerprint=True)
+    if cache_shingles:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    multi_groups = (
+        sig.groupBy("fp1", "fp2")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz"))
+        .filter(F.col("gsz") > 1)
+    )
+    # Members of multi-doc groups: EMPTY on a fully-distinct corpus,
+    # large only on the mass-duplicated corpora this mode exists for.
+    # Declarative throughout — AQE broadcasts the joins against it while
+    # it is small and shuffles when it is not.
+    multi = (
+        sig.select("doc_id", "fp1", "fp2")
+        .join(multi_groups, ["fp1", "fp2"])
+        .select("doc_id", "rep", "gsz", "fp1", "fp2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    excl = multi.filter(F.col("doc_id") != F.col("rep")).select("doc_id")
     # Only representatives are banded: a 100k-doc identical cluster
     # contributes ONE row to every downstream band bucket.
-    reps = mem.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "sh")
-    # Band-frame persist, tiny payload: (doc_id, 4 band hashes ~ 130
-    # bytes/row) — O(groups), not O(corpus). The barrier matters: the band
-    # self-join consumes it twice, and without it the whole shingle+hash
-    # pipeline would re-run per consumer.
-    bands_df = minhash_bands(reps, num_hashes, rows_per_band).persist(
-        StorageLevel.MEMORY_AND_DISK
+    reps_sig = sig.join(excl, "doc_id", "left_anti")
+    reps_sh = base.join(excl, "doc_id", "left_anti")
+    # Bands derive from the cached signature frame per consumer (md5 of
+    # 4 small concatenations per row — cheaper than another persist).
+    bands_df = reps_sig.select(
+        "doc_id",
+        band_hashes(
+            [F.col(f"mh{i}").cast("string") for i in range(num_hashes)],
+            rows_per_band,
+        ).alias("bands"),
     )
-
     exploded = bands_df.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     pairs = banded_candidate_pairs(
-        exploded, max_bucket_size=max_bucket_size, stats=stats
+        exploded,
+        max_bucket_size=max_bucket_size,
+        stats=stats,
+        materialize=_ckpt,
     )
-    # Materialize the (small, O(candidates)) pair set so the persisted
-    # band frame releases immediately: repeated invocations (the gate
-    # loop runs q50 AND q54 through here) must not accumulate cached
-    # blocks for the session lifetime (r2 ADVICE).
-    pairs = _ckpt(pairs)
-    bands_df.unpersist()
-    shingle_sets = reps
-    verified_reps = (
+    # Collapse counters: one SMALL aggregate on the (persisted, cache-hot
+    # from the anti join above) multi frame. Not DataFrame.observe: AQE
+    # legitimately empty-propagates past an observed node when a join
+    # side or the action's result is empty (verified empirically),
+    # leaving an invalid metrics row.
+    is_rep = F.col("doc_id") == F.col("rep")
+    got_multi = multi.agg(
+        F.coalesce(F.sum(is_rep.cast("long")), F.lit(0)).alias("n_groups"),
+        F.coalesce(
+            F.sum(
+                (is_rep & (F.col("gsz") > group_clique_cap)).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_over"),
+    ).first()
+    n_over_groups = int(got_multi["n_over"])
+    n_multi_groups = int(got_multi["n_groups"])
+    if stats is not None:
+        stats["multi_groups"] = n_multi_groups
+        stats["overflow_groups"] = n_over_groups
+    if n_over_groups:
+        log.warning(
+            "minhash_neardup_pairs: %d identical-shingle-set group(s) "
+            "exceed group_clique_cap=%d; emitting rep->member stars "
+            "(jaccard exactly 1.0) instead of the quadratic clique — "
+            "connected components of the duplicate relation are preserved",
+            n_over_groups,
+            group_clique_cap,
+        )
+    verified_reps = _verify_pairs(pairs, reps_sh, threshold)
+    if n_multi_groups == 0:
+        # fully-distinct corpus: every group is a singleton — rep pairs
+        # ARE the answer
+        verified = verified_reps
+    else:
+        # Expand rep-level pairs back to member pairs. Each rep's
+        # expansion set is its whole group when small (exact: every member
+        # shares the rep's bands, so the uncollapsed join would have made
+        # the identical candidates, and Jaccard depends only on the set)
+        # or just the rep when the group overflows the clique cap
+        # (rep-level pairs only — logged above). LEFT joins against the
+        # small member frame (which contains each group's rep row too, so
+        # a matched side expands to its full member set exactly once); an
+        # unmatched side coalesces back to the rep itself.
+        exp = multi.filter(F.col("gsz") <= group_clique_cap).select(
+            F.col("rep").alias("_r"), F.col("doc_id").alias("_m")
+        )
+        mem_a = exp.select(
+            F.col("_r").alias("doc_a"), F.col("_m").alias("_ma")
+        )
+        mem_b = exp.select(
+            F.col("_r").alias("doc_b"), F.col("_m").alias("_mb")
+        )
+        cross = (
+            verified_reps.join(mem_a, "doc_a", "left")
+            .select(
+                F.coalesce(F.col("_ma"), F.col("doc_a")).alias("_xa"),
+                "doc_b",
+                "jaccard",
+            )
+            .join(mem_b, "doc_b", "left")
+            .select(
+                F.least(
+                    "_xa", F.coalesce(F.col("_mb"), F.col("doc_b"))
+                ).alias("doc_a"),
+                F.greatest(
+                    "_xa", F.coalesce(F.col("_mb"), F.col("doc_b"))
+                ).alias("doc_b"),
+                "jaccard",
+            )
+        )
+        # Within-group pairs: Jaccard is exactly 1.0 (intersection =
+        # union), so they pass any threshold <= 1 without touching the
+        # verify join. Small groups emit the exact clique; overflow
+        # groups the rep->member star.
+        small = multi.filter(F.col("gsz") <= group_clique_cap).select(
+            "fp1", "fp2", "doc_id"
+        )
+        sa, sb = small.alias("sa"), small.alias("sb")
+        within_small = sa.join(
+            sb,
+            (F.col("sa.fp1") == F.col("sb.fp1"))
+            & (F.col("sa.fp2") == F.col("sb.fp2"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        ).select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        within_star = multi.filter(
+            (F.col("gsz") > group_clique_cap)
+            & (F.col("doc_id") != F.col("rep"))
+        ).select(
+            F.col("rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        verified = cross.unionByName(within_small).unionByName(within_star)
+    if cache_shingles:
+        # Materialize the (small, O(verified pairs)) result so the
+        # O(corpus tokens) shingle cache releases before return (r2
+        # ADVICE's no-session-lifetime-leak rule).
+        verified = _ckpt(verified)
+        multi.unpersist()
+        sig.unpersist()
+        base.unpersist()
+    if reliable:
+        # detach the result onto local blocks BEFORE the scope exit
+        # deletes this run's reliable checkpoint files
+        verified = verified.localCheckpoint(eager=True)
+    return verified
+
+
+def _verify_pairs(
+    pairs: DataFrame, shingle_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the
+    (doc_id, sh) shingle frame — shared by both pipeline modes."""
+    return (
         pairs.join(
             shingle_sets.withColumnRenamed("sh", "sh_a").withColumnRenamed(
                 "doc_id", "doc_a"
@@ -413,82 +614,6 @@ def _minhash_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # Expand rep-level pairs back to member pairs. Each rep's expansion set
-    # is its whole group when small (exact: every member shares the rep's
-    # bands, so the uncollapsed join would have made the identical
-    # candidates, and Jaccard depends only on the set) or just the rep when
-    # the group overflows the clique cap (rep-level pairs only — logged).
-    n_over_groups = (
-        mem.filter(
-            (F.col("gsz") > group_clique_cap) & (F.col("doc_id") == F.col("rep"))
-        ).count()
-    )
-    if stats is not None:
-        stats["overflow_groups"] = n_over_groups
-    if n_over_groups:
-        log.warning(
-            "minhash_neardup_pairs: %d identical-shingle-set group(s) "
-            "exceed group_clique_cap=%d; emitting rep->member stars "
-            "(jaccard exactly 1.0) instead of the quadratic clique — "
-            "connected components of the duplicate relation are preserved",
-            n_over_groups,
-            group_clique_cap,
-        )
-    exp = mem.filter(
-        (F.col("gsz") <= group_clique_cap) | (F.col("doc_id") == F.col("rep"))
-    ).select(F.col("rep").alias("_r"), F.col("doc_id").alias("_m"))
-    cross = (
-        verified_reps.join(
-            exp.select(F.col("_r").alias("doc_a"), F.col("_m").alias("_ma")),
-            "doc_a",
-        )
-        .join(
-            exp.select(F.col("_r").alias("doc_b"), F.col("_m").alias("_mb")),
-            "doc_b",
-        )
-        .select(
-            F.least("_ma", "_mb").alias("doc_a"),
-            F.greatest("_ma", "_mb").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    # Within-group pairs: Jaccard is exactly 1.0 (intersection = union), so
-    # they pass any threshold <= 1 without touching the verify join. Small
-    # groups emit the exact clique; overflow groups the rep->member star.
-    dup = mem.filter(F.col("gsz") > 1)
-    small = dup.filter(F.col("gsz") <= group_clique_cap).select(
-        "fp", "doc_id"
-    )
-    sa, sb = small.alias("sa"), small.alias("sb")
-    within_small = sa.join(
-        sb,
-        (F.col("sa.fp") == F.col("sb.fp"))
-        & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-    ).select(
-        F.col("sa.doc_id").alias("doc_a"),
-        F.col("sb.doc_id").alias("doc_b"),
-        F.lit(1.0).alias("jaccard"),
-    )
-    within_star = dup.filter(
-        (F.col("gsz") > group_clique_cap) & (F.col("doc_id") != F.col("rep"))
-    ).select(
-        F.col("rep").alias("doc_a"),
-        F.col("doc_id").alias("doc_b"),
-        F.lit(1.0).alias("jaccard"),
-    )
-    verified = cross.unionByName(within_small).unionByName(within_star)
-    if cache_shingles:
-        # Materialize the (small, O(verified pairs)) result so the O(corpus
-        # tokens) shingle cache releases before return — the same
-        # no-session-lifetime-leak rule the band frame follows (r2 ADVICE).
-        verified = _ckpt(verified)
-        mem.unpersist()
-    if reliable:
-        # detach the result onto local blocks BEFORE the scope exit deletes
-        # this run's reliable checkpoint files (and restores the previous
-        # session checkpoint dir)
-        verified = verified.localCheckpoint(eager=True)
-    return verified
 
 
 def simhash16(tokens: Column) -> Column:
@@ -665,17 +790,28 @@ def srp_candidate_pairs(
     the IVF path (ml/ivf.py) and accept approximate recall.
     """
     band_fn = srp_bands if impl == "expr" else srp_bands_vectorized
+    # localCheckpoint, not persist: the band expression is a ~96x64-literal
+    # tree whose ANALYSIS alone costs real driver time, and the guarded
+    # join below runs THREE actions over this frame (bucket-size agg,
+    # overflow count, self-join). A persist dedups execution but every
+    # action still re-analyzes the full lineage; the eager checkpoint
+    # truncates it so the expression is analyzed exactly once (measured:
+    # the r15 guard cost q53 +79% under persist, recovered by this).
     banded = vecs.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_lbl"),
         band_fn(
             vec_col, dim=dim, n_bits=n_bits, rows_per_band=rows_per_band
         ).alias("_bands"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     expl = banded.select(
         "_id", "_lbl", F.posexplode("_bands").alias("_band_idx", "_band_val")
     )
-    pairs = banded_candidate_pairs(
+    # banded_candidate_pairs materializes the (small, O(candidates)) pair
+    # set itself (its guard counters ride the job via observe), so
+    # downstream consumers never re-run the band join and the
+    # checkpointed band blocks release with this frame's GC (r2 ADVICE).
+    return banded_candidate_pairs(
         expl,
         id_col="_id",
         bucket_cols=("_lbl", "_band_idx", "_band_val"),
@@ -683,9 +819,4 @@ def srp_candidate_pairs(
         out_a=f"{id_col}_a",
         out_b=f"{id_col}_b",
         stats=stats,
-        # Materialize the (small, O(candidates)) pair set so the persisted
-        # band frame can be released immediately — repeated invocations must
-        # not accumulate cached blocks for the session lifetime (r2 ADVICE).
-    ).localCheckpoint(eager=True)
-    banded.unpersist()
-    return pairs
+    )

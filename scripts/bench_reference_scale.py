@@ -120,21 +120,21 @@ def main() -> int:
     n_vec = vecs.count()  # materialize: CSV->vectors "ready"
     fit_samples.append(time.monotonic() - t0)
 
-    stages: dict[str, float] = {}
-    if fit_samples[0] <= 300.0:
+    def _staged_sample() -> dict[str, float]:
         tok_st, stop_st, cv_st, idf_st, l2_st = build_tfidf_pipeline(
             vocab_size=1 << 18
         ).getStages()
         tokenized = stop_st.transform(tok_st.transform(corpus)).select(
             "doc_id", "__clean_tokens"
         )
+        out: dict[str, float] = {}
         t0 = time.monotonic()
         cv_model = cv_st.fit(tokenized)
-        stages["cv_fit"] = round(time.monotonic() - t0, 1)
+        out["cv_fit"] = round(time.monotonic() - t0, 1)
         t0 = time.monotonic()
         counted = cv_model.transform(tokenized)
         idf_model = idf_st.fit(counted)
-        stages["idf_fit"] = round(time.monotonic() - t0, 1)
+        out["idf_fit"] = round(time.monotonic() - t0, 1)
         t0 = time.monotonic()
         # persist + count, NOT a bare count: count() on a projection lets
         # Catalyst prune the vector columns entirely (nothing would be
@@ -147,10 +147,63 @@ def main() -> int:
             .persist()
         )
         final.count()
-        stages["materialize"] = round(time.monotonic() - t0, 1)
+        out["materialize"] = round(time.monotonic() - t0, 1)
         final.unpersist()
+        return out
+
+    stages: dict[str, float] = {}
+    if fit_samples[0] <= 300.0:
+        stages = _staged_sample()
         fit_samples.append(round(sum(stages.values()), 1))
     fit_sec = min(fit_samples)
+
+    # In-replay escalation (r15, parent VERDICT r14 #2/#3): the replay runs
+    # after the parent bench stops its session, so the parent's end-of-run
+    # displaced-sample pass can never adjudicate a ref_scale flag — this
+    # round's worst-ever idf_fit (5.1 s vs 1.5-3.2) had no third sample to
+    # settle regime-vs-real. The parent now ships the previous round's
+    # replay numbers + calibration in SPARK_GRAFT_REF_PREV; when this run
+    # WOULD flag against them (same one-sided >25% and >0.1 s rule as
+    # bench.compute_regressions, normalized by the replay-vs-replay
+    # calibration ratio clamped >= 1), take ONE more displaced staged
+    # sample, fold per-stage minima, and report it as ref_resampled so the
+    # artifact shows the flag survived (or died by) its own re-sample.
+    ref_resampled: dict[str, float] = {}
+    prev_env = os.environ.get("SPARK_GRAFT_REF_PREV")
+    if prev_env and stages:
+        try:
+            prev = json.loads(prev_env)
+        except ValueError:
+            prev = None
+        if isinstance(prev, dict):
+            prev_cal = prev.get("calibration_sec")
+            ratio = (
+                calibration / prev_cal
+                if isinstance(prev_cal, (int, float)) and prev_cal > 0
+                else 1.0
+            )
+            ratio = max(ratio, 1.0)
+
+            def _would_flag(cur, old) -> bool:
+                return (
+                    isinstance(old, (int, float))
+                    and old > 0
+                    and cur / ratio > old * 1.25
+                    and cur / ratio - old > 0.1
+                )
+
+            prev_stages = prev.get("stages") or {}
+            flagged = _would_flag(fit_sec, prev.get("fit_sec")) or any(
+                _would_flag(stages[k], prev_stages.get(k)) for k in stages
+            )
+            if flagged and fit_sec <= 300.0:
+                third = _staged_sample()
+                ref_resampled = third
+                for k, v in third.items():
+                    if v < stages.get(k, float("inf")):
+                        stages[k] = v
+                fit_samples.append(round(sum(third.values()), 1))
+                fit_sec = min(fit_samples)
 
     t0 = time.monotonic()
     lsh = fit_lsh(vecs)
@@ -204,6 +257,7 @@ def main() -> int:
                     else {}
                 ),
                 **({"stages": stages} if stages else {}),
+                **({"ref_resampled": ref_resampled} if ref_resampled else {}),
                 "lsh_fit_sec": round(lsh_fit_sec, 1),
                 "ann_cold_sec": round(cold_sec, 1),
                 "ann_warm_median_sec": round(warm[1], 2),

@@ -552,3 +552,47 @@ def test_compute_regressions_median_shift_one_sided():
     regs = compute_regressions(prev, now)
     assert set(regs) == {"q05_x"}
     assert "host_shift_median" not in regs["q05_x"]
+
+
+def test_reconstruction_ignores_ref_scale_resampled_stages(tmp_path):
+    """r15: the replay's in-subprocess displaced samples print as a
+    ref_scale_resampled block holding PLAIN stage names (idf_fit, ...) —
+    the tail scraper's allowlist must keep them out of the reconstructed
+    timings while the real ref_scale_stage_* entries still recover."""
+    tail = (
+        '"q01_pricing_summary": 0.4, "ref_scale_stage_idf_fit": 5.1, '
+        '"calibration_sec": 0.26, "bench_method": "min2", '
+        '"ref_scale_resampled": {"cv_fit": 2.0, "idf_fit": 2.2, '
+        '"materialize": 1.4}, '
+        '"regressions": {"ref_scale_stage_idf_fit": 156.2}}'
+    )
+    (tmp_path / "BENCH_r14.json").write_text(json.dumps({"tail": tail}))
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["queries"] == {
+        "q01_pricing_summary": 0.4,
+        "ref_scale_stage_idf_fit": 5.1,
+    }
+    assert "idf_fit" not in blob["queries"]
+    assert set(blob["regressions"]) == {"ref_scale_stage_idf_fit"}
+
+
+def test_compact_line_carries_ref_scale_resampled():
+    """The escalation witness must survive the tail window alongside the
+    flags it adjudicates."""
+    from bench import compact_line
+
+    out = {
+        "queries": {"q01_pricing_summary": 0.4, "ref_scale_stage_idf_fit": 5.1},
+        "sf": 0.1,
+        "bench_method": "min2",
+        "ref_scale_method": "min2_fit_cal_staged",
+        "headline_scope": "x",
+        "calibration_sec": 0.26,
+        "scope_tags": {},
+        "ref_scale_resampled": {"cv_fit": 2.0, "idf_fit": 2.2},
+        "regressions": {"ref_scale_stage_idf_fit": {"pct": 156.2}},
+    }
+    line = compact_line(out, {})
+    parsed = json.loads(line)
+    assert parsed["ref_scale_resampled"] == {"cv_fit": 2.0, "idf_fit": 2.2}
+    assert parsed["regressions"] == {"ref_scale_stage_idf_fit": 156.2}

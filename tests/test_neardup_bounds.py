@@ -128,8 +128,7 @@ def test_near_identical_cluster_stays_linear(spark):
         docs, max_bucket_size=1000, stats=stats
     ).persist()
     n_pairs = pairs.count()
-    assert stats["overflow_buckets"] >= 1
-    assert stats["overflow_groups"] == 0  # distinct sets: guard, not collapse
+    assert stats["overflow_buckets"] >= 1  # distinct sets: the guard fires
     # linear certificate: at most one star pair per (band, member), not B^2/2
     assert 0 < n_pairs <= 8 * n
     # all emitted pairs are genuine near-dups of the template family
@@ -148,10 +147,12 @@ def test_near_identical_cluster_stays_linear(spark):
 
 
 def test_identical_cluster_collapses_to_star(spark):
-    """10k byte-identical docs collapse to ONE banded representative: no
-    bucket ever overflows (one rep per bucket), the within-group output is
-    the logged rep->member star with jaccard exactly 1.0, and clustering
-    still sees one component."""
+    """collapse_identical=True: 10k byte-identical docs collapse to ONE
+    banded representative — no bucket ever overflows (one rep per bucket),
+    the within-group output is the logged rep->member star with jaccard
+    exactly 1.0, and clustering still sees one component. (In the default
+    guard-only mode the same corpus is bounded by the BUCKET guard
+    instead — covered by the near-identical test above.)"""
     n = 10_000
     text = " ".join(f"w{j}" for j in range(40))
     docs = spark.createDataFrame(
@@ -159,7 +160,8 @@ def test_identical_cluster_collapses_to_star(spark):
     )
     stats: dict = {}
     pairs = minhash_neardup_pairs(
-        docs, max_bucket_size=1000, group_clique_cap=64, stats=stats
+        docs, max_bucket_size=1000, group_clique_cap=64,
+        collapse_identical=True, stats=stats,
     ).persist()
     rows = pairs.collect()
     assert stats["overflow_buckets"] == 0
@@ -174,10 +176,12 @@ def test_identical_cluster_collapses_to_star(spark):
 
 
 @pytest.mark.parametrize("seed", [7, 41])
-def test_collapse_matches_unguarded_join(spark, seed):
-    """Fuzz equivalence: on corpora mixing unique docs, planted identical
-    groups (sizes 2-5, all under the clique cap), and truncated twins, the
-    collapsed+guarded pipeline emits EXACTLY the unguarded join's rows —
+@pytest.mark.parametrize("collapse", [False, True])
+def test_collapse_matches_unguarded_join(spark, seed, collapse):
+    """Fuzz equivalence in BOTH modes: on corpora mixing unique docs,
+    planted identical groups (sizes 2-5, all under the clique cap), and
+    truncated twins, the guarded pipeline — with and without the
+    identical-set collapse — emits EXACTLY the unguarded join's rows:
     same pairs, same jaccard values (the correctness-gate contract)."""
     rng = random.Random(seed)
     vocab = [f"t{j}" for j in range(30)]
@@ -201,11 +205,16 @@ def test_collapse_matches_unguarded_join(spark, seed):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     stats: dict = {}
     got = _rows(
-        minhash_neardup_pairs(docs, group_clique_cap=64, stats=stats)
+        minhash_neardup_pairs(
+            docs, group_clique_cap=64, collapse_identical=collapse,
+            stats=stats,
+        )
     )
     want = _rows(_unguarded_pairs(docs))
     assert stats["overflow_buckets"] == 0
-    assert stats["overflow_groups"] == 0
+    if collapse:
+        assert stats["overflow_groups"] == 0
+        assert stats["multi_groups"] == 8
     assert got == want
     assert want  # the corpus must actually exercise near-dup pairs
 

@@ -436,3 +436,110 @@ def test_quantile_boundaries_and_bucket_column(spark):
         quantile_boundaries(
             spark.createDataFrame([(None,)], "a long"), {"a": 4}
         )
+
+
+def test_string_quantile_boundaries_exact_and_sampled(spark):
+    """r14 VERDICT #7: percentile_approx cannot rank strings, so string
+    q-columns derive boundaries from the counting-guided sample-sort.
+    Exact path (low cardinality): boundaries at cumulative-weight
+    positions. Sampled path (high cardinality): N-1 ascending sampled
+    quantiles. Both dedup ties."""
+    from movie_recommendation_etl_spark.functions.zorder import (
+        bucket_by_boundaries,
+        string_quantile_boundaries,
+    )
+
+    low = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "s string"
+    )
+    bnd = string_quantile_boundaries(low, {"s": 4})
+    assert bnd["s"] == ["a", "b"]  # cum 50>=25,50 -> 'a'; 80>=75 -> 'b'
+    got = {
+        r["s"]: r["bk"]
+        for r in low.select(
+            "s", bucket_by_boundaries("s", bnd["s"]).alias("bk")
+        ).distinct().collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}  # monotone in string order
+
+    high = spark.range(5000).select(
+        F.concat(
+            F.lit("https://site"),
+            F.lpad(F.pmod(F.xxhash64("id"), F.lit(100000)).cast("string"), 6, "0"),
+            F.lit(".example/p"),
+            F.col("id").cast("string"),
+        ).alias("url")
+    )
+    bnd_h = string_quantile_boundaries(high, {"url": 16})
+    assert 2 <= len(bnd_h["url"]) <= 15
+    assert bnd_h["url"] == sorted(bnd_h["url"])
+
+
+def test_zorder_string_quantile_prunes_skewed_column(spark, tmp_path):
+    """End-to-end: a z-ordered layout over (skewed string URL, numeric id)
+    with q:16 on the string column must give lexicographic range
+    predicates tight footer ranges — a narrow domain slice overlaps a
+    small fraction of files — and the boundaries pin/replay through the
+    sidecar like numeric q-columns."""
+    from movie_recommendation_etl_spark.functions.zorder import (
+        read_zorder_sidecar,
+    )
+
+    # 70% of rows under one hot domain (its many paths keep cardinality
+    # high), 30% long tail across many domains — the URL-table shape
+    n = 40_000
+    df = spark.range(n).select(
+        F.when(
+            F.pmod(F.col("id"), F.lit(10)) < 7,
+            F.concat(F.lit("https://hot.example/p"),
+                     F.lpad(F.col("id").cast("string"), 7, "0")),
+        ).otherwise(
+            F.concat(
+                F.lit("https://t"),
+                F.lpad(F.pmod(F.xxhash64("id"), F.lit(9000)).cast("string"), 5, "0"),
+                F.lit(".example/p"),
+                F.col("id").cast("string"),
+            )
+        ).alias("url"),
+        F.col("id").alias("uid"),
+    )
+    z = str(tmp_path / "zs")
+    write_zordered_parquet(
+        df, z, ["url", "uid"], num_files=16,
+        bucket={"url": "q:16", "uid": "div:2500"},
+    )
+
+    def _str_ranges(path, col):
+        return [
+            (
+                a.decode() if isinstance(a, bytes) else a,
+                b.decode() if isinstance(b, bytes) else b,
+            )
+            for a, b in _file_ranges(path, col)
+        ]
+
+    ranges = _str_ranges(z, "url")
+    assert len(ranges) >= 8
+    # narrow slices of the hot domain and of the tail each overlap only a
+    # small fraction of files (16 equal-population buckets -> ~1-3)
+    for lo, hi in [
+        ("https://hot.example/p0000000", "https://hot.example/p0040000"),
+        ("https://t00", "https://t01"),
+    ]:
+        hit = sum(1 for a, b in ranges if not (b < lo or a > hi))
+        assert hit <= len(ranges) // 2, (lo, hi, hit, len(ranges))
+    # rows round-trip; stored column untouched
+    assert spark.read.parquet(z).count() == n
+
+    sc = read_zorder_sidecar(spark, z)
+    assert sc["bucket"]["url"] == "q:16"
+    bnd = sc["boundaries"]["url"]
+    assert bnd == sorted(bnd) and all(isinstance(v, str) for v in bnd)
+    # pinned rewrite: no re-derivation, identical recipe
+    z2 = str(tmp_path / "zs2")
+    write_zordered_parquet(
+        df, z2, ["url", "uid"], num_files=16,
+        bucket={"url": "q:16", "uid": "div:2500"},
+        pinned_boundaries={"url": bnd},
+    )
+    assert read_zorder_sidecar(spark, z2)["boundaries"]["url"] == bnd
