@@ -523,7 +523,8 @@ def test_zorder_string_quantile_prunes_skewed_column(spark, tmp_path):
     # narrow slices of the hot domain and of the tail each overlap only a
     # small fraction of files (16 equal-population buckets -> ~1-3)
     for lo, hi in [
-        ("https://hot.example/p0000000", "https://hot.example/p0040000"),
+        # ~10% slice of the hot domain's paths, ~11% slice of the tail
+        ("https://hot.example/p0000000", "https://hot.example/p0004000"),
         ("https://t00", "https://t01"),
     ]:
         hit = sum(1 for a, b in ranges if not (b < lo or a > hi))
