@@ -148,13 +148,15 @@ _SQL_VERIFIED_CTES = f"""{_SQL_UNIONED},
 def q50_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12 hashes) + LSH(4 bands x 3 rows) + exact-Jaccard verify over
     the planted-twin corpus. Never all-pairs, never quadratic-in-a-bucket:
-    identical shingle sets collapse to one banded representative before the
-    band-hash bucket self-join, and oversized buckets (near-identical
-    clusters share band hashes — md5 uniformity only spreads DISTINCT
-    signatures) are star-joined under a logged guard
-    (operators/neardup.py:banded_candidate_pairs). On this corpus neither
-    bound triggers beyond size-2 twin groups, so the output is
-    bit-identical to the unguarded join the oracle replays."""
+    oversized band buckets (near-identical OR identical clusters share
+    band hashes — md5 uniformity only spreads DISTINCT signatures) are
+    star-joined under a logged guard
+    (operators/neardup.py:banded_candidate_pairs); buckets under the cap
+    self-join normally, so on this corpus the guard never fires and the
+    output is bit-identical to the unguarded join the oracle replays.
+    (The opt-in identical-set collapse exists for identical-heavy
+    un-deduped corpora — tests/test_neardup_bounds.py proves both modes
+    equal the unguarded join wherever no cap triggers.)"""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_neardup_pairs(_with_twins(docs))
 

@@ -1392,3 +1392,44 @@ def test_cli_zorder_boundaries_from_pins_rewrite(capsys, spark, tmp_path):
         == 1
     )
     assert "no" in capsys.readouterr().err
+
+
+def test_cli_neardup_pairs_and_clusters(capsys, spark, tmp_path):
+    """neardup command: verified pairs + transitive clusters land as
+    parquet; planted twins are recovered; bad args exit 1 with a named
+    error instead of a traceback."""
+    rows = []
+    for i in range(6):
+        text = " ".join(f"d{i}w{j}" for j in range(12))
+        rows.append((i, text))
+        rows.append((100 + i, text + " tail"))  # near-dup twin
+    rows.append((999, "totally unrelated words only here once now"))
+    src = str(tmp_path / "nd_src")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    pairs_out = str(tmp_path / "nd_pairs")
+    clusters_out = str(tmp_path / "nd_clusters")
+    assert main([
+        "neardup", src, pairs_out, "--threshold", "0.7",
+        "--clusters", clusters_out,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "near-dup pairs written" in out and "clusters written" in out
+
+    got_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_out).collect()
+    }
+    assert {(i, 100 + i) for i in range(6)} <= got_pairs
+    cc = spark.read.parquet(clusters_out)
+    assert set(cc.columns) == {"doc_id", "cluster_id"}
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in cc.collect()}
+    for i in range(6):
+        assert by_doc[i] == by_doc[100 + i] == i  # min-id labels
+    assert 999 not in by_doc  # no pairs -> not in the cluster map
+
+    # user errors: named message, exit 1, no traceback
+    assert main(["neardup", src, pairs_out, "--threshold", "1.5"]) == 1
+    assert "--threshold" in capsys.readouterr().err
+    assert main(["neardup", src, pairs_out, "--id-col", "nope"]) == 1
+    assert "nope" in capsys.readouterr().err
