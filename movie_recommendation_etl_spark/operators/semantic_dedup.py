@@ -47,10 +47,14 @@ north-star training-data extension.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from movie_recommendation_etl_spark.functions.vectors import dot, norm2
+
+log = logging.getLogger(__name__)
 
 
 def semantic_dup_groups(
@@ -60,6 +64,7 @@ def semantic_dup_groups(
     vec_col: str = "embedding",
     cell_col: str = "cell",
     eps: float = 0.95,
+    max_cell_size: int = 10_000,
     checkpoint_dir: str | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -73,13 +78,26 @@ def semantic_dup_groups(
     deterministic survivor. Input ids must be unique (run exact dedup
     first — the engine's curation order already does).
 
+    ``max_cell_size`` bounds the within-cell quadratic (the r14 bucket-
+    guard policy, extended here in r15): k-means sends a mass-duplicated
+    embedding cluster to ONE cell no matter how large ``n_centroids`` is,
+    and the plain within-cell self-join would emit B*(B-1)/2 pairs for a
+    B-row cell. Cells over the cap are LOUDLY logged and hub-joined
+    instead — every member pairs only against the cell's min-id row, with
+    the same epsilon verification — so candidate volume stays linear.
+    Semantics of the degraded cells: epsilon-duplicates OF THE HUB (which
+    includes every exact/near-exact re-encode, cos ~ 1 to everything)
+    still land in one group; merely-similar chains that connect only
+    through non-hub members may fragment. ``stats`` receives
+    ``{"overflow_cells": n, "max_cell_size_seen": m}``.
+
     The input frame is consumed three times (both sides of the pair join
-    plus the final labeling join): at corpus scale persist it — or pass
-    the cell-partitioned frame of a persisted IVF index
-    (ml/ivf.py:load_ivf_index), whose parquet re-reads are cheap and
-    column-pruned. Laziness is preserved here on purpose; an internal
-    persist of a corpus-sized frame is the caller's memory call, not the
-    operator's.
+    plus the final labeling join) — plus a cell-size pass for the guard:
+    at corpus scale persist it — or pass the cell-partitioned frame of a
+    persisted IVF index (ml/ivf.py:load_ivf_index), whose parquet
+    re-reads are cheap and column-pruned. Laziness of the corpus frame is
+    preserved here on purpose; an internal persist of a corpus-sized
+    frame is the caller's memory call, not the operator's.
     """
     base = cells.select(
         F.col(id_col).alias("__id"),
@@ -87,8 +105,57 @@ def semantic_dup_groups(
         F.col(vec_col).alias("__vec"),
         norm2(F.col(vec_col)).alias("__nrm"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
+    # Cell-size guard (see docstring): the overflow frame is bounded at
+    # rows/max_cell_size entries — eager checkpoint + count, the same
+    # detection shape as operators/neardup.banded_candidate_pairs.
+    over = (
+        base.groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("__csz"), F.min("__id").alias("__hub"))
+        .filter(F.col("__csz") > max_cell_size)
+        .localCheckpoint(eager=True)
+    )
+    n_over = over.count()
+    if stats is not None:
+        stats["overflow_cells"] = n_over
+    if n_over:
+        biggest = over.agg(F.max("__csz")).first()[0]
+        if stats is not None:
+            stats["max_cell_size_seen"] = biggest
+        log.warning(
+            "semantic_dup_groups: %d cell(s) exceed max_cell_size=%d "
+            "(largest: %d rows); pairing those cells' members against "
+            "their min-id hub only — epsilon-duplicates of the hub still "
+            "group together, non-hub-connected chains may fragment",
+            n_over,
+            max_cell_size,
+            biggest,
+        )
+        normal = base.join(over, "__cell", "left_anti")
+        over_members = base.join(over, "__cell")
+        hubs = over_members.filter(F.col("__id") == F.col("__hub")).select(
+            F.col("__cell").alias("__hcell"),
+            F.col("__vec").alias("__hvec"),
+            F.col("__nrm").alias("__hnrm"),
+        )
+        star_edges = (
+            over_members.filter(F.col("__id") != F.col("__hub"))
+            .join(hubs, F.col("__cell") == F.col("__hcell"))
+            .filter(
+                (F.col("__hnrm") > 0.0)
+                & (F.col("__nrm") > 0.0)
+                & (
+                    dot(F.col("__hvec"), F.col("__vec"))
+                    >= F.lit(float(eps)) * F.col("__hnrm") * F.col("__nrm")
+                )
+            )
+            .select(
+                F.col("__hub").alias("src"), F.col("__id").alias("dst")
+            )
+        )
+    else:
+        normal, star_edges = base, None
+    a = normal.alias("a")
+    b = normal.alias("b")
     # zero-norm rows have no defined cosine: the > 0 guards keep them out
     # (without them, dot = 0 >= eps * 0 would pair every zero vector)
     edges = (
@@ -109,6 +176,8 @@ def semantic_dup_groups(
             F.col("a.__id").alias("src"), F.col("b.__id").alias("dst")
         )
     )
+    if star_edges is not None:
+        edges = edges.unionByName(star_edges)
     from movie_recommendation_etl_spark.operators.graph import (
         connected_components,
     )
@@ -139,6 +208,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     model=None,
     keep: str = "min_id",
+    max_cell_size: int = 10_000,
     checkpoint_dir: str | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -179,6 +249,7 @@ def semantic_dedup(
         id_col=id_col,
         vec_col=vec_col,
         eps=eps,
+        max_cell_size=max_cell_size,
         checkpoint_dir=checkpoint_dir,
         stats=stats,
     )

@@ -181,3 +181,55 @@ def test_centroid_far_retention_policy(spark):
 
     with pytest.raises(ValueError):
         semantic_dedup(emb, keep="random")
+
+
+def test_cell_size_guard_bounds_mass_duplicate_cell(spark):
+    """r15: a mass-duplicated embedding cluster lands in ONE k-means cell
+    regardless of n_centroids — cells over max_cell_size must hub-join
+    (linear candidates) instead of self-joining quadratically, while
+    still grouping the hub's epsilon-duplicates into one component.
+    Cells under the cap keep their exact all-pairs semantics."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=16)
+    v /= np.linalg.norm(v)
+    w = rng.normal(size=16)
+    w -= w @ v * v  # orthogonal direction
+    w /= np.linalg.norm(w)
+    n_big = 500
+    rows = []
+    # one mega-cell of near-identical vectors (cell 0)
+    for i in range(n_big):
+        p = v + rng.normal(size=16) * 1e-4
+        rows.append((i, 0, (p / np.linalg.norm(p)).tolist()))
+    # a small exact-semantics cell (cell 1): a 3-group + 2 singletons
+    for j, scale in ((1000, 0.0), (1001, 1e-4), (1002, 1e-4)):
+        p = w + rng.normal(size=16) * scale
+        rows.append((j, 1, (p / np.linalg.norm(p)).tolist()))
+    u = rng.normal(size=16)
+    u /= np.linalg.norm(u)
+    rows.append((1003, 1, (-u).tolist()))
+    rows.append((1004, 1, [0.0] * 16))  # zero norm
+    cells = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+    stats: dict = {}
+    out = semantic_dup_groups(
+        cells, eps=0.95, max_cell_size=100, stats=stats
+    ).collect()
+    assert stats["overflow_cells"] == 1
+    assert stats["max_cell_size_seen"] == n_big
+    by_id = {r["vec_id"]: r for r in out}
+    # the mega-cell resolves to ONE group keyed by its min id, hub kept
+    assert {by_id[i]["group_id"] for i in range(n_big)} == {0}
+    assert by_id[0]["is_kept"] and not by_id[1]["is_kept"]
+    # small cell keeps exact semantics: 1000-1002 one group, rest alone
+    assert (
+        by_id[1000]["group_id"]
+        == by_id[1001]["group_id"]
+        == by_id[1002]["group_id"]
+        == 1000
+    )
+    assert by_id[1003]["group_id"] == 1003 and by_id[1003]["is_kept"]
+    assert by_id[1004]["group_id"] == 1004 and by_id[1004]["is_kept"]
