@@ -217,12 +217,35 @@ def _sig_agreement(a, b):
     )
 
 
-def _intra_rejects(bands: DataFrame, *, key: str, sim, threshold) -> DataFrame:
+def _cap_bucket_rows(bands: DataFrame, *, key: str, cap: int) -> DataFrame:
+    """The ``cap`` smallest-``key`` rows of every (band_idx, band_val)
+    bucket — the candidate side of a capped comparison join. One window
+    sort over the band rows; see the ``max_bucket_candidates`` contract
+    in _admit_batch for when this bound is worth that price."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_val").orderBy(key)
+    return (
+        bands.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= cap)
+        .drop("__r")
+    )
+
+
+def _intra_rejects(
+    bands: DataFrame, *, key: str, sim, threshold, candidate_cap=None
+) -> DataFrame:
     """Within-batch rejection: distinct ids whose similarity to ANY
     smaller-id batch row sharing a band meets the threshold (the
     greedy-by-id rule of the module docstring). ``sim`` maps the two join
-    alias prefixes to the similarity Column."""
-    a, b = bands.alias("a"), bands.alias("b")
+    alias prefixes to the similarity Column. ``candidate_cap`` bounds the
+    CANDIDATE (smaller-id) side per bucket — see _admit_batch."""
+    cand = (
+        _cap_bucket_rows(bands, key=key, cap=candidate_cap)
+        if candidate_cap
+        else bands
+    )
+    a, b = bands.alias("a"), cand.alias("b")
     return (
         a.join(
             b,
@@ -238,13 +261,22 @@ def _intra_rejects(bands: DataFrame, *, key: str, sim, threshold) -> DataFrame:
 
 
 def _probe_store(
-    bands: DataFrame, store: DataFrame, *, key: str, sim, threshold
+    bands: DataFrame,
+    store: DataFrame,
+    *,
+    key: str,
+    sim,
+    threshold,
+    candidate_cap=None,
 ) -> DataFrame:
     """Store-probe join: batch band rows vs stored band rows,
     similarity-thresholded, distinct rejected ids. The redundant
     band_pfx equality (implied by band_val equality) feeds dynamic
     partition pruning on the partitioned store scan — the plan shape
-    tests/test_incremental_dedup.py pins."""
+    tests/test_incremental_dedup.py pins. ``candidate_cap`` bounds the
+    STORE side per bucket — see _admit_batch."""
+    if candidate_cap:
+        store = _cap_bucket_rows(store, key=key, cap=candidate_cap)
     return (
         bands.alias("n")
         .join(
@@ -273,6 +305,7 @@ def _admit_batch(
     threshold: float,
     pfx_fn,
     checkpoint_dir: str | None,
+    max_bucket_candidates: int | None = None,
 ) -> DataFrame:
     """The admission skeleton both stores share (r8 ADVICE: it was
     duplicated and drifting): checkpoint the band rows, reject
@@ -280,11 +313,29 @@ def _admit_batch(
     survivors, merge their signatures into the store. ``source`` is the
     frame whose surviving rows are returned; ``bands`` its band rows
     keyed ``key``; ``sim`` the alias-prefix → similarity-Column factory
-    shared by the intra and probe joins."""
+    shared by the intra and probe joins.
+
+    ``max_bucket_candidates`` (opt-in) bounds the comparison fan-out per
+    band bucket: each incoming row compares against at most the cap
+    SMALLEST-key rows sharing its bucket (candidate side of the intra
+    join, store side of the probe join). Without it, a viral
+    near-identical cluster — whose members share band values — makes the
+    comparison joins quadratic in cluster size (the q50-family hazard,
+    operators/neardup.banded_candidate_pairs). With it, that cluster's
+    incoming members still reject correctly (its smallest stored/batch
+    members are exactly the retained candidates and match them), while
+    a doc whose ONLY match hides beyond the cap in a diverse mega-bucket
+    (hash-collision shape, not the near-dup shape) can be falsely
+    admitted — the documented trade. Off by default: exactness for every
+    bucket, and no per-bucket window sort on the default path; switch it
+    on for un-deduped viral corpora."""
     with reliable_checkpoint_scope(spark, checkpoint_dir) as _ckpt:
         bands = _ckpt(bands)
 
-        intra = _intra_rejects(bands, key=key, sim=sim, threshold=threshold)
+        intra = _intra_rejects(
+            bands, key=key, sim=sim, threshold=threshold,
+            candidate_cap=max_bucket_candidates,
+        )
 
         # Only a MISSING store is bootstrap (AnalysisException on the read,
         # caught narrowly around the read alone). Any other failure —
@@ -299,7 +350,8 @@ def _admit_batch(
                 spark, store, store_path, bands, pfx_fn
             )
             hits = _probe_store(
-                bands, store, key=key, sim=sim, threshold=threshold
+                bands, store, key=key, sim=sim, threshold=threshold,
+                candidate_cap=max_bucket_candidates,
             )
             rejected = intra.unionByName(hits).distinct()
         else:
@@ -352,6 +404,7 @@ def admit_new_documents(
     k: int = 3,
     sim_threshold: float = 0.7,
     checkpoint_dir: str | None = None,
+    max_bucket_candidates: int | None = None,
 ) -> DataFrame:
     """Admit the subset of ``new_docs`` that near-dups neither the stored
     corpus nor an earlier (smaller-id) doc of the same batch, and merge the
@@ -377,6 +430,7 @@ def admit_new_documents(
         threshold=sim_threshold,
         pfx_fn=_doc_band_pfx,
         checkpoint_dir=checkpoint_dir,
+        max_bucket_candidates=max_bucket_candidates,
     )
 
 
@@ -425,6 +479,7 @@ def admit_new_embeddings(
     dim: int,
     cos_threshold: float = 0.92,
     checkpoint_dir: str | None = None,
+    max_bucket_candidates: int | None = None,
 ) -> DataFrame:
     """Vector twin of admit_new_documents: admit new embeddings that are
     not near-duplicates (quantized cosine >= ``cos_threshold``) of the
@@ -465,4 +520,5 @@ def admit_new_embeddings(
         threshold=cos_threshold,
         pfx_fn=_emb_band_pfx,
         checkpoint_dir=checkpoint_dir,
+        max_bucket_candidates=max_bucket_candidates,
     )

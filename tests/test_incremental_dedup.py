@@ -500,3 +500,69 @@ def test_embedding_admission_excludes_degenerate_vectors(spark, tmp_path):
         r["vec_id"] for r in spark.read.parquet(store).collect()
     }
     assert stored == {1, 2}  # no degenerate signatures in the store
+
+
+def test_bucket_candidate_cap_bounds_viral_batch(spark, tmp_path):
+    """max_bucket_candidates (r15, opt-in): a viral near-identical
+    cluster shares band values, so the uncapped intra/probe joins are
+    quadratic in cluster size. With the cap, every incoming cluster
+    member still rejects (the cap keeps the SMALLEST-id candidates,
+    which the greedy-by-id policy makes the matching ones), distinct
+    docs still admit, and on a clean corpus the capped and uncapped
+    admitted sets are identical."""
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_documents,
+    )
+
+    template = " ".join(f"v{j}" for j in range(20))
+    viral = [(i, f"{template} u{i % 7}") for i in range(300)]
+    fresh = [
+        (1000 + i, " ".join(f"d{i}x{j}" for j in range(15)))
+        for i in range(5)
+    ]
+    batch = spark.createDataFrame(
+        viral + fresh, "doc_id long, text string"
+    )
+    store = str(tmp_path / "viral_store")
+    admitted = admit_new_documents(
+        spark, batch, store, sim_threshold=0.5, max_bucket_candidates=4
+    )
+    ids = {r["doc_id"] for r in admitted.collect()}
+    # the viral cluster collapses to its 7 distinct-suffix variants at
+    # most (greedy smallest-id survivors); every fresh doc admits
+    assert {1000 + i for i in range(5)} <= ids
+    assert len(ids & set(range(300))) <= 7
+    # a second viral wave rejects against the capped STORE probe too
+    wave2 = spark.createDataFrame(
+        [(5000 + i, f"{template} u{i % 7}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    admitted2 = admit_new_documents(
+        spark, wave2, store, sim_threshold=0.5, max_bucket_candidates=4
+    )
+    assert admitted2.count() == 0
+
+    # clean-corpus parity: capped == uncapped admitted sets
+    clean = spark.createDataFrame(
+        [
+            (i, " ".join(f"c{i}w{j}" for j in range(12)))
+            for i in range(30)
+        ]
+        + [(100, " ".join(f"c3w{j}" for j in range(12)))],  # dup of 3
+        "doc_id long, text string",
+    )
+    s1, s2 = str(tmp_path / "cap_s1"), str(tmp_path / "cap_s2")
+    got_capped = {
+        r["doc_id"]
+        for r in admit_new_documents(
+            spark, clean, s1, sim_threshold=0.5, max_bucket_candidates=8
+        ).collect()
+    }
+    got_exact = {
+        r["doc_id"]
+        for r in admit_new_documents(
+            spark, clean, s2, sim_threshold=0.5
+        ).collect()
+    }
+    assert got_capped == got_exact
+    assert 100 not in got_exact  # the planted dup rejected in both
