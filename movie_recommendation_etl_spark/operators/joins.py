@@ -37,6 +37,7 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     tiebreak: str | None = None,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.right_ts <= left.left_ts`` sharing the join key(s).
@@ -45,8 +46,18 @@ def asof_join(
     row_number (which materializes |L|x|R| candidate pairs per key), union
     both sides tagged by origin, sort within key by time, and carry the last
     right row forward with ``F.last(ignorenulls=True)``. One shuffle on the
-    key, no pair blowup — the plan survives skewed keys and 100x data (AQE
-    splits skewed partitions; the window is a linear pass).
+    key, no pair blowup, and the per-key work is a linear pass.
+
+    Skew honesty (r15, the topk.py correction applied here too): AQE's
+    skew handling covers JOINS only — a WINDOW partition cannot be split,
+    so one pathologically hot key (a bot user, a NULL-ish default id) is
+    one straggler task in the default plan. ``bucket_width`` (opt-in,
+    same units as the timestamp: seconds for timestamps, raw units for
+    numerics) splits every key's timeline into fixed-width time buckets
+    and runs the window per (key, bucket), then stitches buckets with a
+    carry-in pass whose window runs over PER-BUCKET rows (bounded by
+    time-range/width, never by row count) — output-identical to the
+    single-window plan, hot keys parallelize across their buckets.
 
     The whole right payload travels as ONE struct column, so a matched right
     row whose individual fields are NULL is carried intact (per-column
@@ -104,18 +115,75 @@ def asof_join(
     tiebreak_col = (
         F.col("__r")[tiebreak] if tiebreak is not None else F.col("__r")
     )
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(F.col("__t"), F.col("__is_left"), tiebreak_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    filled = l_tagged.unionByName(r_tagged).select(
-        *keys,
-        "__t",
-        "__is_left",
-        *left_cols,
-        F.last("__r", ignorenulls=True).over(w).alias("__r"),
-    )
+    u = l_tagged.unionByName(r_tagged)
+    if bucket_width is None:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__t"), F.col("__is_left"), tiebreak_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        filled = u.select(
+            *keys,
+            "__t",
+            "__is_left",
+            *left_cols,
+            F.last("__r", ignorenulls=True).over(w).alias("__r"),
+        )
+    else:
+        if bucket_width <= 0:
+            raise ValueError("asof_join: bucket_width must be > 0")
+        # cast-to-double is monotone for timestamps (epoch seconds) and
+        # numerics alike, so bucket order == time order
+        u = u.withColumn(
+            "__bkt",
+            F.floor(F.col("__t").cast("double") / F.lit(float(bucket_width))),
+        )
+        wb = (
+            W.partitionBy(*keys, "__bkt")
+            .orderBy(F.col("__t"), F.col("__is_left"), tiebreak_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        within = u.select(
+            *keys,
+            "__bkt",
+            "__t",
+            "__is_left",
+            *left_cols,
+            F.last("__r", ignorenulls=True).over(wb).alias("__rb"),
+        )
+        # last right row of each bucket that HAS right rows (ordered the
+        # same way the window sorts: ts, then tiebreak)
+        rb = (
+            u.filter(F.col("__is_left") == 0)
+            .groupBy(*keys, "__bkt")
+            .agg(
+                F.max_by(
+                    "__r", F.struct(F.col("__t"), tiebreak_col)
+                ).alias("__last_r")
+            )
+        )
+        # carry-in per (key, bucket): the last right row of ANY earlier
+        # bucket — computed over the per-bucket frame (one row per
+        # occupied bucket), so this window's partitions are bounded by
+        # time-range/bucket_width regardless of key heat
+        bkts = u.select(*keys, "__bkt").distinct()
+        wc = (
+            W.partitionBy(*keys)
+            .orderBy("__bkt")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        carry = bkts.join(rb, [*keys, "__bkt"], "left").select(
+            *keys,
+            "__bkt",
+            F.last("__last_r", ignorenulls=True).over(wc).alias("__carry"),
+        )
+        filled = within.join(carry, [*keys, "__bkt"]).select(
+            *keys,
+            "__t",
+            "__is_left",
+            *left_cols,
+            F.coalesce(F.col("__rb"), F.col("__carry")).alias("__r"),
+        )
     out = filled.filter(F.col("__is_left") == 1).select(
         *keys,
         *left_cols,

@@ -451,8 +451,12 @@ def _minhash_neardup_pairs(
         sig.select("doc_id", "fp1", "fp2")
         .join(multi_groups, ["fp1", "fp2"])
         .select("doc_id", "rep", "gsz", "fp1", "fp2")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_shingles:
+        # gated like sig/base: the uncached mode trades recompute for
+        # memory by contract, and an ungated persist would leak blocks
+        # past return (nothing would unpersist it)
+        multi = multi.persist(StorageLevel.MEMORY_AND_DISK)
     excl = multi.filter(F.col("doc_id") != F.col("rep")).select("doc_id")
     # Only representatives are banded: a 100k-doc identical cluster
     # contributes ONE row to every downstream band bucket.

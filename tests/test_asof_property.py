@@ -84,3 +84,45 @@ def test_asof_matches_definition(left, right):
         got[(r["k"], lm)] = (rm, r["payload"])
     expected = _reference_asof(left, right)
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_bucketed_asof_identical_to_single_window(left, right):
+    """r15 skew path: bucket_width splits each key's timeline into time
+    buckets (windows per (key, bucket) + a carry-in stitch) — the output
+    must be IDENTICAL to the single-window plan for any input, including
+    buckets with only left rows (carry-in crosses empty buckets) and
+    boundary-exact timestamps. Width of 300 s = 5 min, so the 0-30 min
+    domain spans ~7 buckets and the generator hits every edge."""
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        [(k, _BASE + dt.timedelta(minutes=m)) for k, m in left],
+        "k: long, ts: timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (k, _BASE + dt.timedelta(minutes=m), v)
+            for k, m, v in right
+        ],
+        "k: long, rts: timestamp, payload: int",
+    )
+
+    def _rows(df):
+        return {
+            (r["k"], r["ts"], r["rts"], r["payload"]) for r in df.collect()
+        }
+
+    plain = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["rts", "payload"],
+    )
+    bucketed = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["rts", "payload"], bucket_width=300.0,
+    )
+    assert _rows(bucketed) == _rows(plain)
