@@ -83,11 +83,23 @@ SCOPE_TAGS: dict[str, str] = {
     # across three r14 runs) — a deliberate scale-for-small-SF trade, so
     # the comparison fences for one round.
     "q58_sampling_suite": "r14-two-stage-topk",
-    "q30_batch_arms": "r12-gapfill-arm",
-    "q33_lookup_expr_suite": "r9-csv-arm",
-    "q40_text_profile_suite": "r11-bc-lemma-arm",
-    "q62_knn_ivf_embeddings": "r11-probe6",
-    "q80_trainprep_composed": "r9-full-lifecycle",
+    # r15: the near-dup family grew the VERDICT-prescribed bucket guard —
+    # one single-row detection job per banded candidate join (q50 once,
+    # q54 via the same pipeline, q53 on the SRP path where the band frame
+    # also moved from persist to localCheckpoint so the ~96x64-literal
+    # expression is analyzed once instead of once per consumer plan).
+    # Output-identical on these corpora (the guard never fires); the
+    # detection job is the deliberate scale-for-small-SF trade, so the
+    # comparison fences for one round.
+    "q50_minhash_lsh_neardup": "r15-bucket-guard",
+    "q53_embedding_neardup_pairs": "r15-bucket-guard",
+    "q54_neardup_clusters": "r15-bucket-guard",
+    # Tag RETIREMENT (r15): tags whose fence round is long past (r9-r12)
+    # are removed — each retirement fences its query for ONE round (the
+    # removal itself reads as a tag change), the documented cost of
+    # keeping the tail-survivable compact line under the driver's
+    # ~2000-byte window as new tags arrive. q58's r14 tag stays one more
+    # round so its comparison resumes via the match rule, then retires.
 }
 
 

@@ -217,10 +217,12 @@ def banded_candidate_pairs(
     downstream connected-components consumer (operators/graph.py) lands
     verified duplicates of that rep in one cluster.
 
-    Cost on clean corpora: one map-side-combined bucket-size aggregate over
-    the (caller-persisted/checkpointed) band frame plus a trivial count —
-    and when nothing overflows, the join plan is EXACTLY the unguarded
-    self-join (no window, no extra shuffle, no anti join).
+    Cost on clean corpora: ONE single-row detection job (a map-side-
+    combined bucket-size aggregate over the caller-persisted/checkpointed
+    band frame, reduced to overflow-count + max in the same action) — and
+    when nothing overflows, the join plan is EXACTLY the unguarded
+    self-join (no window, no extra shuffle, no anti join). The overflow
+    frame itself is only materialized in the pathological case.
 
     Per the no-silent-caps rule the overflow path is LOUD: a warning names
     the bucket count and the largest bucket, and ``stats`` (optional dict)
@@ -233,21 +235,37 @@ def banded_candidate_pairs(
             return df.localCheckpoint(eager=True)
 
     keys = list(bucket_cols)
-    over = (
+    # Detection is ONE single-row job (two stacked aggregates execute in
+    # one action): overflow count + biggest bucket. The overflow FRAME is
+    # only materialized when something actually overflows — the clean
+    # common case pays exactly one narrow map-side-combined job.
+    det = (
         exploded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
         .agg(
-            F.count(F.lit(1)).alias("_bsz"),
-            F.min(id_col).alias("_bmin"),
+            F.coalesce(
+                F.sum((F.col("_bsz") > max_bucket_size).cast("long")),
+                F.lit(0),
+            ).alias("n_over"),
+            F.coalesce(F.max("_bsz"), F.lit(0)).alias("biggest"),
         )
-        .filter(F.col("_bsz") > max_bucket_size)
-        # tiny by construction: at most rows/max_bucket_size buckets
-        .localCheckpoint(eager=True)
+        .first()
     )
-    n_over = over.count()
+    n_over = int(det["n_over"])
+    biggest = int(det["biggest"])
     if stats is not None:
         stats["overflow_buckets"] = n_over
     if n_over:
-        biggest = over.agg(F.max("_bsz")).first()[0]
+        over = (
+            exploded.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("_bsz"),
+                F.min(id_col).alias("_bmin"),
+            )
+            .filter(F.col("_bsz") > max_bucket_size)
+            # tiny by construction: at most rows/max_bucket_size buckets
+            .localCheckpoint(eager=True)
+        )
         if stats is not None:
             stats["max_bucket_size_seen"] = biggest
         log.warning(

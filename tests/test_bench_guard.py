@@ -213,14 +213,22 @@ def test_fence_scope_tags_drops_changed_and_resumes_on_match():
     import bench
     from bench import fence_scope_tags
 
-    prev = {"q40_text_profile_suite": 1.6, "q01": 1.0}
-    # previous round carried no tag for it: the newly tagged q40 is fenced
+    prev = {"q50_minhash_lsh_neardup": 3.2, "q01": 1.0}
+    # previous round carried no tag for it: the newly tagged q50 is fenced
     fenced, dropped = fence_scope_tags(prev, {})
-    assert dropped == ["q40_text_profile_suite"]
+    assert dropped == ["q50_minhash_lsh_neardup"]
     assert fenced == {"q01": 1.0}
-    # previous round recorded the SAME tags (r10 vs r9): nothing fenced
+    # previous round recorded the SAME tags: nothing fenced
     fenced2, dropped2 = fence_scope_tags(prev, dict(bench.SCOPE_TAGS))
     assert dropped2 == [] and fenced2 == prev
+    # tag RETIREMENT fences too: the previous round carried a tag the
+    # current code no longer does (r15 retired the r9-r12 tags)
+    prev3 = {"q40_text_profile_suite": 1.6, "q01": 1.0}
+    fenced3, dropped3 = fence_scope_tags(
+        prev3, {"q40_text_profile_suite": "r11-bc-lemma-arm"}
+    )
+    assert dropped3 == ["q40_text_profile_suite"]
+    assert fenced3 == {"q01": 1.0}
     # None baseline passes through
     assert fence_scope_tags(None, {}) == (None, [])
 
