@@ -1,4 +1,7 @@
-from movie_recommendation_etl_spark.operators.dedup import dedup_keep_first
+from movie_recommendation_etl_spark.operators.dedup import (
+    SortSpec,
+    dedup_keep_first,
+)
 from movie_recommendation_etl_spark.operators.joins import asof_join
 from movie_recommendation_etl_spark.operators.topk import (
     grouped_top_k,
@@ -7,6 +10,7 @@ from movie_recommendation_etl_spark.operators.topk import (
 )
 
 __all__ = [
+    "SortSpec",
     "asof_join",
     "dedup_keep_first",
     "grouped_top_k",

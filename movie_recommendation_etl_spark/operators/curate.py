@@ -123,7 +123,7 @@ def curate_documents(
     if dedup:
         out = out.withColumn("__fp", fingerprint(F.col(text_col)))
         out = dedup_keep_first(
-            out, ["__fp"], [F.col(id_col).asc()]
+            out, ["__fp"], [F.col(id_col)]
         ).drop("__fp")
 
     if sample_fraction is not None:

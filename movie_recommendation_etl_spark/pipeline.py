@@ -26,7 +26,10 @@ from pyspark.sql import types as T
 
 from movie_recommendation_etl_spark.ml.ann import fit_lsh, recommend
 from movie_recommendation_etl_spark.ml.tfidf import fit_document_vectors
-from movie_recommendation_etl_spark.operators.dedup import dedup_keep_first
+from movie_recommendation_etl_spark.operators.dedup import (
+    asc_nulls_last,
+    dedup_keep_first,
+)
 from movie_recommendation_etl_spark.sources.readers import read_csv_robust
 from movie_recommendation_etl_spark.sources.writers import (
     save_model,
@@ -104,7 +107,7 @@ def clean(movies: DataFrame) -> DataFrame:
     out = movies.withColumn(
         "release_year", F.col("release_year").cast("integer")
     )
-    out = dedup_keep_first(out, ["id"], [F.col("title").asc_nulls_last()])
+    out = dedup_keep_first(out, ["id"], [asc_nulls_last("title")])
     out = out.na.drop(subset=list(_REQUIRED_COLS))
     out = out.filter(~(F.col("all_combined_keywords") == "[]"))
     out = out.na.fill("a", subset=list(_FILL_A_COLS))

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_recommendation_etl_spark.functions.numeric import dsum, sql_dsum
-from movie_recommendation_etl_spark.operators.dedup import dedup_keep_first
+from movie_recommendation_etl_spark.operators.dedup import (
+    dedup_keep_first,
+    desc as dedup_desc,
+)
 from movie_recommendation_etl_spark.operators.joins import asof_join
 from movie_recommendation_etl_spark.plans.registry import query
 from movie_recommendation_etl_spark.sources.catalog import load_table
@@ -463,7 +466,7 @@ def q32_asof_click_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("err_value"),
     )
     errors = dedup_keep_first(
-        errors, ["user_id", "ts"], [F.col("err_id").desc()]
+        errors, ["user_id", "ts"], [dedup_desc("err_id")]
     )
     return asof_join(
         clicks, errors, on="user_id", left_ts="ts", right_ts="ts"

@@ -10,7 +10,6 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from movie_recommendation_etl_spark.functions.text import (
@@ -32,10 +31,7 @@ from movie_recommendation_etl_spark.ml.tfidf import (
     lemmatize,
     load_default_lemmas,
 )
-from movie_recommendation_etl_spark.operators.dedup import (
-    dedup_keep_first,
-    fingerprint,
-)
+from movie_recommendation_etl_spark.operators.dedup import fingerprint
 from movie_recommendation_etl_spark.plans.registry import query
 from movie_recommendation_etl_spark.sources.catalog import load_table
 
@@ -364,16 +360,9 @@ def q40_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
                    AS fingerprint
         FROM unioned
-    ),
-    ranked AS (
-        SELECT doc_id, fingerprint,
-               row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
-                   AS rn,
-               count(*) OVER (PARTITION BY fingerprint) AS n_copies
-        FROM fp
     )
-    SELECT fingerprint, doc_id AS keep_doc_id, n_copies
-    FROM ranked WHERE rn = 1
+    SELECT fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM fp GROUP BY fingerprint
     """,
 )
 def q42_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,8 +370,14 @@ def q42_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned with an id-shifted copy of itself): normalize → md5 fingerprint
     → keep the lowest doc_id per group, reporting group size.
 
-    Scale shape: one hash shuffle on the 128-bit fingerprint (uniform keys,
-    no skew), window is a per-group linear pass — the same plan dedups 100 TB.
+    Scale shape (r16): ONE hash shuffle on the fingerprint into a single
+    partial-aggregatable ``min + count`` — both halves map-side combine, so a
+    viral identical document (10^7 copies of one fingerprint) is pre-reduced
+    to one (min, count) pair per input partition before the shuffle. The
+    previous form stacked two same-key windows (``row_number`` +
+    ``count(*) OVER``), which funnel every copy of a hot fingerprint into one
+    sorting task — md5 spreads *distinct* content uniformly but does nothing
+    for *identical* content, and AQE cannot split window partitions.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     unioned = docs.unionByName(
@@ -391,14 +386,9 @@ def q42_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = unioned.select(
         "doc_id", fingerprint(F.col("text")).alias("fingerprint")
     )
-    counted = fp.withColumn(
-        "n_copies", F.count(F.lit(1)).over(W.partitionBy("fingerprint"))
-    )
-    survivors = dedup_keep_first(
-        counted, ["fingerprint"], [F.col("doc_id").asc()]
-    )
-    return survivors.select(
-        "fingerprint", F.col("doc_id").alias("keep_doc_id"), "n_copies"
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
     )
 
 
