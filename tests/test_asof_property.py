@@ -86,29 +86,48 @@ def test_asof_matches_definition(left, right):
     assert got == expected
 
 
+# NULL keys and NULL timestamps included: the single-window plan groups NULL
+# keys into their own window partition and orders NULL timestamps first
+# (nulls-first asc), so the bucketed plan must reproduce both — r16 fix:
+# sentinel bucket for NULL ts + null-safe stitch joins (ADVICE r15).
+_key_n = st.one_of(st.none(), _key)
+_minute_n = st.one_of(st.none(), _minute)
+_left_rows_n = st.lists(
+    st.tuples(_key_n, _minute_n), min_size=1, max_size=12, unique=True
+)
+_right_rows_n = st.lists(
+    st.tuples(_key_n, _minute_n, st.one_of(st.none(), st.integers(0, 99))),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: (r[0], r[1], r[2]),
+)
+
+
 @settings(
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
-@given(left=_left_rows, right=_right_rows)
+@given(left=_left_rows_n, right=_right_rows_n)
 def test_bucketed_asof_identical_to_single_window(left, right):
     """r15 skew path: bucket_width splits each key's timeline into time
     buckets (windows per (key, bucket) + a carry-in stitch) — the output
     must be IDENTICAL to the single-window plan for any input, including
-    buckets with only left rows (carry-in crosses empty buckets) and
-    boundary-exact timestamps. Width of 300 s = 5 min, so the 0-30 min
-    domain spans ~7 buckets and the generator hits every edge."""
+    buckets with only left rows (carry-in crosses empty buckets),
+    boundary-exact timestamps, NULL join keys, and NULL timestamps on
+    either side. Width of 300 s = 5 min, so the 0-30 min domain spans ~7
+    buckets and the generator hits every edge."""
     spark = _get_spark()
+
+    def _ts(m):
+        return None if m is None else _BASE + dt.timedelta(minutes=m)
+
     ldf = spark.createDataFrame(
-        [(k, _BASE + dt.timedelta(minutes=m)) for k, m in left],
+        [(k, _ts(m)) for k, m in left],
         "k: long, ts: timestamp",
     )
     rdf = spark.createDataFrame(
-        [
-            (k, _BASE + dt.timedelta(minutes=m), v)
-            for k, m, v in right
-        ],
+        [(k, _ts(m), v) for k, m, v in right],
         "k: long, rts: timestamp, payload: int",
     )
 
@@ -126,3 +145,12 @@ def test_bucketed_asof_identical_to_single_window(left, right):
         right_cols=["rts", "payload"], bucket_width=300.0,
     )
     assert _rows(bucketed) == _rows(plain)
+    # r16 auto path: derived width (or the single-window fallback when no
+    # key has a positive span) must also be output-identical. Tiny
+    # target_bucket_rows forces real multi-bucket splits on dense keys.
+    auto = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["rts", "payload"], bucket_width="auto",
+        target_bucket_rows=2,
+    )
+    assert _rows(auto) == _rows(plain)
