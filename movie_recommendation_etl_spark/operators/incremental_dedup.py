@@ -242,7 +242,7 @@ def _intra_rejects(
     CANDIDATE (smaller-id) side per bucket — see _admit_batch."""
     cand = (
         _cap_bucket_rows(bands, key=key, cap=candidate_cap)
-        if candidate_cap
+        if candidate_cap is not None
         else bands
     )
     a, b = bands.alias("a"), cand.alias("b")
@@ -275,7 +275,7 @@ def _probe_store(
     partition pruning on the partitioned store scan — the plan shape
     tests/test_incremental_dedup.py pins. ``candidate_cap`` bounds the
     STORE side per bucket — see _admit_batch."""
-    if candidate_cap:
+    if candidate_cap is not None:
         store = _cap_bucket_rows(store, key=key, cap=candidate_cap)
     return (
         bands.alias("n")
@@ -329,6 +329,13 @@ def _admit_batch(
     admitted — the documented trade. Off by default: exactness for every
     bucket, and no per-bucket window sort on the default path; switch it
     on for un-deduped viral corpora."""
+    if max_bucket_candidates is not None and max_bucket_candidates < 1:
+        # 0 would silently keep zero candidates (reject nothing) — and a
+        # caller asking for "the tightest bound" means 1, not uncapped.
+        raise ValueError(
+            "max_bucket_candidates must be >= 1 (or None for uncapped), "
+            f"got {max_bucket_candidates}"
+        )
     with reliable_checkpoint_scope(spark, checkpoint_dir) as _ckpt:
         bands = _ckpt(bands)
 

@@ -11,8 +11,12 @@ n-gram-span granularity, entirely in Catalyst:
 1. SPAN CANDIDATES: every ``n``-token window of every document, with its
    start position — a scan-stage explode (rows ∝ corpus tokens).
 2. DUPLICATED GRAMS: hash-aggregate the windows by their text, keep those
-   appearing in ≥ ``min_docs`` DISTINCT documents (map-side combined;
-   uniform md5-sized keys, no skew).
+   appearing in ≥ ``min_docs`` DISTINCT documents. A viral gram (shared
+   boilerplate) IS a hot key — it stays bounded only because
+   count_distinct plans as a two-phase aggregate (partial dedup of
+   (gram, doc) on the map side, then a final count per gram), so each
+   input partition forwards at most its distinct pairs, never the raw
+   copy stream.
 3. SPAN MERGE: per document, overlapping/adjacent duplicated windows fuse
    into maximal spans via the gaps-and-islands window pattern (order by
    start; a window opens an island when it starts beyond the running max

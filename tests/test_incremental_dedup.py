@@ -566,3 +566,11 @@ def test_bucket_candidate_cap_bounds_viral_batch(spark, tmp_path):
     }
     assert got_capped == got_exact
     assert 100 not in got_exact  # the planted dup rejected in both
+
+    # cap=0 must be a loud error, not a silent uncapped no-op (r15 ADVICE)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket_candidates"):
+        admit_new_documents(
+            spark, clean, s2, sim_threshold=0.5, max_bucket_candidates=0
+        )
