@@ -374,7 +374,12 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
         extra_filter=extra_filter,
     )
     base_curated = None
-    if args.trusted_path or args.eval_path or args.substring_dedup:
+    if (
+        args.trusted_path
+        or args.eval_path
+        or args.substring_dedup
+        or args.neardup
+    ):
         # Each optional stage below is a SELF-join (curated appears as both
         # the stage input and the semi-join/rebuild left side), so without
         # a persist the whole curation subtree re-executes once per branch
@@ -385,6 +390,29 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
 
         curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
         base_curated = curated
+    if args.neardup:
+        # fuzzy dedup between curation and the perplexity band — the
+        # RefinedWeb/Dolma-standard stage curation's EXACT dedup cannot
+        # cover (boilerplate variants, templated pages). MinHash pairs ->
+        # connected components -> keep each cluster's min-id survivor
+        # (operators/neardup.py:neardup_dedup; bucket guard always on).
+        from movie_recommendation_etl_spark.operators.neardup import (
+            neardup_dedup,
+        )
+
+        nstats: dict = {}
+        curated = neardup_dedup(
+            curated,
+            threshold=args.neardup_threshold,
+            collapse_identical=args.neardup_collapse_identical,
+            stats=nstats,
+        )
+        print(
+            f"neardup: dropped {nstats.get('neardup_losers', 0)} "
+            f"near-duplicate doc(s) at jaccard >= {args.neardup_threshold} "
+            f"({nstats.get('cc_rounds', 0)} CC round(s))",
+            file=sys.stderr,
+        )
     if args.trusted_path:
         # perplexity band filter between the rule-based quality gate and
         # decontamination (operators/perplexity.py): fit a unigram model on
@@ -1217,7 +1245,9 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
             f"note: {stats['overflow_buckets']} band bucket(s) exceeded "
             f"--max-bucket-size {args.max_bucket_size} (largest "
             f"{stats['max_bucket_size_seen']} rows) — their pairs are "
-            "min-id star certificates; cluster resolution is unaffected"
+            "min-id star certificates: duplicates of each bucket's rep stay "
+            "in one cluster, but member pairs not connected through the rep "
+            "can lose their edge after Jaccard verification and fragment"
         )
     if stats.get("overflow_groups"):
         print(
@@ -1488,6 +1518,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="use the Bloom decontamination tier with this many bitmap "
         "bits (multiple of 64; 0 = broadcast the exact gram set). Same "
         "verdicts either way; bloom shuffles only candidate grams",
+    )
+    tp.add_argument(
+        "--neardup",
+        action="store_true",
+        help="fuzzy-dedup surviving docs after curation: MinHash-LSH "
+        "pairs -> connected components -> keep each near-dup cluster's "
+        "min-id doc (the RefinedWeb/Dolma-standard stage; exact dedup "
+        "inside curation only catches byte-identical content)",
+    )
+    tp.add_argument(
+        "--neardup-threshold",
+        type=float,
+        default=0.8,
+        help="exact-Jaccard verify threshold for --neardup",
+    )
+    tp.add_argument(
+        "--neardup-collapse-identical",
+        action="store_true",
+        help="band only one representative per identical-shingle-set "
+        "group (worth it for rampantly duplicated un-deduped corpora; "
+        "see neardup_dedup)",
     )
     tp.add_argument(
         "--substring-dedup",

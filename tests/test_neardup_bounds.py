@@ -146,6 +146,47 @@ def test_near_identical_cluster_stays_linear(spark):
     pairs.unpersist()
 
 
+def test_overflow_hint_fires_on_identical_heavy_corpus(spark, caplog):
+    """r16 auto-hint: with collapse OFF, an identical-content overflow (the
+    shape collapse_identical exists for) must log the re-run hint and
+    record max_identical_group; a near-identical-but-distinct overflow
+    (which the collapse cannot absorb) must NOT hint."""
+    import logging
+
+    n = 3_000
+    text = " ".join(f"w{j}" for j in range(40))
+    ident = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    stats: dict = {}
+    with caplog.at_level(
+        logging.WARNING, logger="movie_recommendation_etl_spark"
+    ):
+        minhash_neardup_pairs(ident, max_bucket_size=500, stats=stats).count()
+    assert stats["overflow_buckets"] >= 1
+    assert stats["max_identical_group"] == n
+    assert any(
+        "collapse_identical=True" in r.message for r in caplog.records
+    )
+
+    # distinct shingle sets (unique trailing token): overflow still fires,
+    # but every identical group has size 1 -> no hint
+    caplog.clear()
+    near = spark.createDataFrame(
+        [(i, f"{text} u{i}") for i in range(n)], "doc_id long, text string"
+    )
+    stats2: dict = {}
+    with caplog.at_level(
+        logging.WARNING, logger="movie_recommendation_etl_spark"
+    ):
+        minhash_neardup_pairs(near, max_bucket_size=500, stats=stats2).count()
+    assert stats2["overflow_buckets"] >= 1
+    assert stats2["max_identical_group"] == 1
+    assert not any(
+        "collapse_identical=True" in r.message for r in caplog.records
+    )
+
+
 def test_identical_cluster_collapses_to_star(spark):
     """collapse_identical=True: 10k byte-identical docs collapse to ONE
     banded representative — no bucket ever overflows (one rep per bucket),
