@@ -1130,6 +1130,9 @@ def main() -> int:
             ref_env["SPARK_GRAFT_REF_PREV"] = json.dumps(
                 {
                     "fit_sec": pq_prev.get("ref_scale_fit_sec"),
+                    # r16: the warm-ANN line gets its own in-replay
+                    # escalation (the one line outside the r15 net)
+                    "warm_ann_sec": pq_prev.get("ref_scale_warm_ann_sec"),
                     "stages": {
                         k[len("ref_scale_stage_"):]: v
                         for k, v in pq_prev.items()

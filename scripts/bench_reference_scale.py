@@ -170,40 +170,45 @@ def main() -> int:
     # artifact shows the flag survived (or died by) its own re-sample.
     ref_resampled: dict[str, float] = {}
     prev_env = os.environ.get("SPARK_GRAFT_REF_PREV")
-    if prev_env and stages:
+    prev: dict | None = None
+    if prev_env:
         try:
-            prev = json.loads(prev_env)
+            parsed = json.loads(prev_env)
+            prev = parsed if isinstance(parsed, dict) else None
         except ValueError:
             prev = None
-        if isinstance(prev, dict):
-            prev_cal = prev.get("calibration_sec")
-            ratio = (
-                calibration / prev_cal
-                if isinstance(prev_cal, (int, float)) and prev_cal > 0
-                else 1.0
-            )
-            ratio = max(ratio, 1.0)
+    if prev is not None:
+        prev_cal = prev.get("calibration_sec")
+        _ratio = (
+            calibration / prev_cal
+            if isinstance(prev_cal, (int, float)) and prev_cal > 0
+            else 1.0
+        )
+        _ratio = max(_ratio, 1.0)
 
-            def _would_flag(cur, old) -> bool:
-                return (
-                    isinstance(old, (int, float))
-                    and old > 0
-                    and cur / ratio > old * 1.25
-                    and cur / ratio - old > 0.1
-                )
+    def _would_flag(cur, old) -> bool:
+        if prev is None:
+            return False
+        return (
+            isinstance(old, (int, float))
+            and old > 0
+            and cur / _ratio > old * 1.25
+            and cur / _ratio - old > 0.1
+        )
 
-            prev_stages = prev.get("stages") or {}
-            flagged = _would_flag(fit_sec, prev.get("fit_sec")) or any(
-                _would_flag(stages[k], prev_stages.get(k)) for k in stages
-            )
-            if flagged and fit_sec <= 300.0:
-                third = _staged_sample()
-                ref_resampled = third
-                for k, v in third.items():
-                    if v < stages.get(k, float("inf")):
-                        stages[k] = v
-                fit_samples.append(round(sum(third.values()), 1))
-                fit_sec = min(fit_samples)
+    if prev is not None and stages:
+        prev_stages = prev.get("stages") or {}
+        flagged = _would_flag(fit_sec, prev.get("fit_sec")) or any(
+            _would_flag(stages[k], prev_stages.get(k)) for k in stages
+        )
+        if flagged and fit_sec <= 300.0:
+            third = _staged_sample()
+            ref_resampled = third
+            for k, v in third.items():
+                if v < stages.get(k, float("inf")):
+                    stages[k] = v
+            fit_samples.append(round(sum(third.values()), 1))
+            fit_sec = min(fit_samples)
 
     t0 = time.monotonic()
     lsh = fit_lsh(vecs)
@@ -216,12 +221,29 @@ def main() -> int:
     first = recommend(lsh, index, "doc_id", 0, top_k=5).collect()
     cold_sec = time.monotonic() - t0
 
-    warm = []
-    for qid in (121, 2421, 12100):
-        t0 = time.monotonic()
-        recommend(lsh, index, "doc_id", qid, top_k=5).collect()
-        warm.append(time.monotonic() - t0)
-    warm.sort()
+    def _warm_loop() -> list[float]:
+        samples = []
+        for qid in (121, 2421, 12100):
+            t0 = time.monotonic()
+            recommend(lsh, index, "doc_id", qid, top_k=5).collect()
+            samples.append(time.monotonic() - t0)
+        samples.sort()
+        return samples
+
+    warm = _warm_loop()
+
+    # Warm-ANN escalation (r16, parent VERDICT r15 #2): this was the ONE
+    # bench line with no re-sample channel — r15 recorded +193% on
+    # untouched code (loadavg 14-18) with nothing to adjudicate it. Same
+    # rule as the fit escalation: when the warm median would flag against
+    # the previous round's (calibration-normalized), re-run the 3-query
+    # loop once, report the displaced twin as ref_resampled["warm_ann"],
+    # and fold the per-sample minima into the headline (regime noise dies
+    # by its own re-sample; a real regression survives both loops).
+    if _would_flag(warm[1], prev.get("warm_ann_sec") if prev else None):
+        warm2 = _warm_loop()
+        ref_resampled["warm_ann"] = round(warm2[1], 2)
+        warm = sorted(min(a, b) for a, b in zip(warm, warm2))
 
     print(
         json.dumps(
