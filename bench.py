@@ -246,6 +246,21 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
         "bench_method": out["bench_method"],
         "ref_scale_method": out["ref_scale_method"],
         "headline_scope": out["headline_scope"],
+        # The headline total must SURVIVE the tail window (r16, VERDICT
+        # r15 #3: the main blob's "value" header is exactly what the
+        # driver's last-2000-bytes capture clips first, so no recorded
+        # round ever carried a comparable total). bench_total_prev_sec
+        # is the same-composition sum recomputed from the previous
+        # round's queries — present only when the headline scope
+        # matches, so the pair IS the un-fenced comparable.
+        **(
+            {"bench_total_sec": out["value"]} if "value" in out else {}
+        ),
+        **(
+            {"bench_total_prev_sec": out["bench_total_prev_sec"]}
+            if "bench_total_prev_sec" in out
+            else {}
+        ),
         "calibration_sec": out["calibration_sec"],
         **(
             {"ref_scale_calibration_sec": out["ref_scale_calibration_sec"]}
@@ -1291,9 +1306,36 @@ def main() -> int:
     # so everything that must survive head-clipping — and every meta block
     # whose "qNN": number pairs could masquerade as timings — prints AFTER
     # the queries object, with query_spread/scope_tags/regressions LAST.
+    # Same-composition previous-round total: recomputed from the previous
+    # compact line's queries (r15 and earlier never recorded their total —
+    # the driver's tail window clips the main blob's header), summed over
+    # the same non-ref_scale entry set, ONLY when the headline scope
+    # matches. No scope-tag fencing here: the headline compares the same
+    # query SET end-to-end, which is exactly the un-fenced comparable
+    # VERDICT r15 #3 demands (per-query fences still apply to per-query
+    # comparisons above).
+    prev_total: float | None = None
+    if (
+        comparable
+        and prev_blob is not None
+        and prev_blob.get("headline_scope") == HEADLINE_SCOPE
+    ):
+        prev_q = prev_blob.get("queries") or {}
+        if prev_q and set(
+            k for k in prev_q if not k.startswith("ref_scale_")
+        ) == set(k for k in timings if not k.startswith("ref_scale_")):
+            prev_total = round(
+                sum(
+                    v
+                    for k, v in prev_q.items()
+                    if not k.startswith("ref_scale_")
+                ),
+                3,
+            )
     out = {
         "metric": "bench_total_sec",
         "value": total,
+        **({"bench_total_prev_sec": prev_total} if prev_total else {}),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,

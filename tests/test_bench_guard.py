@@ -428,6 +428,33 @@ def test_compact_line_survives_2000_byte_tail(tmp_path):
     assert blob["bench_loadavg_1m"] == [8.4, 15.9]
 
 
+def test_compact_line_carries_headline_total():
+    """r16 (VERDICT r15 #3): the headline total and its same-composition
+    previous-round twin must survive the driver's tail window — the main
+    blob's 'value' header is what head-clipping removes first."""
+    import json
+
+    import bench
+
+    out = {
+        "queries": {"q01_x": 1.0},
+        "sf": 0.1,
+        "bench_method": bench.BENCH_METHOD,
+        "ref_scale_method": bench.REF_SCALE_METHOD,
+        "headline_scope": bench.HEADLINE_SCOPE,
+        "value": 12.345,
+        "bench_total_prev_sec": 11.5,
+        "calibration_sec": 0.2,
+        "calibration_mem_sec": 0.6,
+        "bench_loadavg_1m": [1.0, 2.0],
+        "scope_tags": {},
+        "regressions": {},
+    }
+    slim = json.loads(bench.compact_line(out, {}))
+    assert slim["bench_total_sec"] == 12.345
+    assert slim["bench_total_prev_sec"] == 11.5
+
+
 def test_compact_line_fits_tail_window_with_margin():
     """The compact line only helps if it fits the driver's window WHOLE.
     Worst-case realistic shape (38+ timings, both calibrations, recall,
