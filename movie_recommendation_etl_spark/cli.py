@@ -1211,6 +1211,9 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 1
+    if args.survivors and not args.clusters:
+        print("--survivors requires --clusters", file=sys.stderr)
+        return 1
     spark = get_spark(app_name="mre-neardup")
     df = spark.read.parquet(args.in_path)
     missing = [c for c in (args.id_col, args.text_col) if c not in df.columns]
@@ -1273,6 +1276,21 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
             f"{n_clusters} clusters, {cstats.get('rounds')} propagation "
             "rounds)"
         )
+        if args.survivors:
+            # the deduped corpus itself: drop every cluster member except
+            # its min id (the trainprep --neardup survivor rule,
+            # operators/neardup.py:neardup_dedup), reusing the clusters
+            # just resolved instead of re-running pairs+CC
+            losers = cc.filter(F.col("node") != F.col("cluster_id")).select(
+                F.col("node").alias(args.id_col)
+            )
+            surv = df.join(losers, args.id_col, "left_anti")
+            write_parquet(surv, args.survivors)
+            n_dropped = n_docs - n_clusters
+            print(
+                f"survivors written: {args.survivors} "
+                f"({n_dropped} near-duplicate doc(s) dropped)"
+            )
     return 0
 
 
@@ -1324,6 +1342,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--clusters", default=None, metavar="OUT_PATH",
         help="also resolve transitive clusters (connected components) "
         "into this parquet path as (id, cluster_id)",
+    )
+    nd.add_argument(
+        "--survivors", default=None, metavar="OUT_PATH",
+        help="also write the DEDUPED corpus (every cluster member except "
+        "its min id dropped — the trainprep --neardup survivor rule) to "
+        "this parquet path; requires --clusters",
     )
     nd.add_argument(
         "--checkpoint-dir", default=None,

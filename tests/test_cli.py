@@ -1409,12 +1409,20 @@ def test_cli_neardup_pairs_and_clusters(capsys, spark, tmp_path):
 
     pairs_out = str(tmp_path / "nd_pairs")
     clusters_out = str(tmp_path / "nd_clusters")
+    survivors_out = str(tmp_path / "nd_survivors")
     assert main([
         "neardup", src, pairs_out, "--threshold", "0.7",
-        "--clusters", clusters_out,
+        "--clusters", clusters_out, "--survivors", survivors_out,
     ]) == 0
     out = capsys.readouterr().out
     assert "near-dup pairs written" in out and "clusters written" in out
+    assert "survivors written" in out
+
+    # r16: the deduped corpus — twins dropped (min id kept), singleton kept
+    surv_ids = {
+        r["doc_id"] for r in spark.read.parquet(survivors_out).collect()
+    }
+    assert surv_ids == set(range(6)) | {999}
 
     got_pairs = {
         (r["doc_a"], r["doc_b"])
@@ -1433,3 +1441,7 @@ def test_cli_neardup_pairs_and_clusters(capsys, spark, tmp_path):
     assert "--threshold" in capsys.readouterr().err
     assert main(["neardup", src, pairs_out, "--id-col", "nope"]) == 1
     assert "nope" in capsys.readouterr().err
+    assert main(
+        ["neardup", src, pairs_out, "--survivors", survivors_out]
+    ) == 1
+    assert "--survivors requires --clusters" in capsys.readouterr().err
