@@ -26,6 +26,19 @@ def test_broadcast_and_topk_q02(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_exact_dedup_paths_have_no_window(spark, sf_dir):
+    """r16 (VERDICT r15 #1): the exact-dedup survivor pick must stay a
+    map-side-combinable aggregate on the registry paths — a Window here
+    serializes a viral identical document into one sorting task (AQE
+    cannot split window partitions)."""
+    q42 = _plan(spark, sf_dir, "q42_exact_dedup_fingerprint")
+    assert "Window" not in q42
+    assert "partial_min" in q42  # min+count partial halves present
+    q18 = _plan(spark, sf_dir, "q18_first_order_per_customer")
+    assert "Window" not in q18
+    assert "partial_min_by" in q18
+
+
 def test_lookup_expr_suite_pushdown(spark, sf_dir):
     # merged q33+q34: BOTH scans must keep their pushed filters — the
     # 1-row cross join combine must not block pushdown on either side
