@@ -256,9 +256,11 @@ def semantic_dedup(
     if keep == "min_id":
         kept = groups.filter("is_kept").select(id_col)
     else:
-        from pyspark.sql import Window as W
-
         from movie_recommendation_etl_spark.functions.vectors import cosine
+        from movie_recommendation_etl_spark.operators.dedup import (
+            asc_nulls_last,
+            dedup_keep_first,
+        )
 
         cent = F.broadcast(_centroids_df(model, emb.sparkSession))
         scored = (
@@ -268,13 +270,14 @@ def semantic_dedup(
                 cosine(F.col(vec_col), F.col("centroid")).alias("__csim"),
             )
         )
-        w = W.partitionBy("group_id").orderBy(
-            F.col("__csim").asc_nulls_last(), F.col(id_col)
-        )
-        kept = (
-            groups.join(scored, id_col)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col)
-        )
+        # one survivor per duplicate group, farthest-from-centroid first:
+        # the r16 min_by aggregate form (operators/dedup.py) — a window
+        # here would funnel a mega-group (mass-duplicated embeddings chain
+        # across cells into ONE connected component) into a single sorting
+        # task; the agg pre-reduces it per input partition.
+        kept = dedup_keep_first(
+            groups.join(scored, id_col).select("group_id", id_col, "__csim"),
+            ["group_id"],
+            [asc_nulls_last("__csim"), F.col(id_col)],
+        ).select(id_col)
     return emb.join(kept, id_col, "left_semi")

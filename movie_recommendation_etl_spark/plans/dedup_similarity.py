@@ -27,6 +27,9 @@ from movie_recommendation_etl_spark.functions.vectors import (
 from movie_recommendation_etl_spark.operators.graph import (
     connected_components,
 )
+from movie_recommendation_etl_spark.operators.topk import (
+    grouped_top_k_two_stage,
+)
 from movie_recommendation_etl_spark.operators.neardup import (
     CW_P,
     HEX_HIGH,
@@ -512,7 +515,11 @@ def q63_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pooling is one explode + map-side-combined agg shuffling
     only (label, dim) partials; centroids (labels x dims) broadcast; the
-    distance pass is scan-stage-only; top-k is one window shuffle on label."""
+    distance pass is scan-stage-only. Top-k per label is the TWO-STAGE form
+    (r16): labels are LOW-cardinality, and a single window partition per
+    label cannot be split — one straggler reducer per label at 100 TB; the
+    salted stage fans the big shuffle over 64 cells per label and stage 2
+    ranks the bounded survivors (output-identical, operators/topk.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     expl = emb.select(
         "label", F.posexplode("embedding").alias("pos", "valf")
@@ -541,12 +548,14 @@ def q63_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist"
         ),
     )
-    wnd = W.partitionBy("label").orderBy(F.col("dist").desc(), F.col("vec_id"))
-    return (
-        d.withColumn("rnk", F.row_number().over(wnd))
-        .filter(F.col("rnk") <= 10)
-        .select("label", "vec_id", "rnk", "dist")
-    )
+    return grouped_top_k_two_stage(
+        d,
+        ["label"],
+        [F.col("dist").desc(), F.col("vec_id")],
+        10,
+        salt_cols=["vec_id"],
+        rank_col="rnk",
+    ).select("label", "vec_id", "rnk", "dist")
 
 
 @query(

@@ -551,31 +551,44 @@ def merge_upsert_parquet(
     tagged = _aligned(updates).withColumn(
         "__is_update", F.lit(1)
     ).unionByName(_aligned(existing).withColumn("__is_update", F.lit(0)))
-    order = (
-        [F.col(order_col).desc(), F.col("__is_update").desc()]
-        if order_col is not None
-        else [F.col("__is_update").desc()]
-    )
     # null-robust fingerprint: concat_ws SKIPS nulls, which would let two
     # rows differing only in which column is null collide (nondeterministic
     # survivor); coalesce to a sentinel no real cast-to-string produces
-    order.append(
-        F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in cols
-                ],
-            )
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in cols
+            ],
         )
     )
-    w = W.partitionBy(*keys).orderBy(*order)
-    merged = (
-        tagged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__is_update")
+    # Survivor pick is the r16 min_by aggregate (operators/dedup.py) — a
+    # per-key window would funnel a hot merge key (one id updated by the
+    # whole batch) into a single sorting task. Falls back to the window
+    # form only when order_col's type has no overflow-free descending
+    # inversion (e.g. a string version column — rare, and the window
+    # semantics there are unchanged from pre-r16).
+    from movie_recommendation_etl_spark.operators.dedup import (
+        dedup_keep_first,
+        desc as dedup_desc,
     )
+
+    specs = (
+        [dedup_desc(order_col)] if order_col is not None else []
+    ) + [dedup_desc("__is_update"), fp]
+    try:
+        merged = dedup_keep_first(tagged, keys, specs).drop("__is_update")
+    except ValueError:
+        order = (
+            [F.col(order_col).desc()] if order_col is not None else []
+        ) + [F.col("__is_update").desc(), fp]
+        w = W.partitionBy(*keys).orderBy(*order)
+        merged = (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__is_update")
+        )
     if partition_by and out_files_per_partition:
         # Bound output files per partition dir: the merge window shuffles by
         # key, so without this every shuffle task writes its own file into
