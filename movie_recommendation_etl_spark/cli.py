@@ -1179,6 +1179,119 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dedup(args: argparse.Namespace) -> int:
+    """Exact content dedup over a parquet document table: normalized md5
+    fingerprint (lowercase, non-alphanumerics collapsed) -> keep the
+    min-id row per fingerprint via the map-side-combinable min_by survivor
+    pick (operators/dedup.py — no per-key window, so a viral identical
+    document stays distributed). The standalone twin of the dedup stage
+    trainprep's curation runs; `neardup` covers the fuzzy complement."""
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.operators.dedup import (
+        dedup_keep_first,
+        fingerprint,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.writers import write_parquet
+
+    spark = get_spark(app_name="mre-dedup")
+    df = spark.read.parquet(args.in_path)
+    missing = [c for c in (args.id_col, args.text_col) if c not in df.columns]
+    if missing:
+        print(
+            f"columns {missing} not in {sorted(df.columns)}", file=sys.stderr
+        )
+        return 1
+    n_in = df.count()
+    surv = dedup_keep_first(
+        df.withColumn("__fp", fingerprint(F.col(args.text_col))),
+        ["__fp"],
+        [F.col(args.id_col)],
+    ).drop("__fp")
+    write_parquet(surv, args.out_path)
+    n_out = spark.read.parquet(args.out_path).count()
+    print(
+        f"deduped corpus written: {args.out_path} "
+        f"({n_out} of {n_in} docs kept, {n_in - n_out} exact dup(s) dropped)"
+    )
+    return 0
+
+
+def _cmd_decontam(args: argparse.Namespace) -> int:
+    """Benchmark decontamination as a standalone command: per-training-doc
+    n-gram overlap against a held-out eval table -> verdicts parquet
+    (doc, n_grams, n_overlap, overlap_ratio, is_contaminated), optional
+    --clean-out for the decontaminated corpus itself. --bloom-bits
+    switches to the Bloom tier (broadcast bitmap + exact confirm join —
+    identical verdicts by construction) for eval sets too big to
+    broadcast as an exact gram set. The same operators trainprep's
+    --eval-path stage composes (operators/decontaminate.py)."""
+    from movie_recommendation_etl_spark.operators.decontaminate import (
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.writers import write_parquet
+
+    if not (0.0 < args.threshold <= 1.0):
+        print(
+            f"--threshold {args.threshold}: must be in (0, 1]",
+            file=sys.stderr,
+        )
+        return 1
+    if args.ngram < 1:
+        print("--ngram must be >= 1", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="mre-decontam")
+    train = spark.read.parquet(args.train_path)
+    ev = spark.read.parquet(args.eval_path)
+    for side, frame in (("train", train), ("eval", ev)):
+        missing = [
+            c for c in (args.id_col, args.text_col) if c not in frame.columns
+        ]
+        if missing:
+            print(
+                f"{side} table: columns {missing} not in "
+                f"{sorted(frame.columns)}",
+                file=sys.stderr,
+            )
+            return 1
+    kwargs = dict(
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n=args.ngram,
+        ratio_threshold=args.threshold,
+    )
+    if args.bloom_bits:
+        verdicts = ngram_contamination_bloom(
+            train, ev, num_bits=args.bloom_bits, **kwargs
+        )
+    else:
+        verdicts = ngram_contamination(train, ev, **kwargs)
+    write_parquet(verdicts, args.out_path)
+    verdicts = spark.read.parquet(args.out_path)
+    n_total = verdicts.count()
+    n_bad = verdicts.filter("is_contaminated").count()
+    print(
+        f"contamination verdicts written: {args.out_path} "
+        f"({n_bad} of {n_total} training docs at >= {args.threshold} "
+        f"{args.ngram}-gram overlap)"
+    )
+    if args.clean_out:
+        clean = train.join(
+            verdicts.filter("NOT is_contaminated").select(args.id_col),
+            args.id_col,
+            "left_semi",
+        )
+        write_parquet(clean, args.clean_out)
+        print(
+            f"decontaminated corpus written: {args.clean_out} "
+            f"({n_total - n_bad} docs)"
+        )
+    return 0
+
+
 def _cmd_neardup(args: argparse.Namespace) -> int:
     """MinHash-LSH near-duplicate detection over a parquet document table:
     writes verified (doc_a, doc_b, jaccard) pairs, optionally resolves
@@ -1308,6 +1421,43 @@ def build_parser() -> argparse.ArgumentParser:
         "--columns", default=None, help="comma-separated subset (default all)"
     )
     pr.set_defaults(fn=_cmd_profile)
+
+    dd = sub.add_parser(
+        "dedup",
+        help="exact content dedup (normalized md5 fingerprint, min-id "
+        "survivor) over a parquet document table",
+    )
+    dd.add_argument("in_path")
+    dd.add_argument("out_path")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.set_defaults(fn=_cmd_dedup)
+
+    dc = sub.add_parser(
+        "decontam",
+        help="n-gram benchmark decontamination verdicts (+ optional "
+        "cleaned corpus) for a training table vs a held-out eval table",
+    )
+    dc.add_argument("train_path")
+    dc.add_argument("eval_path")
+    dc.add_argument("out_path")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--ngram", type=int, default=5)
+    dc.add_argument(
+        "--threshold", type=float, default=0.05,
+        help="overlap ratio in (0, 1] at/above which a doc is contaminated",
+    )
+    dc.add_argument(
+        "--bloom-bits", type=int, default=0,
+        help="use the Bloom tier with this many bitmap bits (multiple of "
+        "64; 0 = broadcast the exact gram set). Identical verdicts",
+    )
+    dc.add_argument(
+        "--clean-out", default=None, metavar="OUT_PATH",
+        help="also write the decontaminated training corpus here",
+    )
+    dc.set_defaults(fn=_cmd_decontam)
 
     nd = sub.add_parser(
         "neardup",
