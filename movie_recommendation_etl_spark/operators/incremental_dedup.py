@@ -219,17 +219,24 @@ def _sig_agreement(a, b):
 
 def _cap_bucket_rows(bands: DataFrame, *, key: str, cap: int) -> DataFrame:
     """The ``cap`` smallest-``key`` rows of every (band_idx, band_val)
-    bucket — the candidate side of a capped comparison join. One window
-    sort over the band rows; see the ``max_bucket_candidates`` contract
-    in _admit_batch for when this bound is worth that price."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_idx", "band_val").orderBy(key)
-    return (
-        bands.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= cap)
-        .drop("__r")
+    bucket — the candidate side of a capped comparison join. Two-stage
+    exact top-k (operators/topk.py), NOT a per-bucket window: the cap is
+    requested precisely because some bucket is viral, and a single window
+    partition would sort that whole bucket in one task — the straggler the
+    cap exists to avoid. See the ``max_bucket_candidates`` contract in
+    _admit_batch for when this bound is worth its shuffles."""
+    from movie_recommendation_etl_spark.operators.topk import (
+        grouped_top_k_two_stage,
     )
+
+    return grouped_top_k_two_stage(
+        bands,
+        ["band_idx", "band_val"],
+        [F.col(key)],
+        cap,
+        salt_cols=[key],
+        rank_col="__r",
+    ).drop("__r")
 
 
 def _intra_rejects(
