@@ -125,6 +125,8 @@ def batch_ann(
     x top_k) rows, and the under-fill check would otherwise re-run the
     similarity join once per escalation decision.
     """
+    # per-QUERY window — high-cardinality partitions, the single-window
+    # form's correct case (see operators/topk.py and ml/ivf.py's note)
     w = W.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )

@@ -425,6 +425,13 @@ def ivf_knn_from_index(
         F.col(id_col).alias("neighbor_id"),
         cosine(F.col("__q_emb"), F.col(array_col)).alias("cosine_sim"),
     )
+    # Per-QUERY window: query ids are high-cardinality, so partitions
+    # spread across reducers and each holds only that query's probed
+    # candidates (~n_probe x avg cell) — the single-window form is the
+    # right shape here (operators/topk.py's contract; the two-stage form
+    # is for LOW-cardinality groups). A pathologically hot CELL inflates
+    # the join fan-out itself before this window — bound that upstream
+    # with semantic/exact dedup of mass-duplicated embeddings.
     w = W.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )

@@ -396,6 +396,8 @@ def pq_knn_from_index(
         F.col("vnorm") * F.col("__q_norm") == 0.0,
         F.lit(None).cast("double"),
     ).otherwise(adc / (F.col("vnorm") * F.col("__q_norm")))
+    # per-QUERY window — high-cardinality partitions, the single-window
+    # form's correct case (see operators/topk.py and ml/ivf.py's note)
     cand_w = W.partitionBy(query_id_col).orderBy(
         F.col("__qsim").desc_nulls_last(), F.col("neighbor_id")
     )
