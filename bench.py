@@ -1145,9 +1145,11 @@ def main() -> int:
             ref_env["SPARK_GRAFT_REF_PREV"] = json.dumps(
                 {
                     "fit_sec": pq_prev.get("ref_scale_fit_sec"),
-                    # r16: the warm-ANN line gets its own in-replay
-                    # escalation (the one line outside the r15 net)
+                    # r16: the warm- and cold-ANN lines get their own
+                    # in-replay escalation (warm was the one line outside
+                    # the r15 net; cold is first ingested r16)
                     "warm_ann_sec": pq_prev.get("ref_scale_warm_ann_sec"),
+                    "cold_ann_sec": pq_prev.get("ref_scale_cold_ann_sec"),
                     "stages": {
                         k[len("ref_scale_stage_"):]: v
                         for k, v in pq_prev.items()
@@ -1186,6 +1188,13 @@ def main() -> int:
                     timings["ref_scale_warm_ann_sec"] = float(
                         ref["ann_warm_median_sec"]
                     )
+                    # the third BASELINE.md headline (reference: 135 s) —
+                    # first ingested r16; the fresh name fences itself
+                    # from cross-round comparison for one round
+                    if "ann_cold_sec" in ref:
+                        timings["ref_scale_cold_ann_sec"] = float(
+                            ref["ann_cold_sec"]
+                        )
                     # the replay's own host-speed sample (taken inside the
                     # subprocess, minutes after the parent's) — the number
                     # ref_scale_* comparisons normalize by
