@@ -405,6 +405,7 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
             curated,
             threshold=args.neardup_threshold,
             collapse_identical=args.neardup_collapse_identical,
+            checkpoint_dir=args.checkpoint_dir,
             stats=nstats,
         )
         print(
@@ -1713,6 +1714,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="band only one representative per identical-shingle-set "
         "group (worth it for rampantly duplicated un-deduped corpora; "
         "see neardup_dedup)",
+    )
+    tp.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="reliable checkpoint dir (HDFS/S3) for the --neardup "
+        "stage's lineage-truncation points (default: executor-local "
+        "localCheckpoint — fine for batch jobs, lost with an executor)",
     )
     tp.add_argument(
         "--substring-dedup",
