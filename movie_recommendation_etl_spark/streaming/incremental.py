@@ -60,3 +60,70 @@ def stream_merge_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_admit_documents(
+    docs_stream: DataFrame,
+    store_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    sim_threshold: float = 0.7,
+    max_bucket_candidates: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming FUZZY-dedup ingestion (r16): drain a document stream
+    through the persisted MinHash admission store — each micro-batch runs
+    the exact batch admission (operators/incremental_dedup.
+    admit_new_documents: within-batch greedy-by-id rejection + store
+    probe + signature merge) and lands its admitted rows in the files
+    sink. Completes the streaming x incremental matrix: the stateless
+    fingerprint gate (streaming/dedup.py) catches only reformatted
+    exact reposts within the watermark; this tier rejects NEAR-duplicates
+    against everything ever admitted, with O(batch) work per batch and no
+    driver-held state (the store is a partitioned parquet table).
+
+    Effectively exactly-once under foreachBatch's at-least-once replay,
+    by composition of two idempotent pieces: admit_new_documents
+    documents same-id replays as the supported exception (the store
+    merge is an upsert by id; the greedy-by-id verdicts are
+    deterministic, and a doc admitted by the crashed attempt is NOT
+    self-rejected on replay — the store probe excludes same-id rows), and
+    the sink OVERWRITES its own ``ingest_batch=<id>`` partition directory
+    so a replayed batch converges instead of duplicating files. Read the
+    sink root; ``ingest_batch`` surfaces as an ordinary partition column.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    ``available_now`` drains what exists and stops — the test/backfill
+    trigger; a production job passes False and runs continuously.
+    """
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_documents,
+    )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        admitted = admit_new_documents(
+            batch_df.sparkSession,
+            batch_df,
+            store_path,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            sim_threshold=sim_threshold,
+            max_bucket_candidates=max_bucket_candidates,
+        )
+        admitted.write.mode("overwrite").parquet(
+            f"{sink_path}/ingest_batch={batch_id}"
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -639,3 +639,73 @@ def test_bloom_gated_stream_matches_batch_over_gram_cap(spark, tmp_path):
     kept_batch = {r["doc_id"] for r in verdicts if not r["is_contaminated"]}
     assert kept_streaming == kept_batch
     assert kept_streaming == {2, 4, 5}
+
+
+def test_stream_admit_documents_rejects_across_batches(spark, tmp_path):
+    """r16 streaming fuzzy-admission tier: a document near-dupping one
+    admitted in an EARLIER micro-batch is rejected through the persisted
+    store (the cross-batch property the stateless fingerprint gate cannot
+    provide); within-batch dups reject greedy-by-id; the admitted set
+    equals the one-shot batch admission on the same corpus."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_documents,
+    )
+    from movie_recommendation_etl_spark.streaming.incremental import (
+        stream_admit_documents,
+    )
+
+    def tmpl(tag, uniq):
+        return " ".join(f"{tag}w{j}" for j in range(14)) + f" u{uniq}"
+
+    wave1 = [(1, tmpl("a", 1)), (2, " ".join(f"solo2x{j}" for j in range(14)))]
+    wave2 = [
+        (11, tmpl("a", 11)),  # near-dup of doc 1 -> rejected via the STORE
+        (12, " ".join(f"solo12x{j}" for j in range(14))),  # fresh -> admitted
+        (13, tmpl("solo12x", 13).replace("solo12xw", "solo12x")),  # ~12, same batch
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "adm_stream_src")
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)  # distinct mtimes: wave1's file drains first
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    store = str(tmp_path / "adm_store")
+    sink = str(tmp_path / "adm_sink")
+    ckpt = str(tmp_path / "adm_ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_admit_documents(
+        stream, store, sink, ckpt, sim_threshold=0.6
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    admitted_stream = {r["doc_id"] for r in out.collect()}
+    assert out.select("ingest_batch").distinct().count() >= 2
+    assert admitted_stream == {1, 2, 12}
+
+    # one-shot batch admission over the same corpus -> identical set
+    store2 = str(tmp_path / "adm_store_oneshot")
+    both = spark.createDataFrame(wave1 + wave2, schema)
+    admitted_batch = {
+        r["doc_id"]
+        for r in admit_new_documents(
+            spark, both, store2, sim_threshold=0.6
+        ).collect()
+    }
+    assert admitted_stream == admitted_batch
