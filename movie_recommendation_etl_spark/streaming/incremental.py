@@ -127,3 +127,52 @@ def stream_admit_documents(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_admit_embeddings(
+    vecs_stream: DataFrame,
+    store_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.92,
+    max_bucket_candidates: int | None = None,
+    available_now: bool = True,
+):
+    """Vector twin of :func:`stream_admit_documents`: drain an embedding
+    stream through the persisted SRP admission store
+    (operators/incremental_dedup.admit_new_embeddings per micro-batch —
+    quantized-cosine rejection against everything ever admitted plus
+    smaller-id batch neighbors), admitted rows landing in idempotent
+    ``ingest_batch=<id>`` sink directories. Same exactly-once
+    composition and lifecycle contract as the document tier."""
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_embeddings,
+    )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        admitted = admit_new_embeddings(
+            batch_df.sparkSession,
+            batch_df,
+            store_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            cos_threshold=cos_threshold,
+            max_bucket_candidates=max_bucket_candidates,
+        )
+        admitted.write.mode("overwrite").parquet(
+            f"{sink_path}/ingest_batch={batch_id}"
+        )
+
+    writer = vecs_stream.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

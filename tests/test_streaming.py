@@ -709,3 +709,57 @@ def test_stream_admit_documents_rejects_across_batches(spark, tmp_path):
         ).collect()
     }
     assert admitted_stream == admitted_batch
+
+
+def test_stream_admit_embeddings_rejects_across_batches(spark, tmp_path):
+    """Vector twin of the r16 streaming fuzzy-admission tier: a vector
+    near-duplicating one admitted in an earlier micro-batch is rejected
+    through the persisted SRP store; fresh vectors pass."""
+    import math
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from movie_recommendation_etl_spark.streaming.incremental import (
+        stream_admit_embeddings,
+    )
+
+    def unit(vals):
+        n = math.sqrt(sum(v * v for v in vals))
+        return [float(v / n) for v in vals]
+
+    base = unit([1, 2, 3, 4, 5, 6, 7, 8])
+    near = unit([1.02, 2.01, 3.0, 4.03, 5.0, 6.02, 7.0, 8.01])
+    ortho = unit([8, -7, 6, -5, 4, -3, 2, -1])
+    fresh = unit([0, 1, 0, -1, 0, 1, 0, -1])
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.DoubleType())
+            ),
+        ]
+    )
+    src = str(tmp_path / "emb_stream_src")
+    spark.createDataFrame([(1, base), (2, ortho)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame([(10, near), (11, fresh)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "emb_adm_store")
+    sink = str(tmp_path / "emb_adm_sink")
+    ckpt = str(tmp_path / "emb_adm_ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_admit_embeddings(stream, store, sink, ckpt, dim=8)
+    q.awaitTermination()
+    admitted = {
+        r["vec_id"] for r in spark.read.parquet(sink).collect()
+    }
+    assert admitted == {1, 2, 11}
