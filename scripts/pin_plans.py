@@ -38,6 +38,7 @@ PINNED = (
     "q42_exact_dedup_fingerprint",
     "q46_range_band_join",
     "q58_sampling_suite",
+    "q63_embedding_outliers",
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
