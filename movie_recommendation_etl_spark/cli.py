@@ -1180,6 +1180,79 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_admit(args: argparse.Namespace) -> int:
+    """Incremental fuzzy-dedup admission from the command line: admit the
+    batch at in_path against the persisted signature store (docs: MinHash
+    bands; embeddings: SRP bands + int8 signatures), write the admitted
+    rows to out_path, and merge their signatures into the store — the
+    one-command form of the q74/q75 ingestion contract
+    (operators/incremental_dedup.py; replays of the same ids converge
+    idempotently). For continuous ingestion use the streaming tiers
+    (streaming/incremental.py)."""
+    from movie_recommendation_etl_spark.operators.incremental_dedup import (
+        admit_new_documents,
+        admit_new_embeddings,
+    )
+    from movie_recommendation_etl_spark.session import get_spark
+    from movie_recommendation_etl_spark.sources.writers import write_parquet
+
+    if args.kind == "embeddings" and args.dim is None:
+        print("--kind embeddings requires --dim", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="mre-admit")
+    batch = spark.read.parquet(args.in_path)
+    if args.id_col is None:
+        args.id_col = "doc_id" if args.kind == "docs" else "vec_id"
+    need = (
+        (args.id_col, args.text_col)
+        if args.kind == "docs"
+        else (args.id_col, args.vec_col)
+    )
+    missing = [c for c in need if c not in batch.columns]
+    if missing:
+        print(
+            f"columns {missing} not in {sorted(batch.columns)}",
+            file=sys.stderr,
+        )
+        return 1
+    n_in = batch.count()
+    if args.kind == "docs":
+        admitted = admit_new_documents(
+            spark,
+            batch,
+            args.store_path,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            sim_threshold=(
+                0.7 if args.threshold is None else args.threshold
+            ),
+            checkpoint_dir=args.checkpoint_dir,
+            max_bucket_candidates=args.max_bucket_candidates,
+        )
+    else:
+        admitted = admit_new_embeddings(
+            spark,
+            batch,
+            args.store_path,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            dim=args.dim,
+            cos_threshold=(
+                0.92 if args.threshold is None else args.threshold
+            ),
+            checkpoint_dir=args.checkpoint_dir,
+            max_bucket_candidates=args.max_bucket_candidates,
+        )
+    write_parquet(admitted, args.out_path)
+    n_out = spark.read.parquet(args.out_path).count()
+    print(
+        f"admitted {n_out} of {n_in} rows -> {args.out_path} "
+        f"({n_in - n_out} near-duplicate(s) rejected against "
+        f"{args.store_path})"
+    )
+    return 0
+
+
 def _cmd_dedup(args: argparse.Namespace) -> int:
     """Exact content dedup over a parquet document table: normalized md5
     fingerprint (lowercase, non-alphanumerics collapsed) -> keep the
@@ -1422,6 +1495,37 @@ def build_parser() -> argparse.ArgumentParser:
         "--columns", default=None, help="comma-separated subset (default all)"
     )
     pr.set_defaults(fn=_cmd_profile)
+
+    ad = sub.add_parser(
+        "admit",
+        help="admit a parquet batch against a persisted fuzzy-dedup "
+        "signature store (docs: MinHash; embeddings: SRP) — write the "
+        "admitted rows, merge their signatures",
+    )
+    ad.add_argument("in_path")
+    ad.add_argument("store_path")
+    ad.add_argument("out_path")
+    ad.add_argument(
+        "--kind", choices=("docs", "embeddings"), default="docs"
+    )
+    ad.add_argument("--id-col", default=None)
+    ad.add_argument("--text-col", default="text")
+    ad.add_argument("--vec-col", default="embedding")
+    ad.add_argument(
+        "--dim", type=int, default=None,
+        help="embedding dimension (required for --kind embeddings)",
+    )
+    ad.add_argument(
+        "--threshold", type=float, default=None,
+        help="similarity threshold (default: 0.7 jaccard-estimate for "
+        "docs, 0.92 quantized cosine for embeddings)",
+    )
+    ad.add_argument("--max-bucket-candidates", type=int, default=None)
+    ad.add_argument(
+        "--checkpoint-dir", default=None,
+        help="reliable checkpoint dir (HDFS/S3) for long jobs",
+    )
+    ad.set_defaults(fn=_cmd_admit)
 
     dd = sub.add_parser(
         "dedup",

@@ -68,3 +68,35 @@ def test_cli_decontam_verdicts_and_clean(capsys, spark, tmp_path):
     assert "--threshold" in capsys.readouterr().err
     assert main(["decontam", src, ev, out, "--text-col", "nope"]) == 1
     assert "nope" in capsys.readouterr().err
+
+
+def test_cli_admit_docs_two_batches(capsys, spark, tmp_path):
+    """r16 admit command: batch 2's near-dup of an admitted batch-1 doc is
+    rejected through the store; fresh docs pass; embeddings kind validates
+    --dim."""
+
+    def t(tag, uniq):
+        return " ".join(f"{tag}w{j}" for j in range(14)) + f" u{uniq}"
+
+    b1 = str(tmp_path / "ad_b1")
+    spark.createDataFrame(
+        [(1, t("a", 1)), (2, " ".join(f"s2x{j}" for j in range(14)))],
+        "doc_id long, text string",
+    ).write.parquet(b1)
+    b2 = str(tmp_path / "ad_b2")
+    spark.createDataFrame(
+        [(11, t("a", 11)), (12, " ".join(f"s12x{j}" for j in range(14)))],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+
+    store = str(tmp_path / "ad_store")
+    o1, o2 = str(tmp_path / "ad_o1"), str(tmp_path / "ad_o2")
+    assert main(["admit", b1, store, o1, "--threshold", "0.6"]) == 0
+    assert "admitted 2 of 2" in capsys.readouterr().out
+    assert main(["admit", b2, store, o2, "--threshold", "0.6"]) == 0
+    assert "admitted 1 of 2" in capsys.readouterr().out
+    kept = {r["doc_id"] for r in spark.read.parquet(o2).collect()}
+    assert kept == {12}
+
+    assert main(["admit", b1, store, o1, "--kind", "embeddings"]) == 1
+    assert "--dim" in capsys.readouterr().err
