@@ -65,8 +65,10 @@ def _order_key(c: Column, dt: T.DataType, spec: SortSpec) -> Column:
     order-reversing, overflow-free transform: ``~x`` (bitwise not) for
     integral/date/timestamp/boolean (``~x = -x-1`` — monotone decreasing and
     safe at Long.MIN_VALUE, where ANSI negation would throw), ``-x`` for
-    float/double (caveat: NaN stays largest — matches Spark's window NaN
-    placement only for ascending order). Strings and other types have no such
+    float/double (NaN is handled by a separate flag field — see the caller —
+    because ``-NaN`` stays NaN, which Spark orders LARGEST; without the flag a
+    descending spec would rank NaN last, while the window form and the
+    merge_upsert fallback rank it first). Strings and other types have no such
     transform — callers needing DESC on those should pre-compute an invertible
     surrogate column.
     """
@@ -89,20 +91,44 @@ def _order_key(c: Column, dt: T.DataType, spec: SortSpec) -> Column:
     )
 
 
+def _is_sort_order(col: Column) -> bool:
+    """True when ``col`` wraps a Catalyst/Connect SortOrder expression (the
+    result of ``.asc()``/``.desc()``), which cannot be embedded in an
+    aggregate. Checks the underlying expression class where available (r17,
+    ADVICE fix — the ``" NULLS "`` repr substring is not a stable API and
+    differs under Spark Connect); the repr check stays as a last resort."""
+    try:  # classic: JVM Column -> Catalyst expression class
+        if col._jc.expr().getClass().getSimpleName() == "SortOrder":
+            return True
+    except Exception:
+        pass
+    try:  # Spark Connect: python-side expression tree
+        if type(col._expr).__name__ == "SortOrder":
+            return True
+    except Exception:
+        pass
+    return " NULLS " in str(col)
+
+
+_SORT_ORDER_HINT = (
+    "pass operators.dedup.asc()/desc()/asc_nulls_last() specs (or a plain "
+    "Column for ascending, nulls first) instead of .asc()/.desc() Columns."
+)
+
+
 def _normalize(order_by: Sequence[Union[SortSpec, Column, str]]) -> list[SortSpec]:
     specs: list[SortSpec] = []
     for item in order_by:
         if isinstance(item, SortSpec):
             specs.append(item)
         elif isinstance(item, (Column, str)):
-            if isinstance(item, Column) and " NULLS " in str(item):
+            if isinstance(item, Column) and _is_sort_order(item):
                 # A SortOrder Column from .asc()/.desc() — the pre-r16 window
                 # API. It cannot be embedded in an aggregate expression; point
                 # the caller at the spec helpers instead of mis-ordering.
                 raise TypeError(
-                    f"dedup_keep_first: got sort-order Column {item}; pass "
-                    "operators.dedup.asc()/desc()/asc_nulls_last() specs (or "
-                    "a plain Column for ascending, nulls first)."
+                    f"dedup_keep_first: got sort-order Column {item}; "
+                    + _SORT_ORDER_HINT
                 )
             specs.append(SortSpec(item))
         else:
@@ -141,7 +167,18 @@ def dedup_keep_first(
     fields: list[Column] = []
     for i, spec in enumerate(specs):
         c = spec.col if isinstance(spec.col, Column) else F.col(spec.col)
-        dt = df.select(c.alias("__t")).schema[0].dataType
+        try:
+            dt = df.select(c.alias("__t")).schema[0].dataType
+        except Exception as e:
+            # Second line of defense for a SortOrder that slipped past
+            # _is_sort_order (the class check is best-effort across
+            # classic/Connect): the dtype probe is the first place such a
+            # column fails analysis, so convert the opaque error into the
+            # same actionable TypeError _normalize raises.
+            raise TypeError(
+                f"dedup_keep_first: order term {c} failed analysis — if it "
+                "came from .asc()/.desc(), " + _SORT_ORDER_HINT
+            ) from e
         nulls_last = (
             spec.descending if spec.nulls_last is None else spec.nulls_last
         )
@@ -152,6 +189,18 @@ def dedup_keep_first(
         # untouched by it).
         flag = c.isNull() if nulls_last else c.isNotNull()
         fields.append(flag.alias(f"__o{i}n"))
+        if spec.descending and isinstance(dt, (T.FloatType, T.DoubleType)):
+            # NaN flag (r17, ADVICE fix): Spark orders NaN largest, and
+            # ``-NaN`` is still NaN, so the negated key alone would rank NaN
+            # LAST under a descending spec — the window form (and the
+            # merge_upsert_parquet fallback) rank it FIRST. false sorts
+            # before true, so NaN rows (flag false) win min_by ahead of
+            # every non-NaN row, matching the window's DESC placement.
+            # Coalesce pins null rows to true — they're already ordered by
+            # the null flag above; this just keeps the field non-null.
+            fields.append(
+                F.coalesce(~F.isnan(c), F.lit(True)).alias(f"__o{i}f")
+            )
         fields.append(_order_key(c, dt, spec).alias(f"__o{i}k"))
 
     surv = df.groupBy(*[F.col(k) for k in keys]).agg(

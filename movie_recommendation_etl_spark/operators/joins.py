@@ -72,19 +72,30 @@ def _auto_bucket_width(
         .agg(
             F.count(F.lit(1)).alias("__n"),
             (F.max("__t") - F.min("__t")).alias("__span"),
+            F.max(F.abs(F.col("__t"))).alias("__abs"),
         )
         .filter((F.col("__n") > 1) & (F.col("__span") > 0))
         .agg(
             F.percentile_approx(
                 F.col("__span") / (F.col("__n") - 1), F.lit(0.1)
-            ).alias("gap")
+            ).alias("gap"),
+            F.max("__abs").alias("abs_max"),
         )
         .first()
     )
     gap = row["gap"] if row is not None else None
     if gap is None or gap <= 0:
         return None
-    return float(gap) * target_bucket_rows
+    # Clamp to a floor (r17, ADVICE fix): dense same-instant keys can drive
+    # the 10th-percentile gap to ~1e-15, and floor(ts/width) with such a
+    # width exceeds long range — Spark clamps the double->long cast, and
+    # the negative clamp lands exactly on the NULL-ts sentinel bucket.
+    # abs_max/2^40 keeps every |floor(ts/width)| <= 2^40, far inside long
+    # range, while 2^40 buckets is parallelism beyond any cluster's needs.
+    # (Any positive width is output-identical — see docstring.)
+    width = float(gap) * target_bucket_rows
+    abs_max = float(row["abs_max"] or 0.0)
+    return max(width, abs_max / float(1 << 40)) or width
 
 
 def asof_join(
@@ -215,15 +226,24 @@ def asof_join(
         # cast-to-double is monotone for timestamps (epoch seconds) and
         # numerics alike, so bucket order == time order. NULL timestamps
         # (which the single-window plan orders FIRST, nulls-first asc) get a
-        # sentinel bucket below every real one — Long.MIN_VALUE, unreachable
-        # by floor() for any non-pathological ts/width — so the bucketed
-        # plan keeps them and stitches them identically (r16, ADVICE fix:
-        # they previously fell out of the null-unsafe bucket joins).
+        # sentinel bucket below every real one — Long.MIN_VALUE — so the
+        # bucketed plan keeps them and stitches them identically (r16,
+        # ADVICE fix: they previously fell out of the null-unsafe bucket
+        # joins). greatest() guards the sentinel BY CONSTRUCTION (r17,
+        # ADVICE fix): with an extreme ts/width ratio floor()'s double->long
+        # cast clamps, and the negative clamp IS Long.MIN_VALUE; clamping
+        # real buckets to sentinel+1 is monotone non-decreasing in ts, which
+        # is all bucketing needs (any monotone bucket map is
+        # output-identical — the within-bucket window still sorts by ts).
         u = u.withColumn(
             "__bkt",
             F.coalesce(
-                F.floor(
-                    F.col("__t").cast("double") / F.lit(float(bucket_width))
+                F.greatest(
+                    F.floor(
+                        F.col("__t").cast("double")
+                        / F.lit(float(bucket_width))
+                    ),
+                    F.lit(_NULL_TS_BUCKET + 1),
                 ),
                 F.lit(_NULL_TS_BUCKET),
             ),

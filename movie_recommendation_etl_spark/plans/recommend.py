@@ -534,6 +534,10 @@ def q70_recommend_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = ann.join(
         exact.select(F.col("neighbor_id").alias("doc_id")), "doc_id"
     ).agg(F.count(F.lit(1)).alias("hits"))
+    # Global (unpartitioned) window is safe here: `ann` is the flagship
+    # top-k result — at most k+1 rows by construction — so the single
+    # window task sorts a handful of rows, same rationale as the ≤k-row
+    # frames in ml/ivf.py and operators/topk.py (r16 notes, commit 92323b4).
     flagged = ann.select(
         "doc_id",
         (F.col("dist") < F.lag("dist").over(W.orderBy("rank")))

@@ -568,7 +568,9 @@ def merge_upsert_parquet(
     # whole batch) into a single sorting task. Falls back to the window
     # form only when order_col's type has no overflow-free descending
     # inversion (e.g. a string version column — rare, and the window
-    # semantics there are unchanged from pre-r16).
+    # semantics there are unchanged from pre-r16). NaN in a float/double
+    # order_col ranks FIRST under desc on both paths (the agg form carries
+    # an explicit NaN flag, r17 ADVICE fix), so agg and fallback agree.
     from movie_recommendation_etl_spark.operators.dedup import (
         dedup_keep_first,
         desc as dedup_desc,

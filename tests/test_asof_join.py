@@ -87,3 +87,52 @@ def test_asof_map_payload_requires_compact_tiebreak(spark):
     assert len(out) == 1
     # highest rid at the equal instant wins under last-row-carried-forward
     assert out[0]["rid"] == 2 and out[0]["props"] == {"b": "y"}
+
+
+def test_bucketed_extreme_ts_never_collides_with_null_sentinel(spark):
+    """r17 ADVICE fix: floor(ts/width) with an extreme ts/width ratio
+    overflows long and Spark clamps the cast — the NEGATIVE clamp is
+    Long.MIN_VALUE, which is the NULL-ts sentinel bucket. The greatest()
+    guard must keep real (huge-negative) timestamps in a real bucket so
+    they still match, while genuine NULL-ts left rows stay unmatched."""
+    left = spark.createDataFrame(
+        [(1, -9.0e18, "deep-past"), (1, None, "null-ts"), (1, 100.0, "now")],
+        "k: long, ts: double, lval: string",
+    )
+    right = spark.createDataFrame(
+        [(1, -9.1e18, "ancient", 1.0), (1, 50.0, "recent", 2.0)],
+        "k: long, rts: double, tag: string, amount: double",
+    )
+    kwargs = dict(on="k", left_ts="ts", right_ts="rts")
+    single = {
+        r["lval"]: (r["tag"], r["amount"])
+        for r in asof_join(left, right, **kwargs).collect()
+    }
+    # width 0.5 puts |floor(-9e18 / 0.5)| = 1.8e19 > Long.MAX: the unguarded
+    # floor would clamp the bucket onto the sentinel
+    bucketed = {
+        r["lval"]: (r["tag"], r["amount"])
+        for r in asof_join(left, right, bucket_width=0.5, **kwargs).collect()
+    }
+    assert single == bucketed
+    assert bucketed["deep-past"] == ("ancient", 1.0)
+    assert bucketed["null-ts"] == (None, None)
+    assert bucketed["now"] == ("recent", 2.0)
+
+
+def test_auto_width_clamped_on_dense_same_instant_keys(spark):
+    """r17 ADVICE fix: span/(n-1) on dense near-same-instant keys can derive
+    a pathologically tiny auto width; the floor clamp keeps
+    |floor(ts/width)| <= 2^40 so bucket ids stay far inside long range."""
+    from movie_recommendation_etl_spark.operators.joins import (
+        _auto_bucket_width,
+    )
+
+    # ts magnitude ~1e15 with spans of ~0.25: raw gap*target could still be
+    # small relative to ts; the clamp guarantees width >= abs_max/2^40.
+    rows = [(k, 1.0e15 + k + i * 0.125) for k in range(3) for i in range(3)]
+    df = spark.createDataFrame(rows, "k: long, ts: double")
+    width = _auto_bucket_width(df, df, ["k"], "ts", "ts", target_bucket_rows=2)
+    assert width is not None
+    assert width >= 1.0e15 / float(1 << 40)
+    assert abs(1.0e15 / width) < float(1 << 41)

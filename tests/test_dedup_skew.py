@@ -99,6 +99,38 @@ def test_desc_nulls_ordering(spark):
     assert tags == {1: "c", 2: "only"}
 
 
+def test_desc_double_nan_ranks_first_like_window(spark):
+    # r17 ADVICE fix: Spark orders NaN largest, so a DESC window ranks NaN
+    # FIRST; -NaN is still NaN (largest), so without the NaN flag field the
+    # agg form would rank it LAST. Both paths must pick the NaN row, and
+    # nulls must still land last (desc default).
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "five"),
+            (1, nan, "nan"),
+            (1, 9.0, "nine"),
+            (2, None, "null-only"),
+            (3, nan, "nan-a"),
+            (3, nan, "nan-b"),
+            (4, None, "null"),
+            (4, 1.0, "one"),
+        ],
+        "k int, v double, tag string",
+    )
+    got = dedup_keep_first(df, ["k"], [desc("v"), "tag"])
+    ref = _window_reference(
+        df, ["k"], [F.col("v").desc(), F.col("tag").asc()]
+    )
+
+    def _norm(rows):  # NaN != NaN in python tuples; compare via repr
+        return {tuple(repr(v) for v in r) for r in rows.collect()}
+
+    assert _norm(got) == _norm(ref)
+    tags = {r["k"]: r["tag"] for r in got.collect()}
+    assert tags == {1: "nan", 2: "null-only", 3: "nan-a", 4: "one"}
+
+
 def test_keys_only_frame(spark):
     df = spark.createDataFrame([(1,), (1,), (2,)], "k int")
     out = dedup_keep_first(df, ["k"], ["k"])
