@@ -76,30 +76,16 @@ SCOPE_TAGS: dict[str, str] = {
     # (q48 gained a streaming arm in r13, but its bench lines were
     # simultaneously split into q48_batch / q48_stream — fresh names
     # fence themselves, so no tag is needed)
-    # r14: the weighted arm's naive per-lang row_number window became an
-    # exact TWO-STAGE top-k (salted stage-1 + bounded stage-2 — kills the
-    # one-reducer-per-stratum straggler at 100 TB). Output-identical, but
-    # the extra salted exchange costs ~+0.3 s at sf0.1 (0.72 -> ~1.05
-    # across three r14 runs) — a deliberate scale-for-small-SF trade, so
-    # the comparison fences for one round.
-    "q58_sampling_suite": "r14-two-stage-topk",
-    # r15: the near-dup family grew the VERDICT-prescribed bucket guard —
-    # one single-row detection job per banded candidate join (q50 once,
-    # q54 via the same pipeline, q53 on the SRP path where the band frame
-    # also moved from persist to localCheckpoint so the ~96x64-literal
-    # expression is analyzed once instead of once per consumer plan).
-    # Output-identical on these corpora (the guard never fires); the
-    # detection job is the deliberate scale-for-small-SF trade, so the
-    # comparison fences for one round.
-    "q50_minhash_lsh_neardup": "r15-bucket-guard",
-    "q53_embedding_neardup_pairs": "r15-bucket-guard",
-    "q54_neardup_clusters": "r15-bucket-guard",
-    # Tag RETIREMENT (r15): tags whose fence round is long past (r9-r12)
-    # are removed — each retirement fences its query for ONE round (the
-    # removal itself reads as a tag change), the documented cost of
-    # keeping the tail-survivable compact line under the driver's
-    # ~2000-byte window as new tags arrive. q58's r14 tag stays one more
-    # round so its comparison resumes via the match rule, then retires.
+    # Tag RETIREMENT (r17, VERDICT r16 #4): q58's r14-two-stage-topk and
+    # the three r15-bucket-guard tags had matched for two consecutive
+    # rounds (their comparisons already resumed via the match rule), so
+    # they retire to reclaim compact-line bytes ahead of the drift
+    # block. Each retirement fences its query's SINGLE-round comparison
+    # for one round (the removal reads as a tag change) — but it also
+    # RE-OPENS the multi-round drift channel's comparison against the
+    # pre-tag rounds (r14 for the near-dup family), which recorded no
+    # tag either: exactly the q53-vs-r14 comparison VERDICT r16 #1
+    # demands.
 }
 
 
@@ -307,6 +293,17 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
         "regressions": {
             k: v.get("pct") for k, v in out["regressions"].items()
         },
+        # cumulative-drift flags (r17) — name -> pct, detail in the blob;
+        # steady state is {} so the steady-state line grows ~12 bytes
+        **(
+            {
+                "drift": {
+                    k: v.get("pct") for k, v in out["drift"].items()
+                }
+            }
+            if out.get("drift")
+            else {}
+        ),
     }
     line = json.dumps(slim, separators=(",", ":"))
     # Size guard: a flag-storm round (r5 shape: ~20 phantom regressions)
@@ -327,10 +324,17 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
                 for k, v in out["end_resampled"].items()
                 if k in set(keep)
             }
+        if "drift" in slim:
+            slim["drift"] = {
+                k: v
+                for k, v in slim["drift"].items()
+                if k in set(sorted(slim["drift"])[:10])
+            }
         line = json.dumps(slim, separators=(",", ":"))
     if len(line.encode()) > COMPACT_LINE_BUDGET:
         slim.pop("regressions")
         slim.pop("end_resampled", None)
+        slim.pop("drift", None)
         line = json.dumps(slim, separators=(",", ":"))
     return line
 
@@ -432,20 +436,49 @@ def host_mem_calibration(spark) -> float:
     return round(min(samples[1:]), 3)
 
 
+def _bench_round_files(repo_dir: str) -> list[tuple[int, str]]:
+    """(round number, path) for every recorded BENCH_r*.json, newest
+    first."""
+    import glob
+    import re
+
+    out = []
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)", p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out, reverse=True)
+
+
 def previous_round_bench(repo_dir: str) -> dict | None:
     """The newest BENCH_r*.json the driver recorded, as a dict holding at
     least "queries" (and "calibration_sec" for rounds that measured it).
     The driver wraps our JSON line in its own envelope (under "tail"), so
     accept either shape."""
-    import glob
+    files = _bench_round_files(repo_dir)
+    if not files:
+        return None
+    return _parse_bench_file(files[0][1])
+
+
+def previous_round_benches(repo_dir: str, limit: int = 3) -> list[dict]:
+    """The newest ``limit`` recorded rounds, newest first, each parsed
+    like :func:`previous_round_bench` plus a ``"round"`` key — the
+    multi-round drift channel's history (r17, VERDICT r16 #1b). Reads
+    straight from the committed BENCH_r*.json files, so no compact-line
+    bytes are spent carrying history forward."""
+    out: list[dict] = []
+    for rnd, path in _bench_round_files(repo_dir)[:limit]:
+        blob = _parse_bench_file(path)
+        if blob is not None:
+            blob.setdefault("round", rnd)
+            out.append(blob)
+    return out
+
+
+def _parse_bench_file(latest: str) -> dict | None:
     import re
 
-    cands = glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
-    if not cands:
-        return None
-    latest = max(
-        cands, key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1))
-    )
     try:
         with open(latest) as f:
             blob = json.load(f)
@@ -486,6 +519,7 @@ def previous_round_bench(repo_dir: str) -> dict | None:
             '"scope_tags"',
             '"end_resampled"',  # holds "qNN": seconds pairs (r13)
             '"regressions"',
+            '"drift"',  # holds "qNN": pct pairs (r17)
         ):
             seg = seg.split(marker)[0]
         pairs = re.findall(
@@ -656,6 +690,92 @@ def compute_regressions(
     return out
 
 
+# Multi-round drift channel thresholds (r17, VERDICT r16 #1b): the
+# single-round gate is one-sided at 25%/round, so a line can climb
+# 15-24% EVERY round and never flag — q53 slid +58% across r14->r16 that
+# way. 40% cumulative vs the most favorable same-scope round of the last
+# three catches exactly that shape while leaving one noisy round of
+# ordinary magnitude un-flagged.
+DRIFT_PCT_THRESHOLD = 0.40
+DRIFT_WINDOW_ROUNDS = 3
+
+
+def compute_drift(
+    history: list[dict],
+    now: dict[str, float],
+    *,
+    calibration_sec: float | None,
+    current_tags: dict[str, str] | None = None,
+    pct_threshold: float = DRIFT_PCT_THRESHOLD,
+    min_abs_sec: float = 0.1,
+) -> dict[str, dict[str, float]]:
+    """Cumulative drift >``pct_threshold`` vs the BEST (most favorable)
+    comparable round of the last ``DRIFT_WINDOW_ROUNDS`` — the channel
+    that would have caught the near-dup family's r14->r16 slide (q53
+    +58% at equal calibration, every single step under the 25% gate).
+
+    ``history`` is :func:`previous_round_benches` output (newest first);
+    a round enters a query's comparison only when it used the same
+    BENCH_METHOD and recorded the SAME scope tag for that query as the
+    current round (the fence rule the single-round channel uses) — so a
+    deliberately scope-grown query compares against pre-growth rounds
+    only after its tag retires. Per-round calibration normalization is
+    one-sided (clamped >= 1), same rationale as compute_regressions.
+    The baseline is the MIN over matching rounds (after per-round
+    normalization): the same min-is-the-estimator philosophy the
+    per-query sampling already uses — the fastest recorded round is the
+    best evidence of the code's true cost, and a hot-host historical
+    round only LOOSENS its own comparison (its inflated timing yields a
+    small ratio), never manufactures a flag. ref_scale_* entries are
+    excluded: the replay has its own in-subprocess escalation channels
+    plus absolute gates vs BASELINE.md, and its calibration scalar lives
+    in a different field."""
+    tags = SCOPE_TAGS if current_tags is None else current_tags
+    rounds = [
+        b
+        for b in history
+        if isinstance(b, dict)
+        and b.get("bench_method") == BENCH_METHOD
+        and isinstance(b.get("queries"), dict)
+    ][:DRIFT_WINDOW_ROUNDS]
+    out: dict[str, dict[str, float]] = {}
+    for name, t_now in now.items():
+        if name.startswith("ref_scale_"):
+            continue
+        best: tuple[float, float, float, int | None] | None = None
+        for b in rounds:
+            t_prev = b["queries"].get(name)
+            if not isinstance(t_prev, (int, float)) or t_prev <= 0:
+                continue
+            if (b.get("scope_tags") or {}).get(name) != tags.get(name):
+                continue
+            cal_prev = b.get("calibration_sec")
+            ratio = (
+                calibration_sec / cal_prev
+                if calibration_sec
+                and isinstance(cal_prev, (int, float))
+                and cal_prev > 0
+                else 1.0
+            )
+            t_norm = t_now / max(ratio, 1.0)
+            # keep the BINDING comparison: the round this query ran
+            # fastest against (max rel == comparing vs the min baseline)
+            if best is None or t_norm / t_prev > best[0]:
+                best = (t_norm / t_prev, float(t_prev), t_norm, b.get("round"))
+        if best is None:
+            continue
+        rel, t_prev, t_norm, rnd = best
+        if rel > 1.0 + pct_threshold and (t_norm - t_prev) > min_abs_sec:
+            out[name] = {
+                "baseline": t_prev,
+                **({"baseline_round": rnd} if rnd is not None else {}),
+                "now": t_now,
+                "now_normalized": round(t_norm, 3),
+                "pct": round(100.0 * (rel - 1.0), 1),
+            }
+    return out
+
+
 def main() -> int:
     import movie_recommendation_etl_spark.plans.all  # noqa: F401
     from movie_recommendation_etl_spark.ml.ann import (
@@ -722,9 +842,10 @@ def main() -> int:
     # the judge's r8 ask after q02 flagged +107% on untouched code. The
     # estimator is still "min of the samples", so min2-recorded rounds
     # stay comparable; extra samples only tighten it.
-    prev_blob_early = previous_round_bench(
-        os.path.dirname(os.path.abspath(__file__))
-    )
+    _repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_blob_early = previous_round_bench(_repo_dir)
+    # last-3-rounds history for the cumulative drift channel (r17)
+    bench_history = previous_round_benches(_repo_dir)
     prev_flagged = set(
         (prev_blob_early or {}).get("regressions", {}) or {}
     )
@@ -1091,6 +1212,16 @@ def main() -> int:
         pre_flags = compute_regressions(
             pre_prev, timings, calibration_ratio=pre_ratio
         )
+        # Drift-flagged queries get the same displaced adjudication
+        # sample as single-round flags (r17): a cumulative flag that
+        # survives its own end-of-sweep re-sample visibly survived the
+        # noise explanation.
+        pre_flags = dict(pre_flags)
+        pre_flags.update(
+            compute_drift(
+                bench_history, timings, calibration_sec=calibration
+            )
+        )
         for name in sorted(pre_flags):
             if name in runnable:
                 _touch_loadavg()
@@ -1344,7 +1475,9 @@ def main() -> int:
     out = {
         "metric": "bench_total_sec",
         "value": total,
-        **({"bench_total_prev_sec": prev_total} if prev_total else {}),
+        # "is not None": a legitimate 0.0 prev total (sub-ms suite) must
+        # still appear — falsy check dropped it (r17, ADVICE fix)
+        **({"bench_total_prev_sec": prev_total} if prev_total is not None else {}),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
@@ -1407,6 +1540,11 @@ def main() -> int:
             timings,
             calibration_ratio=cal_ratio,
             ref_scale_ratio=ref_cal_ratio,
+        ),
+        # cumulative multi-round drift (r17) — prints after queries and is
+        # a tail-scraper cut marker, like regressions
+        "drift": compute_drift(
+            bench_history, timings, calibration_sec=calibration
         ),
     }
     # All applicable fencing notes, not first-match-wins (r9 ADVICE: the

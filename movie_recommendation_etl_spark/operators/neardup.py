@@ -501,7 +501,17 @@ def _minhash_neardup_pairs(
         bands_df = minhash_bands(base, num_hashes, rows_per_band).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        exploded = bands_df.select(
+        # The count materializes the cache (the detection job did this
+        # implicitly before); right-sizing then drops the per-stage
+        # scheduling tax for the three consumers (detection, both join
+        # sides) — the q53 drift cause applies to this path identically
+        # (r17; no-op at real scale, see right_size_materialized).
+        from movie_recommendation_etl_spark.operators.skew import (
+            right_size_materialized,
+        )
+
+        bands_read = right_size_materialized(bands_df)
+        exploded = bands_read.select(
             "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
         )
         # banded_candidate_pairs materializes the (small, O(candidates))
@@ -943,6 +953,17 @@ def srp_candidate_pairs(
             vec_col, dim=dim, n_bits=n_bits, rows_per_band=rows_per_band
         ).alias("_bands"),
     ).localCheckpoint(eager=True)
+    # Right-size the checkpointed frame (r17, the ADJUDICATED cause of
+    # q53's r14->r16 bench drift): the checkpoint inherits the upstream
+    # partition count (64 nearly-empty partitions for a few thousand rows
+    # at bench scale) and every consumer stage below — the guard's
+    # detection scan, both self-join sides — pays one scheduling round
+    # per partition. No-op at real scale; see right_size_materialized.
+    from movie_recommendation_etl_spark.operators.skew import (
+        right_size_materialized,
+    )
+
+    banded = right_size_materialized(banded)
     expl = banded.select(
         "_id", "_lbl", F.posexplode("_bands").alias("_band_idx", "_band_val")
     )

@@ -83,3 +83,29 @@ def replicate_for_salted_join(
 def join_salt(df: DataFrame, n_salts: int = 16) -> Column:
     """Deterministic uniform salt for the big side of a salted join."""
     return F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+
+
+def right_size_materialized(
+    df: DataFrame, *, rows_per_partition: int = 50_000
+) -> DataFrame:
+    """Coalesce an already-materialized (persisted/localCheckpoint'd) small
+    frame down to ~``rows_per_partition`` rows per partition.
+
+    The inverse skew problem (r17, the adjudicated cause of q53's
+    r14->r16 bench drift): an eager checkpoint/persist inherits the
+    upstream partition count — e.g. a union of two 32-partition cached
+    scans leaves 64 nearly-EMPTY partitions for a few thousand rows — and
+    every consumer stage then pays one task-scheduling round per
+    partition, a pure latency tax at interactive scale (~0.3-0.8 s per
+    stage on local[32]; see the guard-cost notes in neardup.py).
+
+    count() is ~free on materialized blocks; coalesce is narrow (no
+    recompute, no shuffle) and NEVER increases the partition count, so at
+    real scale (rows / rows_per_partition >= current partitions) this is
+    an exact no-op — small-SF latency win, zero 100 TB cost. Call it only
+    AFTER the frame is materialized, or the count pays a full compute.
+    """
+    n_rows = df.count()
+    cur = df.rdd.getNumPartitions()
+    target = max(1, min(cur, -(-n_rows // rows_per_partition)))
+    return df.coalesce(target) if target < cur else df

@@ -14,7 +14,14 @@ Usage:
 
 Queries that run side effects while building their plan (the streaming
 drains q30/q48/q76, the store-admitting q44/q74/q75) are excluded — their
-plan shape is pinned by tests/test_plan_shapes.py instead.
+plan shape is pinned by tests/test_plan_shapes.py instead. The near-dup
+family (q50/q53/q54) is excluded for a different reason (r17, VERDICT r16
+#1a): their results are eager-localCheckpoint-truncated, so the returned
+frame's plan is just a Scan ExistingRDD — the candidate-join plan shape
+those queries run is pinned structurally in tests/test_plan_shapes.py
+(no Window / no cartesian / bounded exchange count on the lazy twin), and
+their wall-clock is guarded by bench.compute_drift. EXTRA_PINNED pins
+bench-only arms that do have full lazy plans (q48_batch).
 """
 
 from __future__ import annotations
@@ -61,16 +68,20 @@ def main() -> int:
     check = "--check" in sys.argv[1:]
 
     import __spark_entry__ as E
+    from movie_recommendation_etl_spark.plans.text_analysis import (
+        q48_batch_arm,
+    )
     from movie_recommendation_etl_spark.session import get_spark
 
     spark = get_spark(app_name="pin_plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
+    extra = {"q48_batch": q48_batch_arm}
 
     os.makedirs(OUT_DIR, exist_ok=True)
     drifted: list[str] = []
-    for name in PINNED:
-        df = qs[name](spark, SF_DIR)
+    for name in (*PINNED, *extra):
+        df = (extra.get(name) or qs[name])(spark, SF_DIR)
         plan = _normalize(
             df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"

@@ -205,14 +205,18 @@ def test_fence_ref_scale_on_method_change():
     assert fence_ref_scale(None, None) is None
 
 
-def test_fence_scope_tags_drops_changed_and_resumes_on_match():
+def test_fence_scope_tags_drops_changed_and_resumes_on_match(monkeypatch):
     """A query whose scope tag changed since the previous round (or that
     gained one) is excluded from the comparison for ONE round; once the
     previous blob carries the same tag, comparison resumes. Tag-free
-    queries are never touched."""
+    queries are never touched. (Synthetic tags via monkeypatch — r17
+    retired the last real ones.)"""
     import bench
     from bench import fence_scope_tags
 
+    monkeypatch.setattr(
+        bench, "SCOPE_TAGS", {"q50_minhash_lsh_neardup": "rX-guard"}
+    )
     prev = {"q50_minhash_lsh_neardup": 3.2, "q01": 1.0}
     # previous round carried no tag for it: the newly tagged q50 is fenced
     fenced, dropped = fence_scope_tags(prev, {})
@@ -631,3 +635,165 @@ def test_compact_line_carries_ref_scale_resampled():
     parsed = json.loads(line)
     assert parsed["ref_scale_resampled"] == {"cv_fit": 2.0, "idf_fit": 2.2}
     assert parsed["regressions"] == {"ref_scale_stage_idf_fit": 156.2}
+
+
+def _hist(rounds):
+    """History blobs (newest first) from (round, queries, cal, tags)."""
+    import bench
+
+    return [
+        {
+            "round": rnd,
+            "queries": q,
+            "calibration_sec": cal,
+            "scope_tags": tags,
+            "bench_method": bench.BENCH_METHOD,
+        }
+        for rnd, q, cal, tags in rounds
+    ]
+
+
+def test_compute_drift_catches_compounding_subthreshold_slide():
+    """VERDICT r16 #1 done-criterion: three consecutive +15% steps (each
+    under the 25%/round gate) must flag vs the oldest round (+52%
+    cumulative), while the single-round channel stays silent."""
+    from bench import compute_drift, compute_regressions
+
+    hist = _hist([
+        (16, {"q53": 1.32, "q01": 1.0}, 0.2, {}),
+        (15, {"q53": 1.15, "q01": 1.0}, 0.2, {}),
+        (14, {"q53": 1.00, "q01": 1.0}, 0.2, {}),
+    ])
+    now = {"q53": 1.52, "q01": 1.0}
+    # each round-step is ~+15%: the one-sided 25% gate never fires
+    assert compute_regressions(hist[0]["queries"], now) == {}
+    flags = compute_drift(
+        hist, now, calibration_sec=0.2, current_tags={}
+    )
+    assert set(flags) == {"q53"}
+    assert flags["q53"]["baseline"] == 1.0
+    assert flags["q53"]["baseline_round"] == 14
+    assert flags["q53"]["pct"] == 52.0
+    # +10%/round (+33% cumulative) stays under the 40% drift gate
+    mild = {"q53": 1.33, "q01": 1.0}
+    assert compute_drift(hist, mild, calibration_sec=0.2, current_tags={}) == {}
+
+
+def test_compute_drift_fences_tag_mismatched_rounds():
+    """A history round that recorded a DIFFERENT scope tag for the query
+    measures different work — it must not enter the drift comparison;
+    rounds with the matching (or equally absent) tag still do. This is
+    exactly the r17 retirement shape: r15/r16 carried r15-bucket-guard,
+    r14 and the current round carry none, so q53 compares vs r14."""
+    from bench import compute_drift
+
+    hist = _hist([
+        (16, {"q53": 3.70}, 0.27, {"q53": "r15-bucket-guard"}),
+        (15, {"q53": 3.05}, 0.22, {"q53": "r15-bucket-guard"}),
+        (14, {"q53": 2.33}, 0.27, {}),
+    ])
+    flags = compute_drift(
+        hist, {"q53": 3.70}, calibration_sec=0.27, current_tags={}
+    )
+    assert set(flags) == {"q53"} and flags["q53"]["baseline_round"] == 14
+    # with the current tag still in place, only r15/r16 compare — and the
+    # +21% step vs the min of those stays under the drift gate
+    flags2 = compute_drift(
+        hist,
+        {"q53": 3.70},
+        calibration_sec=0.27,
+        current_tags={"q53": "r15-bucket-guard"},
+    )
+    assert flags2 == {}
+
+
+def test_compute_drift_normalizes_per_round_and_is_one_sided():
+    """A slow host this round divides down by each history round's own
+    calibration ratio (clamped >= 1, one-sided — a FAST host never
+    inflates); a hot-host historical round records inflated timings AND
+    an inflated calibration, so it only loosens its own comparison."""
+    from bench import compute_drift
+
+    hist = _hist([
+        (16, {"q01": 1.0}, 0.2, {}),
+        (15, {"q01": 2.0}, 0.4, {}),  # recorded on a 2x-slower host
+        (14, {"q01": 1.0}, 0.2, {}),
+    ])
+    # now-host 2x slower than r14/r16: 2.2 normalizes to 1.1 vs those
+    # rounds, and compares 2.2/2.0 raw vs the equally-slow r15 -> no flag
+    assert compute_drift(hist, {"q01": 2.2}, calibration_sec=0.4,
+                         current_tags={}) == {}
+    # fast host now (ratio < 1 vs every round) must NOT inflate: raw 1.2
+    # stays 1.2 (+20%) -> no flag
+    assert compute_drift(hist, {"q01": 1.2}, calibration_sec=0.1,
+                         current_tags={}) == {}
+    # genuine +120% on a same-regime host flags, binding round recorded
+    flags = compute_drift(hist, {"q01": 2.2}, calibration_sec=0.2,
+                          current_tags={})
+    assert set(flags) == {"q01"} and flags["q01"]["pct"] == 120.0
+    assert flags["q01"]["baseline"] == 1.0
+
+
+def test_compute_drift_skips_ref_scale_and_tiny_and_method_change():
+    """ref_scale_* entries have their own escalation + absolute gates;
+    sub-100ms deltas are jitter; rounds from another bench methodology
+    never enter the history."""
+    import bench
+    from bench import compute_drift
+
+    hist = _hist([
+        (16, {"ref_scale_fit_sec": 1.0, "q01": 0.05, "q02": 1.0}, 0.2, {}),
+    ])
+    now = {"ref_scale_fit_sec": 2.0, "q01": 0.09, "q02": 2.0}
+    flags = compute_drift(hist, now, calibration_sec=0.2, current_tags={})
+    assert set(flags) == {"q02"}
+    hist[0]["bench_method"] = "single-shot"
+    assert compute_drift(hist, now, calibration_sec=0.2,
+                         current_tags={}) == {}
+    assert compute_drift([], now, calibration_sec=0.2, current_tags={}) == {}
+
+
+def test_previous_round_benches_reads_last_three(tmp_path):
+    """The drift history comes straight off the committed BENCH_r*.json
+    files — newest first, each tagged with its round number, envelope and
+    direct shapes both accepted."""
+    from bench import previous_round_benches
+
+    for n, cal in ((14, 0.27), (15, 0.22), (16, 0.27)):
+        line = json.dumps({
+            "queries": {"q53": float(n)}, "calibration_sec": cal,
+            "bench_method": "min2", "scope_tags": {},
+        })
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"n": n, "rc": 0, "tail": "noise\n" + line})
+        )
+    (tmp_path / "BENCH_r13.json").write_text(
+        json.dumps({"queries": {"q53": 13.0}, "bench_method": "min2"})
+    )
+    hist = previous_round_benches(str(tmp_path), limit=3)
+    assert [b["round"] for b in hist] == [16, 15, 14]
+    assert [b["queries"]["q53"] for b in hist] == [16.0, 15.0, 14.0]
+    assert previous_round_benches(str(tmp_path), limit=2)[-1]["round"] == 15
+
+
+def test_compact_line_carries_drift_block():
+    """Drift flags must survive the tail window (name -> pct) and drop
+    cleanly in the flag-storm degrade path."""
+    import bench
+
+    out = {
+        "queries": {"q01_x": 1.0},
+        "sf": 0.1,
+        "bench_method": bench.BENCH_METHOD,
+        "ref_scale_method": bench.REF_SCALE_METHOD,
+        "headline_scope": bench.HEADLINE_SCOPE,
+        "calibration_sec": 0.2,
+        "bench_loadavg_1m": [1.0, 2.0],
+        "scope_tags": {},
+        "regressions": {},
+        "drift": {"q53": {"baseline": 2.33, "now": 3.7, "pct": 58.0}},
+    }
+    slim = json.loads(bench.compact_line(out, {}))
+    assert slim["drift"] == {"q53": 58.0}
+    out2 = dict(out, drift={})
+    assert "drift" not in json.loads(bench.compact_line(out2, {}))

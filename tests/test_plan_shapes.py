@@ -276,3 +276,59 @@ def test_gap_fill_two_scans_one_broadcast(spark, sf_dir):
     assert len(re.findall(r"Scan parquet", plan)) == 2
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_candidate_join_plan_shape(spark):
+    """Structural pin for the near-dup family's clean-path candidate join
+    (r17, VERDICT r16 #1a — q50/q53/q54 can't go in plans_pinned/ because
+    their results are eager-localCheckpoint-truncated): on the lazy twin
+    (materialize=identity) the banded self-join must stay a plain
+    equi-join + distinct — no Window (a per-bucket window would serialize
+    a viral bucket into one task), no cartesian/NLJ fallback, no Python,
+    and at most three hash exchanges (two join sides + the distinct).
+    Plan decay here is exactly what the bench drift channel watches for;
+    this test names the shape so a wall-clock flag can be adjudicated
+    against it."""
+    from pyspark.sql import functions as F
+
+    from movie_recommendation_etl_spark.operators.neardup import (
+        banded_candidate_pairs,
+    )
+
+    rows = [(i, i % 7, i % 13) for i in range(200)]
+    expl = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_hash long"
+    )
+    lazy = banded_candidate_pairs(
+        expl, materialize=lambda df: df
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 3, plan
+    # and it is a real equi-join feeding a distinct aggregate
+    assert "Join" in plan and "HashAggregate" in plan
+
+
+def test_banded_right_sizing_is_noop_at_scale_shape(spark):
+    """right_size_materialized (r17, the q53 drift fix): small
+    materialized frames coalesce down to ~1 partition; a frame already at
+    or below rows/50k partitions is returned UNCHANGED (the 100 TB no-op
+    guarantee), and coalesce never recomputes (narrow dep over the
+    checkpoint blocks)."""
+    from movie_recommendation_etl_spark.operators.skew import (
+        right_size_materialized,
+    )
+
+    small = spark.range(1000).repartition(32).localCheckpoint(eager=True)
+    sized = right_size_materialized(small)
+    assert sized.rdd.getNumPartitions() == 1
+    assert sized.count() == 1000
+    # rows/50k >= partitions: identity (same object, not just same count)
+    big_enough = spark.range(200_000).repartition(4).localCheckpoint(
+        eager=True
+    )
+    assert right_size_materialized(big_enough) is big_enough
