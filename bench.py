@@ -76,6 +76,11 @@ SCOPE_TAGS: dict[str, str] = {
     # (q48 gained a streaming arm in r13, but its bench lines were
     # simultaneously split into q48_batch / q48_stream — fresh names
     # fence themselves, so no tag is needed)
+    # r17: q80 gained the fuzzy-dedup stage (neardup_dedup between
+    # curation and the perplexity band — VERDICT r16 #2) plus a third
+    # corpus slice of planted near-identical twins; deliberately more
+    # measured work, so the comparison fences for one round.
+    "q80_trainprep_composed": "r17-neardup-stage",
     # Tag RETIREMENT (r17, VERDICT r16 #4): q58's r14-two-stage-topk and
     # the three r15-bucket-guard tags had matched for two consecutive
     # rounds (their comparisons already resumed via the match rule), so

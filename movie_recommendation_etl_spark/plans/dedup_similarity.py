@@ -89,56 +89,74 @@ def _sql_hex_word(start: int) -> str:
     )
 
 
-_SQL_VERIFIED_CTES = f"""{_SQL_UNIONED},
-    base AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(toks) - 1),
-                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM unioned)
+def sql_minhash_verified_ctes(
+    src: str, text_col: str = "text", prefix: str = ""
+) -> str:
+    """The full MinHash(12)->LSH(4x3)->exact-Jaccard-verify chain as CTE
+    text over ``src(doc_id, text_col)``, ending in
+    ``{prefix}verified(doc_a, doc_b, jaccard)``. Parametrized (r17) so the
+    q80 trainprep oracle can replay the fuzzy-dedup stage over its curated
+    CTE with an ``nd`` prefix; q50/q54 use the unprefixed form over the
+    planted-twin corpus. The ``len(sh) > 0`` guard mirrors the Spark
+    side's empty-shingle drop (zero-shingle docs can never verify, and
+    their NULL-ish signatures must not hash into a shared band)."""
+    p = prefix
+    return f"""{p}base AS MATERIALIZED (
+        SELECT doc_id, sh FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, string_split({text_col}, ' ') AS toks
+                  FROM {src})
+        ) WHERE len(sh) > 0
     ),
-    words AS (
+    {p}words AS (
         -- md5 once per shingle (inner transform binds h), then the two
         -- 32-bit words parse from its leading 16 hex digits
         SELECT doc_id, sh,
                list_transform(list_transform(sh, s -> md5(s)), h ->
                    {{'w1': {_sql_hex_word(1)}, 'w2': {_sql_hex_word(9)}}}) AS ws
-        FROM base
+        FROM {p}base
     ),
-    sigs AS (
+    {p}sigs AS (
         SELECT doc_id, sh,
                list_transform(range(1, 13), i ->
                    list_aggregate(list_transform(ws, w ->
                        ({_SQL_CW_A}[i] * w.w1 + {_SQL_CW_B}[i] * w.w2
                         + {_SQL_CW_C}[i]) % {CW_P}), 'min')) AS sig
-        FROM words
+        FROM {p}words
     ),
-    banded AS (
+    {p}banded AS MATERIALIZED (
         SELECT doc_id, sh,
                list_transform(range(0, 4),
                    j -> md5(array_to_string(sig[j*3+1:j*3+3], '|'))) AS bands
-        FROM sigs
+        FROM {p}sigs
     ),
-    expl AS (
+    {p}expl AS (
         SELECT doc_id, t.j AS band_idx, bands[t.j + 1] AS band_hash
-        FROM banded CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t
+        FROM {p}banded CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t
     ),
-    pairs AS (
+    {p}pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM expl a
-        JOIN expl b ON a.band_idx = b.band_idx
+        FROM {p}expl a
+        JOIN {p}expl b ON a.band_idx = b.band_idx
                    AND a.band_hash = b.band_hash
                    AND a.doc_id < b.doc_id
     ),
-    verified AS (
+    {p}verified AS MATERIALIZED (
         SELECT p.doc_a, p.doc_b,
                CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
                / CAST(len(x.sh) + len(y.sh)
                       - len(list_filter(x.sh, s -> list_contains(y.sh, s)))
                       AS DOUBLE) AS jaccard
-        FROM pairs p
-        JOIN banded x ON p.doc_a = x.doc_id
-        JOIN banded y ON p.doc_b = y.doc_id
+        FROM {p}pairs p
+        JOIN {p}banded x ON p.doc_a = x.doc_id
+        JOIN {p}banded y ON p.doc_b = y.doc_id
     )"""
+
+
+_SQL_VERIFIED_CTES = f"""{_SQL_UNIONED},
+    {sql_minhash_verified_ctes("unioned")}"""
 
 
 @query(

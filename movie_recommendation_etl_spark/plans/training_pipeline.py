@@ -35,6 +35,7 @@ from movie_recommendation_etl_spark.plans.dedup_similarity import (
     _SQL_HIGH,
     _SQL_VERIFIED_CTES,
     _with_twins,
+    sql_minhash_verified_ctes,
 )
 from movie_recommendation_etl_spark.plans.registry import query
 from movie_recommendation_etl_spark.sources.catalog import load_table
@@ -93,19 +94,36 @@ def _planted_text() -> "F.Column":
     )
 
 
-def _sql_curated_ctes(langs_sql: str = "'en'", min_quality: float = 0.5) -> str:
+def _sql_curated_ctes(
+    langs_sql: str = "'en'",
+    min_quality: float = 0.5,
+    neardup_twins: bool = False,
+) -> str:
     """The full curation chain (plant → score → filter → redact → dedup →
     sample) as reusable CTEs ending in ``curated(doc_id, rtext, lang,
     quality, n_tokens)`` — q72 gates it directly at the strict settings;
     q80 chains chunking and packing on top of the same construction with a
     permissive lang/quality gate (volume for the downstream stages; the
-    strict-filter behavior is q72's own job)."""
+    strict-filter behavior is q72's own job). ``neardup_twins`` (r17, the
+    q80 fuzzy-dedup stage) adds a THIRD corpus slice: a +2000000-id twin
+    of every doc with the last 3 tokens dropped (the q50 recipe) — it
+    survives curation's EXACT dedup (different fingerprint) so only the
+    near-dup stage can kill it."""
+    nd_slice = (
+        """
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               array_to_string(l[1:len(l)-3], ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM planted0)"""
+        if neardup_twins
+        else ""
+    )
     return f"""
     {_SQL_PLANT},
     corpus AS (
         SELECT doc_id, text FROM planted0
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text FROM planted0
+        SELECT doc_id + 1000000 AS doc_id, text FROM planted0{nd_slice}
     ),
     t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
     m AS (
@@ -154,7 +172,7 @@ def _sql_curated_ctes(langs_sql: str = "'en'", min_quality: float = 0.5) -> str:
                    ORDER BY doc_id) AS rn
         FROM red
     ),
-    curated AS (
+    curated AS MATERIALIZED (
         SELECT doc_id, rtext, lang, quality, n_tokens
         FROM ranked
         WHERE rn = 1
@@ -460,10 +478,19 @@ def q81_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     adm2 AS (
         SELECT doc_id + 1000000 AS doc_id FROM documents
         WHERE doc_id + 1000000 NOT IN (SELECT doc_id FROM rej2)
+    ),
+    adm_both AS (
+        SELECT 1 AS batch, doc_id FROM adm1
+        UNION ALL
+        SELECT 2 AS batch, doc_id FROM adm2
     )
-    SELECT 1 AS batch, doc_id FROM adm1
+    -- two arms, one answer (the q48/q76 playbook): the BATCH arm runs the
+    -- direct two-call admission, the STREAM arm drains the same two
+    -- batches through stream_admit_documents with a forced micro-batch
+    -- split — identical admitted sets by the exactly-once composition
+    SELECT 'batch' AS arm, batch, doc_id FROM adm_both
     UNION ALL
-    SELECT 2 AS batch, doc_id FROM adm2
+    SELECT 'stream' AS arm, batch, doc_id FROM adm_both
     """,
 )
 def q74_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,12 +515,27 @@ def q74_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates, or corrupts even one signature row changes the rejection
     set and hash-fails this gate. The construction raises if the fragment
     step failed to fragment (an empty compaction plan would mean the gate
-    silently stopped exercising the rewrite)."""
+    silently stopped exercising the rewrite).
+
+    STREAM arm (r17, VERDICT r16 #3): the same two batches drain through
+    streaming/incremental.stream_admit_documents — two mtime-ordered
+    source files under maxFilesPerTrigger=1 force the micro-batch split
+    (the construction raises if the split didn't happen), so batch-2
+    rejection provably rides the persisted STORE, not the batch. The
+    oracle emits the same admitted sets once per arm; a divergence in the
+    foreachBatch path's exactly-once composition (same-id replay upsert +
+    per-batch sink overwrite) hash-fails here instead of resting on
+    pytest alone."""
+    import time as _time
+
     from movie_recommendation_etl_spark.operators.incremental_dedup import (
         admit_new_documents,
     )
     from movie_recommendation_etl_spark.sources.compact import (
         compact_parquet,
+    )
+    from movie_recommendation_etl_spark.streaming.incremental import (
+        stream_admit_documents,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -521,10 +563,49 @@ def q74_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q74 compaction interposition did not fragment the store"
             )
         adm2 = admit_new_documents(spark, twins, store, sim_threshold=0.7)
+        batch_arm = adm1.select(
+            F.lit("batch").alias("arm"), F.lit(1).alias("batch"), "doc_id"
+        ).unionByName(
+            adm2.select(
+                F.lit("batch").alias("arm"),
+                F.lit(2).alias("batch"),
+                "doc_id",
+            )
+        )
+
+        # ---- stream arm: fresh store/sink/ckpt, forced 2-batch drain ----
+        src = os.path.join(store_dir, "stream_src")
+        docs.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: the docs file drains first
+        twins.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_admit_documents(
+            stream,
+            os.path.join(store_dir, "stream_store"),
+            os.path.join(store_dir, "stream_sink"),
+            os.path.join(store_dir, "stream_ckpt"),
+            sim_threshold=0.7,
+        )
+        q.awaitTermination()
+        sink = spark.read.parquet(os.path.join(store_dir, "stream_sink"))
+        n_batches = sink.select("ingest_batch").distinct().count()
+        if n_batches < 2:
+            raise RuntimeError(
+                "q74 stream arm did not split into two micro-batches "
+                f"(saw {n_batches}); cross-batch rejection would ride the "
+                "batch, not the store"
+            )
+        stream_arm = sink.select(
+            F.lit("stream").alias("arm"),
+            (F.col("ingest_batch") + 1).cast("int").alias("batch"),
+            "doc_id",
+        )
         return (
-            adm1.select(F.lit(1).alias("batch"), "doc_id")
-            .unionByName(adm2.select(F.lit(2).alias("batch"), "doc_id"))
-            .localCheckpoint(eager=True)
+            batch_arm.unionByName(stream_arm).localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
@@ -1137,15 +1218,41 @@ _Q80_SHARDS = 8
 @query(
     "q80_trainprep_composed",
     oracle=f"""
-    WITH {_sql_curated_ctes(langs_sql="'en','other'", min_quality=0.3)},
+    WITH RECURSIVE
+    {_sql_curated_ctes(
+        langs_sql="'en','other'", min_quality=0.3, neardup_twins=True
+    )},
+    {sql_minhash_verified_ctes("curated", text_col="rtext", prefix="nd")},
+    ndgood AS (
+        SELECT doc_a, doc_b FROM ndverified WHERE jaccard >= 0.8
+    ),
+    ndedges AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM ndgood
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM ndgood
+    ),
+    ndreach(node, lbl) AS (
+        SELECT a, a FROM ndedges
+        UNION
+        SELECT e.a, r.lbl FROM ndedges e JOIN ndreach r ON r.node = e.b
+    ),
+    ndlosers AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT node, MIN(lbl) AS cluster_id FROM ndreach GROUP BY node
+        ) WHERE node <> cluster_id
+    ),
+    ndkept AS MATERIALIZED (
+        SELECT c.* FROM curated c
+        WHERE NOT EXISTS (SELECT 1 FROM ndlosers l WHERE l.node = c.doc_id)
+    ),
     ptrusted AS (
         SELECT doc_id, text FROM documents
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
               IN ('0','1','2','3','4','5','6','7')
     ),
-    {_sql_perplexity_band_ctes("ptrusted", "curated", target_text="rtext")},
+    {_sql_perplexity_band_ctes("ptrusted", "ndkept", target_text="rtext")},
     banded AS (
-        SELECT c.doc_id, c.rtext FROM curated c JOIN pband USING (doc_id)
+        SELECT c.doc_id, c.rtext FROM ndkept c JOIN pband USING (doc_id)
     ),
     evd AS (
         SELECT doc_id, text FROM documents
@@ -1239,7 +1346,15 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trainprep CLI's core composition under ONE hash gate (r8 VERDICT
     #3): curate (lang/quality/repetition filters → mixed-case PII redaction
     → exact dedup → deterministic 50% sample, the q72 construction at a
-    permissive lang/quality gate for volume) → PERPLEXITY BAND (unigram
+    permissive lang/quality gate for volume) → FUZZY DEDUP (r17, VERDICT
+    r16 #2: neardup_dedup — MinHash pairs over the redacted text →
+    connected components → min-id survivor, exactly the trainprep
+    --neardup stage; the +2000000 truncated-twin corpus slice survives
+    exact dedup so only this stage can kill it, and the oracle replays
+    the full md5-family MinHash chain + a recursive-CTE closure under
+    MATERIALIZED CTEs — without materialization DuckDB re-inlines the
+    whole upstream chain per reference and per recursion step)
+    → PERPLEXITY BAND (unigram
     model fit on the md5-hex-0-7 trusted slice, keep the lowest-{_Q79_KEEP:.0%}
     cross-entropy band — the q79 construction; drops 30% of curated docs)
     → benchmark DECONTAMINATION (ngram_contamination vs the md5-hex-'0'
@@ -1269,10 +1384,11 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     its input ~3x); the unigram model and eval grams ride broadcasts; the
     perplexity score frame is persisted (the q79 cache-lifecycle
     contract); the chunk explode is scan-stage and pack is one
-    hash-partitioned window. A 100 TB corpus pays seven big-data shuffles
-    total (dedup keys, model fit, scoring agg, gram hits, dup-gram agg,
-    span windows, pack window); the final post-checkpoint segment is
-    plan-asserted at three DISTINCT exchange ids."""
+    hash-partitioned window. A 100 TB corpus pays eight big-data shuffles
+    total (dedup keys, the fuzzy stage's banded self-join, model fit,
+    scoring agg, gram hits, dup-gram agg, span windows, pack window); the
+    final post-checkpoint segment is plan-asserted at three DISTINCT
+    exchange ids."""
     from movie_recommendation_etl_spark.operators.training_prep import (
         pack_sequences,
     )
@@ -1280,8 +1396,19 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.withColumn("text", _planted_text())
+    # third slice (r17): near-identical +2000000 twins (last 3 tokens
+    # dropped, the q50 recipe) — they survive curation's EXACT dedup, so
+    # only the fuzzy-dedup stage can kill them; min-id survivorship keeps
+    # the original
+    toks = F.split("text", " ")
+    nd_twin = F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 3))
     corpus = planted.unionByName(
         planted.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        planted.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            nd_twin.alias("text"),
+        )
     )
     unif = md5_hex8_long("doc_id").cast("double") / F.lit(4294967296.0)
     curated = curate_documents(
@@ -1300,6 +1427,17 @@ def q80_trainprep_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (q74's pattern) or the whole curation subtree (incl. its dedup
     # shuffle) executes once per branch in one action
     curated = curated.localCheckpoint(eager=True)
+    # FUZZY DEDUP between curation and the band (r17, VERDICT r16 #2 —
+    # exactly where trainprep --neardup runs, cli.py): MinHash pairs over
+    # the redacted survivor text -> connected components -> min-id
+    # survivor. The +2000000 truncated twins planted above make the stage
+    # provably drop rows; the oracle replays the identical md5-family
+    # MinHash + recursive-CTE closure over its curated CTE.
+    from movie_recommendation_etl_spark.operators.neardup import (
+        neardup_dedup,
+    )
+
+    curated = neardup_dedup(curated, threshold=0.8)
     from movie_recommendation_etl_spark.operators.perplexity import (
         perplexity_band,
     )
