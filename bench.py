@@ -271,6 +271,17 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
             else {}
         ),
         **(
+            # the trainprep lifecycle's rows-in/rows-out as an ORDERED
+            # ARRAY (~45 bytes): [corpus, curated, neardup,
+            # band_decontam, packed_slices] — the main blob carries the
+            # keyed legend under ref_scale_trainprep_rows; the compact
+            # form exists because the full dict (~120 bytes) pushed the
+            # worst-case flag-storm line past the tail window
+            {"tp_rows": list(out["ref_scale_trainprep_rows"].values())}
+            if "ref_scale_trainprep_rows" in out
+            else {}
+        ),
+        **(
             # main-sweep [start, max] 1-min loadavg (r12 VERDICT #7)
             {"bench_loadavg_1m": out["bench_loadavg_1m"]}
             if "bench_loadavg_1m" in out
@@ -335,6 +346,11 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
                 for k, v in slim["drift"].items()
                 if k in set(sorted(slim["drift"])[:10])
             }
+        line = json.dumps(slim, separators=(",", ":"))
+    if len(line.encode()) > COMPACT_LINE_BUDGET:
+        # the rows witness goes before the flag blocks do — flags are
+        # the adjudication-critical payload
+        slim.pop("tp_rows", None)
         line = json.dumps(slim, separators=(",", ":"))
     if len(line.encode()) > COMPACT_LINE_BUDGET:
         slim.pop("regressions")
@@ -1263,6 +1279,7 @@ def main() -> int:
     ref_scale_calibration_mem: float | None = None
     ref_scale_loadavg: list[float] | None = None
     ref_scale_resampled: dict[str, float] | None = None
+    ref_scale_trainprep_rows: dict[str, int] | None = None
     if os.environ.get("SPARK_GRAFT_SKIP_REF_SCALE") != "1":
         import subprocess
 
@@ -1286,6 +1303,7 @@ def main() -> int:
                     # the r15 net; cold is first ingested r16)
                     "warm_ann_sec": pq_prev.get("ref_scale_warm_ann_sec"),
                     "cold_ann_sec": pq_prev.get("ref_scale_cold_ann_sec"),
+                    "trainprep_sec": pq_prev.get("ref_scale_trainprep_sec"),
                     "stages": {
                         k[len("ref_scale_stage_"):]: v
                         for k, v in pq_prev.items()
@@ -1310,9 +1328,11 @@ def main() -> int:
                 text=True,
                 env=ref_env,
                 # staged attribution pass (r11) adds up to one more
-                # fit-shaped job to the replay, and the r15 escalation a
-                # second — budget for both
-                timeout=1200,
+                # fit-shaped job to the replay, the r15 escalation a
+                # second, and the r17 trainprep lifecycle up to three
+                # 300s-capped samples — budget for all of them (a timeout
+                # here loses EVERY ref_scale line, not just the slow one)
+                timeout=1800,
             )
             for line in reversed(proc.stdout.splitlines()):
                 line = line.strip()
@@ -1331,6 +1351,23 @@ def main() -> int:
                         timings["ref_scale_cold_ann_sec"] = float(
                             ref["ann_cold_sec"]
                         )
+                    # the composed trainprep lifecycle at 605k docs (r17,
+                    # VERDICT r16 #5) — fresh name self-fences this round;
+                    # its per-stage rows ride the blob as meta (not a
+                    # timing, so the tail scraper can't misread them)
+                    if "trainprep_sec" in ref:
+                        timings["ref_scale_trainprep_sec"] = float(
+                            ref["trainprep_sec"]
+                        )
+                    if "trainprep_spread" in ref:
+                        spread["ref_scale_trainprep_sec"] = float(
+                            ref["trainprep_spread"]
+                        )
+                    if isinstance(ref.get("trainprep_rows"), dict):
+                        ref_scale_trainprep_rows = {
+                            str(k): int(v)
+                            for k, v in ref["trainprep_rows"].items()
+                        }
                     # the replay's own host-speed sample (taken inside the
                     # subprocess, minutes after the parent's) — the number
                     # ref_scale_* comparisons normalize by
@@ -1509,6 +1546,14 @@ def main() -> int:
         **(
             {"ref_scale_loadavg_1m": ref_scale_loadavg}
             if ref_scale_loadavg is not None
+            else {}
+        ),
+        **(
+            # rows-in/rows-out of the reference-scale trainprep lifecycle
+            # (r17) — the scale-trend witness; non-timing keys, so the
+            # tail scraper's allowlist can never misread them as timings
+            {"ref_scale_trainprep_rows": ref_scale_trainprep_rows}
+            if ref_scale_trainprep_rows is not None
             else {}
         ),
         # main-sweep [start, max] 1-min loadavg — the regime witness for

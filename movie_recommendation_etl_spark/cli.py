@@ -408,10 +408,36 @@ def _cmd_trainprep(args: argparse.Namespace) -> int:
             checkpoint_dir=args.checkpoint_dir,
             stats=nstats,
         )
+        # Surface the guard counters with the drop count (r17, VERDICT
+        # r16 #7): a production run must see WHEN the bucket guard or
+        # identical-collapse star fired — those paths trade exact cliques
+        # for star certificates, which changes cluster granularity — not
+        # re-run with logging cranked up to find out.
+        guard_bits = [
+            f"{nstats.get('overflow_buckets', 0)} overflow bucket(s)"
+        ]
+        if "max_bucket_size_seen" in nstats:
+            guard_bits.append(
+                f"largest bucket {nstats['max_bucket_size_seen']}"
+            )
+        if "max_identical_group" in nstats:
+            guard_bits.append(
+                f"largest identical group {nstats['max_identical_group']}"
+            )
+        if "multi_groups" in nstats:
+            guard_bits.append(
+                f"{nstats['multi_groups']} collapsed group(s)"
+            )
+        if "overflow_groups" in nstats:
+            guard_bits.append(
+                f"{nstats['overflow_groups']} star-certified group(s)"
+            )
         print(
             f"neardup: dropped {nstats.get('neardup_losers', 0)} "
             f"near-duplicate doc(s) at jaccard >= {args.neardup_threshold} "
-            f"({nstats.get('cc_rounds', 0)} CC round(s))",
+            f"({nstats.get('cc_rounds', 0)} CC round(s); "
+            + ", ".join(guard_bits)
+            + ")",
             file=sys.stderr,
         )
     if args.trusted_path:

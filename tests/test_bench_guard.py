@@ -358,6 +358,7 @@ def _realistic_r11_stdout(flagged=("q53_embedding_neardup_pairs",)):
     names = list(bench.BENCH_QUERIES) + [
         "catalog_warm", "incremental_admit", "ann_warm_query", "batch_ann",
         "ref_scale_fit_sec", "ref_scale_warm_ann_sec",
+        "ref_scale_cold_ann_sec", "ref_scale_trainprep_sec",
         "ref_scale_stage_gen", "ref_scale_stage_tokenize",
         "ref_scale_stage_cv_fit", "ref_scale_stage_idf_fit",
         "ref_scale_stage_transform",
@@ -380,6 +381,12 @@ def _realistic_r11_stdout(flagged=("q53_embedding_neardup_pairs",)):
         "ref_scale_calibration_sec": 0.196,
         "calibration_mem_sec": 0.645,
         "ref_scale_loadavg_1m": [31.8, 42.5],  # r12: regime witness
+        # r17: the trainprep lifecycle's per-stage rows — must ride the
+        # compact line without displacing the timings
+        "ref_scale_trainprep_rows": {
+            "corpus": 605000, "curated": 216841, "neardup": 56785,
+            "band_decontam": 24513, "packed_slices": 24644,
+        },
         "bench_loadavg_1m": [8.4, 15.9],  # r13: main-sweep bracket
         "headline_scope": bench.HEADLINE_SCOPE,
         "recall_at5": recall,
@@ -393,6 +400,12 @@ def _realistic_r11_stdout(flagged=("q53_embedding_neardup_pairs",)):
         "end_resampled": {k: 1.234 for k in flagged},
         "regressions": {
             k: {"prev": 1.0, "now": 2.0, "now_normalized": 2.0, "pct": 100.0}
+            for k in flagged
+        },
+        # r17: one drift flag in the worst-case shape
+        "drift": {
+            k: {"baseline": 1.0, "baseline_round": 14, "now": 1.6,
+                "now_normalized": 1.55, "pct": 55.0}
             for k in flagged
         },
         "regressions_note": "headline bench_total_sec composition changed",
