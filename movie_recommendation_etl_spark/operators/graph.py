@@ -26,6 +26,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_labels(pairs: list[tuple]) -> dict:
+    """Driver-side union-find with min-id roots — the small-graph fast
+    path's kernel. Path-compressing; union always roots at the smaller
+    id, so the final find(x) IS the component minimum (identical to the
+    distributed fixpoint)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -33,6 +57,7 @@ def connected_components(
     *,
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    small_graph_threshold: int = 100_000,
     stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) edge list -> (node, cluster_id) with cluster_id = min node
@@ -55,9 +80,11 @@ def connected_components(
     that deep means the banding threshold is catastrophically loose).
 
     ``stats`` (optional dict) receives ``{"rounds": n}`` — the number of
-    propagation rounds actually executed. 0 only on the empty-edge
-    short-circuit; a seed labeling that is already final still reports 1,
-    because detecting convergence takes one propagation+comparison round
+    propagation rounds actually executed. 0 on the empty-edge
+    short-circuit and on the small-graph fast path (which additionally
+    reports ``fast_path_edges``); a seed labeling that is already final
+    still reports 1 on the distributed path, because detecting
+    convergence takes one propagation+comparison round
     (the loop has no oracle for "already converged" short of running it).
     Tests pin the expected
     round count on known graphs so a seeding/convergence change that
@@ -68,6 +95,43 @@ def connected_components(
     from movie_recommendation_etl_spark.operators._checkpoint import (
         reliable_checkpoint_scope,
     )
+
+    # Small-graph fast path (r17): every distributed round costs 2-3 jobs
+    # of pure scheduling latency (~2.6 s measured for a 1.8k-node graph on
+    # local[32] — the same per-stage tax right_size_materialized kills
+    # elsewhere), while a bounded edge list resolves driver-side in
+    # milliseconds. The gate is an EXPLICIT count (callers pass
+    # materialized pair frames, so it is ~free): <= small_graph_threshold
+    # edges (default 100k ~ 1.6 MB over Arrow) collect into a
+    # path-compressing min-root union-find whose labels are IDENTICAL to
+    # the distributed fixpoint (tests/test_graph_property.py fuzzes both
+    # paths against each other). At 100 TB a billion-pair graph takes the
+    # distributed path untouched; pass small_graph_threshold=0 to force
+    # it (the round-count tests do).
+    src_type = edges.schema[src].dataType
+    if small_graph_threshold and src_type == edges.schema[dst].dataType:
+        n_edges = edges.count()
+        if n_edges <= small_graph_threshold:
+            from pyspark.sql import types as T
+
+            pdf = edges.select(
+                F.col(src).alias("a"), F.col(dst).alias("b")
+            ).dropna().toPandas()
+            labels = _union_find_labels(
+                list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+            )
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["fast_path_edges"] = n_edges
+            schema = T.StructType(
+                [
+                    T.StructField("node", src_type),
+                    T.StructField("cluster_id", src_type),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(
+                sorted(labels.items()), schema
+            )
 
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))

@@ -458,6 +458,8 @@ def neardup_dedup(
     )
     if stats is not None:
         stats["cc_rounds"] = cc_stats.get("rounds", 0)
+        if "fast_path_edges" in cc_stats:
+            stats["fast_path_edges"] = cc_stats["fast_path_edges"]
         stats["neardup_losers"] = losers.count()
     return docs.join(losers, id_col, "left_anti")
 

@@ -54,11 +54,19 @@ def _union_find(edges):
 def test_components_match_union_find(edges):
     spark = _get_spark()
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
+    # fast path (default threshold) and forced distributed path must both
+    # match the reference union-find (r17: the small-graph fast path is a
+    # driver-side union-find under an explicit edge-count gate)
+    got_fast = {
         r["node"]: r["cluster_id"]
         for r in connected_components(df).collect()
     }
-    assert got == _union_find(edges)
+    got_dist = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
+    assert got_fast == _union_find(edges)
+    assert got_dist == _union_find(edges)
 
 
 def test_empty_edges_returns_empty(spark):
@@ -67,9 +75,10 @@ def test_empty_edges_returns_empty(spark):
     max_iter rounds (r8 ADVICE: F.sum over the empty labels frame is NULL
     every round, so the old sum-stationary check never fired)."""
     edges = spark.createDataFrame([], "src: long, dst: long")
-    out = connected_components(edges)
-    assert out.columns == ["node", "cluster_id"]
-    assert out.count() == 0
+    for thr in (100_000, 0):
+        out = connected_components(edges, small_graph_threshold=thr)
+        assert out.columns == ["node", "cluster_id"]
+        assert out.count() == 0
 
 
 def test_converged_seed_single_round(spark):
@@ -78,7 +87,12 @@ def test_converged_seed_single_round(spark):
     within max_iter=1 (callers lost this when prev_sum started as None)."""
     edges = spark.createDataFrame([(1, 2)], "src: long, dst: long")
     got = sorted(
-        map(tuple, connected_components(edges, max_iter=1).collect())
+        map(
+            tuple,
+            connected_components(
+                edges, max_iter=1, small_graph_threshold=0
+            ).collect(),
+        )
     )
     assert got == [(1, 1), (2, 1)]
 
@@ -95,13 +109,18 @@ def test_reliable_checkpoint_path_identical(spark, tmp_path):
         "src: long, dst: long",
     )
     default = sorted(
-        map(tuple, connected_components(edges).collect())
+        map(
+            tuple,
+            connected_components(edges, small_graph_threshold=0).collect(),
+        )
     )
     reliable = sorted(
         map(
             tuple,
             connected_components(
-                edges, checkpoint_dir=str(tmp_path / "ckpt")
+                edges,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                small_graph_threshold=0,
             ).collect(),
         )
     )
@@ -137,7 +156,9 @@ def test_round_count_guard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_neardup_pairs(_with_twins(docs)).select("doc_a", "doc_b")
     stats: dict = {}
-    out = connected_components(pairs, "doc_a", "doc_b", stats=stats)
+    out = connected_components(
+        pairs, "doc_a", "doc_b", small_graph_threshold=0, stats=stats
+    )
     assert out.count() > 0
     assert 1 <= stats["rounds"] <= 2, stats
 
@@ -147,7 +168,9 @@ def test_round_count_guard(spark, sf_dir):
     stats2: dict = {}
     got = {
         r["node"]: r["cluster_id"]
-        for r in connected_components(chain, stats=stats2).collect()
+        for r in connected_components(
+            chain, small_graph_threshold=0, stats=stats2
+        ).collect()
     }
     assert got == {i: 0 for i in range(9)}
     assert 1 <= stats2["rounds"] <= 4, stats2

@@ -41,7 +41,10 @@ def test_neardup_dedup_operator(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [0, 10, 100, 101, 102, 103, 104]
     assert stats["neardup_losers"] == 5
-    assert stats["cc_rounds"] >= 1
+    # r17: small graphs resolve on the driver union-find fast path
+    # (rounds == 0, fast_path_edges reported); the distributed path's
+    # round counts are pinned in tests/test_graph_property.py
+    assert stats["cc_rounds"] == 0 and "fast_path_edges" in stats
 
 
 def test_neardup_dedup_no_duplicates_is_identity(spark):

@@ -61,7 +61,10 @@ def test_planted_groups_resolve_to_min_id_survivors(spark):
     # every other base row is its own group and kept
     for i in range(3, 60):
         assert got[i] == (i, True)
-    assert stats["rounds"] >= 1  # the CC pass really ran
+    # r17: small graphs resolve on the driver union-find fast path
+    # (rounds == 0 + fast_path_edges); the result above proves the CC
+    # semantics either way
+    assert stats["rounds"] >= 1 or "fast_path_edges" in stats
     groups.unpersist()
 
 
