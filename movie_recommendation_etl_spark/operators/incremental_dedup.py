@@ -345,6 +345,16 @@ def _admit_batch(
         )
     with reliable_checkpoint_scope(spark, checkpoint_dir) as _ckpt:
         bands = _ckpt(bands)
+        # Right-size the checkpointed batch-signature frame (r17, the q53
+        # drift cause): it inherits the batch's partition count and feeds
+        # three consumers (intra rejects, the store probe, the
+        # admitted-bands semi-join) — per-partition scheduling tax at
+        # interactive batch sizes, no-op at real scale.
+        from movie_recommendation_etl_spark.operators.skew import (
+            right_size_materialized,
+        )
+
+        bands = right_size_materialized(bands)
 
         intra = _intra_rejects(
             bands, key=key, sim=sim, threshold=threshold,

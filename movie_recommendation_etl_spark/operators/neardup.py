@@ -490,8 +490,23 @@ def _minhash_neardup_pairs(
     base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(
         F.size("sh") > 0
     )
+    base_cache = None
     if cache_shingles:
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base_cache = base.persist(StorageLevel.MEMORY_AND_DISK)
+        # Right-size the shingle frame too (r17, the q53 drift cause):
+        # it inherits the input's partition count (64 nearly-empty
+        # partitions at bench scale) and feeds the signature aggregation
+        # plus BOTH verify-join sides — each a per-partition-scheduled
+        # stage. The count doubles as the cache materialization; the
+        # coalesce is a no-op at real scale (rows/50k >= partitions).
+        # Only on the cached path: uncached lineage would pay a full
+        # recompute for the count. unpersist goes through base_cache —
+        # calling it on the coalesced wrapper would leak the cache.
+        from movie_recommendation_etl_spark.operators.skew import (
+            right_size_materialized,
+        )
+
+        base = right_size_materialized(base_cache)
 
     if not collapse_identical:
         # Guard-only fast path (default): identical to the unguarded
@@ -571,7 +586,7 @@ def _minhash_neardup_pairs(
             # Materialize the (small, O(verified pairs)) result so the
             # O(corpus tokens) shingle cache releases before return.
             verified = _ckpt(verified)
-            base.unpersist()
+            base_cache.unpersist()
         if reliable:
             verified = verified.localCheckpoint(eager=True)
         return verified
@@ -732,7 +747,7 @@ def _minhash_neardup_pairs(
         verified = _ckpt(verified)
         multi.unpersist()
         sig.unpersist()
-        base.unpersist()
+        base_cache.unpersist()
     if reliable:
         # detach the result onto local blocks BEFORE the scope exit
         # deletes this run's reliable checkpoint files
