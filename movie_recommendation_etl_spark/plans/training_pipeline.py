@@ -723,10 +723,18 @@ _Q75_TAU = 0.92
     adm2 AS (
         SELECT vec_id FROM b2
         WHERE vec_id NOT IN (SELECT vec_id FROM rej2)
+    ),
+    adm_both AS (
+        SELECT 1 AS batch, vec_id FROM adm1
+        UNION ALL
+        SELECT 2 AS batch, vec_id FROM adm2
     )
-    SELECT 1 AS batch, vec_id FROM adm1
+    -- two arms, one answer (r17, the q74 playbook): the STREAM arm
+    -- drains the same two batches through stream_admit_embeddings with a
+    -- forced micro-batch split
+    SELECT 'batch' AS arm, batch, vec_id FROM adm_both
     UNION ALL
-    SELECT 2 AS batch, vec_id FROM adm2
+    SELECT 'stream' AS arm, batch, vec_id FROM adm_both
     """,
 )
 def q75_embedding_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,11 +753,22 @@ def q75_embedding_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to q74's — probe is an equi-join on
     (band_idx, band_val) against a store holding 12 ints + dim bytes per
-    admitted vector, O(batch + band buckets), never O(corpus)."""
+    admitted vector, O(batch + band buckets), never O(corpus).
+
+    STREAM arm (r17, completing the q74 playbook on the vector tier): the
+    same two batches drain through streaming/incremental.
+    stream_admit_embeddings with a forced micro-batch split, so
+    cross-batch rejection provably rides the persisted SRP store; the
+    oracle emits the admitted sets once per arm."""
+    import time as _time
+
     from movie_recommendation_etl_spark.operators.incremental_dedup import (
         admit_new_embeddings,
     )
     from movie_recommendation_etl_spark.operators.neardup import HEX_HIGH
+    from movie_recommendation_etl_spark.streaming.incremental import (
+        stream_admit_embeddings,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda x: x.cast("double"))
@@ -793,10 +812,52 @@ def q75_embedding_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id", vec_col="emb",
             dim=_Q75_DIM, cos_threshold=_Q75_TAU,
         )
+        batch_arm = adm1.select(
+            F.lit("batch").alias("arm"), F.lit(1).alias("batch"), "vec_id"
+        ).unionByName(
+            adm2.select(
+                F.lit("batch").alias("arm"),
+                F.lit(2).alias("batch"),
+                "vec_id",
+            )
+        )
+
+        # ---- stream arm: fresh store/sink/ckpt, forced 2-batch drain ----
+        src = os.path.join(store_dir, "stream_src")
+        orig.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: batch 1's file drains first
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(orig.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_admit_embeddings(
+            stream,
+            os.path.join(store_dir, "stream_store"),
+            os.path.join(store_dir, "stream_sink"),
+            os.path.join(store_dir, "stream_ckpt"),
+            id_col="vec_id",
+            vec_col="emb",
+            dim=_Q75_DIM,
+            cos_threshold=_Q75_TAU,
+        )
+        q.awaitTermination()
+        sink = spark.read.parquet(os.path.join(store_dir, "stream_sink"))
+        n_batches = sink.select("ingest_batch").distinct().count()
+        if n_batches < 2:
+            raise RuntimeError(
+                "q75 stream arm did not split into two micro-batches "
+                f"(saw {n_batches}); cross-batch rejection would ride the "
+                "batch, not the store"
+            )
+        stream_arm = sink.select(
+            F.lit("stream").alias("arm"),
+            (F.col("ingest_batch") + 1).cast("int").alias("batch"),
+            "vec_id",
+        )
         return (
-            adm1.select(F.lit(1).alias("batch"), "vec_id")
-            .unionByName(adm2.select(F.lit(2).alias("batch"), "vec_id"))
-            .localCheckpoint(eager=True)
+            batch_arm.unionByName(stream_arm).localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
