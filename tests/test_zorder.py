@@ -362,10 +362,12 @@ def test_zorder_quantile_bucket_beats_div_on_skew(spark, tmp_path):
     for lo, hi in [(1, 100), (1, 1000), (4096, 65536)]:
         q = _overlap_frac(_file_ranges(zq, "v"), lo, hi)
         d = _overlap_frac(_file_ranges(zd, "v"), lo, hi)
-        # measured 0.5625 vs 0.9375; thresholds leave partitioner slack
+        # measured 0.5625 vs 0.9375 quiet-host; div's absolute overlap
+        # shifts with range-partitioner file boundaries under load (r17:
+        # 0.8125 in a full-suite run), so the div leg is asserted
+        # RELATIVE to quantile — the actual claim — with a wide margin
         assert q <= 0.75, (lo, hi, q)
-        assert d >= 0.85, (lo, hi, d)
-        assert q < d, (lo, hi, q, d)
+        assert d - q >= 0.15, (lo, hi, q, d)
     # rows round-trip and the stored column is untouched
     assert spark.read.parquet(zq).count() == 40_000
 
