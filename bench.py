@@ -79,7 +79,15 @@ SCOPE_TAGS: dict[str, str] = {
     # r17: q80 gained the fuzzy-dedup stage (neardup_dedup between
     # curation and the perplexity band — VERDICT r16 #2) plus a third
     # corpus slice of planted near-identical twins; deliberately more
-    # measured work, so the comparison fences for one round.
+    # measured work, so the comparison fences for one round. PERMANENT
+    # scope marker — do NOT retire this tag: retirement re-opens the
+    # multi-round drift channel's comparison against pre-stage rounds
+    # (tag-less, like the current tag would be), and q80's ~+40% vs its
+    # pre-stage self is the stage, not drift. A stable tag matches
+    # itself every round, so it costs ~45 compact-line bytes and fences
+    # nothing after r18. (Contrast q53's r15-bucket-guard retirement,
+    # where re-opening the r14 comparison was exactly the point: that
+    # growth CLAIMED to be ~8% and had actually compounded to +58%.)
     "q80_trainprep_composed": "r17-neardup-stage",
     # Tag RETIREMENT (r17, VERDICT r16 #4): q58's r14-two-stage-topk and
     # the three r15-bucket-guard tags had matched for two consecutive
