@@ -1484,10 +1484,14 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
         write_parquet(out, args.clusters)
         n_docs = cc.count()
         n_clusters = cc.select("cluster_id").distinct().count()
+        cc_how = (
+            f"small-graph fast path, {cstats['fast_path_edges']} edges"
+            if "fast_path_edges" in cstats
+            else f"{cstats.get('rounds')} propagation rounds"
+        )
         print(
             f"clusters written: {args.clusters} ({n_docs} docs in "
-            f"{n_clusters} clusters, {cstats.get('rounds')} propagation "
-            "rounds)"
+            f"{n_clusters} clusters, {cc_how})"
         )
         if args.survivors:
             # the deduped corpus itself: drop every cluster member except

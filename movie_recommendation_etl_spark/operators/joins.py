@@ -95,7 +95,7 @@ def _auto_bucket_width(
     # (Any positive width is output-identical — see docstring.)
     width = float(gap) * target_bucket_rows
     abs_max = float(row["abs_max"] or 0.0)
-    return max(width, abs_max / float(1 << 40)) or width
+    return max(width, abs_max / float(1 << 40))
 
 
 def asof_join(
