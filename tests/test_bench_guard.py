@@ -810,3 +810,32 @@ def test_compact_line_carries_drift_block():
     assert slim["drift"] == {"q53": 58.0}
     out2 = dict(out, drift={})
     assert "drift" not in json.loads(bench.compact_line(out2, {}))
+
+
+def test_drift_channel_parses_live_history():
+    """Integration sanity: the drift channel must parse the REAL committed
+    BENCH_r*.json history (driver envelopes, truncated tails and all) —
+    shape-only assertions, since the history grows every round."""
+    import os
+
+    import bench
+    from bench import compute_drift, previous_round_benches
+
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    hist = previous_round_benches(repo)
+    if not hist:  # a fresh clone without recorded rounds
+        return
+    assert all(isinstance(b.get("queries"), dict) for b in hist)
+    rounds = [b["round"] for b in hist]
+    assert rounds == sorted(rounds, reverse=True)
+    # replaying the newest round's own timings can only flag entries
+    # whose history minimum is MORE than 40% below that round — i.e. the
+    # channel runs end-to-end on live data without raising
+    newest = hist[0]
+    flags = compute_drift(
+        hist,
+        dict(newest["queries"]),
+        calibration_sec=newest.get("calibration_sec"),
+    )
+    for v in flags.values():
+        assert v["pct"] > 40.0
