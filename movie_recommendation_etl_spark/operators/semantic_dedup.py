@@ -182,6 +182,11 @@ def semantic_dup_groups(
         connected_components,
     )
 
+    # Materialize the (small, O(ε-pairs)) edge frame before CC like every
+    # other caller: connected_components' small-graph gate counts the
+    # edges and its fast path collects them — on a lazy frame each of
+    # those re-executes the per-pair dot-product join (r17).
+    edges = edges.localCheckpoint(eager=True)
     comp = connected_components(
         edges, checkpoint_dir=checkpoint_dir, stats=stats
     )
