@@ -143,6 +143,85 @@ def fence_ref_scale(
 SPREAD_RESAMPLE_BOUND = 0.35
 RESAMPLE_MIN_CAP_SEC = 10.0
 
+# Full-result persistence (r18, VERDICT r17 #1): the driver keeps only
+# ~2000 bytes of stdout, and r17 proved a flag storm can trim the
+# regressions/drift blocks out of even the degraded compact line — the
+# drift channel's first live verdict was unrecoverable. Every bench run
+# now appends its COMPLETE result blob to this committed jsonl before
+# printing; the compact line carries a short "run" id pointing at the
+# matching entry, and the round parser upgrades a truncated tail to its
+# persisted twin whenever one exists.
+BENCH_HISTORY_FILE = "bench_history.jsonl"
+BENCH_HISTORY_KEEP = 40
+
+
+def run_id_for(timings: dict) -> str:
+    """Deterministic 8-hex id linking a compact stdout line to its
+    persisted full blob: a content hash of the per-query timings, which
+    both carry bit-identically."""
+    import hashlib
+
+    return hashlib.sha1(
+        json.dumps(timings, sort_keys=True).encode()
+    ).hexdigest()[:8]
+
+
+def persist_full_blob(repo_dir: str, out: dict) -> None:
+    """Append the complete bench result to BENCH_HISTORY_FILE (pruned to
+    the newest BENCH_HISTORY_KEEP entries — ~4 KB each, so the committed
+    file stays small across many local adjudication runs). Best-effort:
+    a read-only checkout degrades to stdout-only, never a bench crash."""
+    path = os.path.join(repo_dir, BENCH_HISTORY_FILE)
+    try:
+        lines: list[str] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        lines.append(json.dumps(out, separators=(",", ":")))
+        with open(path, "w") as f:
+            f.write("\n".join(lines[-BENCH_HISTORY_KEEP:]) + "\n")
+    except OSError:
+        pass
+
+
+def full_blob_for(repo_dir: str, blob: dict) -> dict | None:
+    """The persisted full-result twin of a (possibly truncated) recovered
+    round blob. Match by the "run" id when the tail preserved it; else by
+    timing equality — every shared query key bit-identical, with enough
+    shared keys (>= 5) that two distinct runs can't collide. Newest match
+    wins (re-runs of an identical-timing bench are interchangeable)."""
+    path = os.path.join(repo_dir, BENCH_HISTORY_FILE)
+    if not os.path.exists(path):
+        return None
+    want_run = blob.get("run")
+    want_q = blob.get("queries") if isinstance(blob.get("queries"), dict) else {}
+    try:
+        with open(path) as f:
+            lines = f.read().splitlines()
+    except OSError:
+        return None
+    for line in reversed(lines):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            cand = json.loads(line)
+        except ValueError:
+            continue
+        if not isinstance(cand, dict) or not isinstance(
+            cand.get("queries"), dict
+        ):
+            continue
+        if want_run and cand.get("run") == want_run:
+            return cand
+        if not want_run and want_q:
+            shared = set(want_q) & set(cand["queries"])
+            if len(shared) >= 5 and all(
+                want_q[k] == cand["queries"][k] for k in shared
+            ):
+                return cand
+    return None
+
 # The driver records roughly the last 2000 bytes of bench stdout; the
 # compact line must fit the window WHOLE (with margin for the driver's
 # own envelope bytes) or it defeats its purpose. r14: 1900 -> 1950 — the
@@ -297,6 +376,10 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
         ),
         "recall_at5": recall_at5,
         "scope_tags": out["scope_tags"],
+        # the 8-hex pointer to this run's persisted full blob in
+        # bench_history.jsonl (r18) — prints late so it survives
+        # head-clipping alongside the flags it backs up
+        **({"run": out["run"]} if "run" in out else {}),
         **(
             # the END-of-run displaced samples for this round's flagged
             # queries (see the re-sample pass in main) — the adjudication
@@ -506,6 +589,19 @@ def previous_round_benches(repo_dir: str, limit: int = 3) -> list[dict]:
 
 
 def _parse_bench_file(latest: str) -> dict | None:
+    """Parse one recorded round file, then upgrade the (often truncated)
+    recovered blob to its persisted full twin from bench_history.jsonl
+    when one matches (r18, VERDICT r17 #1) — the full blob carries the
+    complete regressions/drift/end_resampled payload the driver's
+    2000-byte stdout window can clip."""
+    blob = _parse_bench_file_raw(latest)
+    if blob is None:
+        return None
+    full = full_blob_for(os.path.dirname(os.path.abspath(latest)), blob)
+    return full if full is not None else blob
+
+
+def _parse_bench_file_raw(latest: str) -> dict | None:
     import re
 
     try:
@@ -606,6 +702,12 @@ def _parse_bench_file(latest: str) -> dict | None:
             rm = re.search(r'"ref_scale_method":\s*"([a-z0-9_-]+)"', tail)
             if rm:
                 out["ref_scale_method"] = rm.group(1)
+            rn = re.search(r'"run":\s*"([0-9a-f]{6,})"', tail)
+            if rn:
+                # the persisted-full-blob pointer (r18) — lets
+                # _parse_bench_file upgrade this reconstruction to the
+                # complete result even when every timing was clipped
+                out["run"] = rn.group(1)
             return out
     except (OSError, ValueError):
         return None
@@ -737,6 +839,8 @@ def compute_drift(
     current_tags: dict[str, str] | None = None,
     pct_threshold: float = DRIFT_PCT_THRESHOLD,
     min_abs_sec: float = 0.1,
+    ref_scale_calibration_sec: float | None = None,
+    ref_scale_method: str | None = None,
 ) -> dict[str, dict[str, float]]:
     """Cumulative drift >``pct_threshold`` vs the BEST (most favorable)
     comparable round of the last ``DRIFT_WINDOW_ROUNDS`` — the channel
@@ -755,10 +859,15 @@ def compute_drift(
     per-query sampling already uses — the fastest recorded round is the
     best evidence of the code's true cost, and a hot-host historical
     round only LOOSENS its own comparison (its inflated timing yields a
-    small ratio), never manufactures a flag. ref_scale_* entries are
-    excluded: the replay has its own in-subprocess escalation channels
-    plus absolute gates vs BASELINE.md, and its calibration scalar lives
-    in a different field."""
+    small ratio), never manufactures a flag. ref_scale_* entries enter
+    the comparison only when BOTH ``ref_scale_calibration_sec`` (this
+    round's in-replay host sample) and ``ref_scale_method`` are passed
+    (r18, VERDICT r17 #3: the replay's in-subprocess escalation is
+    single-round, so a compounding trainprep-lifecycle slide had no
+    multi-round channel); they normalize by the replay-vs-replay
+    calibration ratio and compare only against rounds recorded with the
+    same replay methodology. Without those arguments (the pre-replay
+    preliminary pass, where no ref entries exist yet) they are skipped."""
     tags = SCOPE_TAGS if current_tags is None else current_tags
     rounds = [
         b
@@ -769,7 +878,10 @@ def compute_drift(
     ][:DRIFT_WINDOW_ROUNDS]
     out: dict[str, dict[str, float]] = {}
     for name, t_now in now.items():
-        if name.startswith("ref_scale_"):
+        is_ref = name.startswith("ref_scale_")
+        if is_ref and (
+            ref_scale_calibration_sec is None or ref_scale_method is None
+        ):
             continue
         best: tuple[float, float, float, int | None] | None = None
         for b in rounds:
@@ -778,10 +890,19 @@ def compute_drift(
                 continue
             if (b.get("scope_tags") or {}).get(name) != tags.get(name):
                 continue
-            cal_prev = b.get("calibration_sec")
+            if is_ref and b.get("ref_scale_method") != ref_scale_method:
+                # a replay-methodology change makes the entry
+                # incomparable, same fence as fence_ref_scale
+                continue
+            cal_now = (
+                ref_scale_calibration_sec if is_ref else calibration_sec
+            )
+            cal_prev = b.get(
+                "ref_scale_calibration_sec" if is_ref else "calibration_sec"
+            )
             ratio = (
-                calibration_sec / cal_prev
-                if calibration_sec
+                cal_now / cal_prev
+                if cal_now
                 and isinstance(cal_prev, (int, float))
                 and cal_prev > 0
                 else 1.0
@@ -1582,6 +1703,9 @@ def main() -> int:
             if spread.get(n, 0.0) <= SPREAD_RESAMPLE_BOUND
         ),
         "scope_tags": SCOPE_TAGS,
+        # content-hash id linking this run's stdout lines to the full
+        # blob persisted in bench_history.jsonl (r18, VERDICT r17 #1)
+        "run": run_id_for(timings),
         # displaced end-of-run samples for this round's flagged queries
         # (prints AFTER queries and is a cut marker for the tail
         # reconstruction — its values are "qNN": seconds pairs)
@@ -1600,9 +1724,15 @@ def main() -> int:
             ref_scale_ratio=ref_cal_ratio,
         ),
         # cumulative multi-round drift (r17) — prints after queries and is
-        # a tail-scraper cut marker, like regressions
+        # a tail-scraper cut marker, like regressions. ref_scale_* entries
+        # participate since r18 (their own calibration scalar + method
+        # fence), closing the trainprep-lifecycle multi-round gap.
         "drift": compute_drift(
-            bench_history, timings, calibration_sec=calibration
+            bench_history,
+            timings,
+            calibration_sec=calibration,
+            ref_scale_calibration_sec=ref_scale_calibration,
+            ref_scale_method=REF_SCALE_METHOD,
         ),
     }
     # All applicable fencing notes, not first-match-wins (r9 ADVICE: the
@@ -1648,6 +1778,13 @@ def main() -> int:
         )
     if notes:
         out["regressions_note"] = "; ".join(notes)
+    # Persist the COMPLETE result to the committed history file BEFORE
+    # printing (r18, VERDICT r17 #1): r17's flag storm overflowed even the
+    # degraded compact line and its entire adjudication payload — the
+    # drift channel's first live verdict — was truncated out of the
+    # driver's 2000-byte stdout window. Disk is the record; stdout is the
+    # pointer.
+    persist_full_blob(_repo_dir, out)
     print(json.dumps(out))
     # The tail-survivable compact duplicate, LAST so the driver's
     # last-2000-bytes stdout window keeps it whole (see compact_line).

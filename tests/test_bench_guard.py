@@ -396,6 +396,8 @@ def _realistic_r11_stdout(flagged=("q53_embedding_neardup_pairs",)):
         "extra_sampled_n": 18,
         "extra_sampled": ["q01_pricing_summary", "q21_doc_scalar_suite"],
         "scope_tags": bench.SCOPE_TAGS,
+        # r18: the persisted-full-blob pointer rides both lines
+        "run": bench.run_id_for(timings),
         # r13: displaced end-of-run samples for the flagged set
         "end_resampled": {k: 1.234 for k in flagged},
         "regressions": {
@@ -748,9 +750,10 @@ def test_compute_drift_normalizes_per_round_and_is_one_sided():
 
 
 def test_compute_drift_skips_ref_scale_and_tiny_and_method_change():
-    """ref_scale_* entries have their own escalation + absolute gates;
-    sub-100ms deltas are jitter; rounds from another bench methodology
-    never enter the history."""
+    """ref_scale_* entries stay OUT of the drift comparison unless the
+    caller passes the replay's own calibration scalar + method (the
+    pre-replay preliminary pass never does); sub-100ms deltas are jitter;
+    rounds from another bench methodology never enter the history."""
     import bench
     from bench import compute_drift
 
@@ -764,6 +767,53 @@ def test_compute_drift_skips_ref_scale_and_tiny_and_method_change():
     assert compute_drift(hist, now, calibration_sec=0.2,
                          current_tags={}) == {}
     assert compute_drift([], now, calibration_sec=0.2, current_tags={}) == {}
+
+
+def test_compute_drift_ref_scale_with_replay_calibration():
+    """r18 (VERDICT r17 #3 done-criterion): with the replay calibration
+    scalar + method passed, a 2x ref_scale_trainprep_sec slide FLAGS in
+    the committed drift block; a replay-methodology change fences the
+    comparison; replay-host normalization divides by the replay-vs-replay
+    ratio (one-sided, clamped >= 1) and never leaks the parent's ratio."""
+    import bench
+    from bench import compute_drift
+
+    hist = _hist([
+        (17, {"ref_scale_trainprep_sec": 94.2, "q01": 1.0}, 0.28, {}),
+    ])
+    hist[0]["ref_scale_method"] = bench.REF_SCALE_METHOD
+    hist[0]["ref_scale_calibration_sec"] = 0.278
+    now = {"ref_scale_trainprep_sec": 188.4, "q01": 1.0}
+    flags = compute_drift(
+        hist, now, calibration_sec=0.28, current_tags={},
+        ref_scale_calibration_sec=0.278,
+        ref_scale_method=bench.REF_SCALE_METHOD,
+    )
+    assert set(flags) == {"ref_scale_trainprep_sec"}
+    assert flags["ref_scale_trainprep_sec"]["baseline"] == 94.2
+    assert flags["ref_scale_trainprep_sec"]["baseline_round"] == 17
+    assert flags["ref_scale_trainprep_sec"]["pct"] == 100.0
+    # a 2x-slower replay host divides the slide away (its own scalar,
+    # not the parent's — calibration_sec stays 0.28 here)
+    assert compute_drift(
+        hist, now, calibration_sec=0.28, current_tags={},
+        ref_scale_calibration_sec=0.556,
+        ref_scale_method=bench.REF_SCALE_METHOD,
+    ) == {}
+    # replay-methodology change fences the entry entirely
+    assert compute_drift(
+        hist, now, calibration_sec=0.28, current_tags={},
+        ref_scale_calibration_sec=0.278,
+        ref_scale_method="min3_other",
+    ) == {}
+    # and in-session queries never normalize by the replay scalar
+    slow_q = {"ref_scale_trainprep_sec": 94.2, "q01": 1.5}
+    flags2 = compute_drift(
+        hist, slow_q, calibration_sec=0.28, current_tags={},
+        ref_scale_calibration_sec=0.556,
+        ref_scale_method=bench.REF_SCALE_METHOD,
+    )
+    assert set(flags2) == {"q01"}
 
 
 def test_previous_round_benches_reads_last_three(tmp_path):
@@ -810,6 +860,136 @@ def test_compact_line_carries_drift_block():
     assert slim["drift"] == {"q53": 58.0}
     out2 = dict(out, drift={})
     assert "drift" not in json.loads(bench.compact_line(out2, {}))
+
+
+def test_persist_full_blob_round_trip_and_prune(tmp_path):
+    """persist_full_blob appends complete results (pruned to the keep
+    bound) and full_blob_for finds them by run id — the committed disk
+    record the r17 flag storm proved stdout cannot be."""
+    import bench
+    from bench import full_blob_for, persist_full_blob, run_id_for
+
+    for i in range(bench.BENCH_HISTORY_KEEP + 5):
+        timings = {"q01_x": 1.0 + i, "q02_x": 2.0}
+        persist_full_blob(
+            str(tmp_path),
+            {"queries": timings, "run": run_id_for(timings),
+             "regressions": {"q01_x": {"pct": 40.0 + i}}},
+        )
+    lines = (tmp_path / bench.BENCH_HISTORY_FILE).read_text().splitlines()
+    assert len(lines) == bench.BENCH_HISTORY_KEEP  # pruned
+    want = {"q01_x": 1.0 + bench.BENCH_HISTORY_KEEP + 4, "q02_x": 2.0}
+    got = full_blob_for(str(tmp_path), {"run": run_id_for(want)})
+    assert got is not None
+    assert got["queries"] == want
+    assert got["regressions"]["q01_x"]["pct"] == 44.0 + bench.BENCH_HISTORY_KEEP
+    # unknown run id -> no match, never a crash
+    assert full_blob_for(str(tmp_path), {"run": "ffffffff"}) is None
+    assert full_blob_for(str(tmp_path / "nowhere"), {"run": "x"}) is None
+
+
+def test_parse_bench_file_upgrades_storm_truncated_tail(tmp_path):
+    """The r17 failure, end to end: a 25-flag storm degrades the compact
+    line (flag blocks trimmed/dropped to fit the 2000-byte window), but
+    the persisted full blob — matched through the surviving run id —
+    restores EVERY flag, the drift block, and the displaced samples."""
+    import bench
+    from bench import persist_full_blob, previous_round_bench
+
+    flagged = tuple(
+        sorted(f"q{i:02d}_some_rather_long_query_name" for i in range(25))
+    )
+    stdout, timings = _realistic_r11_stdout(flagged=flagged)
+    full_line, compact = stdout.rsplit("\n", 1)
+    full = json.loads(full_line)
+    persist_full_blob(str(tmp_path), full)
+    # the driver keeps only the last 2000 bytes — the degraded compact
+    # line survives, the full blob does not
+    (tmp_path / "BENCH_r18.json").write_text(
+        json.dumps({"n": 18, "rc": 0, "tail": stdout[-2000:]})
+    )
+    blob = previous_round_bench(str(tmp_path))
+    assert blob is not None
+    assert blob["queries"] == timings
+    # the compact line alone carries <= 10 flags; the upgraded blob has
+    # all 25 with their full detail dicts, plus drift + end_resampled
+    assert set(blob["regressions"]) == set(flagged)
+    assert blob["regressions"][flagged[0]]["pct"] == 100.0
+    assert set(blob["drift"]) == set(flagged)
+    assert blob["end_resampled"] == {k: 1.234 for k in flagged}
+
+
+def test_full_blob_matches_by_timings_without_run_id(tmp_path):
+    """Rounds recorded before r18 (or a tail whose run id was clipped)
+    still upgrade when enough shared timings match bit-identically; a
+    different run's blob never matches."""
+    from bench import full_blob_for, persist_full_blob
+
+    timings = {f"q{i:02d}_x": round(1.1 * i, 3) for i in range(1, 9)}
+    persist_full_blob(
+        str(tmp_path),
+        {"queries": timings, "drift": {"q03_x": {"pct": 55.0}}},
+    )
+    got = full_blob_for(str(tmp_path), {"queries": dict(timings)})
+    assert got is not None and got["drift"] == {"q03_x": {"pct": 55.0}}
+    # a truncated subset (fewer recovered timings) still matches
+    subset = {k: timings[k] for k in list(timings)[:6]}
+    assert full_blob_for(str(tmp_path), {"queries": subset}) is not None
+    # too few shared keys, or any value mismatch -> no match
+    assert full_blob_for(
+        str(tmp_path), {"queries": {k: timings[k] for k in list(timings)[:3]}}
+    ) is None
+    wrong = dict(timings, q05_x=9.9)
+    assert full_blob_for(str(tmp_path), {"queries": wrong}) is None
+
+
+def test_reconstruction_recovers_run_id(tmp_path):
+    """The truncated-tail scraper must pick up the run pointer so even a
+    head-clipped round can be upgraded to its persisted full blob."""
+    tail = (
+        '"q54_neardup_clusters": 4.7, "calibration_sec": 0.22, '
+        '"bench_method": "min2", "run": "ab12cd34", '
+        '"regressions": {}}'
+    )
+    (tmp_path / "BENCH_r18.json").write_text(json.dumps({"tail": tail}))
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["run"] == "ab12cd34"
+    assert blob["queries"] == {"q54_neardup_clusters": 4.7}
+
+
+def test_drift_ledger_reopens_for_neardup_family():
+    """r18 (VERDICT r17 #6): the near-dup family was scope-fenced in r17
+    (tag retirement), so r18 is its first normal comparison — the drift
+    channel must pick the family up with the r17 minima as baseline. Uses
+    the REAL committed history: r15/r16 carried the retired tags, so only
+    r17 (tag-less, matching the current tag-less state) may compare."""
+    import os
+
+    import bench
+    from bench import compute_drift, previous_round_benches
+
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    hist = previous_round_benches(repo)
+    by_round = {b["round"]: b for b in hist}
+    if 17 not in by_round or 16 not in by_round:
+        return  # fresh clone without the recorded rounds
+    family = (
+        "q50_minhash_lsh_neardup",
+        "q53_embedding_neardup_pairs",
+        "q54_neardup_clusters",
+        "q58_sampling_suite",
+    )
+    r17 = by_round[17]
+    # a deliberate 2x slide on each family line must flag vs the r17
+    # value: r15/r16 recorded retired scope tags and are fenced out
+    now = {q: r17["queries"][q] * 2.0 for q in family}
+    flags = compute_drift(
+        hist, now, calibration_sec=r17.get("calibration_sec")
+    )
+    for q in family:
+        assert q in flags, f"{q} did not re-enter the drift comparison"
+        assert flags[q]["baseline_round"] == 17
+        assert flags[q]["baseline"] == r17["queries"][q]
 
 
 def test_drift_channel_parses_live_history():
