@@ -225,27 +225,33 @@ def asof_join(
             raise ValueError("asof_join: bucket_width must be > 0")
         # cast-to-double is monotone for timestamps (epoch seconds) and
         # numerics alike, so bucket order == time order. NULL timestamps
-        # (which the single-window plan orders FIRST, nulls-first asc) get a
-        # sentinel bucket below every real one — Long.MIN_VALUE — so the
-        # bucketed plan keeps them and stitches them identically (r16,
-        # ADVICE fix: they previously fell out of the null-unsafe bucket
-        # joins). greatest() guards the sentinel BY CONSTRUCTION (r17,
-        # ADVICE fix): with an extreme ts/width ratio floor()'s double->long
-        # cast clamps, and the negative clamp IS Long.MIN_VALUE; clamping
-        # real buckets to sentinel+1 is monotone non-decreasing in ts, which
-        # is all bucketing needs (any monotone bucket map is
-        # output-identical — the within-bucket window still sorts by ts).
+        # (which the single-window plan orders FIRST, nulls-first asc) get
+        # an EXPLICIT when()-branch to the Long.MIN_VALUE sentinel bucket,
+        # strictly below every real one, so the bucketed plan keeps them
+        # and stitches them identically (r16 ADVICE: they previously fell
+        # out of the null-unsafe bucket joins; r18 ADVICE: the old
+        # coalesce-after-greatest form was dead code — greatest() SKIPS
+        # nulls, so NULL __t actually landed in sentinel+1, and the stated
+        # invariant was false even though within-bucket nulls-first
+        # ordering kept the output correct). greatest() guards the real
+        # buckets BY CONSTRUCTION (r17 ADVICE fix): with an extreme
+        # ts/width ratio floor()'s double->long cast clamps, and the
+        # negative clamp IS Long.MIN_VALUE; clamping real buckets to
+        # sentinel+1 is monotone non-decreasing in ts, which is all
+        # bucketing needs (any monotone bucket map is output-identical —
+        # the within-bucket window still sorts by ts).
         u = u.withColumn(
             "__bkt",
-            F.coalesce(
+            F.when(
+                F.col("__t").isNull(), F.lit(_NULL_TS_BUCKET)
+            ).otherwise(
                 F.greatest(
                     F.floor(
                         F.col("__t").cast("double")
                         / F.lit(float(bucket_width))
                     ),
                     F.lit(_NULL_TS_BUCKET + 1),
-                ),
-                F.lit(_NULL_TS_BUCKET),
+                )
             ),
         )
         wb = (

@@ -183,9 +183,10 @@ def semantic_dup_groups(
     )
 
     # Materialize the (small, O(ε-pairs)) edge frame before CC like every
-    # other caller: connected_components' small-graph gate counts the
-    # edges and its fast path collects them — on a lazy frame each of
-    # those re-executes the per-pair dot-product join (r17).
+    # other caller: connected_components reads the edges twice on the
+    # distributed path (the bounded gate collect + the symmetrize scan;
+    # one action each since r18) — on a lazy frame the second read
+    # re-executes the per-pair dot-product join (r17).
     edges = edges.localCheckpoint(eager=True)
     comp = connected_components(
         edges, checkpoint_dir=checkpoint_dir, stats=stats

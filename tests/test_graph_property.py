@@ -69,6 +69,56 @@ def test_components_match_union_find(edges):
     assert got_dist == _union_find(edges)
 
 
+def test_null_endpoint_edges_dropped_on_both_paths(spark):
+    """r18 (VERDICT r17 #4b): null-endpoint edges are dropped IDENTICALLY
+    on the fast and distributed paths — r17's fast path dropna()'d while
+    the distributed path carried a null-`a` group through the symmetrized
+    frame, so the two public paths could disagree on degenerate input."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 4), (5, None), (None, None), (7, 8)],
+        "src: long, dst: long",
+    )
+    want = {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    got_fast = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    got_dist = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            edges, small_graph_threshold=0
+        ).collect()
+    }
+    assert got_fast == want
+    assert got_dist == want
+    # an all-null edge list behaves exactly like an empty one
+    all_null = spark.createDataFrame(
+        [(None, 1), (2, None)], "src: long, dst: long"
+    )
+    for thr in (100_000, 0):
+        assert connected_components(
+            all_null, small_graph_threshold=thr
+        ).count() == 0
+
+
+def test_fast_path_gate_is_one_bounded_action(spark):
+    """r18 (VERDICT r17 #4a): the small-graph gate collects at most
+    threshold+1 rows in ONE action — a graph just over the threshold must
+    take the distributed path (stats['rounds'] >= 1), one at the
+    threshold the fast path (rounds == 0, fast_path_edges set)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src: long, dst: long"
+    )
+    stats: dict = {}
+    out = connected_components(edges, small_graph_threshold=10, stats=stats)
+    assert stats["rounds"] == 0 and stats["fast_path_edges"] == 10
+    assert out.count() == 11
+    stats2: dict = {}
+    out2 = connected_components(edges, small_graph_threshold=9, stats=stats2)
+    assert stats2["rounds"] >= 1 and "fast_path_edges" not in stats2
+    assert out2.count() == 11
+
+
 def test_empty_edges_returns_empty(spark):
     """A corpus with zero near-dup pairs feeds an EMPTY edge list — that
     must return an empty (node, cluster_id) frame, not raise after
