@@ -21,7 +21,13 @@ frame's plan is just a Scan ExistingRDD — the candidate-join plan shape
 those queries run is pinned structurally in tests/test_plan_shapes.py
 (no Window / no cartesian / bounded exchange count on the lazy twin), and
 their wall-clock is guarded by bench.compute_drift. EXTRA_PINNED pins
-bench-only arms that do have full lazy plans (q48_batch).
+bench-only arms that do have full lazy plans (q48_batch; batch_ann_pass1 —
+r18, VERDICT r17 #5: batch_ann's bench line has been bimodal 1.9-4.2 s on
+identical code since r11, and its materialized result frame can't be
+pinned, so the LAZY first-pass approxSimilarityJoin + top-k window — the
+plan whose join strategy would explain a real mode flip — is pinned here;
+building its fixture pays one sf0.1 TF-IDF fit + LSH fit, plan stays
+unexecuted).
 """
 
 from __future__ import annotations
@@ -76,7 +82,47 @@ def main() -> int:
     spark = get_spark(app_name="pin_plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
-    extra = {"q48_batch": q48_batch_arm}
+
+    def _batch_ann_pass1(spark, sf_dir):
+        # the bench's batch_ann fixture, stopped BEFORE the eager
+        # localCheckpoint: the lazy first LSH pass + per-query top-k
+        # window — the join whose strategy a mode flip would change
+        from pyspark.sql import functions as F
+        from pyspark.sql import Window as W
+
+        from movie_recommendation_etl_spark.ml.ann import (
+            fit_lsh,
+            prepare_index,
+        )
+        from movie_recommendation_etl_spark.ml.tfidf import (
+            fit_document_vectors,
+        )
+        from movie_recommendation_etl_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        _, vecs = fit_document_vectors(docs)
+        vecs = vecs.cache()
+        vecs.count()
+        lsh = fit_lsh(vecs)
+        index = prepare_index(lsh, vecs)
+        q_batch = vecs.filter("doc_id % 37 = 0")
+        pairs = lsh.approxSimilarityJoin(
+            q_batch, index, 1.4, distCol="dist"
+        ).select(
+            F.col("datasetA.doc_id").alias("query_id"),
+            F.col("datasetB.doc_id").alias("neighbor_id"),
+            "dist",
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+        )
+
+    extra = {"q48_batch": q48_batch_arm, "batch_ann_pass1": _batch_ann_pass1}
 
     os.makedirs(OUT_DIR, exist_ok=True)
     drifted: list[str] = []
