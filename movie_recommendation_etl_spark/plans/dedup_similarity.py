@@ -79,20 +79,32 @@ _SQL_CW_B = "[" + ", ".join(str(b) for _, b, _ in _CW) + "]"
 _SQL_CW_C = "[" + ", ".join(str(c) for _, _, c in _CW) + "]"
 
 
-def _sql_hex_word(start: int) -> str:
-    """SQL for parsing 8 hex digits of column ``h`` starting at ``start``
-    (1-based) into a BIGINT, by folding digit positions."""
+def _sql_hex_word(start: int, width: int = 8) -> str:
+    """SQL for parsing ``width`` hex digits of column ``h`` starting at
+    ``start`` (1-based) into a BIGINT, by folding digit positions."""
     return (
-        f"list_reduce(list_transform(range({start}, {start + 8}), i -> "
+        f"list_reduce(list_transform(range({start}, {start + width}), i -> "
         "CAST(strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS BIGINT)),"
         " (acc, x) -> acc * 16 + x)"
     )
 
 
+# DuckDB twin of operators/neardup.shingle_hash60: distinct 60-bit longs
+# from the leading 15 hex digits of md5(shingle) — the verify joins
+# intersect these instead of raw strings on BOTH engines (r18), so the
+# Jaccard values stay bit-identical by construction, collisions included.
+_SQL_SHINGLE_HASH60 = (
+    "list_distinct(list_transform(list_transform(sh, s -> md5(s)), h -> "
+    + _sql_hex_word(1, 15)
+    + "))"
+)
+
+
 def sql_minhash_verified_ctes(
     src: str, text_col: str = "text", prefix: str = ""
 ) -> str:
-    """The full MinHash(12)->LSH(4x3)->exact-Jaccard-verify chain as CTE
+    """The full MinHash(12)->LSH(4x3)->Jaccard-verify chain (verify over
+    60-bit md5-mapped shingles, the Spark side's mapping) as CTE
     text over ``src(doc_id, text_col)``, ending in
     ``{prefix}verified(doc_a, doc_b, jaccard)``. Parametrized (r17) so the
     q80 trainprep oracle can replay the fuzzy-dedup stage over its curated
@@ -143,15 +155,20 @@ def sql_minhash_verified_ctes(
                    AND a.band_hash = b.band_hash
                    AND a.doc_id < b.doc_id
     ),
+    {p}hashed AS (
+        -- the 60-bit md5 shingle mapping the Spark verify join uses
+        -- (operators/neardup.shingle_hash60) — longs, not strings
+        SELECT doc_id, {_SQL_SHINGLE_HASH60} AS shh FROM {p}banded
+    ),
     {p}verified AS MATERIALIZED (
         SELECT p.doc_a, p.doc_b,
-               CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
-               / CAST(len(x.sh) + len(y.sh)
-                      - len(list_filter(x.sh, s -> list_contains(y.sh, s)))
+               CAST(len(list_filter(x.shh, s -> list_contains(y.shh, s))) AS DOUBLE)
+               / CAST(len(x.shh) + len(y.shh)
+                      - len(list_filter(x.shh, s -> list_contains(y.shh, s)))
                       AS DOUBLE) AS jaccard
         FROM {p}pairs p
-        JOIN {p}banded x ON p.doc_a = x.doc_id
-        JOIN {p}banded y ON p.doc_b = y.doc_id
+        JOIN {p}hashed x ON p.doc_a = x.doc_id
+        JOIN {p}hashed y ON p.doc_b = y.doc_id
     )"""
 
 
@@ -167,7 +184,10 @@ _SQL_VERIFIED_CTES = f"""{_SQL_UNIONED},
     """,
 )
 def q50_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12 hashes) + LSH(4 bands x 3 rows) + exact-Jaccard verify over
+    """MinHash(12 hashes) + LSH(4 bands x 3 rows) + Jaccard verify (over
+    60-bit md5-mapped shingle sets — operators/neardup.shingle_hash60;
+    equal to raw-string Jaccard up to a ~2^-60/pair collision bound, and
+    bit-identical to the oracle, which replays the same mapping) over
     the planted-twin corpus. Never all-pairs, never quadratic-in-a-bucket:
     oversized band buckets (near-identical OR identical clusters share
     band hashes — md5 uniformity only spreads DISTINCT signatures) are
