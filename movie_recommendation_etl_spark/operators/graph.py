@@ -58,6 +58,7 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
     small_graph_threshold: int = 100_000,
+    broadcast_label_threshold: int = 1_000_000,
     stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) edge list -> (node, cluster_id) with cluster_id = min node
@@ -80,6 +81,20 @@ def connected_components(
 
     Raises after ``max_iter`` rounds without convergence (a near-dup graph
     that deep means the banding threshold is catastrophically loose).
+
+    ``broadcast_label_threshold`` (r18) picks the middle tier between the
+    driver fast path and the full shuffled fixpoint: when the node count
+    (known free from the seed aggregation) is at or under it, each
+    round's two joins broadcast the LABELS side — nodes-sized, tiny next
+    to the symmetrized edge frame — so the 2 x |edges| rows are never
+    shuffled or sorted per round; the only per-round exchange left is the
+    map-side-combined min aggregation. Measured on a 377k-node / 5.3M-edge
+    near-dup graph: the sort-merge rounds' sym sorts dominate CC cost,
+    and the broadcast tier removes them. The default (1M nodes ~ 50 MB
+    broadcast) is conservative for a 16 GB driver; a billion-node graph
+    takes the shuffled plan untouched. The label evolution is identical —
+    only the join strategy changes (equality fuzzed in
+    tests/test_graph_property.py).
 
     ``stats`` (optional dict) receives ``{"rounds": n}`` — the number of
     propagation rounds actually executed. 0 on the empty-edge
@@ -182,13 +197,23 @@ def connected_components(
             # zero near-dup pairs is a perfectly normal corpus.
             if stats is not None:
                 stats["rounds"] = 0
-            prev_sum = labels.agg(
-                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-            ).first()["s"]
+            # Node count rides the SAME aggregation as the convergence
+            # sum — the broadcast-tier gate costs zero extra jobs.
+            first = labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            prev_sum, n_nodes = first["s"], first["n"]
             if prev_sum is None:
                 return labels.select(
                     "node", F.col("lbl").alias("cluster_id")
                 ).localCheckpoint(eager=True)
+            bcast = (
+                broadcast_label_threshold
+                and n_nodes <= broadcast_label_threshold
+            )
+            if stats is not None:
+                stats["broadcast_tier"] = bool(bcast)
             for _round in range(max_iter):
                 # min(own label, neighbors' labels) as ONE shuffle: union
                 # the neighbor-candidate stream with the labels themselves
@@ -197,15 +222,27 @@ def connected_components(
                 # frame) with a single hash aggregation; the join that
                 # produces candidates shuffles sym once on b (labels
                 # arrive hash-partitioned on node from the previous
-                # round's agg).
+                # round's agg). In the broadcast tier the nodes-sized
+                # labels side broadcasts instead, so sym streams straight
+                # off its cached blocks — no shuffle, no sort of the
+                # 2 x |edges| frame at all.
                 cand = sym.join(
-                    labels, sym["b"] == labels["node"]
+                    F.broadcast(labels) if bcast else labels,
+                    sym["b"] == labels["node"],
                 ).select(sym["a"].alias("node"), "lbl")
                 stepped = (
                     labels.unionByName(cand)
                     .groupBy("node")
                     .agg(F.min("lbl").alias("lbl"))
                 )
+                if bcast:
+                    # Materialize before the self-referencing hop join:
+                    # broadcasting `hop` would otherwise rebuild stepped's
+                    # whole lineage (the big cand scan) a second time per
+                    # round. Nodes-sized by the gate, so the checkpoint is
+                    # small; _ckpt keeps the reliable-mode durability
+                    # contract.
+                    stepped = _ckpt(stepped)
                 # Pointer doubling: follow the label one extra hop (label of
                 # my label) so label distance halves per round — convergence
                 # in O(log diameter) rounds instead of O(diameter). Every
@@ -219,7 +256,11 @@ def connected_components(
                     F.col("lbl"), F.coalesce("h_lbl", F.col("lbl"))
                 )
                 updated = _ckpt(
-                    stepped.join(hop, stepped["lbl"] == hop["h_node"], "left")
+                    stepped.join(
+                        F.broadcast(hop) if bcast else hop,
+                        stepped["lbl"] == hop["h_node"],
+                        "left",
+                    )
                     .select("node", doubled_lbl.alias("lbl"))
                 )
                 # Exact decimal sum. decimal(38,0) holds ~1e38 of total

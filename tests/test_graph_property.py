@@ -65,8 +65,17 @@ def test_components_match_union_find(edges):
         r["node"]: r["cluster_id"]
         for r in connected_components(df, small_graph_threshold=0).collect()
     }
+    # the shuffled plan (broadcast tier disabled) must agree too — the
+    # r18 broadcast tier changes only the join strategy
+    got_shuf = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            df, small_graph_threshold=0, broadcast_label_threshold=0
+        ).collect()
+    }
     assert got_fast == _union_find(edges)
     assert got_dist == _union_find(edges)
+    assert got_shuf == _union_find(edges)
 
 
 def test_null_endpoint_edges_dropped_on_both_paths(spark):
@@ -224,3 +233,21 @@ def test_round_count_guard(spark, sf_dir):
     }
     assert got == {i: 0 for i in range(9)}
     assert 1 <= stats2["rounds"] <= 4, stats2
+    # the broadcast tier (r18) engages under the node threshold and must
+    # not change the round count (same label evolution, different join
+    # strategy); disabling it reports the shuffled plan and the SAME
+    # rounds
+    assert stats2["broadcast_tier"] is True
+    stats3: dict = {}
+    got3 = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            chain,
+            small_graph_threshold=0,
+            broadcast_label_threshold=0,
+            stats=stats3,
+        ).collect()
+    }
+    assert got3 == got
+    assert stats3["broadcast_tier"] is False
+    assert stats3["rounds"] == stats2["rounds"]
