@@ -1409,6 +1409,7 @@ def main() -> int:
     ref_scale_loadavg: list[float] | None = None
     ref_scale_resampled: dict[str, float] | None = None
     ref_scale_trainprep_rows: dict[str, int] | None = None
+    ref_scale_trainprep_stages: dict[str, float] | None = None
     if os.environ.get("SPARK_GRAFT_SKIP_REF_SCALE") != "1":
         import subprocess
 
@@ -1496,6 +1497,15 @@ def main() -> int:
                         ref_scale_trainprep_rows = {
                             str(k): int(v)
                             for k, v in ref["trainprep_rows"].items()
+                        }
+                    if isinstance(ref.get("trainprep_stages"), dict):
+                        # per-stage attribution for the lifecycle line
+                        # (r18) — rides the FULL blob only (persisted to
+                        # bench_history.jsonl); plain stage names keep it
+                        # out of the tail scraper's timing allowlist
+                        ref_scale_trainprep_stages = {
+                            str(k): float(v)
+                            for k, v in ref["trainprep_stages"].items()
                         }
                     # the replay's own host-speed sample (taken inside the
                     # subprocess, minutes after the parent's) — the number
@@ -1683,6 +1693,15 @@ def main() -> int:
             # tail scraper's allowlist can never misread them as timings
             {"ref_scale_trainprep_rows": ref_scale_trainprep_rows}
             if ref_scale_trainprep_rows is not None
+            else {}
+        ),
+        **(
+            # the lifecycle's per-stage wall split (r18) — full-blob-only
+            # attribution payload (bench_history.jsonl), same role the
+            # fit's ref_scale_stage_* entries play for the fit headline;
+            # plain stage names stay outside the tail-scraper allowlist
+            {"ref_scale_trainprep_stage_sec": ref_scale_trainprep_stages}
+            if ref_scale_trainprep_stages is not None
             else {}
         ),
         # main-sweep [start, max] 1-min loadavg — the regime witness for

@@ -276,7 +276,7 @@ def main() -> int:
     vecs.unpersist()  # free the 605k-vector cache before the lifecycle
     index.unpersist()
 
-    def _trainprep_sample() -> tuple[float, dict[str, int]]:
+    def _trainprep_sample() -> tuple[float, dict[str, int], dict[str, float]]:
         from movie_recommendation_etl_spark.operators.curate import (
             curate_documents,
         )
@@ -297,8 +297,16 @@ def main() -> int:
             pack_sequences,
         )
 
+        # Per-stage wall times ride the full bench blob only (r18 —
+        # bench_history.jsonl makes non-compact payloads durable): same
+        # attribution role the fit's staged decomposition plays, so a
+        # trainprep_sec swing names its stage. The stamps bracket the
+        # checkpoint+count actions already inside the timed region — no
+        # extra work is added.
         rows: dict[str, int] = {"corpus": n_docs}
+        stages: dict[str, float] = {}
         t0 = time.monotonic()
+        ts = t0
         curated = curate_documents(
             corpus,
             langs=("en", "other"),
@@ -307,10 +315,14 @@ def main() -> int:
             sample_fraction=0.5,
         ).localCheckpoint(eager=True)
         rows["curated"] = curated.count()
+        stages["curate"] = round(time.monotonic() - ts, 1)
+        ts = time.monotonic()
         kept = neardup_dedup(
             curated.select("doc_id", "text"), threshold=0.8
         ).localCheckpoint(eager=True)
         rows["neardup"] = kept.count()
+        stages["neardup"] = round(time.monotonic() - ts, 1)
+        ts = time.monotonic()
         trusted = corpus.filter(
             F.md5(F.col("doc_id").cast("string")).substr(1, 1).isin(
                 *"01234567"
@@ -330,6 +342,8 @@ def main() -> int:
             "left_semi",
         ).localCheckpoint(eager=True)
         rows["band_decontam"] = decon.count()
+        stages["band_decontam"] = round(time.monotonic() - ts, 1)
+        ts = time.monotonic()
         cleaned = remove_duplicate_spans(decon, n=20, min_docs=2).select(
             "doc_id", F.col("clean_text").alias("text")
         )
@@ -343,15 +357,18 @@ def main() -> int:
             num_shards=32,
         )
         rows["packed_slices"] = packed.count()
-        return time.monotonic() - t0, rows
+        stages["substring_chunk_pack"] = round(time.monotonic() - ts, 1)
+        return time.monotonic() - t0, rows, stages
 
     trainprep_samples: list[float] = []
     trainprep_rows: dict[str, int] = {}
-    tp_sec, trainprep_rows = _trainprep_sample()
+    tp_sec, trainprep_rows, trainprep_stages = _trainprep_sample()
     trainprep_samples.append(tp_sec)
     if tp_sec <= 300.0:
-        t2, _ = _trainprep_sample()
+        t2, _, st2 = _trainprep_sample()
         trainprep_samples.append(t2)
+        if t2 < tp_sec:
+            trainprep_stages = st2
     if (
         _would_flag(
             min(trainprep_samples),
@@ -359,8 +376,10 @@ def main() -> int:
         )
         and min(trainprep_samples) <= 300.0
     ):
-        t3, _ = _trainprep_sample()
+        t3, _, st3 = _trainprep_sample()
         ref_resampled["trainprep"] = round(t3, 1)
+        if t3 < min(trainprep_samples):
+            trainprep_stages = st3
         trainprep_samples.append(t3)
     trainprep_sec = min(trainprep_samples)
 
@@ -415,6 +434,10 @@ def main() -> int:
                     else {}
                 ),
                 "trainprep_rows": trainprep_rows,
+                # the winning sample's per-stage split (plain stage names,
+                # never timings in the parent's tail scraper) — full-blob
+                # payload via bench_history.jsonl, not the compact line
+                "trainprep_stages": trainprep_stages,
                 "first_result_rows": len(first),
                 "reference": {
                     "fit_sec": 483,
