@@ -178,8 +178,13 @@ def persist_full_blob(repo_dir: str, out: dict) -> None:
             with open(path) as f:
                 lines = [ln for ln in f.read().splitlines() if ln.strip()]
         lines.append(json.dumps(out, separators=(",", ":")))
-        with open(path, "w") as f:
+        # Atomic replace, never truncate-in-place: a kill between a
+        # truncating open and the write would destroy the whole committed
+        # history — the exact durability this file exists to provide.
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             f.write("\n".join(lines[-BENCH_HISTORY_KEEP:]) + "\n")
+        os.replace(tmp, path)
     except OSError:
         pass
 
@@ -187,9 +192,14 @@ def persist_full_blob(repo_dir: str, out: dict) -> None:
 def full_blob_for(repo_dir: str, blob: dict) -> dict | None:
     """The persisted full-result twin of a (possibly truncated) recovered
     round blob. Match by the "run" id when the tail preserved it; else by
-    timing equality — every shared query key bit-identical, with enough
-    shared keys (>= 5) that two distinct runs can't collide. Newest match
-    wins (re-runs of an identical-timing bench are interchangeable)."""
+    timing equality — every shared query key bit-identical, with at least
+    5 shared NON-ref_scale keys. The ref_scale exclusion matters (r18
+    review): those timings print 1-decimal and recur across runs on a
+    stable host, so a head-clipped pre-r18 tail that only kept its
+    ref_scale entries could silently adopt a DIFFERENT run's full blob;
+    in-session timings are 3-decimal and effectively run-unique. Newest
+    match wins (re-runs with bit-identical timings are
+    interchangeable)."""
     path = os.path.join(repo_dir, BENCH_HISTORY_FILE)
     if not os.path.exists(path):
         return None
@@ -216,7 +226,8 @@ def full_blob_for(repo_dir: str, blob: dict) -> dict | None:
             return cand
         if not want_run and want_q:
             shared = set(want_q) & set(cand["queries"])
-            if len(shared) >= 5 and all(
+            fine = [k for k in shared if not k.startswith("ref_scale_")]
+            if len(fine) >= 5 and all(
                 want_q[k] == cand["queries"][k] for k in shared
             ):
                 return cand

@@ -93,6 +93,45 @@ def recommend(
     )
 
 
+def _batch_lsh_pass(
+    model: BucketedRandomProjectionLSHModel,
+    qs: DataFrame,
+    dataset: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    *,
+    radius: float,
+) -> DataFrame:
+    """One LSH similarity-join pass of :func:`batch_ann` as a LAZY frame
+    (query_id, neighbor_id, dist). Module-level so the plan-pin harness
+    (scripts/pin_plans.py: batch_ann_pass1) captures EXACTLY the join the
+    bench executes instead of a re-derived copy that could silently
+    diverge (r18 review)."""
+    return model.approxSimilarityJoin(
+        qs, dataset, radius, distCol="dist"
+    ).select(
+        F.col(f"datasetA.{query_id_col}").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        "dist",
+    )
+
+
+def _batch_topk(pairs: DataFrame, top_k: int) -> DataFrame:
+    """The per-query top-k window over a candidate-pair frame — lazy
+    (batch_ann adds the eager localCheckpoint; the pin harness does
+    not). Per-QUERY window: high-cardinality partitions, the
+    single-window form's correct case (see operators/topk.py and
+    ml/ivf.py's note)."""
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
 def batch_ann(
     model: BucketedRandomProjectionLSHModel,
     queries: DataFrame,
@@ -125,25 +164,12 @@ def batch_ann(
     x top_k) rows, and the under-fill check would otherwise re-run the
     similarity join once per escalation decision.
     """
-    # per-QUERY window — high-cardinality partitions, the single-window
-    # form's correct case (see operators/topk.py and ml/ivf.py's note)
-    w = W.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("neighbor_id").asc()
-    )
-
     def topk(pairs: DataFrame) -> DataFrame:
-        return (
-            pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= top_k)
-            .localCheckpoint(eager=True)
-        )
+        return _batch_topk(pairs, top_k).localCheckpoint(eager=True)
 
     def lsh_pass(qs: DataFrame, r: float) -> DataFrame:
-        return model.approxSimilarityJoin(qs, dataset, r, distCol="dist").select(
-            F.col(f"datasetA.{query_id_col}").alias("query_id"),
-            F.col(f"datasetB.{id_col}").alias("neighbor_id"),
-            "dist",
+        return _batch_lsh_pass(
+            model, qs, dataset, id_col, query_id_col, radius=r
         )
 
     def residual(result: DataFrame) -> DataFrame:

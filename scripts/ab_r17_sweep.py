@@ -12,6 +12,15 @@
                             shipping path vs the helper patched to a
                             no-op, fresh signature store per sample, so
                             the delta names the helper's real cost.
+                            NOTE (post-adjudication): the measured ~4-5%
+                            cost led r18 to REVERT the admission-path
+                            call — on the current tree both arms run
+                            identical code and the A/B reads ~0%; the
+                            recorded comparison only reproduces against
+                            the r17 tree (commit c9385d1^). The helper
+                            still runs at the q50/q53 band hubs
+                            (operators/neardup.py), which the monkeypatch
+                            also covers if re-measuring those.
   batch_ann               — bimodal 1.9-4.2 s across identical code since
                             r11. N samples recorded individually (not
                             min-folded) so the mode split is visible.

@@ -86,11 +86,13 @@ def main() -> int:
     def _batch_ann_pass1(spark, sf_dir):
         # the bench's batch_ann fixture, stopped BEFORE the eager
         # localCheckpoint: the lazy first LSH pass + per-query top-k
-        # window — the join whose strategy a mode flip would change
-        from pyspark.sql import functions as F
-        from pyspark.sql import Window as W
-
+        # window — the join whose strategy a mode flip would change.
+        # Built from batch_ann's OWN pass/topk helpers (ml/ann.py), not a
+        # re-derived copy, so the pin can never silently diverge from
+        # what the bench executes (r18 review).
         from movie_recommendation_etl_spark.ml.ann import (
+            _batch_lsh_pass,
+            _batch_topk,
             fit_lsh,
             prepare_index,
         )
@@ -106,20 +108,11 @@ def main() -> int:
         lsh = fit_lsh(vecs)
         index = prepare_index(lsh, vecs)
         q_batch = vecs.filter("doc_id % 37 = 0")
-        pairs = lsh.approxSimilarityJoin(
-            q_batch, index, 1.4, distCol="dist"
-        ).select(
-            F.col("datasetA.doc_id").alias("query_id"),
-            F.col("datasetB.doc_id").alias("neighbor_id"),
-            "dist",
-        )
-        w = W.partitionBy("query_id").orderBy(
-            F.col("dist").asc(), F.col("neighbor_id").asc()
-        )
-        return (
-            pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= 5)
+        return _batch_topk(
+            _batch_lsh_pass(
+                lsh, q_batch, index, "doc_id", "doc_id", radius=1.4
+            ),
+            5,
         )
 
     extra = {"q48_batch": q48_batch_arm, "batch_ann_pass1": _batch_ann_pass1}

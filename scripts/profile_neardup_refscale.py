@@ -9,11 +9,13 @@ connected components + losers / anti join. Row counts print alongside so
 an optimization that changes ANY intermediate cardinality is immediately
 visible (the r18 changes kept all six bit-identical).
 
-Measured history (same host, loadavg ~13-20):
-  r17 shape:  shingle 1.7 / bands 2.6 / pairs 5.3 / verify 43.3 / cc 12.6
-              / anti 0.8  = 66.3 s
-  + hashed verify (shingle_hash60):        verify 43.3 -> 7.4
-  + CC broadcast tier:                     cc     16.9 -> 8.2  = 26.3 s
+Measured history (same host; loadavg ~13-20 during the profiled region,
+so the CC stage reads differ between back-to-back runs — both recorded):
+  r17 shape:         shingle 1.7 / bands 2.6 / pairs 5.3 / verify 43.3
+                     / cc 12.6 / anti 0.8  = 66.3 s
+  + hashed verify:   verify 43.3 -> 7.4 (cc re-measured 16.9 that run,
+    (shingle_hash60)  load-inflated)       = 34.5 s
+  + CC broadcast:    cc 16.9 -> 8.2 (verify 8.3 that run) = 26.3 s
 
 Usage: python scripts/profile_neardup_refscale.py   (prints one JSON line)
 """

@@ -941,6 +941,14 @@ def test_full_blob_matches_by_timings_without_run_id(tmp_path):
     ) is None
     wrong = dict(timings, q05_x=9.9)
     assert full_blob_for(str(tmp_path), {"queries": wrong}) is None
+    # ref_scale_* timings print 1-decimal and recur across runs — a tail
+    # that only kept those must NOT adopt another run's blob, however
+    # many of them match (r18 review)
+    ref_only = {f"ref_scale_stage_{i}": 1.5 for i in range(8)}
+    from bench import persist_full_blob as _p
+
+    _p(str(tmp_path), {"queries": dict(ref_only), "drift": {"x": 1}})
+    assert full_blob_for(str(tmp_path), {"queries": ref_only}) is None
 
 
 def test_reconstruction_recovers_run_id(tmp_path):
