@@ -969,15 +969,25 @@ def test_drift_ledger_reopens_for_neardup_family():
     """r18 (VERDICT r17 #6): the near-dup family was scope-fenced in r17
     (tag retirement), so r18 is its first normal comparison — the drift
     channel must pick the family up with the r17 minima as baseline. Uses
-    the REAL committed history: r15/r16 carried the retired tags, so only
-    r17 (tag-less, matching the current tag-less state) may compare."""
+    the REAL committed history FENCED TO ROUNDS <= 17: r15/r16 carried
+    the retired tags, so only r17 (tag-less, matching the current tag-less
+    state) may compare. The fence is what keeps this deterministic — the
+    driver drops a new BENCH_r{N}.json after every builder commit, and an
+    unfenced read would adopt any faster later round as the binding min
+    (the r18 pytest-gate red, VERDICT r18 #1)."""
     import os
 
     import bench
     from bench import compute_drift, previous_round_benches
 
     repo = os.path.dirname(os.path.abspath(bench.__file__))
-    hist = previous_round_benches(repo)
+    # read the WHOLE history (not the newest-3 default) so r17/r16 stay
+    # in the window no matter how many later rounds the driver records
+    hist = [
+        b
+        for b in previous_round_benches(repo, limit=100)
+        if b.get("round", 0) <= 17
+    ]
     by_round = {b["round"]: b for b in hist}
     if 17 not in by_round or 16 not in by_round:
         return  # fresh clone without the recorded rounds
@@ -1025,5 +1035,7 @@ def test_drift_channel_parses_live_history():
         dict(newest["queries"]),
         calibration_sec=newest.get("calibration_sec"),
     )
+    # pct prints rounded to 1 decimal, so a rel of 1.4004 lands exactly
+    # at 40.0 — >= keeps this live-data assertion flake-free
     for v in flags.values():
-        assert v["pct"] > 40.0
+        assert v["pct"] >= 40.0

@@ -111,10 +111,14 @@ def test_null_endpoint_edges_dropped_on_both_paths(spark):
 
 
 def test_fast_path_gate_is_one_bounded_action(spark):
-    """r18 (VERDICT r17 #4a): the small-graph gate collects at most
-    threshold+1 rows in ONE action — a graph just over the threshold must
-    take the distributed path (stats['rounds'] >= 1), one at the
-    threshold the fast path (rounds == 0, fast_path_edges set)."""
+    """r18 (VERDICT r17 #4a): the small-graph gate persists the edge
+    frame, count()s it, and (on the fast path) collects the FULL frame
+    from that cache — one execution of the lineage feeding two cached
+    actions, not the r17 count()+toPandas() pair that ran it twice and
+    not a CollectLimit serial scale-up. This test verifies ROUTING only
+    (a graph just over the threshold must take the distributed path,
+    stats['rounds'] >= 1; one at the threshold the fast path, rounds == 0
+    with fast_path_edges set) — it does not count Spark jobs."""
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], "src: long, dst: long"
     )
