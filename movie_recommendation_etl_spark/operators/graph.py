@@ -147,27 +147,36 @@ def connected_components(
     )
     if gate_cached:
         clean = clean.persist(StorageLevel.MEMORY_AND_DISK)
-        n_edges = clean.count()
-        if n_edges <= small_graph_threshold:
-            from pyspark.sql import types as T
+        # Release the gate cache on ANY exit from the fast path (r19,
+        # ADVICE r18: a toPandas/createDataFrame failure between persist
+        # and the success-path unpersist leaked the MEMORY_AND_DISK cache
+        # for the session — sym below is released in a finally, the gate
+        # cache deserves the same guarantee).
+        try:
+            n_edges = clean.count()
+            if n_edges <= small_graph_threshold:
+                from pyspark.sql import types as T
 
-            pdf = clean.toPandas()
+                pdf = clean.toPandas()
+                clean.unpersist()
+                labels = _union_find_labels(
+                    list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+                )
+                if stats is not None:
+                    stats["rounds"] = 0
+                    stats["fast_path_edges"] = n_edges
+                schema = T.StructType(
+                    [
+                        T.StructField("node", src_type),
+                        T.StructField("cluster_id", src_type),
+                    ]
+                )
+                return edges.sparkSession.createDataFrame(
+                    sorted(labels.items()), schema
+                )
+        except BaseException:
             clean.unpersist()
-            labels = _union_find_labels(
-                list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
-            )
-            if stats is not None:
-                stats["rounds"] = 0
-                stats["fast_path_edges"] = n_edges
-            schema = T.StructType(
-                [
-                    T.StructField("node", src_type),
-                    T.StructField("cluster_id", src_type),
-                ]
-            )
-            return edges.sparkSession.createDataFrame(
-                sorted(labels.items()), schema
-            )
+            raise
 
     fwd = clean
     rev = clean.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -183,18 +192,22 @@ def connected_components(
         # map-side-combined agg — no join — and replaces the node-list
         # distinct (same shuffle key) rather than adding a shuffle. One
         # fewer full round on typical near-dup graphs.
-        labels = _ckpt(
-            sym.groupBy("a")
-            .agg(F.min("b").alias("__mb"))
-            .select(
-                F.col("a").alias("node"),
-                F.least(F.col("a"), F.col("__mb")).alias("lbl"),
+        try:
+            labels = _ckpt(
+                sym.groupBy("a")
+                .agg(F.min("b").alias("__mb"))
+                .select(
+                    F.col("a").alias("node"),
+                    F.least(F.col("a"), F.col("__mb")).alias("lbl"),
+                )
             )
-        )
-        if gate_cached:
-            # the eager seed checkpoint just materialized sym off the gate
-            # cache — release it; sym's own persist carries the rounds
-            clean.unpersist()
+        finally:
+            if gate_cached:
+                # the eager seed checkpoint just materialized sym off the
+                # gate cache (or died trying — r19, ADVICE r18: release on
+                # the failure path too); sym's own persist carries the
+                # rounds from here
+                clean.unpersist()
         try:
             # Convergence tracking: labels only ever DECREASE (every update
             # is a min with more candidates), so the exact label sum is

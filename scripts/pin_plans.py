@@ -90,9 +90,12 @@ def main() -> int:
         # Built from batch_ann's OWN pass/topk helpers (ml/ann.py), not a
         # re-derived copy, so the pin can never silently diverge from
         # what the bench executes (r18 review).
+        import inspect
+
         from movie_recommendation_etl_spark.ml.ann import (
             _batch_lsh_pass,
             _batch_topk,
+            batch_ann,
             fit_lsh,
             prepare_index,
         )
@@ -100,6 +103,12 @@ def main() -> int:
             fit_document_vectors,
         )
         from movie_recommendation_etl_spark.sources.catalog import load_table
+
+        # Pass-1 radius comes from batch_ann's OWN signature default (r19,
+        # ADVICE r18: a hardcoded 1.4 here would silently diverge from the
+        # bench's executed plan if the default ever changes — the exact
+        # drift the shared helpers were extracted to prevent).
+        radius = inspect.signature(batch_ann).parameters["radius"].default
 
         docs = load_table(spark, sf_dir, "documents")
         _, vecs = fit_document_vectors(docs)
@@ -110,7 +119,7 @@ def main() -> int:
         q_batch = vecs.filter("doc_id % 37 = 0")
         return _batch_topk(
             _batch_lsh_pass(
-                lsh, q_batch, index, "doc_id", "doc_id", radius=1.4
+                lsh, q_batch, index, "doc_id", "doc_id", radius=radius
             ),
             5,
         )
