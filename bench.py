@@ -362,6 +362,18 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
             else {}
         ),
         **(
+            # the replay's memory-regime twin (~38 bytes) — the next
+            # round's MEM_NORMALIZED_ENTRIES pairing needs it even when
+            # only the compact line survives (r19)
+            {
+                "ref_scale_calibration_mem_sec": out[
+                    "ref_scale_calibration_mem_sec"
+                ]
+            }
+            if "ref_scale_calibration_mem_sec" in out
+            else {}
+        ),
+        **(
             # replay [start, end] 1-min loadavg — the regime witness for
             # ref_scale swings; ~30 bytes, must survive the tail window
             {"ref_scale_loadavg_1m": out["ref_scale_loadavg_1m"]}
@@ -420,6 +432,18 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
                 }
             }
             if out.get("drift")
+            else {}
+        ),
+        # absolute-ceiling flags (r19) — name -> normalized seconds;
+        # steady state is absent, so the line grows only when it matters
+        **(
+            {
+                "abs_flags": {
+                    k: v.get("now_normalized")
+                    for k, v in out["abs_flags"].items()
+                }
+            }
+            if out.get("abs_flags")
             else {}
         ),
     }
@@ -656,6 +680,7 @@ def _parse_bench_file_raw(latest: str) -> dict | None:
             '"end_resampled"',  # holds "qNN": seconds pairs (r13)
             '"regressions"',
             '"drift"',  # holds "qNN": pct pairs (r17)
+            '"abs_flags"',  # holds "ref_scale_*": seconds pairs (r19)
         ):
             seg = seg.split(marker)[0]
         pairs = re.findall(
@@ -707,6 +732,11 @@ def _parse_bench_file_raw(latest: str) -> dict | None:
             )
             if rc:
                 out["ref_scale_calibration_sec"] = float(rc.group(1))
+            rcm = re.search(
+                r'"ref_scale_calibration_mem_sec":\s*([0-9.]+)', tail
+            )
+            if rcm:
+                out["ref_scale_calibration_mem_sec"] = float(rcm.group(1))
             m = re.search(r'"bench_method":\s*"([a-z0-9_-]+)"', tail)
             if m:
                 out["bench_method"] = m.group(1)
@@ -740,6 +770,7 @@ def compute_regressions(
     min_abs_sec: float = 0.1,
     calibration_ratio: float = 1.0,
     ref_scale_ratio: float | None = None,
+    ref_scale_mem_ratio: float | None = None,
 ) -> dict[str, dict[str, float]]:
     """Queries >25% AND >0.1 s slower than the previous round — the in-band
     flag that would have caught q53's r3 regression (r3 VERDICT #6). The
@@ -779,9 +810,18 @@ def compute_regressions(
         else ratio
     )
     ref_ratio = max(ref_ratio, 1.0)
+    # the replay's memory-regime ratio, for MEM_NORMALIZED_ENTRIES only
+    # (r19 — see the constant's rationale); same one-sided clamp
+    mem_ratio = (
+        max(ref_scale_mem_ratio, 1.0)
+        if ref_scale_mem_ratio is not None and ref_scale_mem_ratio > 0
+        else 1.0
+    )
 
     def _norm(name: str, t_now: float, extra: float = 1.0) -> float:
         base = ref_ratio if name.startswith("ref_scale_") else ratio
+        if name in MEM_NORMALIZED_ENTRIES:
+            base = max(base, mem_ratio)
         return t_now / (base * extra)
 
     def _flag(extra: float) -> dict[str, dict[str, float]]:
@@ -792,7 +832,7 @@ def compute_regressions(
             if (
                 t_prev
                 and t_norm > t_prev * (1.0 + pct_threshold)
-                and t_norm - t_prev > min_abs_sec
+                and t_norm - t_prev > _min_abs_floor(t_prev, min_abs_sec)
             ):
                 found[name] = {
                     "prev": t_prev,
@@ -841,6 +881,104 @@ def compute_regressions(
 DRIFT_PCT_THRESHOLD = 0.40
 DRIFT_WINDOW_ROUNDS = 3
 
+# Sub-second absolute noise floor (r19, VERDICT r18 #5): q01 (~0.34 s
+# calm) flagged +46%/+55% in two of five committed history runs and
+# measured 0.337 s in the calm one — session-correlated scheduling/JVM
+# jitter at local[32] moves ANY sub-second line by ±0.2-0.3 s, which is
+# ABOVE both channels' 0.1 s floor while being far below the scale the
+# bench can resolve. Sub-second baselines therefore need a bigger
+# absolute move (not a bigger percentage — second-scale lines keep the
+# tight floor unchanged) before either channel flags. A real sub-second
+# regression that matters grows past this floor as the line grows; one
+# that never does is below the bench's noise resolution by construction.
+SUBSEC_NOISE_FLOOR_SEC = 0.35
+
+
+def _min_abs_floor(t_prev: float, min_abs_sec: float) -> float:
+    """The per-entry absolute flag floor: sub-second baselines use the
+    noise floor above; second-scale lines keep the caller's tight one."""
+    if t_prev >= 1.0:
+        return min_abs_sec
+    return max(min_abs_sec, SUBSEC_NOISE_FLOOR_SEC)
+
+
+# Entries whose cross-round comparison ALSO normalizes by the replay's
+# MEMORY-regime calibration ratio when it exceeds the CPU one (r19,
+# VERDICT r18 #2): the committed history adjudicates the driver-context
+# trainprep premium — run 286ccca4 (driver session) measured
+# ref_scale_calibration_mem_sec 0.568 vs 0.395-0.406 on ALL four builder
+# runs while the CPU calibration sat flat (0.219 vs 0.176-0.248), and
+# the same run's trainprep stages ran ~2x (curate 28.8 s vs 7.9-13.1,
+# neardup 53.1 s vs 22.1-29.8). The lifecycle is checkpoint/cache-bound
+# (localCheckpoint barriers over 605k full-text docs), exactly the
+# memory-bandwidth shape the mem probe measures and the register-bound
+# CPU probe threads through. Scoped to the lifecycle line only: the fit
+# and ANN entries never showed the premium (5.9 s / 0.97 s in the SAME
+# driver run sat inside their builder ranges), so widening the relief
+# would only blunt their channels. One-sided like every other
+# normalization here (clamped >= 1 at the call sites).
+MEM_NORMALIZED_ENTRIES: frozenset[str] = frozenset(
+    {"ref_scale_trainprep_sec"}
+)
+
+# Absolute ceilings (r19, VERDICT r18 #3): the drift/regression channels
+# compare RELATIVE to recent rounds, so a baseline that itself slides —
+# or a fast round that resets the family minimum — can hide an absolute
+# slow-down. The lifecycle line gates against 2x the best committed
+# builder run (44.0 s, run 4eab645d), normalized one-sidedly by this
+# run's replay calibrations vs THAT run's recorded pair (CPU 0.204 /
+# mem 0.406), so a hot-host or driver-context regime (the adjudicated
+# mem-cal premium above) relieves the gate while a genuine calm-host 2x
+# slide flags. fit/warm/cold ANN already gate absolutely vs BASELINE.md.
+ABS_BOUNDS: dict[str, dict[str, float]] = {
+    "ref_scale_trainprep_sec": {
+        "bound_sec": 88.0,
+        "cal_sec": 0.204,
+        "cal_mem_sec": 0.406,
+    },
+}
+
+
+def compute_abs_flags(
+    timings: dict[str, float],
+    *,
+    ref_scale_calibration_sec: float | None = None,
+    ref_scale_calibration_mem_sec: float | None = None,
+    bounds: dict[str, dict[str, float]] | None = None,
+) -> dict[str, dict[str, float]]:
+    """Entries above their ABS_BOUNDS ceiling after one-sided regime
+    normalization (max of the CPU and mem calibration ratios vs the
+    bound's recorded pair, clamped >= 1 — a fast host never tightens the
+    gate, a loaded one only relieves it)."""
+    out: dict[str, dict[str, float]] = {}
+    for name, spec in (ABS_BOUNDS if bounds is None else bounds).items():
+        t = timings.get(name)
+        if not isinstance(t, (int, float)):
+            continue
+        ratio = 1.0
+        if (
+            isinstance(ref_scale_calibration_sec, (int, float))
+            and ref_scale_calibration_sec > 0
+            and spec.get("cal_sec")
+        ):
+            ratio = max(ratio, ref_scale_calibration_sec / spec["cal_sec"])
+        if (
+            isinstance(ref_scale_calibration_mem_sec, (int, float))
+            and ref_scale_calibration_mem_sec > 0
+            and spec.get("cal_mem_sec")
+        ):
+            ratio = max(
+                ratio, ref_scale_calibration_mem_sec / spec["cal_mem_sec"]
+            )
+        t_norm = t / ratio
+        if t_norm > spec["bound_sec"]:
+            out[name] = {
+                "bound": spec["bound_sec"],
+                "now": t,
+                "now_normalized": round(t_norm, 1),
+            }
+    return out
+
 
 def compute_drift(
     history: list[dict],
@@ -852,6 +990,7 @@ def compute_drift(
     min_abs_sec: float = 0.1,
     ref_scale_calibration_sec: float | None = None,
     ref_scale_method: str | None = None,
+    ref_scale_calibration_mem_sec: float | None = None,
 ) -> dict[str, dict[str, float]]:
     """Cumulative drift >``pct_threshold`` vs the BEST (most favorable)
     comparable round of the last ``DRIFT_WINDOW_ROUNDS`` — the channel
@@ -918,7 +1057,22 @@ def compute_drift(
                 and cal_prev > 0
                 else 1.0
             )
-            t_norm = t_now / max(ratio, 1.0)
+            ratio = max(ratio, 1.0)
+            if name in MEM_NORMALIZED_ENTRIES:
+                # memory-regime relief for the checkpoint/cache-bound
+                # lifecycle line (r19 — MEM_NORMALIZED_ENTRIES rationale);
+                # per-round pairing like the CPU ratio, same clamp
+                mem_prev = b.get("ref_scale_calibration_mem_sec")
+                if (
+                    isinstance(ref_scale_calibration_mem_sec, (int, float))
+                    and ref_scale_calibration_mem_sec > 0
+                    and isinstance(mem_prev, (int, float))
+                    and mem_prev > 0
+                ):
+                    ratio = max(
+                        ratio, ref_scale_calibration_mem_sec / mem_prev
+                    )
+            t_norm = t_now / ratio
             # keep the BINDING comparison: the round this query ran
             # fastest against (max rel == comparing vs the min baseline)
             if best is None or t_norm / t_prev > best[0]:
@@ -926,7 +1080,9 @@ def compute_drift(
         if best is None:
             continue
         rel, t_prev, t_norm, rnd = best
-        if rel > 1.0 + pct_threshold and (t_norm - t_prev) > min_abs_sec:
+        if rel > 1.0 + pct_threshold and (t_norm - t_prev) > _min_abs_floor(
+            t_prev, min_abs_sec
+        ):
             out[name] = {
                 "baseline": t_prev,
                 **({"baseline_round": rnd} if rnd is not None else {}),
@@ -1622,6 +1778,22 @@ def main() -> int:
         and prev_ref_cal > 0
         else None
     )
+    # The replay's mem-calibration ratio (r19, VERDICT r18 #2): pairs this
+    # round's ref_scale_calibration_mem_sec with the previous round's —
+    # relief (clamped >= 1 inside compute_regressions) for the
+    # checkpoint-bound MEM_NORMALIZED_ENTRIES only.
+    prev_ref_cal_mem = (
+        (prev_blob or {}).get("ref_scale_calibration_mem_sec")
+        if comparable
+        else None
+    )
+    ref_mem_ratio = (
+        ref_scale_calibration_mem / prev_ref_cal_mem
+        if ref_scale_calibration_mem is not None
+        and isinstance(prev_ref_cal_mem, (int, float))
+        and prev_ref_cal_mem > 0
+        else None
+    )
     ref_ratio_fenced = False
     if ref_cal_ratio is not None and not ref_ratio_in_regime(ref_cal_ratio):
         if prev:
@@ -1752,6 +1924,7 @@ def main() -> int:
             timings,
             calibration_ratio=cal_ratio,
             ref_scale_ratio=ref_cal_ratio,
+            ref_scale_mem_ratio=ref_mem_ratio,
         ),
         # cumulative multi-round drift (r17) — prints after queries and is
         # a tail-scraper cut marker, like regressions. ref_scale_* entries
@@ -1763,6 +1936,14 @@ def main() -> int:
             calibration_sec=calibration,
             ref_scale_calibration_sec=ref_scale_calibration,
             ref_scale_method=REF_SCALE_METHOD,
+            ref_scale_calibration_mem_sec=ref_scale_calibration_mem,
+        ),
+        # absolute ceilings (r19, VERDICT r18 #3) — relative channels
+        # can't see a slide whose baseline slides with it
+        "abs_flags": compute_abs_flags(
+            timings,
+            ref_scale_calibration_sec=ref_scale_calibration,
+            ref_scale_calibration_mem_sec=ref_scale_calibration_mem,
         ),
     }
     # All applicable fencing notes, not first-match-wins (r9 ADVICE: the

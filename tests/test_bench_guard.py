@@ -1039,3 +1039,137 @@ def test_drift_channel_parses_live_history():
     # at 40.0 — >= keeps this live-data assertion flake-free
     for v in flags.values():
         assert v["pct"] >= 40.0
+
+
+def test_subsecond_noise_floor_in_both_channels():
+    """r19 (VERDICT r18 #5 done-criterion): the q01 shape — a ~0.34 s
+    line measuring 0.61 s on a jittery session (+82%, +0.28 s) — must NOT
+    flag in either channel (session-correlated scheduling/JVM jitter at
+    local[32] moves any sub-second line by ±0.2-0.3 s), while second-scale
+    lines keep the tight 0.1 s floor and a sub-second line whose absolute
+    move clears the noise floor still flags."""
+    from bench import compute_drift, compute_regressions
+
+    prev = {"q01": 0.337, "q10": 2.0, "q11": 0.3}
+    now = {"q01": 0.613, "q10": 3.0, "q11": 0.8}
+    regs = compute_regressions(prev, now)
+    # q01: +82% but only +0.276 s on a sub-second baseline -> noise floor
+    # q10: second-scale, +50% / +1.0 s -> flags (tight floor unchanged)
+    # q11: sub-second but +0.5 s clears the 0.35 s noise floor -> flags
+    assert set(regs) == {"q10", "q11"}
+    hist = _hist([(18, prev, 0.2, {})])
+    flags = compute_drift(hist, now, calibration_sec=0.2, current_tags={})
+    assert set(flags) == {"q10", "q11"}
+
+
+def test_abs_bound_flags_synthetic_trainprep_slide():
+    """r19 (VERDICT r18 #3 done-criterion): a synthetic 2x lifecycle
+    slide (44 -> ~94 s on a calm host) flags against the absolute bound
+    even when the relative channels' baselines slid with it; the
+    adjudicated driver-context regime (r18's 93.3 s at mem-cal 0.568 vs
+    the bound's 0.406) is relieved by the one-sided mem-ratio
+    normalization and does NOT flag."""
+    from bench import compute_abs_flags
+
+    # calm host (calibrations at the bound's recorded pair): 2x slides
+    flags = compute_abs_flags(
+        {"ref_scale_trainprep_sec": 94.0},
+        ref_scale_calibration_sec=0.204,
+        ref_scale_calibration_mem_sec=0.406,
+    )
+    assert set(flags) == {"ref_scale_trainprep_sec"}
+    assert flags["ref_scale_trainprep_sec"]["bound"] == 88.0
+    # the r18 driver-context run's exact shape: raw 93.3 s, CPU cal flat
+    # (0.219), mem cal 0.568 -> normalized 93.3/1.399 = 66.7 < 88
+    assert compute_abs_flags(
+        {"ref_scale_trainprep_sec": 93.3},
+        ref_scale_calibration_sec=0.219,
+        ref_scale_calibration_mem_sec=0.568,
+    ) == {}
+    # a REAL 2x slide survives the driver-context relief too
+    flags2 = compute_abs_flags(
+        {"ref_scale_trainprep_sec": 188.0},
+        ref_scale_calibration_sec=0.219,
+        ref_scale_calibration_mem_sec=0.568,
+    )
+    assert set(flags2) == {"ref_scale_trainprep_sec"}
+    # builder-range numbers never flag on a calm host
+    assert compute_abs_flags(
+        {"ref_scale_trainprep_sec": 53.2},
+        ref_scale_calibration_sec=0.239,
+        ref_scale_calibration_mem_sec=0.398,
+    ) == {}
+    # a missing entry (replay skipped/failed) flags nothing
+    assert compute_abs_flags(
+        {}, ref_scale_calibration_sec=0.2,
+        ref_scale_calibration_mem_sec=0.4,
+    ) == {}
+    # a FAST host (ratios < 1) must not tighten the gate: 87 s stays in
+    assert compute_abs_flags(
+        {"ref_scale_trainprep_sec": 87.0},
+        ref_scale_calibration_sec=0.1,
+        ref_scale_calibration_mem_sec=0.2,
+    ) == {}
+
+
+def test_trainprep_mem_ratio_normalizes_relative_channels():
+    """r19 (VERDICT r18 #2): the driver-context memory-regime premium —
+    mem calibration 0.568 vs ~0.40, CPU calibration flat — relieves the
+    trainprep line's single-round AND drift comparisons (one-sided), but
+    never relieves the fit/ANN lines (their committed driver-run numbers
+    sat inside the builder range, so widening would only blunt them)."""
+    import bench
+    from bench import compute_drift, compute_regressions
+
+    # the r18 pairing: driver-context 93.3 s vs builder run 627a489b's
+    # 53.2 s, mem calibrations 0.568 vs 0.398 (ratio 1.427 -> 65.4 s
+    # normalized, +23% — under the 25% single-round gate)
+    prev2 = {"ref_scale_trainprep_sec": 53.2}
+    regs = compute_regressions(
+        prev2,
+        {"ref_scale_trainprep_sec": 93.3},
+        ref_scale_ratio=1.0,
+        ref_scale_mem_ratio=0.568 / 0.398,
+    )
+    assert regs == {}
+    # without the mem ratio the same shape flags — the relief is the change
+    regs_no_mem = compute_regressions(
+        prev2,
+        {"ref_scale_trainprep_sec": 93.3},
+        ref_scale_ratio=1.0,
+    )
+    assert set(regs_no_mem) == {"ref_scale_trainprep_sec"}
+    # drift channel: per-round mem pairing
+    hist = _hist([(18, prev2, 0.23, {})])
+    hist[0]["ref_scale_method"] = bench.REF_SCALE_METHOD
+    hist[0]["ref_scale_calibration_sec"] = 0.239
+    hist[0]["ref_scale_calibration_mem_sec"] = 0.398
+    flags = compute_drift(
+        hist,
+        {"ref_scale_trainprep_sec": 93.3},
+        calibration_sec=0.23,
+        current_tags={},
+        ref_scale_calibration_sec=0.239,
+        ref_scale_method=bench.REF_SCALE_METHOD,
+        ref_scale_calibration_mem_sec=0.568,
+    )
+    assert flags == {}
+    # same shape WITHOUT the mem scalar: +75% flags (the r18 behavior)
+    flags_no_mem = compute_drift(
+        hist,
+        {"ref_scale_trainprep_sec": 93.3},
+        calibration_sec=0.23,
+        current_tags={},
+        ref_scale_calibration_sec=0.239,
+        ref_scale_method=bench.REF_SCALE_METHOD,
+    )
+    assert set(flags_no_mem) == {"ref_scale_trainprep_sec"}
+    # the fit line never rides the mem ratio: a genuine 2x fit slide
+    # flags even under a loaded-memory regime
+    regs_fit = compute_regressions(
+        {"ref_scale_fit_sec": 5.9},
+        {"ref_scale_fit_sec": 11.8},
+        ref_scale_ratio=1.0,
+        ref_scale_mem_ratio=2.0,
+    )
+    assert set(regs_fit) == {"ref_scale_fit_sec"}
