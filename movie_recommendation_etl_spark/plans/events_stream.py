@@ -306,20 +306,40 @@ def q30_batch_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q30_stream_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q30 suite's STREAMING half (the two real Structured Streaming
-    drains) — not a registry slot; see q30_window_agg_suite."""
-    stream = _arm_common(
-        _streamed_tumbling(spark, sf_dir),
-        "tumbling_stream",
-        F.col("event_type"),
-    )
-    sess_stream = _streamed_session(spark, sf_dir).select(
-        F.lit("session_stream").alias("arm"),
-        F.col("session_start").alias("window_start"),
-        F.col("session_end").alias("window_end"),
-        F.col("user_id").cast("string").alias("grp"),
-        "n_events",
-        "sum_value",
-    )
+    drains) — not a registry slot; see q30_window_agg_suite.
+
+    r19: the two drains are INDEPENDENT streaming queries (separate
+    sources, separate uuid-named sinks, no shared state), but each
+    ``_drain_streamed`` blocks on awaitTermination — running them
+    sequentially serialized ~2 s of per-query trigger/startup latency
+    behind another idle drain (optimization guide §2.6: actions are only
+    sequential because driver code calls them sequentially). Two driver
+    threads start both drains and the scheduler interleaves their
+    micro-batches; each drained result is identical to the sequential
+    run's, so the unioned hash is unchanged (the q30 oracle gates it)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _tumb() -> DataFrame:
+        return _arm_common(
+            _streamed_tumbling(spark, sf_dir),
+            "tumbling_stream",
+            F.col("event_type"),
+        )
+
+    def _sess() -> DataFrame:
+        return _streamed_session(spark, sf_dir).select(
+            F.lit("session_stream").alias("arm"),
+            F.col("session_start").alias("window_start"),
+            F.col("session_end").alias("window_end"),
+            F.col("user_id").cast("string").alias("grp"),
+            "n_events",
+            "sum_value",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_tumb = pool.submit(_tumb)
+        f_sess = pool.submit(_sess)
+        stream, sess_stream = f_tumb.result(), f_sess.result()
     return stream.unionByName(sess_stream)
 
 
