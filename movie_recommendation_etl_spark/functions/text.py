@@ -112,6 +112,71 @@ def quality_score(tokens: Column) -> Column:
     )
 
 
+def token_stats(tokens: Column, finish=None) -> Column:
+    """ONE-pass integer stats struct (n, stop, len_sum) over a token
+    array — the fused form of ``F.size``, :func:`stopword_count` and
+    :func:`mean_token_len`'s length sum (r19, optimization guide §1.2
+    "per-task work"). Higher-order functions are CodegenFallback and
+    excluded from Spark's subexpression elimination (their trees contain
+    LambdaVariables), so every occurrence of filter()/aggregate() in a
+    projection or a pushed-down filter re-walks the array AND re-evaluates
+    its split() child; folding the three counters into one traversal makes
+    metric suites pay one walk instead of one per metric per reference.
+
+    Bit-identical by construction: all three fields use the SAME integer
+    arithmetic as the originals (int init, int increments — identical
+    values and overflow semantics), so
+    :func:`lang_guess_from_stats` / :func:`quality_score_from_stats`
+    reproduce :func:`lang_guess` / :func:`quality_score` exactly
+    (hash-gated via q72/q80).
+
+    ``finish`` (optional) is passed as the aggregate's finish lambda so a
+    caller can compute a whole derived expression — e.g. a composite
+    keep/drop decision — INSIDE the single traversal's expression tree,
+    referencing the accumulated struct for free instead of re-evaluating
+    the fold once per reference."""
+    return F.aggregate(
+        tokens,
+        F.struct(
+            F.lit(0).alias("n"),
+            F.lit(0).alias("stop"),
+            F.lit(0).alias("len_sum"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["n"] + F.lit(1)).alias("n"),
+            (
+                acc["stop"]
+                + F.when(x.isin(*STOPWORDS), F.lit(1)).otherwise(F.lit(0))
+            ).alias("stop"),
+            (acc["len_sum"] + F.length(x)).alias("len_sum"),
+        ),
+        finish if finish is not None else (lambda acc: acc),
+    )
+
+
+def lang_guess_from_stats(st: Column, threshold: float = 0.15) -> Column:
+    """:func:`lang_guess` recomputed from a :func:`token_stats` struct —
+    the identical when/ratio expression over the identical integers, so
+    the result is bit-identical to the token-array form."""
+    ratio = st["stop"].cast("double") / st["n"].cast("double")
+    return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other"))
+
+
+def quality_score_from_stats(st: Column) -> Column:
+    """:func:`quality_score` recomputed from a :func:`token_stats` struct
+    — identical formula, identical association order, identical casts, so
+    the doubles are bit-identical to the token-array form."""
+    n = st["n"].cast("double")
+    len_term = F.least(n, F.lit(100.0)) / F.lit(100.0)
+    stop_term = F.lit(1.0) - st["stop"].cast("double") / n
+    tok_term = (
+        F.least(st["len_sum"].cast("double") / n, F.lit(10.0)) / F.lit(10.0)
+    )
+    return (
+        F.lit(0.3) * len_term + F.lit(0.4) * stop_term + F.lit(0.3) * tok_term
+    )
+
+
 def prefix_fingerprint(tokens: Column, k: int = 8) -> Column:
     """md5 of the first k tokens — a cheap near-head fingerprint for
     prefix-duplicate detection (mirrors shingle fingerprinting)."""

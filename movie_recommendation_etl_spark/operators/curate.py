@@ -21,8 +21,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from movie_recommendation_etl_spark.functions.text import (
-    lang_guess,
-    quality_score,
+    lang_guess_from_stats,
+    quality_score_from_stats,
+    token_stats,
     ws_tokens,
 )
 from movie_recommendation_etl_spark.operators.dedup import (
@@ -76,36 +77,68 @@ def curate_documents(
     correctness oracle). The default stays xxhash64: one 8-byte hash per row
     beats an md5 + hex parse in the 100 TB scan stage.
     """
-    toks = ws_tokens(F.col(text_col))
-    n = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    grams = F.transform(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
-    )
-    dup_2gram = F.when(
-        n > 1,
-        1.0 - F.size(F.array_distinct(grams)).cast("double") / (n - 1),
-    ).otherwise(F.lit(0.0))
+    # r19 rewrite of the filter/metric stage (optimization guide §1.2 /
+    # §4.4 — measured on the q72 plan): the old withColumn-then-filter
+    # chain let predicate pushdown substitute the FULL lang/quality/dup
+    # expression trees below the metric projection, so every scanned row
+    # evaluated the suite once in the pushed Filter and every survivor
+    # AGAIN in the Project — and HOFs (filter/aggregate/transform over the
+    # token array) are CodegenFallback, excluded from subexpression
+    # elimination, so split(text) re-ran once per HOF occurrence (~14x per
+    # row in the pushed filter). Worse, the 2-gram construction referenced
+    # the OUTER token array via element_at inside its transform lambda —
+    # re-tokenizing the whole document once per token position (O(n^2)
+    # chars per doc; operators/neardup.py's word_ngrams had the zip_with
+    # fix since r2, this inline copy never got it).
+    #
+    # New shape, bit-identical outputs (q72/q80 hashes + pytest gate):
+    # - ONE keep-decision expression: a single token_stats fold whose
+    #   finish lambda computes the entire filter boolean, referencing the
+    #   distinct-count and 2-gram subtrees exactly once each — the pushed
+    #   scan filter now walks the token array once, the distinct set once,
+    #   and the zip_with grams once per row.
+    # - Survivor metrics (n_tokens, lang, quality) derive from a staged
+    #   __st struct computed once per surviving row (CollapseProject keeps
+    #   multi-referenced non-cheap aliases staged).
+    # - 2-grams via word_ngrams(toks, 2) — the zip_with form, identical
+    #   strings, O(n) instead of O(n^2).
+    from movie_recommendation_etl_spark.operators.neardup import word_ngrams
 
-    out = (
-        docs.withColumn("n_tokens", n)
-        .withColumn("lang", lang_guess(toks))
-        .withColumn("quality", quality_score(toks))
-        .withColumn(
-            "__dup_tok", 1.0 - n_uniq.cast("double") / n.cast("double")
-        )
-        .withColumn("__dup_2gram", dup_2gram)
-    )
-    out = out.filter(F.col("n_tokens") > 0)
-    if langs is not None:
-        out = out.filter(F.col("lang").isin(list(langs)))
-    out = out.filter(F.col("quality") >= min_quality)
-    out = out.filter(
-        (F.col("__dup_tok") <= max_dup_token_frac)
-        & (F.col("__dup_2gram") <= max_dup_2gram_frac)
-    )
-    out = out.drop("__dup_tok", "__dup_2gram")
+    toks = ws_tokens(F.col(text_col))
+    n_uniq = F.size(F.array_distinct(toks))
+    gd = F.size(F.array_distinct(word_ngrams(toks, 2, distinct=False)))
+
+    def _keep(st: Column) -> Column:
+        keep = st["n"] > 0
+        if langs is not None:
+            keep = keep & lang_guess_from_stats(st).isin(list(langs))
+        keep = keep & (quality_score_from_stats(st) >= min_quality)
+        dup_tok = 1.0 - n_uniq.cast("double") / st["n"].cast("double")
+        keep = keep & (dup_tok <= max_dup_token_frac)
+        dup_2gram = F.when(
+            st["n"] > 1,
+            1.0 - gd.cast("double") / (st["n"] - 1),
+        ).otherwise(F.lit(0.0))
+        return keep & (dup_2gram <= max_dup_2gram_frac)
+
+    out = docs.filter(token_stats(toks, finish=_keep))
+    # staged projection: __st evaluates once per survivor; the metric
+    # columns above it are cheap field reads + scalar arithmetic.
+    # withColumn-equivalent column placement: an input column named
+    # n_tokens/lang/quality is REPLACED in place (the old chain's
+    # semantics), new names append in the same order as before.
+    st = F.col("__st")
+    metric_cols = {
+        "n_tokens": st["n"],
+        "lang": lang_guess_from_stats(st),
+        "quality": quality_score_from_stats(st),
+    }
+    sel = [
+        metric_cols.pop(c).alias(c) if c in metric_cols else F.col(c)
+        for c in docs.columns
+    ]
+    sel += [expr.alias(name) for name, expr in metric_cols.items()]
+    out = out.select("*", token_stats(toks).alias("__st")).select(*sel)
 
     if extra_filter is not None:
         out = out.filter(extra_filter)

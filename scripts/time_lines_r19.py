@@ -19,11 +19,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     n = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--n"):
-            n = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--n":
+            n = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--n="):
+            n = int(a.split("=", 1)[1])
+            i += 1
+        else:
+            args.append(a)
+            i += 1
 
     import movie_recommendation_etl_spark.plans.all  # noqa: F401
     from movie_recommendation_etl_spark.plans.events_stream import (
