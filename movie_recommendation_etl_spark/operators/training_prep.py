@@ -69,7 +69,22 @@ def chunk_documents(
         toks = ws_token_array(text_col)
     else:
         toks = F.filter(tokenizer(text_col), lambda t: t != "")
-    n = F.size(toks)
+    # r19 staging (the curate find, same mechanism): the old single-select
+    # form re-derived the token array per reference — size(toks) once,
+    # the __toks alias once, and the starts chain's lambda referenced n
+    # (hence the full tokenization) PER CANDIDATE START, i.e. one extra
+    # whole-document tokenize per chunk (O(tokens x chunks) per doc — the
+    # quadratic shape chunking exists to serve: long documents). HOFs are
+    # CodegenFallback and excluded from subexpression elimination, so
+    # nothing was shared. Staged, __toks and __n are plain attributes and
+    # every expression evaluates once per row; posexplode_outer + the
+    # explicit chunk_idx filter (identical output — empty docs still
+    # yield no rows) keeps InferFiltersFromGenerate from re-inlining the
+    # starts chain into a pushed-down size() filter.
+    staged = docs.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, "__toks", F.size("__toks").alias("__n")
+    )
+    n = F.col("__n")
     # chunk starts: 0, step, 2*step, ... while start < n (1-based slice)
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
         F.floor((n - 1) / F.lit(step)).cast("int") + 1
@@ -89,11 +104,17 @@ def chunk_documents(
             lambda s: (s == 0) | (s + F.lit(overlap_tokens) < n),
         )
     )
-    chunks = docs.select(
-        F.col(id_col),
-        n.alias("__n"),
-        toks.alias("__toks"),
-        F.posexplode(starts).alias("chunk_idx", "__start"),
+    chunks = (
+        staged.select(
+            id_col, "__n", "__toks", starts.alias("__starts")
+        )
+        .select(
+            id_col,
+            "__n",
+            "__toks",
+            F.posexplode_outer("__starts").alias("chunk_idx", "__start"),
+        )
+        .filter(F.col("chunk_idx").isNotNull())
     )
     chunk_toks = F.slice(
         F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)
@@ -162,13 +183,79 @@ def chunk_documents_by_budget(
     split and the cost regex each run ONCE per token (HOFs are
     CodegenFallback — within one projection Catalyst would re-evaluate
     them per consuming expression)."""
-    if budget <= 0:
-        raise ValueError("budget must be positive")
     if overlap_tokens < 0:
         raise ValueError("overlap_tokens must be >= 0")
+    base = _budget_chunk_base(
+        docs, id_col, text_col, budget, cost_fn, costs_array_fn
+    )
+    return _budget_chunk_extract(base, id_col, overlap_tokens)
+
+
+def chunk_documents_by_budget_arms(
+    docs: DataFrame,
+    arms,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    cost_fn=None,
+    costs_array_fn=None,
+    arm_col: str = "arm",
+) -> DataFrame:
+    """Several overlap variants of :func:`chunk_documents_by_budget` in
+    ONE corpus scan (r19, optimization guide §1.2/§2.3: the greedy-fold
+    boundary computation is arm-INDEPENDENT — overlap only extends each
+    chunk backward after the boundaries exist — so N overlap arms were
+    paying N tokenize+cost+fold passes over the corpus for one fold's
+    worth of information). ``arms`` is a sequence of (name,
+    overlap_tokens) pairs; the result is the per-arm outputs stacked with
+    ``arm_col`` naming the variant — row-for-row identical to unioning N
+    single-arm calls (asserted in tests/test_training_prep.py), but the
+    tokenize/cost/fold prefix runs once and only the per-chunk extraction
+    differs per arm.
+    """
+    arms = list(arms)
+    names = [n for n, _ in arms]
+    if len(set(names)) != len(names) or not names:
+        raise ValueError("arms need at least one uniquely named variant")
+    for _, ov in arms:
+        if ov < 0:
+            raise ValueError("overlap_tokens must be >= 0")
+    base = _budget_chunk_base(
+        docs, id_col, text_col, budget, cost_fn, costs_array_fn
+    )
+    base = base.withColumn(
+        arm_col, F.explode(F.array(*[F.lit(n) for n in names]))
+    )
+    ov_expr = None
+    for name, ov in arms:
+        cond = F.col(arm_col) == name
+        ov_expr = (
+            F.when(cond, F.lit(ov))
+            if ov_expr is None
+            else ov_expr.when(cond, F.lit(ov))
+        )
+    return _budget_chunk_extract(
+        base, id_col, ov_expr.otherwise(F.lit(0)), lead_cols=(arm_col,)
+    )
+
+
+def _budget_chunk_base(
+    docs: DataFrame, id_col: str, text_col: str, budget: int,
+    cost_fn, costs_array_fn,
+) -> DataFrame:
+    """The arm-independent prefix of budget chunking: tokenize -> cost ->
+    greedy fold -> one row per (doc, chunk_idx, greedy start). The fold
+    result is STAGED into __starts_all before posexplode consumes it
+    (r19): the old single-select form referenced the aggregate HOF twice
+    (alias + generator input), and HOFs are CodegenFallback — excluded
+    from subexpression elimination — so the whole greedy fold executed
+    twice per row."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
     if cost_fn is not None and costs_array_fn is not None:
         raise ValueError("pass cost_fn OR costs_array_fn, not both")
-    if cost_fn is None:
+    if cost_fn is None and costs_array_fn is None:
         from movie_recommendation_etl_spark.functions.text import (
             re_token_count,
         )
@@ -220,28 +307,60 @@ def chunk_documents_by_budget(
         )
 
     starts = F.aggregate(indexed, init, _merge, lambda s: s["starts"])
+    # __starts_all is staged (single fold per row — the old single-select
+    # referenced the aggregate twice: alias + generator input, and HOFs
+    # are CodegenFallback, excluded from subexpression elimination);
+    # posexplode_outer + the chunk_idx filter keeps
+    # InferFiltersFromGenerate from re-inlining the whole fold into a
+    # pushed-down size() > 0 scan filter (identical output — zero-chunk
+    # docs still yield no rows).
+    return (
+        staged.select(
+            F.col(id_col),
+            "__n",
+            "__toks",
+            "__costs",
+            starts.alias("__starts_all"),
+        )
+        .select(
+            id_col,
+            "__n",
+            "__toks",
+            "__costs",
+            "__starts_all",
+            F.posexplode_outer("__starts_all").alias("chunk_idx", "__start"),
+        )
+        .filter(F.col("chunk_idx").isNotNull())
+    )
+
+
+def _budget_chunk_extract(
+    base: DataFrame, id_col: str, overlap, lead_cols: tuple = ()
+) -> DataFrame:
+    """Per-chunk extraction over a :func:`_budget_chunk_base` frame.
+    ``overlap`` is an int (single-arm call) or an int Column (the arms
+    variant's per-row overlap); the zero-int fast path keeps the plain
+    arm's historical eff_start == __start expression shape."""
     # chunk END (exclusive) = next greedy start (1-based lookup;
     # try_element_at -> NULL past the last chunk, coalesced to n)
     chunk_end = F.coalesce(
         F.try_element_at(F.col("__starts_all"), F.col("chunk_idx") + 2),
         F.col("__n"),
     )
-    base = staged.select(
-        F.col(id_col),
-        "__n",
-        "__toks",
-        "__costs",
-        starts.alias("__starts_all"),
-        F.posexplode(starts).alias("chunk_idx", "__start"),
-    )
     # effective start: extended backward by the overlap, clamped at the
     # previous chunk's own start (1-based position chunk_idx is the
     # PREVIOUS element; the when() guards chunk 0, and CaseWhen branches
-    # evaluate lazily, so the lookup never sees position 0)
-    if overlap_tokens > 0:
+    # evaluate lazily, so the lookup never sees position 0). For a
+    # per-row overlap column the same expression applies — a 0-overlap
+    # row reduces to greatest(__start, prev_start) == __start, because
+    # greedy starts strictly increase.
+    if isinstance(overlap, int) and overlap == 0:
+        eff_start = F.col("__start")
+    else:
+        ov = F.lit(overlap) if isinstance(overlap, int) else overlap
         eff_start = F.when(F.col("chunk_idx") == 0, F.col("__start")).otherwise(
             F.greatest(
-                F.col("__start") - F.lit(overlap_tokens),
+                F.col("__start") - ov,
                 F.coalesce(
                     F.try_element_at(
                         F.col("__starts_all"),
@@ -251,12 +370,11 @@ def chunk_documents_by_budget(
                 ),
             )
         )
-    else:
-        eff_start = F.col("__start")
     # materialize the (start, end) pair once: both feed the token slice,
     # the cost slice, and two count columns (HOF consumers re-evaluate
     # per reference within one projection)
     base = base.select(
+        *lead_cols,
         id_col,
         "chunk_idx",
         "__toks",
@@ -269,6 +387,7 @@ def chunk_documents_by_budget(
     chunk_toks = F.slice(F.col("__toks"), F.col("__estart") + 1, chunk_len)
     chunk_costs = F.slice(F.col("__costs"), F.col("__estart") + 1, chunk_len)
     return base.select(
+        *lead_cols,
         id_col,
         "chunk_idx",
         F.concat_ws(" ", chunk_toks).alias("chunk_text"),

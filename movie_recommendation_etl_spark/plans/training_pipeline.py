@@ -404,28 +404,33 @@ def q81_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the plain budget chunker — the fold and the
     overlap adjustment both ride the scan stage (no Exchange, asserted in
-    tests/test_training_prep.py); the two arms are two scans of the same
-    table, no shuffle either way."""
+    tests/test_training_prep.py). r19: BOTH arms ride ONE scan
+    (chunk_documents_by_budget_arms) — the greedy boundaries are
+    arm-independent, so the old two-arm union paid the tokenize + cost +
+    fold prefix twice for one fold's worth of information; the arms form
+    computes it once and explodes the arm dimension before the per-chunk
+    extraction. Row set identical (the oracle replays the same two-arm
+    union; arms ≡ per-arm-union asserted in tests)."""
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents_by_budget_arms,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-
-    def arm(name: str, ov: int) -> DataFrame:
-        ch = chunk_documents_by_budget(
-            docs,
-            budget=_Q81_BUDGET,
-            overlap_tokens=ov,
-            cost_fn=_q81_cost,
-        )
-        return ch.select(
-            F.lit(name).alias("arm"),
-            "doc_id",
-            "chunk_idx",
-            F.md5("chunk_text").alias("chunk_md5"),
-            "n_tokens",
-            "n_new_tokens",
-            "budget_cost",
-        )
-
-    return arm("plain", 0).unionByName(arm("overlap", _Q81_OVERLAP))
+    ch = chunk_documents_by_budget_arms(
+        docs,
+        arms=(("plain", 0), ("overlap", _Q81_OVERLAP)),
+        budget=_Q81_BUDGET,
+        cost_fn=_q81_cost,
+    )
+    return ch.select(
+        "arm",
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+        "n_new_tokens",
+        "budget_cost",
+    )
 
 
 # ---------------------------------------------------------------------------

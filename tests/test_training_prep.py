@@ -867,3 +867,52 @@ def test_budget_chunking_property(spark):
         assert got_stream == toks
 
     _check()
+
+
+def test_budget_chunking_arms_matches_per_arm_union(spark):
+    """chunk_documents_by_budget_arms (r19): N overlap variants in one
+    scan must be ROW-IDENTICAL to unioning N single-arm calls — the
+    boundaries are arm-independent, only the extraction differs. Covers
+    the 0-overlap arm (whose unified greatest(start-0, prev) expression
+    must still equal the plain arm's eff_start == start), an overlap
+    bigger than whole chunks (clamp at the previous chunk's start), and
+    empty/short docs."""
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents_by_budget,
+        chunk_documents_by_budget_arms,
+    )
+
+    rows = [
+        (1, "Hello, World! This is Mixed-CASE text with URLs http://x.y/z"),
+        (2, ""),
+        (3, "one"),
+        (4, " ".join(f"w{i}-X{i}" for i in range(60))),
+        (5, "a " * 40),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    arms = (("plain", 0), ("overlap", 4), ("wide", 1000))
+    got = sorted(
+        map(
+            tuple,
+            chunk_documents_by_budget_arms(
+                docs, arms=arms, budget=8
+            ).collect(),
+        )
+    )
+    want = []
+    for name, ov in arms:
+        for r in chunk_documents_by_budget(
+            docs, budget=8, overlap_tokens=ov
+        ).collect():
+            want.append((name, *tuple(r)))
+    assert got == sorted(want)
+
+    # duplicate / empty arm names are rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents_by_budget_arms(docs, arms=(("a", 0), ("a", 1)))
+    with pytest.raises(ValueError):
+        chunk_documents_by_budget_arms(docs, arms=())
+    with pytest.raises(ValueError):
+        chunk_documents_by_budget_arms(docs, arms=(("a", -1),))
