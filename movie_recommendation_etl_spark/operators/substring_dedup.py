@@ -39,8 +39,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from movie_recommendation_etl_spark.operators.neardup import word_shingles
-
 
 def remove_duplicate_spans(
     docs: DataFrame,
@@ -68,11 +66,10 @@ def remove_duplicate_spans(
         F.filter(toks, lambda t: t != "").alias("__toks"),
     )
 
-    # 1. candidate windows with start positions (0-based)
-    grams = word_shingles(F.col("__toks"), n)
-    # word_shingles dedups grams WITHIN the doc; positions need the raw
+    # 1. candidate windows with start positions (0-based).
+    # (word_shingles dedups grams WITHIN the doc; positions need the raw
     # windows, so enumerate starts and slice — posexplode over the
-    # (sz - n + 1) starts keeps the gram text and its position together
+    # (sz - n + 1) starts keeps the gram text and its position together)
     sz = F.size("__toks")
     starts = F.when(
         sz >= n, F.sequence(F.lit(0), sz - n)
@@ -141,10 +138,17 @@ def remove_duplicate_spans(
         F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
     )
     kept = F.filter("__toks", lambda t, i: ~covered(t, i))
+    # stage the surviving-token array: clean_text and n_tokens_removed
+    # both consume it, and the O(tokens x spans) filter/exists HOF chain
+    # would otherwise evaluate once per reference (CodegenFallback, no
+    # subexpression elimination — r19, the curate/chunker find)
+    joined = joined.select(
+        id_col, "__toks", "__spans", kept.alias("__kept")
+    )
     return joined.select(
         id_col,
-        F.concat_ws(" ", kept).alias("clean_text"),
+        F.concat_ws(" ", "__kept").alias("clean_text"),
         F.size("__toks").alias("n_tokens"),
-        (F.size("__toks") - F.size(kept)).alias("n_tokens_removed"),
+        (F.size("__toks") - F.size("__kept")).alias("n_tokens_removed"),
         F.size("__spans").alias("n_spans"),
     )
