@@ -121,6 +121,15 @@ def curate_documents(
         ).otherwise(F.lit(0.0))
         return keep & (dup_2gram <= max_dup_2gram_frac)
 
+    # Staging-name guard (r20, ADVICE r19): select("*", ...) appends the
+    # temp column literally, so an input frame already carrying __st would
+    # produce a duplicate-name frame and ambiguous field reads below —
+    # same convention as the other __-temp collisions this module rejects.
+    if "__st" in docs.columns:
+        raise ValueError(
+            "curate_documents: input frame already has a '__st' column "
+            "(reserved as this operator's staging name); rename it first"
+        )
     out = docs.filter(token_stats(toks, finish=_keep))
     # staged projection: __st evaluates once per survivor; the metric
     # columns above it are cheap field reads + scalar arithmetic.

@@ -59,6 +59,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     small_graph_threshold: int = 100_000,
     broadcast_label_threshold: int = 1_000_000,
+    edges_distinct: bool = False,
     stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) edge list -> (node, cluster_id) with cluster_id = min node
@@ -95,6 +96,19 @@ def connected_components(
     takes the shuffled plan untouched. The label evolution is identical —
     only the join strategy changes (equality fuzzed in
     tests/test_graph_property.py).
+
+    ``edges_distinct`` (r20) declares that the input edge list is already
+    duplicate-free as DIRECTED pairs with no reverse twins — e.g. the
+    verified near-dup pairs every repo caller feeds in, which are distinct
+    with ``doc_a < doc_b`` by construction. The symmetrized frame
+    ``fwd ∪ rev`` is then provably duplicate-free (fwd has a<b, rev has
+    a>b, no overlap), so its ``distinct()`` — a full shuffle + hash
+    aggregation of 2·|edges| rows, the single largest exchange in a 1-2
+    round run (guide §2.4: "a distinct on data that is already unique") —
+    is skipped. Labels are UNAFFECTED either way: duplicate edges cannot
+    change a min-label fixpoint (min is idempotent), so a caller passing
+    True on non-distinct input still gets identical results, just with
+    redundant per-round candidate rows instead of one up-front dedup.
 
     ``stats`` (optional dict) receives ``{"rounds": n}`` — the number of
     propagation rounds actually executed. 0 on the empty-edge
@@ -180,7 +194,10 @@ def connected_components(
 
     fwd = clean
     rev = clean.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    sym = fwd.union(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    sym = fwd.union(rev)
+    if not edges_distinct:
+        sym = sym.distinct()
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
 
     with reliable_checkpoint_scope(
         edges.sparkSession, checkpoint_dir

@@ -189,6 +189,40 @@ def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
     return inter.cast("double") / union.cast("double")
 
 
+def explode_bands_with_priors(
+    bands_frame: DataFrame,
+    n_bands: int,
+    *,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    bands_col: str = "bands",
+    idx_name: str = "band_idx",
+    val_name: str = "band_hash",
+) -> tuple[DataFrame, tuple[str, ...]]:
+    """Explode a (ids..., bands array) frame into one row per band, each
+    row additionally carrying its EARLIER band values (NULL-padded past
+    the row's own band index) as ``__prior<i>`` columns — the inputs
+    :func:`banded_candidate_pairs` needs for first-matching-bucket
+    emission (see its docstring). The caller must materialize
+    ``bands_frame`` first (every repo caller checkpoints/persists it), so
+    the ``getItem`` references read the stored array instead of
+    re-deriving the band expressions per column."""
+    prior_cols = tuple(f"__prior{i}" for i in range(max(n_bands - 1, 0)))
+    exploded = bands_frame.select(
+        *id_cols,
+        bands_col,
+        F.posexplode(bands_col).alias(idx_name, val_name),
+    ).select(
+        *id_cols,
+        idx_name,
+        val_name,
+        *[
+            F.when(F.col(idx_name) > i, F.col(bands_col).getItem(i)).alias(c)
+            for i, c in enumerate(prior_cols)
+        ],
+    )
+    return exploded, prior_cols
+
+
 def banded_candidate_pairs(
     exploded: DataFrame,
     id_col: str = "doc_id",
@@ -197,6 +231,7 @@ def banded_candidate_pairs(
     max_bucket_size: int = 2000,
     out_a: str = "doc_a",
     out_b: str = "doc_b",
+    prior_match_cols: tuple[str, ...] = (),
     stats: dict | None = None,
     materialize=None,
 ) -> DataFrame:
@@ -229,6 +264,26 @@ def banded_candidate_pairs(
     receives ``{"overflow_buckets": n, "max_bucket_size_seen": m}``.
     ``materialize`` (default: eager localCheckpoint) runs on the result
     inside this function so callers never re-run the band join.
+
+    ``prior_match_cols`` (r20, first-matching-bucket emission): names of
+    extra columns on ``exploded`` where EQUALITY between two joined rows
+    proves the same pair also co-occurs in an EARLIER bucket (NULL = no
+    earlier bucket at that slot — the LSH callers pass each row's earlier
+    band hashes, NULL-padded past its own band index). A pair sharing m
+    buckets is otherwise emitted m times — once per bucket — and every
+    duplicate rides the join output and the global ``distinct`` shuffle
+    (measured ~2.9 emissions/pair on the 605k-doc near-dup replay). With
+    the columns given, the self-join adds one codegen-friendly conjunct
+    per column — ``(a.c = b.c) IS NOT TRUE`` — so each pair is emitted
+    from its FIRST shared bucket only; the output SET is identical
+    (deliberately NO lambda/HOF form here: higher-order predicates are
+    CodegenFallback and evaluate interpreted per joined row — r19). The
+    filter is DISABLED whenever the guard detected overflow buckets: an
+    earlier shared bucket may be an overflow bucket that star-joins
+    instead of emitting the pair, so suppressing the later emission would
+    drop the pair entirely. In that (loud, pathological) regime the old
+    emit-everywhere + distinct plan runs unchanged, and Catalyst's column
+    pruning drops the unused prior columns from the join input.
     """
     if materialize is None:
         def materialize(df):
@@ -297,6 +352,15 @@ def banded_candidate_pairs(
         keys[1:],
         F.col(f"a.{keys[0]}") == F.col(f"b.{keys[0]}"),
     ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if prior_match_cols and not n_over:
+        # First-matching-bucket emission (see docstring): both rows share
+        # the bucket's index column (a join key), so their prior columns
+        # are NULL at exactly the same slots — a NULL-vs-NULL slot means
+        # "no earlier bucket here", never a spurious match.
+        for c in prior_match_cols:
+            cond = cond & ~F.coalesce(
+                F.col(f"a.{c}") == F.col(f"b.{c}"), F.lit(False)
+            )
     pairs = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b)
     )
@@ -451,6 +515,10 @@ def neardup_dedup(
         "doc_a",
         "doc_b",
         checkpoint_dir=checkpoint_dir,
+        # verified pairs are distinct with doc_a < doc_b by construction
+        # (both pipeline modes), so CC can skip the symmetrized frame's
+        # distinct — one full 2·|pairs| shuffle fewer (r20, guide §2.4)
+        edges_distinct=True,
         stats=cc_stats,
     )
     losers = labels.filter(F.col("node") != F.col("cluster_id")).select(
@@ -528,8 +596,8 @@ def _minhash_neardup_pairs(
         )
 
         bands_read = right_size_materialized(bands_df)
-        exploded = bands_read.select(
-            "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+        exploded, prior_cols = explode_bands_with_priors(
+            bands_read, -(-num_hashes // rows_per_band)
         )
         # banded_candidate_pairs materializes the (small, O(candidates))
         # pair set through _ckpt, so the persisted band frame releases
@@ -539,6 +607,7 @@ def _minhash_neardup_pairs(
         pairs = banded_candidate_pairs(
             exploded,
             max_bucket_size=max_bucket_size,
+            prior_match_cols=prior_cols,
             stats=guard_stats,
             materialize=_ckpt,
         )
@@ -633,12 +702,17 @@ def _minhash_neardup_pairs(
             rows_per_band,
         ).alias("bands"),
     )
-    exploded = bands_df.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    # bands_df is lineage off the CACHED sig frame, not materialized
+    # itself: the helper's getItem(i) references simplify to the single
+    # band-i md5 expression (SimplifyExtractValueOps), so the prior
+    # columns cost at most n_bands-1 extra short-string md5s per row.
+    exploded, prior_cols = explode_bands_with_priors(
+        bands_df, -(-num_hashes // rows_per_band)
     )
     pairs = banded_candidate_pairs(
         exploded,
         max_bucket_size=max_bucket_size,
+        prior_match_cols=prior_cols,
         stats=stats,
         materialize=_ckpt,
     )
@@ -788,10 +862,19 @@ def _verify_pairs(
     the raw-string Jaccard unless two distinct shingles collide in 60
     bits (P ~ 2^-60 per pair); the DuckDB oracles replay the same md5
     mapping, so the differential is bit-identical by construction even
-    then."""
+    then.
+
+    The hashed frame is materialized ONCE (eager localCheckpoint) before
+    the two joins consume it (r20): each join side is an independent
+    subtree, so the lazy form evaluated the md5-per-shingle transform
+    twice per doc — one full duplicate scan-stage pass over the corpus
+    shingles (guide §4.4 duplicated evaluation). The checkpointed payload
+    is the ~450 B/doc long-array frame the joins shuffle anyway; its
+    blocks release with the frame's GC once the caller materializes the
+    verified result."""
     hashed = shingle_sets.select(
         "doc_id", shingle_hash60(F.col("sh")).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     return (
         pairs.join(
             hashed.withColumnRenamed("sh", "sh_a").withColumnRenamed(
@@ -1013,8 +1096,16 @@ def srp_candidate_pairs(
     )
 
     banded = right_size_materialized(banded)
-    expl = banded.select(
-        "_id", "_lbl", F.posexplode("_bands").alias("_band_idx", "_band_val")
+    # Prior-band ints for first-matching-bucket emission: _lbl equality is
+    # already a join key, so an earlier equal band value proves the pair
+    # co-occurred in that earlier (label, band) bucket.
+    expl, prior_cols = explode_bands_with_priors(
+        banded,
+        -(-n_bits // rows_per_band),
+        id_cols=("_id", "_lbl"),
+        bands_col="_bands",
+        idx_name="_band_idx",
+        val_name="_band_val",
     )
     # banded_candidate_pairs materializes the (small, O(candidates)) pair
     # set itself (its bucket guard runs one separate single-row detection
@@ -1029,5 +1120,6 @@ def srp_candidate_pairs(
         max_bucket_size=max_bucket_size,
         out_a=f"{id_col}_a",
         out_b=f"{id_col}_b",
+        prior_match_cols=prior_cols,
         stats=stats,
     )

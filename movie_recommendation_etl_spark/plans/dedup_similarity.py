@@ -494,9 +494,11 @@ def q54_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compared bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_neardup_pairs(_with_twins(docs)).select("doc_a", "doc_b")
-    return connected_components(pairs, "doc_a", "doc_b").select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
+    # verified pairs are distinct with doc_a < doc_b, so CC skips the
+    # symmetrized frame's redundant distinct (r20, guide §2.4)
+    return connected_components(
+        pairs, "doc_a", "doc_b", edges_distinct=True
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 @query(

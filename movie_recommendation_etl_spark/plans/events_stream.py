@@ -336,10 +336,24 @@ def q30_stream_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
 
+    # Failure handling (r20, ADVICE r19): wait with FIRST_EXCEPTION so a
+    # failed drain is NOTICED the moment it fails. The sibling drain is a
+    # bounded availableNow run holding a temp source dir and a live
+    # streaming query, so it is still awaited (bounded seconds) rather
+    # than abandoned mid-flight — but when BOTH fail, both errors surface
+    # as one ExceptionGroup instead of only the tumbling arm's.
+    from concurrent.futures import FIRST_EXCEPTION, wait
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_tumb = pool.submit(_tumb)
-        f_sess = pool.submit(_sess)
-        stream, sess_stream = f_tumb.result(), f_sess.result()
+        futures = [pool.submit(_tumb), pool.submit(_sess)]
+        wait(futures, return_when=FIRST_EXCEPTION)
+        wait(futures)
+        excs = [e for f in futures if (e := f.exception()) is not None]
+        if len(excs) == 1:
+            raise excs[0]
+        if excs:
+            raise ExceptionGroup("both q30 streaming drains failed", excs)
+        stream, sess_stream = futures[0].result(), futures[1].result()
     return stream.unionByName(sess_stream)
 
 

@@ -163,16 +163,35 @@ def drain_mg_candidates(
             probe["max_held_rows"], sum(len(rs) for _, rs in held.values())
         )
 
-    q = (
-        streaming_mg_candidates(
-            gram_stream, k=k, n_buckets=n_buckets, gram_col=gram_col
+    # State-partition right-sizing (r20, guide §5): the stateful shuffle
+    # is keyed by `bucket`, which has at most n_buckets distinct values,
+    # so every shuffle partition beyond n_buckets is PROVABLY empty at any
+    # data scale — yet each one still pays a state-store open/commit plus
+    # a task per micro-batch (state partition count is pinned by
+    # spark.sql.shuffle.partitions at the first batch; AQE never coalesces
+    # streaming state). Clamp to min(session setting, n_buckets) for the
+    # drain — never raised above the session's configured parallelism, and
+    # derived from the operator's own keyspace bound, not the local core
+    # count. The conf is session-wide, so it is restored in a finally;
+    # this drain is the only streaming query this module ever runs.
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(
+            conf_key, str(min(int(prev_parts), max(n_buckets, 1)))
         )
-        .writeStream.foreachBatch(_fold)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q = (
+            streaming_mg_candidates(
+                gram_stream, k=k, n_buckets=n_buckets, gram_col=gram_col
+            )
+            .writeStream.foreachBatch(_fold)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prev_parts)
     if stats is not None:
         stats.update(probe)
     final_rows = [r for _, rs in held.values() for r in rs]

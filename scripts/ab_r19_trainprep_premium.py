@@ -45,6 +45,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PRESSURE_WORKERS = int(os.environ.get("SPARK_GRAFT_AB_WORKERS", "6"))
 PRESSURE_GB = float(os.environ.get("SPARK_GRAFT_AB_PRESSURE_GB", "6"))
 
+# Clamp total pressure to half the currently-AVAILABLE RAM (r20, ADVICE
+# r19): the default 6x6 GiB of resident bytearrays on a small host invites
+# the OOM killer taking down the replay (or the session) instead of merely
+# stealing bandwidth — which would confound the A/B it exists to run.
+# Worker count is reduced (never the per-worker size: the premium scales
+# with per-worker working-set churn) until the total fits.
+try:
+    _avail_gb = (
+        os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / (1 << 30)
+    )
+except (ValueError, OSError):  # pragma: no cover - exotic libc
+    _avail_gb = None
+if _avail_gb is not None:
+    _budget = _avail_gb / 2
+    if PRESSURE_WORKERS * PRESSURE_GB > _budget:
+        _clamped = max(1, int(_budget // PRESSURE_GB))
+        print(
+            f"[ab] clamping pressure workers {PRESSURE_WORKERS} -> "
+            f"{_clamped} ({PRESSURE_GB:g} GiB each) to stay under half of "
+            f"{_avail_gb:.1f} GiB available RAM",
+            file=sys.stderr,
+        )
+        PRESSURE_WORKERS = _clamped
+
 
 def _pressure_worker(gb: float) -> None:
     """Continuously rewrite a gb-sized buffer: steals memory bandwidth and

@@ -90,12 +90,15 @@ bands_df = minhash_bands(base_cache, 12, 3).persist(StorageLevel.MEMORY_AND_DISK
 n_bands = bands_df.count()
 stages["minhash_bands_persist"] = round(time.monotonic() - t, 1); t = time.monotonic()
 
-exploded = bands_df.select(
-    "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+from movie_recommendation_etl_spark.operators.neardup import (
+    explode_bands_with_priors,
 )
+
+exploded, prior_cols = explode_bands_with_priors(bands_df, 4)
 gstats = {}
 pairs = banded_candidate_pairs(
-    exploded, max_bucket_size=2000, stats=gstats,
+    exploded, max_bucket_size=2000, prior_match_cols=prior_cols,
+    stats=gstats,
     materialize=lambda df: df.localCheckpoint(eager=True),
 )
 n_pairs = pairs.count()
@@ -107,7 +110,8 @@ stages["verify"] = round(time.monotonic() - t, 1); t = time.monotonic()
 
 cc_stats = {}
 labels = connected_components(
-    verified.select("doc_a", "doc_b"), "doc_a", "doc_b", stats=cc_stats
+    verified.select("doc_a", "doc_b"), "doc_a", "doc_b",
+    edges_distinct=True, stats=cc_stats,
 )
 losers = labels.filter(F.col("node") != F.col("cluster_id")).select(
     F.col("node").alias("doc_id")
