@@ -255,3 +255,45 @@ def test_round_count_guard(spark, sf_dir):
     assert got3 == got
     assert stats3["broadcast_tier"] is False
     assert stats3["rounds"] == stats2["rounds"]
+
+
+def test_edges_distinct_skip_matches_default(spark):
+    """r20: edges_distinct=True (callers guaranteeing distinct directed
+    a<b pairs, e.g. verified near-dup pairs) skips the symmetrized
+    frame's distinct. Labels and round counts must match the default
+    path exactly on such input — and even on input that VIOLATES the
+    guarantee (duplicates and reverse twins), because duplicate edges
+    cannot move a min-label fixpoint."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20)
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(200), 2)))
+            for _ in range(300)
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for extra in (None, "violated"):
+        inp = df
+        if extra:
+            # duplicates + reverse twins: the guarantee violated on purpose
+            inp = df.union(df.limit(40)).union(
+                df.limit(25).select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+        stats_a: dict = {}
+        stats_b: dict = {}
+        base = connected_components(
+            inp, small_graph_threshold=0, stats=stats_a
+        )
+        skip = connected_components(
+            inp, small_graph_threshold=0, edges_distinct=True, stats=stats_b
+        )
+        a = sorted((r["node"], r["cluster_id"]) for r in base.collect())
+        b = sorted((r["node"], r["cluster_id"]) for r in skip.collect())
+        assert a == b, extra
+        assert stats_a["rounds"] == stats_b["rounds"], extra

@@ -284,3 +284,84 @@ def test_srp_bucket_guard_bounds_duplicate_embeddings(spark):
     # duplicated block contributes ~one star pair per band per member,
     # never the ~2e6 pairs of the unguarded self-join
     assert 0 < n_cand < 40 * n
+
+
+def test_first_bucket_emission_set_identical(spark):
+    """r20 first-matching-bucket emission: prior_match_cols must never
+    change the PAIR SET — only how many times the join emits each pair
+    before the distinct. Hand-built layout: docs 1,2 share buckets at
+    band 0 AND band 1 (the duplicate-emission case the prior filter
+    suppresses), doc 3 joins them only at band 1 (prior values differ,
+    so it must still be emitted there)."""
+    rows = [
+        (1, 0, "A", None),
+        (1, 1, "B", "A"),
+        (2, 0, "A", None),
+        (2, 1, "B", "A"),
+        (3, 1, "B", "X"),
+    ]
+    expl = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_hash string, __p0 string"
+    )
+    want = {(1, 2), (1, 3), (2, 3)}
+    for prior in ((), ("__p0",)):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in banded_candidate_pairs(
+                expl, max_bucket_size=2000, prior_match_cols=prior
+            ).collect()
+        }
+        assert got == want, prior
+
+
+def test_first_bucket_emission_disabled_on_overflow(spark):
+    """When ANY bucket overflows, the prior filter must fall back to
+    emit-everywhere: an earlier shared bucket may be an overflow bucket
+    that star-joins instead of emitting the pair. Docs 1..7 share the
+    band-0 bucket (overflows at cap 5, star against min id 1) and docs
+    2,3 also share band 1 (non-overflow); suppressing (2,3) at band 1
+    because of the band-0 "prior match" would lose the pair entirely —
+    the star only emits (1,2) and (1,3)."""
+    rows = [(i, 0, "BIG", None) for i in range(1, 8)] + [
+        (2, 1, "B", "BIG"),
+        (3, 1, "B", "BIG"),
+    ]
+    expl = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_hash string, __p0 string"
+    )
+    for prior in ((), ("__p0",)):
+        stats: dict = {}
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in banded_candidate_pairs(
+                expl,
+                max_bucket_size=5,
+                prior_match_cols=prior,
+                stats=stats,
+            ).collect()
+        }
+        assert stats["overflow_buckets"] == 1
+        assert got == {(1, i) for i in range(2, 8)} | {(2, 3)}
+
+
+def test_explode_bands_with_priors_layout(spark):
+    """The helper's prior columns are the earlier band values, NULL-padded
+    at and past the row's own band index."""
+    from movie_recommendation_etl_spark.operators.neardup import (
+        explode_bands_with_priors,
+    )
+
+    df = spark.createDataFrame(
+        [(7, ["h0", "h1", "h2"])], "doc_id long, bands array<string>"
+    )
+    expl, prior_cols = explode_bands_with_priors(df, 3)
+    assert prior_cols == ("__prior0", "__prior1")
+    got = {
+        (r["band_idx"], r["band_hash"], r["__prior0"], r["__prior1"])
+        for r in expl.collect()
+    }
+    assert got == {
+        (0, "h0", None, None),
+        (1, "h1", "h0", None),
+        (2, "h2", "h0", "h1"),
+    }

@@ -258,3 +258,47 @@ def test_drain_mg_candidates_driver_retention_bounded(spark, tmp_path):
     assert all(len(s) == 1 for s in per_bucket_nseen.values())
     # N/(k+1) = 600 < freq("hot") = 3300 -> MG guarantees survival
     assert "hot" in {r["gram"] for r in final}
+
+
+def test_drain_mg_candidates_rightsizes_and_restores_conf(spark, tmp_path):
+    """r20: the drain clamps spark.sql.shuffle.partitions to the bucket
+    bound for its own streaming query (partitions beyond n_buckets are
+    provably empty state stores) and must restore the session value on
+    every exit — including when the source is broken."""
+    import pytest as _pytest
+
+    from movie_recommendation_etl_spark.streaming.heavy_hitters import (
+        drain_mg_candidates,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+
+    src = str(tmp_path / "grams_conf")
+    spark.createDataFrame(
+        [("a",), ("b",), ("a",)], "gram string"
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("gram string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    final = drain_mg_candidates(spark, stream, k=5, n_buckets=2)
+    assert spark.conf.get(key) == before
+    assert {r["gram"] for r in final.collect()} == {"a", "b"}
+
+    # failure path: a poisoned gram column kills the drain mid-query; the
+    # conf must still be restored
+    from pyspark.sql import functions as F
+
+    def _boom(s):
+        raise ValueError("boom")
+
+    bad = (
+        spark.readStream.schema("gram string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    ).select(F.udf(_boom, "string")("gram").alias("gram"))
+    with _pytest.raises(Exception):
+        drain_mg_candidates(spark, bad, k=5, n_buckets=2)
+    assert spark.conf.get(key) == before
