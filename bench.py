@@ -56,7 +56,10 @@ REF_SCALE_METHOD = "min2_fit_cal_staged"
 # value (or none), the blob carries a regressions_note saying the
 # headline totals are not comparable this round. Per-query comparisons
 # are unaffected (they fence via SCOPE_TAGS / name matching).
-HEADLINE_SCOPE = "r14-q76-split"
+# r20: +longdoc_curate_chunk (VERDICT r19 #3 — the r19 curate/chunk
+# staging wins only manifest on ~1500-token documents, which the sf0.1
+# corpus does not contain; this line is the driver-visible witness).
+HEADLINE_SCOPE = "r20-longdoc"
 
 # A calibration ratio this far from 1.0 means the host was in a
 # different regime when the two samples ran (or one sample is junk) —
@@ -314,6 +317,55 @@ def cap_spread(spread: dict[str, float]) -> dict[str, float]:
     }
 
 
+def longdoc_corpus(docs, *, group: int = 15, copies: int = 12):
+    """Deterministic ~1500-token document corpus derived from the
+    documents table (r20, VERDICT r19 #3): every ``group`` consecutive
+    doc_ids concatenate — ordered by doc_id, so the text is
+    partitioning-independent — into one long document, replicated
+    ``copies`` times with 3 copy-unique tokens appended (the ref-scale
+    replay's distinct-copy recipe, so curate's exact-dedup stage keeps
+    the copies). This is the realistic web-document length the curate
+    and chunk operators exist for; the sf0.1 corpus itself is short-doc,
+    which is why the r19 long-doc wins were invisible to the bench."""
+    from pyspark.sql import functions as F
+
+    grouped = docs.groupBy(
+        (F.col("doc_id") / group).cast("long").alias("gid")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    new_id = F.col("gid") * copies + F.col("__i")
+    return (
+        grouped.withColumn(
+            "__i", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+        )
+        .select(
+            new_id.alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.concat(
+                    F.lit("tok"), F.pmod(F.xxhash64(new_id), F.lit(100_000))
+                ),
+                F.concat(
+                    F.lit("tok"),
+                    F.pmod(F.xxhash64(new_id, F.lit(1)), F.lit(100_000)),
+                ),
+                F.concat(
+                    F.lit("tok"),
+                    F.pmod(F.xxhash64(new_id, F.lit(2)), F.lit(100_000)),
+                ),
+            ).alias("text"),
+        )
+    )
+
+
 def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
     """The tail-survivable SECOND stdout line (r10 VERDICT #1). The driver
     records only the last ~2000 bytes of stdout; r10 printed the timings
@@ -359,6 +411,16 @@ def compact_line(out: dict, recall_at5: dict[str, float]) -> str:
         **(
             {"calibration_mem_sec": out["calibration_mem_sec"]}
             if "calibration_mem_sec" in out
+            else {}
+        ),
+        **(
+            # end-of-sweep probe pair (r20 sweep bracketing, ~50 bytes) —
+            # the mid-sweep regime witness must survive the tail window
+            {
+                "calibration_end_sec": out["calibration_end_sec"],
+                "calibration_mem_end_sec": out["calibration_mem_end_sec"],
+            }
+            if "calibration_end_sec" in out
             else {}
         ),
         **(
@@ -695,7 +757,7 @@ def _parse_bench_file_raw(latest: str) -> dict | None:
         allowed = re.compile(r"^(q\d+(_|$)|ref_scale_(?!calibration)[a-z_]+)")
         extras = {
             "catalog_warm", "incremental_admit", "ann_warm_query",
-            "batch_ann", "ivf_pq_serve",
+            "batch_ann", "ivf_pq_serve", "longdoc_curate_chunk",
         }
         queries = {
             k: float(v)
@@ -714,6 +776,7 @@ def _parse_bench_file_raw(latest: str) -> dict | None:
                 flagged = re.findall(
                     r'"(q\d+[a-z_0-9]*|incremental_admit|catalog_warm'
                     r'|ann_warm_query|batch_ann|ivf_pq_serve'
+                    r'|longdoc_curate_chunk'
                     r'|ref_scale_[a-z_]+)":\s*[{\-0-9n]',
                     reg_seg,
                 )
@@ -1061,7 +1124,10 @@ def compute_drift(
             if name in MEM_NORMALIZED_ENTRIES:
                 # memory-regime relief for the checkpoint/cache-bound
                 # lifecycle line (r19 — MEM_NORMALIZED_ENTRIES rationale);
-                # per-round pairing like the CPU ratio, same clamp
+                # per-round pairing like the CPU ratio, same clamp.
+                # r20 (ADVICE r19): the pair ratio must be IN REGIME —
+                # a corrupted/extreme mem sample must not silently
+                # suppress the drift flag for that pairing.
                 mem_prev = b.get("ref_scale_calibration_mem_sec")
                 if (
                     isinstance(ref_scale_calibration_mem_sec, (int, float))
@@ -1069,9 +1135,9 @@ def compute_drift(
                     and isinstance(mem_prev, (int, float))
                     and mem_prev > 0
                 ):
-                    ratio = max(
-                        ratio, ref_scale_calibration_mem_sec / mem_prev
-                    )
+                    mem_pair = ref_scale_calibration_mem_sec / mem_prev
+                    if ref_ratio_in_regime(mem_pair):
+                        ratio = max(ratio, mem_pair)
             t_norm = t_now / ratio
             # keep the BINDING comparison: the round this query ran
             # fastest against (max rel == comparing vs the min baseline)
@@ -1304,6 +1370,60 @@ def main() -> int:
 
     _record("incremental_admit", sample_min(_admit_timed))
     extra_resamplers["incremental_admit"] = _admit_timed
+
+    # Long-document curate+chunk (r20, VERDICT r19 #3): the r19 staging
+    # rewrites removed O(doc_len^2) work from curate's filter stage and
+    # O(tokens x chunks) re-tokenization from chunk_documents — wins that
+    # only manifest at realistic (~1500-token) document length, which no
+    # sf corpus contains. This line times exactly those two operators
+    # over a deterministic long-doc corpus derived from the documents
+    # table (longdoc_corpus; build is per-session setup, untimed and
+    # persisted — every sample measures the operators, not the
+    # generation). Additive only: no existing line's timed region
+    # changed; HEADLINE_SCOPE is bumped so totals self-fence this round.
+    from movie_recommendation_etl_spark.operators.curate import (
+        curate_documents,
+    )
+    from movie_recommendation_etl_spark.operators.training_prep import (
+        chunk_documents,
+    )
+
+    longdocs = longdoc_corpus(
+        load_table(spark, SF_DIR, "documents")
+    ).persist()
+    longdocs.count()
+
+    def _longdoc_region(corpus) -> float:
+        t0 = time.monotonic()
+        cur = curate_documents(
+            corpus, langs=("en", "other"), min_quality=0.3, dedup=True
+        )
+        _run_noop(
+            chunk_documents(
+                cur.select("doc_id", "text"),
+                chunk_tokens=512,
+                overlap_tokens=64,
+            )
+        )
+        return time.monotonic() - t0
+
+    _record(
+        "longdoc_curate_chunk",
+        sample_min(lambda: _longdoc_region(longdocs)),
+    )
+    longdocs.unpersist()
+
+    def _longdoc_resample() -> float:
+        # end-of-run channel: rebuild the (torn-down) persisted corpus
+        # untimed, then re-time exactly the measured region
+        ld = longdoc_corpus(load_table(spark, SF_DIR, "documents")).persist()
+        ld.count()
+        try:
+            return _longdoc_region(ld)
+        finally:
+            ld.unpersist()
+
+    extra_resamplers["longdoc_curate_chunk"] = _longdoc_resample
 
     # Warm ANN latency: fit once, cache, then repeated point queries
     # (the reference's interactive get_recommendations loop).
@@ -1554,6 +1674,20 @@ def main() -> int:
             if s < timings[name]:
                 timings[name] = s
 
+    # Sweep-bracketing calibration (r20, VERDICT r19 #6): the start-of-run
+    # probe pair samples a ~0.5 s window and has repeatedly missed a
+    # contention regime that developed DURING the sweep (r19: 27 phantom
+    # single-round flags on untouched code while both start probes sat in
+    # the calm band). Probe CPU+mem again at sweep END, inside the same
+    # session; the regression/drift channels normalize by the WORSE
+    # (max) of the two CPU probes — one-sided like every normalization
+    # here, so a calm end probe never tightens a comparison and a
+    # mid-sweep regime shift is both witnessed in the blob and applied
+    # as relief.
+    calibration_end = host_calibration(spark)
+    calibration_mem_end = host_mem_calibration(spark)
+    calibration_used = max(calibration, calibration_end)
+
     # Nothing below needs this session (the replay is a subprocess and
     # the output assembly is pure Python), so stop it BEFORE the replay:
     # the parent local[32] JVM otherwise sits on its heap, cached tables,
@@ -1751,8 +1885,11 @@ def main() -> int:
         prev, (prev_blob or {}).get("scope_tags") or {}
     )
     prev_cal = (prev_blob or {}).get("calibration_sec") if comparable else None
+    # max of the start/end probes (sweep bracketing, r20) — pairing stays
+    # against the previous round's START probe, so using this round's max
+    # can only RELIEVE (the channels' one-sided contract)
     cal_ratio = (
-        calibration / prev_cal
+        calibration_used / prev_cal
         if isinstance(prev_cal, (int, float)) and prev_cal > 0
         else 1.0
     )
@@ -1794,6 +1931,16 @@ def main() -> int:
         and prev_ref_cal_mem > 0
         else None
     )
+    # In-regime fence for the mem-relief ratio (r20, ADVICE r19): unlike
+    # ref_cal_ratio below, the mem ratio previously flowed into the
+    # relief channels unfenced, so one corrupted/extreme mem sample could
+    # silently suppress regression+drift flags on the
+    # MEM_NORMALIZED_ENTRIES line. Same bound, same visible note; the
+    # absolute ceiling (ABS_BOUNDS) stays binding either way.
+    ref_mem_ratio_fenced = False
+    if ref_mem_ratio is not None and not ref_ratio_in_regime(ref_mem_ratio):
+        ref_mem_ratio = None
+        ref_mem_ratio_fenced = True
     ref_ratio_fenced = False
     if ref_cal_ratio is not None and not ref_ratio_in_regime(ref_cal_ratio):
         if prev:
@@ -1849,6 +1996,10 @@ def main() -> int:
         "ref_scale_method": REF_SCALE_METHOD,
         "calibration_sec": calibration,
         "calibration_mem_sec": calibration_mem,
+        # end-of-sweep probe pair (r20, sweep bracketing) — the channels
+        # above normalized by max(calibration_sec, calibration_end_sec)
+        "calibration_end_sec": calibration_end,
+        "calibration_mem_end_sec": calibration_mem_end,
         "calibration_ratio_vs_prev": round(cal_ratio, 3),
         **(
             {"ref_scale_calibration_sec": ref_scale_calibration}
@@ -1933,7 +2084,7 @@ def main() -> int:
         "drift": compute_drift(
             bench_history,
             timings,
-            calibration_sec=calibration,
+            calibration_sec=calibration_used,
             ref_scale_calibration_sec=ref_scale_calibration,
             ref_scale_method=REF_SCALE_METHOD,
             ref_scale_calibration_mem_sec=ref_scale_calibration_mem,
@@ -1986,6 +2137,14 @@ def main() -> int:
             f"[1/{CALIBRATION_RATIO_FENCE}, {CALIBRATION_RATIO_FENCE}] "
             "(different host regimes — normalizing would manufacture "
             "precision)"
+        )
+    if ref_mem_ratio_fenced:
+        notes.append(
+            "replay mem-calibration ratio vs the previous round is "
+            f"outside [1/{CALIBRATION_RATIO_FENCE}, "
+            f"{CALIBRATION_RATIO_FENCE}]; mem relief disabled for "
+            "MEM_NORMALIZED_ENTRIES this round (CPU normalization and "
+            "the absolute ceiling still apply)"
         )
     if notes:
         out["regressions_note"] = "; ".join(notes)

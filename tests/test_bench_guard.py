@@ -1173,3 +1173,118 @@ def test_trainprep_mem_ratio_normalizes_relative_channels():
         ref_scale_mem_ratio=2.0,
     )
     assert set(regs_fit) == {"ref_scale_fit_sec"}
+
+
+def test_drift_mem_pair_out_of_regime_is_rejected():
+    """r20 (ADVICE r19): a corrupted/extreme mem-calibration pairing must
+    not silently relieve the drift flag — the pair ratio is fenced by
+    the same in-regime bound the CPU replay ratio uses."""
+    import bench
+    from bench import compute_drift
+
+    prev = {"ref_scale_trainprep_sec": 53.2}
+    hist = _hist([(18, prev, 0.23, {})])
+    hist[0]["ref_scale_method"] = bench.REF_SCALE_METHOD
+    hist[0]["ref_scale_calibration_sec"] = 0.239
+    hist[0]["ref_scale_calibration_mem_sec"] = 0.398
+    # mem ratio 15.1/0.398 = 38x — far outside the 5x fence; with the
+    # fence the +75% slide still flags (CPU ratio flat)
+    flags = compute_drift(
+        hist,
+        {"ref_scale_trainprep_sec": 93.3},
+        calibration_sec=0.23,
+        current_tags={},
+        ref_scale_calibration_sec=0.239,
+        ref_scale_method=bench.REF_SCALE_METHOD,
+        ref_scale_calibration_mem_sec=15.1,
+    )
+    assert set(flags) == {"ref_scale_trainprep_sec"}
+    # an in-regime pairing (the adjudicated r18 shape) still relieves
+    flags_ok = compute_drift(
+        hist,
+        {"ref_scale_trainprep_sec": 93.3},
+        calibration_sec=0.23,
+        current_tags={},
+        ref_scale_calibration_sec=0.239,
+        ref_scale_method=bench.REF_SCALE_METHOD,
+        ref_scale_calibration_mem_sec=0.568,
+    )
+    assert flags_ok == {}
+
+
+def test_reconstruction_recovers_longdoc_line(tmp_path):
+    """r20: the additive longdoc_curate_chunk entry must survive the
+    truncated-tail reconstruction like every other non-q bench line."""
+    line = json.dumps(
+        {"metric": "bench_total_sec", "value": 9.0, "unit": "sec",
+         "queries": {"q01": 1.5, "longdoc_curate_chunk": 2.25,
+                     "not_a_bench_key": 3.0},
+         "sf": 0.1, "calibration_sec": 0.2, "regressions": {}}
+    )
+    truncated = line[len('{"metric": "bench_total_sec", "va'):]
+    (tmp_path / "BENCH_r20.json").write_text(
+        json.dumps({"n": 20, "rc": 0, "tail": truncated})
+    )
+    blob = previous_round_bench(str(tmp_path))
+    assert blob["queries"]["longdoc_curate_chunk"] == 2.25
+    assert "not_a_bench_key" not in blob["queries"]
+
+
+def test_compact_line_carries_end_calibration_pair():
+    """r20 sweep bracketing: the end-of-sweep probe pair must survive the
+    tail window alongside the start pair."""
+    from bench import compact_line
+
+    out = {
+        "queries": {"q01": 1.0},
+        "sf": 0.1,
+        "bench_method": "min2",
+        "ref_scale_method": "min2_fit_cal_staged",
+        "headline_scope": "r20-longdoc",
+        "calibration_sec": 0.2,
+        "calibration_mem_sec": 0.4,
+        "calibration_end_sec": 1.37,
+        "calibration_mem_end_sec": 2.9,
+        "scope_tags": {},
+        "regressions": {},
+    }
+    slim = json.loads(compact_line(out, {}))
+    assert slim["calibration_end_sec"] == 1.37
+    assert slim["calibration_mem_end_sec"] == 2.9
+
+
+def test_longdoc_corpus_shape_and_determinism(spark, sf_dir):
+    """r20: the longdoc bench line's corpus is deterministic (two builds
+    collect identically), long (docs meaningfully exceed the source
+    length), and copy-distinct (curate's exact dedup must keep the
+    copies, so the timed region scales with corpus size)."""
+    from pyspark.sql import functions as F
+
+    from bench import longdoc_corpus
+    from movie_recommendation_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, str(sf_dir), "documents").select(
+        "doc_id", "text"
+    )
+    a = longdoc_corpus(docs, group=5, copies=3)
+    rows = sorted((r["doc_id"], r["text"]) for r in a.collect())
+    rows2 = sorted(
+        (r["doc_id"], r["text"])
+        for r in longdoc_corpus(docs, group=5, copies=3).collect()
+    )
+    assert rows == rows2
+    n_groups = (
+        docs.select((F.col("doc_id") / 5).cast("long")).distinct().count()
+    )
+    assert len(rows) == n_groups * 3
+    # distinct ids, distinct texts (the 3 copy-unique tokens)
+    assert len({r[0] for r in rows}) == len(rows)
+    assert len({r[1] for r in rows}) == len(rows)
+    # long documents: mean token count >= 3x the source mean
+    import statistics
+
+    src_mean = statistics.mean(
+        len(r["text"].split(" ")) for r in docs.collect()
+    )
+    long_mean = statistics.mean(len(t.split(" ")) for _, t in rows)
+    assert long_mean >= 3 * src_mean
